@@ -1,0 +1,400 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Exprs._
+import graft.sources.Tables
+
+/** Relational operator surface, Spark-first.
+  *
+  * The reference (hw4.cc) has exactly one pipeline — scan → tokenize → map →
+  * shuffle → sort → group → sum → sink (SURVEY.md §2.1) — and §2.2 records that
+  * joins/windows/top-k/set-ops/etc. have NO reference implementation. This pack
+  * is the §7 extension surface: every query is a declarative DataFrame plan so
+  * Catalyst owns pushdown, join strategy (broadcast vs SMJ via AQE), partial
+  * aggregation, and whole-stage codegen. Nothing here collects to the driver.
+  *
+  * Scale posture (100 TB): filters/projections sit directly on the scan
+  * (parquet pushdown); small dims (region/nation/customer at TPC-H ratios) are
+  * broadcast explicitly; aggregates are partial+final hash aggregation; top-k
+  * uses TakeOrderedAndProject (no global sort materialization).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, Q] = Map(
+    // TPC-H Q1-shaped pricing summary: scan-level filter + hash aggregate.
+    "q1_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+            .as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Predicate + projection pushdown: only 5 columns reach the scan.
+    "q2_filter_project" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType)
+          && col("l_quantity") > 45 && col("l_discount") <= 0.02)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+    },
+
+    // TPC-H Q3-shaped: fact-fact join + broadcast dim, grouped revenue.
+    "q3_order_revenue" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+    },
+
+    // TPC-H Q5-shaped star join: two broadcast dims + customer/orders/lineitem.
+    "q4_region_revenue" -> { (s, dir) =>
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // Left-semi join (EXISTS): orders having any heavy lineitem.
+    "q5_semi_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // Left-anti join (NOT EXISTS): parts never shipped in bulk.
+    "q6_anti_join" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 40)
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+    },
+
+    // Window functions: rank + running sum over deterministic frames.
+    "q7_window_rank" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val byPrice = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val byDate = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(byPrice).cast(LongType).as("price_rank"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(byDate)
+            .cast(DoubleType).as("running_spend"))
+        .filter(col("price_rank") <= 3)
+    },
+
+    // Top-k: TakeOrderedAndProject, deterministic tie-break on key.
+    "q8_topk" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    },
+
+    // Distinct aggregation (expand-based multi-distinct).
+    "q9_distinct_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Set operations: INTERSECT / EXCEPT / UNION ALL in one result.
+    "q10_setops" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val richCust = c.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+      val bigSpenders = o.filter(col("o_totalprice") > 400000).select(col("o_custkey").as("custkey"))
+      val medSpenders = o.filter(col("o_totalprice") > 450000).select(col("o_custkey").as("custkey"))
+      val allCust = c.select(col("c_custkey").as("custkey"))
+      richCust.intersect(bigSpenders).withColumn("tag", lit("rich_and_big"))
+        .unionAll(allCust.except(medSpenders).withColumn("tag", lit("no_450k_order")))
+        .select("tag", "custkey")
+    },
+
+    // ROLLUP grouping sets with subtotal rows made null-free.
+    "q11_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+    },
+
+    // CUBE over order status x priority.
+    "q12_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("spend"))
+    },
+
+    // HAVING: post-aggregation filter.
+    "q13_having" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 12)
+    },
+
+    // Scalar subquery: orders above 1.5x the exact global mean.
+    "q14_scalar_subquery" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val thr = o.agg((dsum(col("o_totalprice")) / count(lit(1)) * 1.5).as("thr"))
+      o.join(broadcast(thr))
+        .filter(col("o_totalprice") > col("thr"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // Time-bucketed aggregation over the events stream table (batch view).
+    "q15_events_hourly" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    },
+
+    // Sessionization: 30-minute inactivity gap, via lag + running sum windows.
+    "q16_sessionize" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_millis(col("ts")).as("ms"))
+      val byTs = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val brk = when(col("ms") - lag(col("ms"), 1).over(byTs) > 30L * 60 * 1000, 1L)
+        .otherwise(when(lag(col("ms"), 1).over(byTs).isNull, 1L).otherwise(0L))
+      e.withColumn("brk", brk)
+        .withColumn("session_id", sum(col("brk")).over(
+          byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"),
+          max(col("ms")).as("end_ms"), dsum(col("value"), 6).as("sum_value"))
+    },
+
+    // Semi-structured: JSON field extraction from the props column.
+    "q17_json_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .filter(col("k") > 50)
+    },
+
+    // Scalar string function pack.
+    "q18_string_funcs" -> { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          length(col("p_name")).cast(LongType).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_type"), " ", "_").as("type_snake"))
+    },
+
+    // Date-part bucketing.
+    "q19_date_buckets" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"),
+          month(col("o_orderdate")).cast(LongType).as("mo"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+    },
+
+    // Conditional aggregation (pivot-style counts without a shuffle per case).
+    "q20_conditional_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          lsum(when(col("l_quantity") > 25, 1).otherwise(0)).as("n_big_qty"),
+          lsum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_discounted"),
+          lsum(when(col("l_tax") > 0.04, 1).otherwise(0)).as("n_taxed"),
+          count(lit(1)).as("n"))
+    }
+  )
+
+  private val q1Sums =
+    s"""${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  (${dsumSql("l_quantity")} / count(*)) AS avg_qty,
+       |  count(*) AS count_order""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $q1Sums
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 45 AND l_discount <= 0.02""".stripMargin,
+
+    "q3_order_revenue" ->
+      s"""SELECT l_orderkey,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+
+    "q4_region_revenue" ->
+      s"""SELECT r_name, n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM region, nation, customer, orders, lineitem
+         |WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q5_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)""".stripMargin,
+
+    "q6_anti_join" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity > 40)""".stripMargin,
+
+    "q7_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |  FROM orders) w
+        |WHERE price_rank <= 3""".stripMargin,
+
+    "q8_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q9_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q10_setops" ->
+      """SELECT 'rich_and_big' AS tag, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000)
+        |UNION ALL
+        |SELECT 'no_450k_order' AS tag, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  EXCEPT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000)""".stripMargin,
+
+    "q11_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q12_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n, ${dsumSql("o_totalprice")} AS spend
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q13_having" ->
+      s"""SELECT o_custkey, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS spend
+         |FROM orders GROUP BY o_custkey HAVING count(*) >= 12""".stripMargin,
+
+    "q14_scalar_subquery" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE o_totalprice > (SELECT ${dsumSql("o_totalprice")} / count(*) * 1.5 FROM orders)""".stripMargin,
+
+    "q15_events_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         |  event_type, count(*) AS n_events, ${dsumSql("value", 6)} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q16_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events
+         |), b AS (
+         |  SELECT user_id, event_id, value, ms,
+         |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
+         |         WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+         |), sn AS (
+         |  SELECT user_id, value, ms,
+         |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM b)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ms) AS start_ms, max(ms) AS end_ms, ${dsumSql("value", 6)} AS sum_value
+         |FROM sn GROUP BY user_id, session_id""".stripMargin,
+
+    "q17_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin,
+
+    "q18_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+        |  substring(p_name, 1, 8) AS name8, CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake
+        |FROM part WHERE p_name LIKE '%a%'""".stripMargin,
+
+    "q19_date_buckets" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
+         |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS spend
+         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q20_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_qty,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+        |  CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}
