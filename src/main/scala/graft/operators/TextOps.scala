@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table.
+  *
+  * `w1_wordcount` is the reference's entire capability surface re-expressed
+  * declaratively: tokenize (hw4.cc:457-466 `split`) → map to KV (hw4.cc:468-474
+  * `map_func`) → shuffle/group/sum (hw4.cc:369-382 `group`, 359-367 `red`) all
+  * fuse into `explode(split(...))` + `groupBy.count` — one shuffle, partial
+  * aggregation map-side (the combiner the reference lacks, SURVEY.md §2.1 #10).
+  *
+  * The rest is the LLM-training-pipeline text surface: token stats, quality
+  * scoring, language ID (stopword heuristic), fingerprinting. All expressions
+  * are codegen'd built-ins (no UDFs) and all per-doc math is exact integer /
+  * single-division arithmetic so the DuckDB oracle matches bit-for-bit.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Function words for the stopword-ratio heuristics (shared with oracles). */
+  private val stopwords = Seq("the", "a", "of", "to", "in", "and", "is")
+  private val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Map[String, Q] = Map(
+    // The reference job: WordCount. One narrow stage + one shuffle.
+    "w1_wordcount" -> { (s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // Document frequency: same shuffle key, two aggregates.
+    "w2_doc_freq" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cnt"))
+    },
+
+    // Per-document token statistics — no shuffle at all (narrow projection).
+    "t1_token_stats" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("w")).cast(LongType).as("n_tokens"),
+          size(array_distinct(col("w"))).cast(LongType).as("n_types"),
+          col("n_chars"),
+          (size(array_distinct(col("w"))).cast(DoubleType) / size(col("w")))
+            .as("type_token_ratio"))
+    },
+
+    // Quality scoring: length/stopword-ratio heuristics, exact arithmetic.
+    "t2_quality_score" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("w")).cast(LongType))
+        .withColumn("n_stop",
+          size(expr(s"filter(w, x -> x IN ($stopSqlList))")).cast(LongType))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          (length(regexp_replace(col("text"), " ", "")).cast(DoubleType)
+            / col("n_tokens")).as("avg_token_len"),
+          (col("n_stop").cast(DoubleType) / col("n_tokens")).as("stop_ratio"),
+          when(col("n_tokens") >= 20
+            && col("n_stop").cast(DoubleType) / col("n_tokens") > 0.01, 1L)
+            .otherwise(0L).as("quality_ok"))
+    },
+
+    // Language ID: function-word-hit heuristic vs the labeled lang column.
+    "t3_langid" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_hits",
+          size(expr(s"filter(w, x -> x IN ($stopSqlList))")).cast(LongType))
+        .select(col("doc_id"), col("lang"), col("n_hits"),
+          when(col("n_hits") >= 2, "en").otherwise("und").as("lang_pred"),
+          when((when(col("n_hits") >= 2, "en").otherwise("und")) === col("lang"), 1L)
+            .otherwise(0L).as("is_match"))
+    },
+
+    // Document fingerprint: whitespace-normalized lowercase md5.
+    "t4_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w1_wordcount" ->
+      """SELECT w AS word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |WHERE w <> '' GROUP BY w""".stripMargin,
+
+    "w2_doc_freq" ->
+      """SELECT w AS word, count(DISTINCT doc_id) AS df, count(*) AS cnt
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |WHERE w <> '' GROUP BY w""".stripMargin,
+
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+        |  n_chars,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio
+        |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents) t""".stripMargin,
+
+    "t2_quality_score" ->
+      s"""SELECT doc_id, n_tokens, n_stop,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tokens AS avg_token_len,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01
+         |       THEN 1 ELSE 0 END AS quality_ok
+         |FROM (SELECT doc_id, text,
+         |        CAST(len(w) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(w, x -> x IN ($stopSqlList))) AS BIGINT) AS n_stop
+         |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t) u""".stripMargin,
+
+    "t3_langid" ->
+      s"""SELECT doc_id, lang, n_hits,
+         |  CASE WHEN n_hits >= 2 THEN 'en' ELSE 'und' END AS lang_pred,
+         |  CASE WHEN (CASE WHEN n_hits >= 2 THEN 'en' ELSE 'und' END) = lang
+         |       THEN 1 ELSE 0 END AS is_match
+         |FROM (SELECT doc_id, lang,
+         |        CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSqlList))) AS BIGINT) AS n_hits
+         |      FROM documents) t""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin
+  )
+}
