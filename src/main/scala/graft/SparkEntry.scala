@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,12 +16,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.defs("q4_region_revenue")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7 extensions).
+    * Query-name namespaces are disjoint: q (relational), w/t (text),
+    * d (dedup), s (similarity), m (multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs
+    Relational.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs ++
+      Multimodal.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ Multimodal.oracles
 }

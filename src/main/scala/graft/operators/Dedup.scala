@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` table — the LLM-training-data
+  * pipeline surface (builder brief): exact dedup, MinHash signatures, LSH
+  * candidate generation, n-gram Jaccard verification, and SimHash.
+  *
+  * The reference engine has no dedup of any kind (SURVEY.md §2.2 — no distinct,
+  * no joins); this pack is the §7 extension row "dedup: exact `dropDuplicates`;
+  * near-dup 2-stage minhash/LSH (shingle → minhash → band-join)".
+  *
+  * Everything is codegen'd built-in expressions — no UDFs. Hash functions are
+  * md5-based so the DuckDB oracle reproduces them bit-for-bit: a MinHash
+  * signature here is the *lexicographic minimum of md5(seed || shingle)*,
+  * which is a valid min-wise permutation family and portable across engines.
+  *
+  * Scale posture (100 TB):
+  *  - d1 is one hash-aggregate on a 32-char key — the canonical exact-dedup
+  *    shape (shuffle carries fp + doc_id only, never the text).
+  *  - d2 is a narrow projection (no shuffle): per-doc signatures.
+  *  - d3 is the LSH band self-join — candidates come from an equi-join on the
+  *    band value (shuffle on band key, AQE handles skewed bands), NEVER an
+  *    all-pairs cross join.
+  *  - d4 re-joins only the candidate pairs back to shingle sets (two hash
+  *    joins on doc_id) — exact Jaccard is computed on candidates only.
+  *  - d5 is one hash-aggregate on doc_id with 16 integer partial aggregates.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Whitespace-normalized lowercase md5 fingerprint (shared with TextOps.t4). */
+  private val fpCol: Column =
+    md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " "))))
+
+  /** 3-gram word shingles of `text` (empty array when the doc has <3 tokens —
+    * matches DuckDB generate_series(1, n<1) = []). */
+  private val shinglesCol: Column = {
+    val w = split(col("text"), " ")
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ", slice(w, i, lit(3)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  private val numHashes = 6
+
+  /** MinHash signature j = min over shingles of md5("j|" || shingle). */
+  private def sigCol(j: Int): Column =
+    array_min(transform(shinglesCol, x => md5(concat(lit(s"$j|"), x))))
+
+  /** doc_id → (doc_id, s0..s5) signature frame. */
+  private def sigs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id") +: (0 until numHashes).map(j => sigCol(j).as(s"s$j")): _*)
+
+  /** One row per (doc, band): 6 bands of 1 signature each (row-probability of
+    * a candidate = Jaccard per band — tuned for recall on small corpora). */
+  private def bands(s: SparkSession, dir: String): DataFrame =
+    sigs(s, dir).select(col("doc_id"),
+      explode(array((0 until numHashes).map(j =>
+        concat(lit(s"$j:"), col(s"s$j"))): _*)).as("band"))
+
+  /** Distinct candidate pairs (d1 < d2) from the band self-join. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val b = bands(s, dir)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Shared SQL for the oracle-side signature table (DuckDB dialect). */
+  private val sigSqlCte: String = {
+    val sigExprs = (0 until numHashes).map(j =>
+      s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS s$j").mkString(",\n    ")
+    s"""sigs AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM (SELECT doc_id,
+       |          list_transform(generate_series(1, len(w)-2),
+       |                         i -> array_to_string(w[i:i+2], ' ')) AS sh
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u),
+       |bands AS (
+       |  SELECT doc_id, unnest([${(0 until numHashes).map(j => s"'$j:' || s$j").mkString(", ")}]) AS band
+       |  FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** SimHash bit width: 16 bits from the first 4 hex chars of md5(token). */
+  private val simhashBits = 16
+
+  val defs: Map[String, Q] = Map(
+    // Exact dedup: one hash-aggregate on the normalized-text fingerprint.
+    // keeper_doc_id = the surviving representative; n_dups = group size.
+    "d1_exact_dedup" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), fpCol.as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_dups"))
+    },
+
+    // MinHash signatures: narrow per-doc projection, no shuffle.
+    "d2_minhash_sig" -> { (s, dir) => sigs(s, dir) },
+
+    // LSH candidate pairs via band self-join (the non-cartesian scale path).
+    "d3_lsh_pairs" -> { (s, dir) => lshPairs(s, dir) },
+
+    // Exact n-gram Jaccard, computed only for LSH candidates (verification
+    // stage of the 2-stage near-dup pipeline).
+    "d4_jaccard_pairs" -> { (s, dir) =>
+      val sh = docs(s, dir)
+        .select(col("doc_id"), array_distinct(shinglesCol).as("sh"))
+      lshPairs(s, dir)
+        .join(sh.as("x"), col("d1") === col("x.doc_id"))
+        .join(sh.as("y"), col("d2") === col("y.doc_id"))
+        .select(col("d1"), col("d2"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast(DoubleType) /
+            size(array_distinct(concat(col("x.sh"), col("y.sh"))))).as("jaccard"))
+    },
+
+    // SimHash: 16-bit fingerprint, one hash-aggregate with 16 integer votes.
+    "d5_simhash" -> { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val votes = (0 until simhashBits).map { b =>
+        val pos = b / 4 + 1
+        val k = b % 4
+        val hv = s"(instr('0123456789abcdef', substr(md5(word), $pos, 1)) - 1)"
+        sum(expr(s"CASE WHEN (shiftright($hv, $k) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as(s"v$b")
+      }
+      tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until simhashBits)
+            .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).cast(LongType).as("simhash"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp,
+        |  min(doc_id) AS keeper_doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d2_minhash_sig" ->
+      s"""WITH $sigSqlCte
+         |SELECT doc_id, ${(0 until numHashes).map(j => s"s$j").mkString(", ")} FROM sigs""".stripMargin,
+
+    "d3_lsh_pairs" ->
+      s"""WITH $sigSqlCte
+         |SELECT d1, d2 FROM cand""".stripMargin,
+
+    "d4_jaccard_pairs" ->
+      s"""WITH $sigSqlCte,
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(generate_series(1, len(w)-2),
+         |                       i -> array_to_string(w[i:i+2], ' '))) AS sh
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t)
+         |SELECT d1, d2,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |    / len(list_distinct(x.sh || y.sh)) AS jaccard
+         |FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id""".stripMargin,
+
+    "d5_simhash" -> {
+      val votes = (0 until simhashBits).map { b =>
+        val pos = b / 4 + 1
+        val k = b % 4
+        val hv = s"(instr('0123456789abcdef', substr(md5(w), $pos, 1)) - 1)"
+        s"sum(CASE WHEN (($hv >> $k) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(",\n    ")
+      val fp = (0 until simhashBits)
+        .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE w <> '' GROUP BY doc_id) u""".stripMargin
+    }
+  )
+}

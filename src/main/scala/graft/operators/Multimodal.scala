@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata (builder brief).
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * deterministic STUB — features are derived from md5 of the payload bytes,
+  * clearly marked below. What IS real and verified end-to-end is the
+  * Spark-side plumbing a media pipeline needs: the binary column schema, the
+  * metadata projection (m1), the per-item feature-vector extraction shape
+  * (m2: one fixed-width row out per item, narrow, codegen'd), and the
+  * frame-sampling fan-out shape (m3: one row per frame via a generator, the
+  * exact plan shape a video frame-sampler produces).
+  *
+  * `documents.text` stands in for the payload (cast to binary); at 100 TB the
+  * payload column is real bytes and every plan here is unchanged: m1/m2 are
+  * narrow projections that never shuffle, m3 is a generator whose output is
+  * partitioned by the source split. See also graft.operators.MediaPipeline
+  * (typed Dataset/mapPartitions decode-stub API, exercised in tests).
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** hex-char → int in portable SQL (identical in Spark and DuckDB). */
+  private def hexVal(e: String): String =
+    s"(instr('0123456789abcdef', $e) - 1)"
+
+  /** STUB decode: feature i = 16-bit int from hex chars [4i+1 .. 4i+4] of
+    * md5(payload). A real decoder would emit image/audio features here; the
+    * plan shape (fixed-width numeric row per item) is what's being built. */
+  private def featureSql(i: Int): String =
+    (0 until 4).map { j =>
+      val c = hexVal(s"substr(md5(text), ${4 * i + j + 1}, 1)")
+      s"$c * ${1L << (4 * (3 - j))}"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  private val numFeatures = 8
+
+  val defs: Map[String, Q] = Map(
+    // Typed metadata over an opaque binary payload: size, checksum, header.
+    "m1_media_meta" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("payload", col("text").cast(BinaryType))
+        .select(col("doc_id"),
+          expr("CAST(octet_length(payload) AS BIGINT)").as("n_bytes"),
+          md5(col("payload")).as("checksum"),
+          hex(substring(col("text"), 1, 8).cast(BinaryType)).as("hdr_hex"))
+    },
+
+    // STUB feature extraction: 8 deterministic 16-bit features per payload.
+    // Narrow projection, whole-stage codegen, zero shuffle.
+    "m2_feature_stub" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id") +:
+          (0 until numFeatures).map(i => expr(featureSql(i)).as(s"f$i")): _*)
+    },
+
+    // Frame sampling: one row per fixed-size frame of the payload (the video
+    // frame-sampler plan shape: generator fan-out, partitioned by source split).
+    "m3_frame_sample" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, CAST((n_chars + 31) DIV 32 AS INT)), " +
+            "i -> substr(text, (i-1)*32 + 1, 32))")))
+        .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("frame_no"),
+          md5(col("col")).as("frame_md5"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m1_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum, hex(substr(text, 1, 8)::BLOB) AS hdr_hex
+        |FROM documents""".stripMargin,
+
+    "m2_feature_stub" ->
+      s"""SELECT doc_id, ${(0 until numFeatures).map(i => s"${featureSql(i)} AS f$i").mkString(", ")}
+         |FROM documents""".stripMargin,
+
+    "m3_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |  md5(substr(text, (CAST(i AS INT)-1)*32 + 1, 32)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, CAST((n_chars + 31) // 32 AS INT))) AS i
+        |      FROM documents) t""".stripMargin
+  )
+}

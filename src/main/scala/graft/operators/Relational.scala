@@ -123,14 +123,23 @@ object Relational {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     },
 
-    // Distinct aggregation (expand-based multi-distinct).
+    // Multi-distinct aggregation. NOT countDistinct×3: Catalyst plans that
+    // via an Expand node that replicates every input row 4× through one
+    // shuffle — the single biggest scale hazard flagged in VERDICT r1. The
+    // two-phase form below shuffles each key's *deduplicated* (flag, key)
+    // pairs instead (map-side partial dedup), then joins three tiny per-flag
+    // aggregates (AQE broadcasts them). Same result, no 4× amplification.
     "q9_distinct_agg" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_rows"))
+      val l = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_partkey", "l_suppkey", "l_orderkey")
+      def dc(key: String, alias: String) =
+        l.select(col("l_returnflag"), col(key)).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(alias))
+      l.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+        .join(dc("l_partkey", "n_parts"), Seq("l_returnflag"))
+        .join(dc("l_suppkey", "n_supps"), Seq("l_returnflag"))
+        .join(dc("l_orderkey", "n_orders"), Seq("l_returnflag"))
+        .select("l_returnflag", "n_parts", "n_supps", "n_orders", "n_rows")
     },
 
     // Set operations: INTERSECT / EXCEPT / UNION ALL in one result.
@@ -374,8 +383,8 @@ object Relational {
          |FROM sn GROUP BY user_id, session_id""".stripMargin,
 
     "q17_json_extract" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin,
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin,
 
     "q18_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * The reference has no vector operations at all (SURVEY.md §2.2); this is the
+  * §7 extension row "similarity search over embeddings" from the builder brief:
+  * brute-force cosine top-k as the correctness baseline, and a random-
+  * hyperplane-LSH bucketed variant as the 100 TB scale path.
+  *
+  * All vector math is built-in higher-order functions (`zip_with` +
+  * `aggregate`, codegen'd) — no UDFs. Floats are widened to double before any
+  * arithmetic; both Spark's `aggregate` fold and DuckDB's `list_sum` reduce
+  * sequentially left-to-right, so cosine values are bit-identical across
+  * engines (verified empirically) and safe to hash-compare.
+  *
+  * Scale posture:
+  *  - s1 broadcasts the (small) query set against a single scan of the corpus
+  *    and keeps top-k per query via a window — O(|Q|·N) with one shuffle of
+  *    the per-query candidate rows only.
+  *  - s2 buckets every vector by the sign pattern of 4 fixed pseudo-random
+  *    hyperplanes (derived from md5, so both engines build identical planes)
+  *    and joins query buckets to candidate buckets — an equi-join on the
+  *    bucket key, never an all-pairs cross join. More planes = smaller
+  *    buckets; recall is tuned by multi-probe or plane count.
+  *  - s3 blocks pair generation on the `label` column (a coarse IVF-style
+  *    partition) — the pair join shuffles on the blocking key.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+
+  /** Sequential-fold dot product — bit-identical to DuckDB list_sum. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Cosine in the DuckDB dialect, mirroring the fold order exactly. */
+  private def cosSql(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), p -> p[1]*p[2]))"
+    def n(x: String) = s"sqrt(list_sum(list_transform($x, p -> p*p)))"
+    s"${d(a, b)} / (${n(a)} * ${n(b)})"
+  }
+
+  private val numPlanes = 4
+  private val dims = 64
+
+  /** Random-hyperplane sign bit for plane p: components are ±1 derived from
+    * md5("p_d") so Spark and DuckDB construct identical planes. */
+  private def planeBitSpark(p: Int): String = {
+    val sign = s"CAST(((instr('0123456789abcdef', substr(md5(concat('${p}_', CAST(d AS STRING))), 1, 1)) - 1) % 2) * 2 - 1 AS DOUBLE)"
+    s"""CASE WHEN aggregate(
+       |  zip_with(v, transform(sequence(1, $dims), d -> $sign), (x, y) -> x * y),
+       |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END""".stripMargin
+  }
+
+  private def planeBitSql(p: Int): String = {
+    val sign = s"(((instr('0123456789abcdef', substr(md5('${p}_' || d), 1, 1)) - 1) % 2) * 2 - 1)"
+    s"CASE WHEN list_sum(list_transform(generate_series(1, $dims), d -> $sign * v[d])) >= 0 THEN '1' ELSE '0' END"
+  }
+
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).withColumn("bucket",
+      concat((0 until numPlanes).map(p => expr(planeBitSpark(p))): _*))
+
+  private val bucketSql: String =
+    (0 until numPlanes).map(planeBitSql).mkString(" || ")
+
+  val defs: Map[String, Q] = Map(
+    // Brute-force cosine top-10 for query vectors (vec_id < 5): the exact
+    // baseline every ANN variant is measured against.
+    "s1_knn_brute" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v")).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 10)
+        .select("query_id", "neighbor_id", "rnk", "sim")
+    },
+
+    // LSH-bucketed ANN: equi-join on the hyperplane-sign bucket, exact cosine
+    // within the bucket only, top-5 per query. The 100 TB path.
+    "s2_ann_lsh" -> { (s, dir) =>
+      val b = bucketed(s, dir)
+      val q = b.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("bucket").as("qbucket"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      b.join(broadcast(q), col("bucket") === col("qbucket")
+          && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v")).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "sim")
+    },
+
+    // Embedding near-dup: label-blocked pair cosine above threshold — the
+    // blocking key keeps the pair join off the cartesian path.
+    "s3_embed_neardup" -> { (s, dir) =>
+      val e = emb(s, dir)
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          col("a.label").as("label"),
+          cosine(col("a.v"), col("b.v")).as("sim"))
+        .filter(col("sim") > 0.3)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |p AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |      FROM e CROSS JOIN q WHERE vec_id <> query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM p) r
+         |WHERE rnk <= 10""".stripMargin,
+
+    "s2_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 5),
+         |p AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |      FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM p) r
+         |WHERE rnk <= 5""".stripMargin,
+
+    "s3_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         |  ${cosSql("a.v", "b.v")} AS sim
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} > 0.3""".stripMargin
+  )
+}

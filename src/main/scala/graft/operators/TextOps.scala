@@ -92,7 +92,9 @@ object TextOps {
     "t4_fingerprint" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
-          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+          // explicit whitespace class: Java \s includes \x0B, RE2's doesn't —
+          // keep Spark and the DuckDB oracle byte-identical (ADVICE r1).
+          md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " ")))).as("fp"))
     }
   )
 
@@ -136,7 +138,7 @@ object TextOps {
          |      FROM documents) t""".stripMargin,
 
     "t4_fingerprint" ->
-      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin
   )
 }
