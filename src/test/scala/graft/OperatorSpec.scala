@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Semantic unit tests for the dedup / similarity / text operators on crafted
+  * fixtures with known answers (the DuckDB gate checks engine parity; these
+  * pin the *intended semantics* on controlled inputs). */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Fixture dir shaped like /root/testdata/sf*: documents + embeddings. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-fixture").toString
+
+    val docTexts = Seq(
+      1L -> "the cat sat on the mat today",
+      2L -> "the cat sat on the mat today",            // exact dup of 1
+      3L -> "the cat sat on the mat yesterday evening", // near dup of 1/2
+      4L -> "completely different words entirely here now")
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docRows = docTexts.map { case (id, t) =>
+      Row(id, t, "en", "src0", t.length.toLong)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(docRows, 2), docsSchema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val embRows = Seq(
+      Row(0L, vec(0 -> 1.0f).toSeq, 0),
+      Row(1L, vec(0 -> 1.0f, 1 -> 0.01f).toSeq, 0), // ~parallel to v0
+      Row(2L, vec(1 -> 1.0f).toSeq, 1),             // orthogonal to v0
+      Row(3L, vec(0 -> -1.0f).toSeq, 1))            // opposite of v0
+    spark.createDataFrame(spark.sparkContext.parallelize(embRows, 2), embSchema)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("d1_exact_dedup groups identical texts under one keeper") {
+    val rows = Dedup.defs("d1_exact_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 2L), (3L, 1L), (4L, 1L))) // (keeper, group size)
+  }
+
+  test("d3_lsh_pairs finds exact dups, never disjoint docs") {
+    val pairs = Dedup.defs("d3_lsh_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must share every band")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L },
+      "doc 4 shares no shingle with any other doc")
+  }
+
+  test("d4_jaccard_pairs scores identical docs at 1.0") {
+    val j = Dedup.defs("d4_jaccard_pairs")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    j.get((1L, 3L)).foreach(v => assert(v > 0.4 && v < 0.8)) // 4 of 7 shingles
+  }
+
+  test("d5_simhash is identical for identical docs, distinct for disjoint ones") {
+    val h = Dedup.defs("d5_simhash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(4L))
+    assert(h.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("s1_knn_brute ranks the near-parallel vector first for query 0") {
+    val rows = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val q0 = rows.filter(_._1 == 0L).sortBy(_._3)
+    assert(q0.head._2 == 1L && q0.head._4 > 0.99)      // ~parallel
+    assert(q0.last._2 == 3L && q0.last._4 == -1.0)     // opposite
+  }
+
+  test("s3_embed_neardup respects label blocking and the threshold") {
+    val pairs = Similarity.defs("s3_embed_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // same-label near-parallel pair only
+  }
+
+  test("w1_wordcount matches a plain-Scala oracle on the fixture") {
+    val counts = TextOps.defs("w1_wordcount")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val expected = Seq(
+      "the cat sat on the mat today",
+      "the cat sat on the mat today",
+      "the cat sat on the mat yesterday evening",
+      "completely different words entirely here now")
+      .flatMap(_.split(" ")).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(counts == expected)
+  }
+}
