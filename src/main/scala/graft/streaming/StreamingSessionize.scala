@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Exprs._
+
+/** Structured Streaming sessionization over the `events` table.
+  *
+  * The reference has no streaming of any kind (SURVEY.md §1 "No streaming …
+  * abstractions anywhere in hw4.cc"); this is the §7 extension row
+  * "streaming over events": `readStream → session_window(gap) → agg`, the
+  * native streaming form of the batch lag+running-sum sessionization (q16).
+  *
+  * Semantics note: `session_window(ts, gap)` merges an event into a session
+  * while the gap to the previous event is strictly < gap; the batch q16
+  * breaks on diff > gap. The two differ only for events exactly gap apart —
+  * impossible-in-practice with nanosecond timestamps — and the oracle here
+  * uses the session_window convention (brk on diff >= gap).
+  *
+  * Scale posture: session_window is a built-in streaming-stateful aggregate;
+  * state is partitioned by (user_id), merged incrementally, and bounded by
+  * the watermark (late data beyond 1 hour is dropped, state for closed
+  * sessions is evicted). The run-to-completion harness below exists for the
+  * correctness gate; a production job would `writeStream` to a real sink.
+  */
+object StreamingSessionize {
+
+  /** events.parquet raw schema with ts as nanos-long (see Tables.load — the
+    * vectorized reader rejects TIMESTAMP(NANOS), so it is read as long). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The streaming transform: watermark + session window + aggregate. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        dsum(col("value"), 6).as("sum_value"))
+      .select("user_id", "n_events", "start_ms", "end_ms", "sum_value")
+
+  /** Run the stream over `dir`/events.parquet to completion (file source →
+    * memory sink, complete mode) and return the final sessions. This is the
+    * correctness-gate harness: same result as a batch sessionization, but
+    * computed by the streaming engine's incremental state merge. */
+  def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = s"sessions_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessions(stream)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      // materialize before stopping the query so the table outlives it
+      val result = spark.table(name).cache()
+      result.count()
+      result
+    } finally q.stop()
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "x1_stream_sessionize" -> { (s, dir) => runToCompletion(s, dir) }
+  )
+
+  /** Batch-SQL restatement of session_window semantics (brk on diff >= gap;
+    * see the class doc for the strict-< merge convention). */
+  val oracles: Map[String, String] = Map(
+    "x1_stream_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events
+         |), b AS (
+         |  SELECT user_id, event_id, value, ms,
+         |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
+         |         WHEN ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+         |), sn AS (
+         |  SELECT user_id, value, ms,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM b)
+         |SELECT user_id, count(*) AS n_events, min(ms) AS start_ms,
+         |  max(ms) AS end_ms, ${dsumSql("value", 6)} AS sum_value
+         |FROM sn GROUP BY user_id, session_id""".stripMargin
+  )
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+import graft.streaming.StreamingSessionize
+
+/** Streaming sessionization parity vs the batch lag+running-sum form (q16):
+  * identical (user_id, start, end, n_events, sum_value) session sets on real
+  * testdata (SURVEY.md §7 extension row; VERDICT r1 item 10). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("session_window stream equals batch sessionization on sf0.001 events") {
+    val streamed = StreamingSessionize.runToCompletion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+
+    // q16 columns: user_id, session_id, n_events, start_ms, end_ms, sum_value
+    val batchKeyed = Relational.defs("q16_sessionize")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed.map(s => (s._1, s._3, s._4)) ==
+      batchKeyed.map(b => (b._1, b._3, b._4)),
+      "session (user, start, end) sets diverge")
+    assert(streamed == batchKeyed, "session aggregate values diverge")
+  }
+}
