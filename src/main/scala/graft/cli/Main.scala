@@ -50,6 +50,17 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // contract parity: parse the locality table like the jobtracker does
+    // (hw4.cc:88-96); Spark's scheduler owns actual placement.
+    val locality = {
+      val p = java.nio.file.Paths.get(cfg.localityConfigPath)
+      if (java.nio.file.Files.isReadable(p))
+        graft.model.LocalityConfig.asFoldedMap(p, numNodes = 2)
+      else Map.empty[Int, Int]
+    }
+    if (locality.nonEmpty)
+      println(s"[graft] locality table: ${locality.size} chunk mappings (informational)")
+
     val listener = new Hw4EventLogListener(cfg, cpus)
     spark.sparkContext.addSparkListener(listener)
     try {
