@@ -40,59 +40,99 @@ object Dedup {
   private val fpCol: Column =
     md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " "))))
 
-  /** 3-gram word shingles of `text` (empty array when the doc has <3 tokens —
-    * matches DuckDB generate_series(1, n<1) = []). */
-  private val shinglesCol: Column = {
-    val w = split(col("text"), " ")
+  /** 3-gram word shingles over a pre-split token array column (empty array
+    * when the doc has <3 tokens — matches DuckDB generate_series(1, n<1)=[]).
+    * Takes the tokens as a bound column so `split` runs once per row, not
+    * once per sub-expression. */
+  private def shinglesOf(w: Column): Column =
     when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ", slice(w, i, lit(3)))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
 
   private val numHashes = 6
 
-  /** MinHash signature j = min over shingles of md5("j|" || shingle). */
-  private def sigCol(j: Int): Column =
-    array_min(transform(shinglesCol, x => md5(concat(lit(s"$j|"), x))))
+  /** Affine minhash family over ONE base hash per shingle:
+    * h(x) = int of the first 8 hex chars of md5(x) (< 2^32), then
+    * sig_j = min over shingles of (a_j·h + b_j) mod P. One md5 per shingle
+    * total (not one per hash function) — at 100 TB the md5 pass dominates
+    * signature cost, so the affine family is 6× cheaper than rehashing.
+    * All arithmetic stays below 2^62 (no overflow under ANSI mode) and is
+    * reproduced exactly by the DuckDB oracle. */
+  private val P = 1000000007L
+  private val hashA = Seq(131L, 9973L, 999331L, 22695477L, 747796405L, 69069L)
+  private val hashB = Seq(17L, 911L, 65599L, 104729L, 50331653L, 998244353L)
 
-  /** doc_id → (doc_id, s0..s5) signature frame. */
+  /** Spark-SQL lambda body: md5-hex string m → base-hash bigint. */
+  private def hexToIntSpark: String =
+    (0 until 8).map { i =>
+      s"CAST(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1 AS BIGINT) * ${1L << (4 * (7 - i))}"
+    }.mkString(" + ")
+
+  /** doc_id → (doc_id, s0..s5 bigint) signature frame. The shingle array and
+    * the base-hash array are each materialized once per row. */
   private def sigs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id") +: (0 until numHashes).map(j => sigCol(j).as(s"s$j")): _*)
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
+      .withColumn("hv", expr(s"transform(transform(sh, x -> md5(x)), m -> $hexToIntSpark)"))
+      .select(col("doc_id") +: (0 until numHashes).map { j =>
+        expr(s"array_min(transform(hv, h -> (${hashA(j)} * h + ${hashB(j)}) % $P))")
+          .as(s"s$j")
+      }: _*)
 
   /** One row per (doc, band): 6 bands of 1 signature each (row-probability of
-    * a candidate = Jaccard per band — tuned for recall on small corpora). */
+    * a candidate = Jaccard per band — tuned for recall on small corpora).
+    * Band key packs (band index, sig) into one BIGINT join key. */
   private def bands(s: SparkSession, dir: String): DataFrame =
     sigs(s, dir).select(col("doc_id"),
       explode(array((0 until numHashes).map(j =>
-        concat(lit(s"$j:"), col(s"s$j"))): _*)).as("band"))
+        (lit(j.toLong * (1L << 30)) + col(s"s$j")).cast(LongType)): _*)).as("band"))
 
-  /** Distinct candidate pairs (d1 < d2) from the band self-join. */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val b = bands(s, dir)
-    b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+  /** LSH buckets larger than this are dropped (textbook LSH hygiene: a viral
+    * bucket generates O(k²) pairs and is useless as a dedup signal anyway). */
+  private val maxBucket = 100
+
+  /** Distinct candidate pairs (d1 < d2), generated within each band bucket.
+    * ONE pass computes signatures (a band self-join would recompute the md5
+    * pipeline on both sides — 2× the dominant cost); one shuffle groups by
+    * band; pairs expand only inside buckets of size 2..maxBucket. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    bands(s, dir)
+      .groupBy("band").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a AS d1, b AS d2)))), p -> p.d1 < p.d2)"))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-  }
 
-  /** Shared SQL for the oracle-side signature table (DuckDB dialect). */
+  /** Shared SQL for the oracle-side signature table (DuckDB dialect),
+    * mirroring the affine family bit-for-bit. */
   private val sigSqlCte: String = {
+    val hexToInt = (0 until 8).map { i =>
+      s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+    }.mkString(" + ")
     val sigExprs = (0 until numHashes).map(j =>
-      s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS s$j").mkString(",\n    ")
+      s"list_min(list_transform(hv, h -> (${hashA(j)} * h + ${hashB(j)}) % $P)) AS s$j")
+      .mkString(",\n    ")
     s"""sigs AS (
        |  SELECT doc_id,
        |    $sigExprs
        |  FROM (SELECT doc_id,
-       |          list_transform(generate_series(1, len(w)-2),
-       |                         i -> array_to_string(w[i:i+2], ' ')) AS sh
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u),
+       |          list_transform(list_transform(sh, x -> md5(x)), m -> $hexToInt) AS hv
+       |        FROM (SELECT doc_id,
+       |                list_transform(generate_series(1, len(w)-2),
+       |                               i -> array_to_string(w[i:i+2], ' ')) AS sh
+       |              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) t2) u),
        |bands AS (
-       |  SELECT doc_id, unnest([${(0 until numHashes).map(j => s"'$j:' || s$j").mkString(", ")}]) AS band
+       |  SELECT doc_id, unnest([${(0 until numHashes).map(j => s"CAST(${j.toLong * (1L << 30)} AS BIGINT) + s$j").mkString(", ")}]) AS band
        |  FROM sigs),
+       |ok AS (
+       |  SELECT band FROM bands GROUP BY band HAVING count(*) BETWEEN 2 AND $maxBucket),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+       |  WHERE a.band IN (SELECT band FROM ok))""".stripMargin
   }
 
   /** SimHash bit width: 16 bits from the first 4 hex chars of md5(token). */
@@ -117,7 +157,8 @@ object Dedup {
     // stage of the 2-stage near-dup pipeline).
     "d4_jaccard_pairs" -> { (s, dir) =>
       val sh = docs(s, dir)
-        .select(col("doc_id"), array_distinct(shinglesCol).as("sh"))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), array_distinct(shinglesOf(col("w"))).as("sh"))
       lshPairs(s, dir)
         .join(sh.as("x"), col("d1") === col("x.doc_id"))
         .join(sh.as("y"), col("d2") === col("y.doc_id"))

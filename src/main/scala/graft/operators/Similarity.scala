@@ -116,14 +116,20 @@ object Similarity {
     },
 
     // Embedding near-dup: label-blocked pair cosine above threshold — the
-    // blocking key keeps the pair join off the cartesian path.
+    // blocking key keeps the pair join off the cartesian path. Vectors are
+    // unit-normalized BEFORE the join (O(N) norms instead of O(pairs)), so
+    // per-pair work is a single dot product — the difference between 2N and
+    // ~N²/labels norm computations at 100 TB.
     "s3_embed_neardup" -> { (s, dir) =>
-      val e = emb(s, dir)
-      e.as("a").join(e.as("b"),
+      val n = emb(s, dir)
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .select(col("vec_id"), col("label"),
+          transform(col("v"), x => x / col("nrm")).as("u"))
+      n.as("a").join(n.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           col("a.label").as("label"),
-          cosine(col("a.v"), col("b.v")).as("sim"))
+          dot(col("a.u"), col("b.u")).as("sim"))
         .filter(col("sim") > 0.3)
     }
   )
@@ -150,11 +156,16 @@ object Similarity {
          |  FROM p) r
          |WHERE rnk <= 5""".stripMargin,
 
-    "s3_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    "s3_embed_neardup" -> {
+      val dotU = "list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2]))"
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, label, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-         |  ${cosSql("a.v", "b.v")} AS sim
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.v", "b.v")} > 0.3""".stripMargin
+         |  $dotU AS sim
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $dotU > 0.3""".stripMargin
+    }
   )
 }
