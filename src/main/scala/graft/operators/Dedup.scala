@@ -135,8 +135,52 @@ object Dedup {
        |  WHERE a.band IN (SELECT band FROM ok))""".stripMargin
   }
 
-  /** SimHash bit width: 16 bits from the first 4 hex chars of md5(token). */
-  private val simhashBits = 16
+  /** SimHash bit width: 32 bits from the first 8 hex chars of md5(token). */
+  private val simhashBits = 32
+
+  /** 32-bit SimHash per document: explode tokens, hash each token ONCE
+    * (md5 hex staged as a column, not recomputed per bit), then one
+    * hash-aggregate with 32 integer votes; fingerprint assembled from the
+    * vote signs. One shuffle on doc_id; shuffle rows carry (doc_id, 32 ints). */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), md5(col("word")).as("m"))
+    val votes = (0 until simhashBits).map { b =>
+      val pos = b / 4 + 1
+      val k = b % 4
+      val hv = s"(instr('0123456789abcdef', substr(m, $pos, 1)) - 1)"
+      sum(expr(s"CASE WHEN (shiftright($hv, $k) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"v$b")
+    }
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until simhashBits)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).cast(LongType).as("simhash"))
+  }
+
+  /** Oracle CTE producing (doc_id, simhash), mirroring simhashDf. */
+  private val simhashSqlCte: String = {
+    val votes = (0 until simhashBits).map { b =>
+      val pos = b / 4 + 1
+      val k = b % 4
+      val hv = s"(instr('0123456789abcdef', substr(m, $pos, 1)) - 1)"
+      s"sum(CASE WHEN (($hv >> $k) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val fp = (0 until simhashBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""h AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM (
+       |    SELECT doc_id,
+       |    $votes
+       |    FROM (SELECT doc_id, md5(w) AS m
+       |          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t0
+       |          WHERE w <> '') t
+       |    GROUP BY doc_id) u)""".stripMargin
+  }
 
   val defs: Map[String, Q] = Map(
     // Exact dedup: one hash-aggregate on the normalized-text fingerprint.
@@ -167,23 +211,29 @@ object Dedup {
             size(array_distinct(concat(col("x.sh"), col("y.sh"))))).as("jaccard"))
     },
 
-    // SimHash: 16-bit fingerprint, one hash-aggregate with 16 integer votes.
-    "d5_simhash" -> { (s, dir) =>
-      val tok = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-      val votes = (0 until simhashBits).map { b =>
-        val pos = b / 4 + 1
-        val k = b % 4
-        val hv = s"(instr('0123456789abcdef', substr(md5(word), $pos, 1)) - 1)"
-        sum(expr(s"CASE WHEN (shiftright($hv, $k) & 1) = 1 THEN 1 ELSE -1 END"))
-          .as(s"v$b")
-      }
-      tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          (0 until simhashBits)
-            .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _).cast(LongType).as("simhash"))
+    // SimHash: 32-bit fingerprint per document.
+    "d5_simhash" -> { (s, dir) => simhashDf(s, dir) },
+
+    // SimHash near-dup: 4 bands of 8 bits (pigeonhole: any pair at hamming
+    // <= 3 shares a clean band unless its bucket was capped), in-bucket pair
+    // expansion, exact hamming via codegen'd bit_count(xor).
+    "d6_simhash_neardup" -> { (s, dir) =>
+      val b = simhashDf(s, dir).select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(k =>
+          (lit(k.toLong * 256) +
+            expr(s"shiftright(simhash, ${8 * k}) & 255")).cast(LongType)): _*))
+          .as("band"))
+      b.groupBy("band")
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
+        .filter(size(col("xs")).between(2, maxBucket))
+        .select(explode(expr(
+          "filter(flatten(transform(xs, a -> transform(xs, b -> " +
+            "named_struct('d1', a.doc_id, 'h1', a.simhash, 'd2', b.doc_id, 'h2', b.simhash)))), " +
+            "p -> p.d1 < p.d2)")).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+          expr("bit_count(p.h1 ^ p.h2)").cast(LongType).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
     }
   )
 
@@ -212,21 +262,22 @@ object Dedup {
          |    / len(list_distinct(x.sh || y.sh)) AS jaccard
          |FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id""".stripMargin,
 
-    "d5_simhash" -> {
-      val votes = (0 until simhashBits).map { b =>
-        val pos = b / 4 + 1
-        val k = b % 4
-        val hv = s"(instr('0123456789abcdef', substr(md5(w), $pos, 1)) - 1)"
-        s"sum(CASE WHEN (($hv >> $k) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
-      }.mkString(",\n    ")
-      val fp = (0 until simhashBits)
-        .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM (
-         |  SELECT doc_id,
-         |    $votes
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
-         |  WHERE w <> '' GROUP BY doc_id) u""".stripMargin
-    }
+    "d5_simhash" ->
+      s"""WITH $simhashSqlCte
+         |SELECT doc_id, simhash FROM h""".stripMargin,
+
+    "d6_simhash_neardup" ->
+      s"""WITH $simhashSqlCte,
+         |bands AS (
+         |  SELECT doc_id, simhash,
+         |    unnest([${(0 until 4).map(k => s"CAST(${k * 256} AS BIGINT) + ((simhash >> ${8 * k}) & 255)").mkString(", ")}]) AS band
+         |  FROM h),
+         |ok AS (
+         |  SELECT band FROM bands GROUP BY band HAVING count(*) BETWEEN 2 AND $maxBucket)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |WHERE a.band IN (SELECT band FROM ok)
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   )
 }

@@ -95,6 +95,30 @@ object TextOps {
           // explicit whitespace class: Java \s includes \x0B, RE2's doesn't —
           // keep Spark and the DuckDB oracle byte-identical (ADVICE r1).
           md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " ")))).as("fp"))
+    },
+
+    // BPE-ish token counting: regex pre-tokenizer (alpha runs | digit runs |
+    // single other-glyph — the shape real BPE pre-tokenizers use), plus
+    // per-class counts. Narrow projection, zero shuffle.
+    "t5_token_count" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("tk",
+          expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+        .select(col("doc_id"),
+          size(col("tk")).cast(LongType).as("n_bpe_tokens"),
+          size(expr("filter(tk, x -> x rlike '^[a-zA-Z]+$')")).cast(LongType).as("n_alpha"),
+          size(expr("filter(tk, x -> x rlike '^[0-9]+$')")).cast(LongType).as("n_num"))
+        .withColumn("n_other", (col("n_bpe_tokens") - col("n_alpha") - col("n_num")).cast(LongType))
+    },
+
+    // Polynomial rolling hash over the raw character stream (base 31 mod
+    // 1e9+7) — the order-sensitive fingerprint complement to t4's
+    // order-normalized md5. Sequential fold, identical in both engines.
+    "t6_rolling_hash" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        expr("aggregate(transform(sequence(1, length(text)), " +
+          "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)").as("rhash"))
     }
   )
 
@@ -139,6 +163,26 @@ object TextOps {
 
     "t4_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin,
+
+    "t5_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(list_filter(tk, x -> regexp_full_match(x, '[a-zA-Z]+'))) AS BIGINT) AS n_alpha,
+        |  CAST(len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_num,
+        |  CAST(len(tk)
+        |    - len(list_filter(tk, x -> regexp_full_match(x, '[a-zA-Z]+')))
+        |    - len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_other
+        |FROM (SELECT doc_id,
+        |        regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS tk
+        |      FROM documents) t""".stripMargin,
+
+    "t6_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(generate_series(1, length(text)),
+        |                   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
         |FROM documents""".stripMargin
   )
 }

@@ -78,7 +78,7 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(h(1L) == h(2L))
     assert(h(1L) != h(4L))
-    assert(h.values.forall(v => v >= 0 && v < (1L << 16)))
+    assert(h.values.forall(v => v >= 0 && v < (1L << 32)))
   }
 
   test("s1_knn_brute ranks the near-parallel vector first for query 0") {
