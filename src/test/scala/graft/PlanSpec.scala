@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+
+/** Physical-plan pins for the 100 TB posture: these fail if a future edit
+  * regresses pushdown, broadcast strategy, partial aggregation, or
+  * accidentally introduces a cartesian product / needless shuffle. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q2: filters and projection reach the parquet scan") {
+    val p = plan(Relational.defs("q2_filter_project")(spark, dir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+    // projection pruning: the scan must not read all 16 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.split(",").length <= 6, readSchema)
+  }
+
+  test("q3: dimension side is broadcast, not shuffled") {
+    val p = plan(Relational.defs("q3_order_revenue")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q8: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.defs("q8_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), p)
+  }
+
+  test("w1: wordcount aggregates partially before the shuffle") {
+    val p = plan(TextOps.defs("w1_wordcount")(spark, dir))
+    // partial + final hash aggregation around exactly one exchange
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(p).size == 2, p)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("narrow per-doc queries are shuffle-free") {
+    Seq(TextOps.defs("t1_token_stats"), TextOps.defs("t5_token_count"),
+      TextOps.defs("t6_rolling_hash"), Multimodal.defs("m1_media_meta"),
+      Multimodal.defs("m2_feature_stub"), Dedup.defs("d2_minhash_sig"))
+      .foreach { q =>
+        val p = plan(q(spark, dir))
+        assert(!p.contains("Exchange"), p)
+      }
+  }
+
+  test("no dedup/similarity query degenerates to a cartesian product") {
+    Seq("d3_lsh_pairs", "d4_jaccard_pairs", "d6_simhash_neardup").foreach { n =>
+      val p = plan(Dedup.defs(n)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
+    val s3 = plan(Similarity.defs("s3_embed_neardup")(spark, dir))
+    assert(!s3.contains("CartesianProduct"), s3)
+    // s2's bucket join must be an equi-join, not a nested loop
+    val s2 = plan(Similarity.defs("s2_ann_lsh")(spark, dir))
+    assert(s2.contains("BroadcastHashJoin") || s2.contains("SortMergeJoin"), s2)
+  }
+
+  test("s1 brute-force knn broadcasts the query side against one corpus scan") {
+    val p = plan(Similarity.defs("s1_knn_brute")(spark, dir))
+    assert(p.contains("BroadcastExchange"), p)
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+}
