@@ -47,19 +47,30 @@ object StreamingSessionize {
         dsum(col("value"), 6).as("sum_value"))
       .select("user_id", "n_events", "start_ms", "end_ms", "sum_value")
 
-  /** Run the stream over `dir`/events.parquet to completion (file source →
-    * memory sink, complete mode) and return the final sessions. This is the
-    * correctness-gate harness: same result as a batch sessionization, but
-    * computed by the streaming engine's incremental state merge. */
-  def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
+  /** Hourly tumbling-window rollup — the streaming twin of the batch q15:
+    * watermark + window() + partial/final streaming aggregate. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Run a streaming transform over `dir`/events.parquet to completion
+    * (file source → memory sink, complete mode) and return the final state.
+    * This is the correctness-gate harness: same result as the batch query,
+    * but computed by the streaming engine's incremental state merge. */
+  def runToCompletion(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame = sessions(_)): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val name = s"sessions_${UUID.randomUUID().toString.replace("-", "")}"
-    val q = sessions(stream)
+    val name = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = transform(stream)
       .writeStream
       .format("memory")
       .queryName(name)
@@ -77,7 +88,8 @@ object StreamingSessionize {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
-    "x1_stream_sessionize" -> { (s, dir) => runToCompletion(s, dir) }
+    "x1_stream_sessionize" -> { (s, dir) => runToCompletion(s, dir) },
+    "x2_stream_hourly" -> { (s, dir) => runToCompletion(s, dir, hourlyRollup) }
   )
 
   /** Batch-SQL restatement of session_window semantics (brk on diff >= gap;
@@ -98,6 +110,11 @@ object StreamingSessionize {
          |  FROM b)
          |SELECT user_id, count(*) AS n_events, min(ms) AS start_ms,
          |  max(ms) AS end_ms, ${dsumSql("value", 6)} AS sum_value
-         |FROM sn GROUP BY user_id, session_id""".stripMargin
+         |FROM sn GROUP BY user_id, session_id""".stripMargin,
+
+    "x2_stream_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         |  event_type, count(*) AS n_events, ${dsumSql("value", 6)} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
