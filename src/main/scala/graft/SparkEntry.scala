@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.TypedAggs
 import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
 import graft.streaming.StreamingSessionize
 
@@ -22,11 +23,12 @@ object SparkEntry {
     * d (dedup), s (similarity), m (multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs ++
-      Multimodal.defs ++ StreamingSessionize.defs
+      Multimodal.defs ++ StreamingSessionize.defs ++ TypedAggs.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ StreamingSessionize.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ StreamingSessionize.oracles ++
+      TypedAggs.oracles
 }

@@ -38,7 +38,8 @@ object Main {
       chunkSize = args(4).toInt,
       localityConfigPath = args(5),
       outputDir = args(6),
-      fidelityPartitioner = args.contains("--fidelity-partitioner"))
+      fidelityPartitioner = args.contains("--fidelity-partitioner"),
+      fidelityTokenizer = args.contains("--fidelity-tokenizer"))
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()

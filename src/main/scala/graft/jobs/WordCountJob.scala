@@ -48,7 +48,8 @@ object WordCountJob {
       chunkSize: Int,
       localityConfigPath: String,
       outputDir: String,
-      fidelityPartitioner: Boolean = false)
+      fidelityPartitioner: Boolean = false,
+      fidelityTokenizer: Boolean = false)
 
   /** hw4.cc:479 — reducer id = first char (as int) mod R. Skew-prone by
     * design; exists only for fidelity experiments. */
@@ -68,6 +69,40 @@ object WordCountJob {
       .groupBy("word")
       .agg(count(lit(1)).as("count"))
 
+  /** Byte-faithful replication of the reference's ACTUAL (buggy) tokenization
+    * for golden-output experiments (SURVEY.md §1 quirks 1 and 3):
+    *  - lines are concatenated with NO separator into chunks of `chunkSize`
+    *    lines (hw4.cc:72), fusing the last word of line i with the first word
+    *    of line i+1;
+    *  - a token is emitted only when a following space exists (hw4.cc:460-465),
+    *    so each chunk's final token is silently dropped;
+    *  - consecutive spaces emit empty-string tokens (quirk 3), which count
+    *    like any key.
+    * Quirk 2 (`chunk_size == 1` captures only the first line) is NOT
+    * replicated — chunks here are exact for every chunkSize >= 1.
+    * RDD path: chunk assembly is genuinely order-dependent imperative logic. */
+  def fidelityCounts(spark: SparkSession, inputPath: String, chunkSize: Int): DataFrame = {
+    import spark.implicits._
+    val chunks = spark.sparkContext.textFile(inputPath)
+      .zipWithIndex()
+      .map { case (line, i) => (i / chunkSize, (i, line)) }
+      .groupByKey()
+      .map { case (_, ls) => ls.toSeq.sortBy(_._1).map(_._2).mkString("") }
+    chunks.flatMap { chunk =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var rest = chunk
+      var sp = rest.indexOf(' ')
+      while (sp >= 0) {                  // hw4.cc:460-465 — emit up to each space
+        out += rest.substring(0, sp)
+        rest = rest.substring(sp + 1)
+        sp = rest.indexOf(' ')
+      }
+      out                                // trailing token (no space after) dropped
+    }.toDF("word")
+      .groupBy("word")
+      .agg(count(lit(1)).as("count"))
+  }
+
   /** Run end-to-end: compute counts, write R sorted text files, rename to the
     * reference's `<job>-<r>.out` contract. Returns the final file paths. */
   def run(spark: SparkSession, cfg: Config): Seq[Path] = {
@@ -75,7 +110,9 @@ object WordCountJob {
     Files.createDirectories(out)
     val staging = out.resolve(s".${cfg.jobName}-staging")
 
-    val c = counts(spark, cfg.inputPath)
+    val c =
+      if (cfg.fidelityTokenizer) fidelityCounts(spark, cfg.inputPath, cfg.chunkSize)
+      else counts(spark, cfg.inputPath)
     if (cfg.fidelityPartitioner) {
       // RDD path: partition BY computed reducer id (hw4.cc:479), sort within.
       c.rdd.map(r => (r.getString(0), r.getLong(1)))

@@ -28,13 +28,14 @@ class WordCountJobSpec extends AnyFunSuite {
     f
   }
 
-  private def runJob(text: String, r: Int, fidelity: Boolean = false): Seq[Path] = {
+  private def runJob(text: String, r: Int, fidelity: Boolean = false,
+      fidelityTok: Boolean = false): Seq[Path] = {
     val in = writeInput(text)
     val out = Files.createTempDirectory("wc-out")
     WordCountJob.run(spark, WordCountJob.Config(
       jobName = "t", numReducer = r, delay = 0, inputPath = in.toString,
       chunkSize = 2, localityConfigPath = "unused", outputDir = out.toString,
-      fidelityPartitioner = fidelity))
+      fidelityPartitioner = fidelity, fidelityTokenizer = fidelityTok))
   }
 
   private def parse(files: Seq[Path]): Seq[(String, Long)] =
@@ -93,5 +94,19 @@ class WordCountJobSpec extends AnyFunSuite {
   test("quirk 1 pin: final token is counted (reference silently drops it)") {
     // hw4.cc:460-465 only emits a token when a following space exists.
     assert(parse(runJob("x y z", 1)).toMap == Map("x" -> 1L, "y" -> 1L, "z" -> 1L))
+  }
+
+  test("fidelity tokenizer replicates quirk 1: chunk fusion + trailing drop") {
+    // chunkSize=2: chunk0 = "aa bb" + "cc dd" fused with no separator =
+    // "aa bbcc dd" → tokens "aa", "bbcc" ("dd" has no trailing space);
+    // chunk1 = "ee" → no space → no tokens at all.
+    val files = runJob("aa bb\ncc dd\nee", 1, fidelityTok = true)
+    assert(parse(files).toMap == Map("aa" -> 1L, "bbcc" -> 1L))
+  }
+
+  test("fidelity tokenizer replicates quirk 3: empty tokens between spaces") {
+    // "a  b " → tokens "a", "", "b" — the empty string counts like any key.
+    val files = runJob("a  b ", 1, fidelityTok = true)
+    assert(parse(files).toMap == Map("a" -> 1L, "" -> 1L, "b" -> 1L))
   }
 }
