@@ -145,8 +145,8 @@ object TextOps {
       s"""SELECT doc_id, n_tokens, n_stop,
          |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tokens AS avg_token_len,
          |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-         |  CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01
-         |       THEN 1 ELSE 0 END AS quality_ok
+         |  CAST(CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01
+         |       THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
          |FROM (SELECT doc_id, text,
          |        CAST(len(w) AS BIGINT) AS n_tokens,
          |        CAST(len(list_filter(w, x -> x IN ($stopSqlList))) AS BIGINT) AS n_stop
@@ -155,8 +155,8 @@ object TextOps {
     "t3_langid" ->
       s"""SELECT doc_id, lang, n_hits,
          |  CASE WHEN n_hits >= 2 THEN 'en' ELSE 'und' END AS lang_pred,
-         |  CASE WHEN (CASE WHEN n_hits >= 2 THEN 'en' ELSE 'und' END) = lang
-         |       THEN 1 ELSE 0 END AS is_match
+         |  CAST(CASE WHEN (CASE WHEN n_hits >= 2 THEN 'en' ELSE 'und' END) = lang
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_match
          |FROM (SELECT doc_id, lang,
          |        CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSqlList))) AS BIGINT) AS n_hits
          |      FROM documents) t""".stripMargin,

@@ -48,6 +48,18 @@ for name, sql in sorted(oracle.items()):
     if list(spark_df.columns) != list(duck_df.columns):
         fails.append((name, f"columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}"))
         continue
+    # mirror the driver's schema compare: dtype mismatches fail even when
+    # values coincide (ADVICE r1: int64-vs-float64 must not pass locally)
+    bad_types = [
+        f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}"
+        for c in spark_df.columns
+        if spark_df[c].dtype != duck_df[c].dtype
+        # timestamps normalize below; object columns carry strings/lists
+        and not (spark_df[c].dtype.kind == "M" and duck_df[c].dtype.kind == "M")
+    ]
+    if bad_types:
+        fails.append((name, "dtype mismatch: " + "; ".join(bad_types)))
+        continue
     if len(spark_df) != len(duck_df):
         fails.append((name, f"rows spark={len(spark_df)} duck={len(duck_df)}"))
         continue
