@@ -62,7 +62,8 @@ object StreamingSessionize {
     * This is the correctness-gate harness: same result as the batch query,
     * but computed by the streaming engine's incremental state merge. */
   def runToCompletion(spark: SparkSession, dir: String,
-      transform: DataFrame => DataFrame = sessions(_)): DataFrame = {
+      transform: DataFrame => DataFrame = sessions(_),
+      outputMode: String = "complete"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
       .schema(rawSchema)
@@ -74,7 +75,7 @@ object StreamingSessionize {
       .writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .start()
     try {
       q.processAllAvailable()

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Relational
-import graft.streaming.StreamingSessionize
+import graft.streaming.{CustomStateSessionize, StreamingSessionize}
 
 /** Streaming sessionization parity vs the batch lag+running-sum form (q16):
   * identical (user_id, start, end, n_events, sum_value) session sets on real
@@ -27,5 +27,30 @@ class StreamingSpec extends AnyFunSuite {
       batchKeyed.map(b => (b._1, b._3, b._4)),
       "session (user, start, end) sets diverge")
     assert(streamed == batchKeyed, "session aggregate values diverge")
+  }
+
+  test("flatMapGroupsWithState sessions agree with batch (closed sessions)") {
+    val gapMs = CustomStateSessionize.defaultGapMs
+    // emitted: (user, n, start, end) + raw double sum
+    val emitted = CustomStateSessionize.runToCompletion(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+        r.getDouble(4))).toMap
+    // batch q16: user_id, session_id, n_events, start_ms, end_ms, sum_value
+    val batch = Relational.defs("q16_sessionize")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)),
+        r.getDouble(5))).toMap
+
+    assert(emitted.nonEmpty)
+    // every emitted session exists in the batch result with a matching sum
+    emitted.foreach { case (k, sum) =>
+      assert(batch.contains(k), s"phantom session $k")
+      assert(math.abs(batch(k) - sum) < 1e-4, s"sum diverges for $k")
+    }
+    // completeness: any session the final watermark closed must be emitted
+    val maxMs = batch.keys.map(_._4).max
+    val watermark = maxMs - 3600L * 1000
+    val mustEmit = batch.keys.filter(k => k._4 + gapMs < watermark)
+    mustEmit.foreach(k => assert(emitted.contains(k), s"unemitted closed $k"))
+    assert(mustEmit.nonEmpty, "test corpus must close some sessions")
   }
 }
