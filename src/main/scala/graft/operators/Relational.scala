@@ -255,6 +255,34 @@ object Relational {
           lsum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_discounted"),
           lsum(when(col("l_tax") > 0.04, 1).otherwise(0)).as("n_taxed"),
           count(lit(1)).as("n"))
+    },
+
+    // Salted two-phase aggregation: the skew-mitigation pattern for hot
+    // group keys at scale. Phase 1 aggregates on (key, salt) — a hot key's
+    // rows spread over 16 reducers; phase 2 merges the ≤16 partials per key.
+    // Partial sums stay DECIMAL so the merged result is bit-identical to a
+    // single-phase sum (decimal addition is associative).
+    "q22_salted_agg" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast(DecimalType(18, 6))).as("ps"))
+        .groupBy("event_type")
+        .agg(sum("pn").cast(LongType).as("n_events"),
+          sum("ps").cast(DoubleType).as("sum_value"))
+    },
+
+    // Approximate sketches: HLL distinct + approximate percentile. No DuckDB
+    // oracle on purpose — sketch internals differ across engines, so the
+    // driver applies its weaker rows-only check. At 100 TB these replace
+    // exact distinct/median where the 2-4% error is acceptable.
+    "q23_approx_stats" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+          count(lit(1)).as("n_events"))
     }
   )
 
@@ -404,6 +432,13 @@ object Relational {
         |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
         |  CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed,
         |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // q22: salting is invisible to the result — the oracle is the plain
+    // single-phase aggregate. (q23 has no oracle: sketches differ by engine.)
+    "q22_salted_agg" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  ${dsumSql("value", 6)} AS sum_value
+         |FROM events GROUP BY 1""".stripMargin
   )
 }
