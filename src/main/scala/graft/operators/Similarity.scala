@@ -58,13 +58,17 @@ object Similarity {
   private val numPlanes = 4
   private val dims = 64
 
-  /** Random-hyperplane sign bit for plane p: components are ±1 derived from
-    * md5("p_d") so Spark and DuckDB construct identical planes. */
-  private def planeBitSpark(p: Int): String = {
-    val sign = s"CAST(((instr('0123456789abcdef', substr(md5(concat('${p}_', CAST(d AS STRING))), 1, 1)) - 1) % 2) * 2 - 1 AS DOUBLE)"
-    s"""CASE WHEN aggregate(
-       |  zip_with(v, transform(sequence(1, $dims), d -> $sign), (x, y) -> x * y),
-       |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END""".stripMargin
+  /** Random-hyperplane ±1 components derived from md5("p_d"). The planes are
+    * CONSTANTS: computed once driver-side (same md5 → same values the DuckDB
+    * oracle derives in SQL) and shipped as array literals — not recomputed as
+    * rows × dims md5 calls inside the projection. */
+  private def planeSigns(p: Int): Seq[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (1 to dims).map { d =>
+      val hex = digest.digest(s"${p}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((("0123456789abcdef".indexOf(hex.charAt(0))) % 2) * 2 - 1).toDouble
+    }
   }
 
   private def planeBitSql(p: Int): String = {
@@ -74,7 +78,9 @@ object Similarity {
 
   private def bucketed(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).withColumn("bucket",
-      concat((0 until numPlanes).map(p => expr(planeBitSpark(p))): _*))
+      concat((0 until numPlanes).map { p =>
+        when(dot(col("v"), typedLit(planeSigns(p))) >= 0, "1").otherwise("0")
+      }: _*))
 
   private val bucketSql: String =
     (0 until numPlanes).map(planeBitSql).mkString(" || ")

@@ -39,13 +39,17 @@ object TextOps {
         .agg(count(lit(1)).as("cnt"))
     },
 
-    // Document frequency: same shuffle key, two aggregates.
+    // Document frequency. Two-phase, not countDistinct+count in one agg:
+    // mixed distinct/plain aggregation plans an Expand that doubles shuffle
+    // volume. Phase 1 groups by (word, doc) — map-side partial dedup — and
+    // phase 2 counts docs and sums occurrences from the tiny intermediate.
     "w2_doc_freq" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
+        .groupBy("word", "doc_id").agg(count(lit(1)).as("c"))
         .groupBy("word")
-        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("df"), sum("c").cast(LongType).as("cnt"))
     },
 
     // Per-document token statistics — no shuffle at all (narrow projection).

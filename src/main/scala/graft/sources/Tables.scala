@@ -20,6 +20,10 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
       // rejects; read it as raw nanos and rebuild a microsecond TimestampType.
       // Integer `div` (not `/`) — epoch-nanos exceed double's exact range.
+      // The conf is ALSO set at every session builder (Verify/Bench/Main/
+      // tests); this set is a safety net for ad-hoc sessions and is
+      // idempotent, but a cached plan built before first load could observe
+      // the flip — prefer setting it at session construction.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -10,6 +10,9 @@ object TestSpark {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // nanos-timestamp parquet (events) read as long; set once here, not
+      // order-dependently inside a loader (ADVICE r1)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
