@@ -13,6 +13,8 @@ object TestSpark {
       // nanos-timestamp parquet (events) read as long; set once here, not
       // order-dependently inside a loader (ADVICE r1)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
