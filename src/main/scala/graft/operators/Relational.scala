@@ -283,6 +283,30 @@ object Relational {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
           count(lit(1)).as("n_events"))
+    },
+
+    // As-of join — an operator Spark has no native primitive for (the brief's
+    // canonical example), composed from built-ins: each 'click' is joined to
+    // the user's most recent prior-or-same-time 'view' by carrying the last
+    // seen view forward in one event-time window. ONE shuffle on user_id —
+    // the range-join-free as-of pattern; a naive inequality join would be a
+    // per-user cross product.
+    "q24_asof_join" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("last_view_id",
+          last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true)
+            .over(w))
+        .withColumn("last_view_ms",
+          last(when(col("event_type") === "view", col("ms")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "click" && col("last_view_id").isNotNull)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("last_view_id"), (col("ms") - col("last_view_ms")).as("ms_since_view"))
     }
   )
 
@@ -439,6 +463,22 @@ object Relational {
     "q22_salted_agg" ->
       s"""SELECT event_type, count(*) AS n_events,
          |  ${dsumSql("value", 6)} AS sum_value
-         |FROM events GROUP BY 1""".stripMargin
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q24_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events
+        |), c AS (
+        |  SELECT event_id, user_id, event_type, ms,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER w AS last_view_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN ms END IGNORE NULLS)
+        |      OVER w AS last_view_ms
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS click_id, user_id, last_view_id,
+        |  ms - last_view_ms AS ms_since_view
+        |FROM c WHERE event_type = 'click' AND last_view_id IS NOT NULL""".stripMargin
   )
 }
