@@ -43,6 +43,7 @@ object Main {
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .appName(cfg.jobName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * functions so SQL text can reach them (`hex8_to_long(col)`), alongside the
+  * Column-DSL path ([[HexPrefixToLong.hex8]]). Apply with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * Kept deliberately small: SURVEY.md §4 concludes the reference needs no
+  * custom Catalyst rules or strategies — built-in operators express every
+  * query — so the extension surface carries only genuinely hot custom
+  * expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("hex8_to_long"),
+      new ExpressionInfo(classOf[HexPrefixToLong].getName, "hex8_to_long"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HexPrefixToLong(args.head, 8)))
+  }
+}

@@ -62,19 +62,16 @@ object Dedup {
   private val hashA = Seq(131L, 9973L, 999331L, 22695477L, 747796405L, 69069L)
   private val hashB = Seq(17L, 911L, 65599L, 104729L, 50331653L, 998244353L)
 
-  /** Spark-SQL lambda body: md5-hex string m → base-hash bigint. */
-  private def hexToIntSpark: String =
-    (0 until 8).map { i =>
-      s"CAST(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1 AS BIGINT) * ${1L << (4 * (7 - i))}"
-    }.mkString(" + ")
-
   /** doc_id → (doc_id, s0..s5 bigint) signature frame. The shingle array and
-    * the base-hash array are each materialized once per row. */
+    * the base-hash array are each materialized once per row; the hex→long
+    * step is the native codegen'd [[graft.functions.HexPrefixToLong]] (one
+    * tight loop per shingle, not an 8-term instr/substr chain). */
   private def sigs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
-      .withColumn("hv", expr(s"transform(transform(sh, x -> md5(x)), m -> $hexToIntSpark)"))
+      .withColumn("hv", transform(expr("transform(sh, x -> md5(x))"),
+        m => graft.functions.HexPrefixToLong.hex8(m)))
       .select(col("doc_id") +: (0 until numHashes).map { j =>
         expr(s"array_min(transform(hv, h -> (${hashA(j)} * h + ${hashB(j)}) % $P))")
           .as(s"s$j")
