@@ -19,7 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("hex8_to_long"),
       new ExpressionInfo(classOf[HexPrefixToLong].getName, "hex8_to_long"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        HexPrefixToLong(args.head, 8)))
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1,
+          s"hex8_to_long requires exactly 1 argument, got ${args.length}")
+        HexPrefixToLong(args.head, 8)
+      }))
   }
 }

@@ -133,8 +133,10 @@ object WordCountJob {
     * (r = partitionId + 1, matching hw4.cc:352's taskid+1), creating empty
     * files for partitions Spark skipped (empty partitions write no file). */
   private def rename(staging: Path, out: Path, job: String, r: Int): Seq[Path] = {
-    val parts = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    val parts = scala.util.Using.resource(Files.list(staging)) { stream =>
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    }
     val byIdx = parts.map { p =>
       p.getFileName.toString.split("-")(1).toInt -> p
     }.toMap
@@ -147,7 +149,9 @@ object WordCountJob {
       target
     }
     // best-effort cleanup of the staging dir (_SUCCESS, CRCs)
-    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(p =>
+    val leftovers = scala.util.Using.resource(Files.walk(staging))(
+      _.iterator().asScala.toSeq)
+    leftovers.reverse.foreach(p =>
       try Files.deleteIfExists(p) catch { case _: Exception => () })
     targets
   }

@@ -84,6 +84,10 @@ object Dedup {
     sigs(s, dir).select(col("doc_id"),
       explode(array((0 until numHashes).map(j =>
         (lit(j.toLong * (1L << 30)) + col(s"s$j")).cast(LongType)): _*)).as("band"))
+      // docs with <3 tokens have NULL signatures; NULL must not form a
+      // bucket (groupBy groups NULLs; the oracle's equi-join never matches
+      // them — and semantically shingle-less docs have no LSH identity)
+      .filter(col("band").isNotNull)
 
   /** LSH buckets larger than this are dropped (textbook LSH hygiene: a viral
     * bucket generates O(k²) pairs and is useless as a dedup signal anyway). */

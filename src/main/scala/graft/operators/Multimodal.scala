@@ -65,12 +65,16 @@ object Multimodal {
     },
 
     // Frame sampling: one row per fixed-size frame of the payload (the video
-    // frame-sampler plan shape: generator fan-out, partitioned by source split).
+    // frame-sampler plan shape: generator fan-out, partitioned by source
+    // split). The empty-payload guard matters: Spark sequence(1, 0) is the
+    // DESCENDING [1, 0], not empty like DuckDB generate_series(1, 0).
     "m3_frame_sample" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, CAST((n_chars + 31) DIV 32 AS INT)), " +
-            "i -> substr(text, (i-1)*32 + 1, 32))")))
+          "CASE WHEN n_chars > 0 THEN " +
+            "transform(sequence(1, CAST((n_chars + 31) DIV 32 AS INT)), " +
+            "i -> substr(text, (i-1)*32 + 1, 32)) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END")))
         .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("frame_no"),
           md5(col("col")).as("frame_md5"))
     }

@@ -132,14 +132,26 @@ object Relational {
     "q9_distinct_agg" -> { (s, dir) =>
       val l = t(s, dir, "lineitem")
         .select("l_returnflag", "l_partkey", "l_suppkey", "l_orderkey")
+      // countDistinct semantics preserved on nullable data: NULL keys are
+      // excluded from the distinct counts (filter), and a NULL group key
+      // survives the joins (null-safe <=> + left join + coalesce(0)).
       def dc(key: String, alias: String) =
-        l.select(col("l_returnflag"), col(key)).distinct()
-          .groupBy("l_returnflag").agg(count(lit(1)).as(alias))
-      l.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
-        .join(dc("l_partkey", "n_parts"), Seq("l_returnflag"))
-        .join(dc("l_suppkey", "n_supps"), Seq("l_returnflag"))
-        .join(dc("l_orderkey", "n_orders"), Seq("l_returnflag"))
-        .select("l_returnflag", "n_parts", "n_supps", "n_orders", "n_rows")
+        l.filter(col(key).isNotNull)
+          .select(col("l_returnflag").as(s"${alias}_flag"), col(key)).distinct()
+          .groupBy(s"${alias}_flag").agg(count(lit(1)).as(alias))
+      val base = l.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+      Seq(("l_partkey", "n_parts"), ("l_suppkey", "n_supps"),
+        ("l_orderkey", "n_orders"))
+        .foldLeft(base) { case (acc, (key, alias)) =>
+          acc.join(dc(key, alias),
+              col("l_returnflag") <=> col(s"${alias}_flag"), "left")
+            .drop(s"${alias}_flag")
+        }
+        .select(col("l_returnflag"),
+          coalesce(col("n_parts"), lit(0L)).as("n_parts"),
+          coalesce(col("n_supps"), lit(0L)).as("n_supps"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("n_rows"))
     },
 
     // Set operations: INTERSECT / EXCEPT / UNION ALL in one result.

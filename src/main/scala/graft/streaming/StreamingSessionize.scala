@@ -79,11 +79,18 @@ object StreamingSessionize {
       .start()
     try {
       q.processAllAvailable()
-      // materialize before stopping the query so the table outlives it
-      val result = spark.table(name).cache()
-      result.count()
-      result
-    } finally q.stop()
+      // materialize into a local DataFrame so neither the memory-sink temp
+      // view nor a cache entry outlives this call (repeated gate/bench runs
+      // must not accumulate session state). The result is an aggregate —
+      // orders of magnitude smaller than the stream — so driver-side
+      // materialization is the harness's job, not an operator collect().
+      val tbl = spark.table(name)
+      val rows = java.util.Arrays.asList(tbl.collect(): _*)
+      spark.createDataFrame(rows, tbl.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
   }
 
   type Q = (SparkSession, String) => DataFrame

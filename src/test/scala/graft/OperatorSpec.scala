@@ -14,15 +14,17 @@ import graft.operators.{Dedup, Similarity, TextOps}
 class OperatorSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  private val docTexts = Seq(
+    1L -> "the cat sat on the mat today",
+    2L -> "the cat sat on the mat today",            // exact dup of 1
+    3L -> "the cat sat on the mat yesterday evening", // near dup of 1/2
+    4L -> "completely different words entirely here now",
+    5L -> "tiny doc",                                  // <3 tokens: no shingles
+    6L -> "lone")                                      // <3 tokens: no shingles
+
   /** Fixture dir shaped like /root/testdata/sf*: documents + embeddings. */
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-fixture").toString
-
-    val docTexts = Seq(
-      1L -> "the cat sat on the mat today",
-      2L -> "the cat sat on the mat today",            // exact dup of 1
-      3L -> "the cat sat on the mat yesterday evening", // near dup of 1/2
-      4L -> "completely different words entirely here now")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
@@ -55,15 +57,35 @@ class OperatorSpec extends AnyFunSuite {
   test("d1_exact_dedup groups identical texts under one keeper") {
     val rows = Dedup.defs("d1_exact_dedup")(spark, dir).collect()
       .map(r => (r.getLong(1), r.getLong(2))).toSet
-    assert(rows == Set((1L, 2L), (3L, 1L), (4L, 1L))) // (keeper, group size)
+    assert(rows == Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L)))
   }
 
-  test("d3_lsh_pairs finds exact dups, never disjoint docs") {
+  test("d3_lsh_pairs finds exact dups, never disjoint or shingle-less docs") {
     val pairs = Dedup.defs("d3_lsh_pairs")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), "identical docs must share every band")
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L },
       "doc 4 shares no shingle with any other doc")
+    // docs 5/6 have <3 tokens → NULL signatures → no LSH identity; a NULL
+    // band must never form a bucket pairing them together
+    assert(!pairs.exists { case (a, b) => a >= 5L || b >= 5L },
+      "shingle-less docs must produce no candidate pairs")
+  }
+
+  test("m3_frame_sample emits zero frames for an empty payload") {
+    val d2 = Files.createTempDirectory("graft-empty").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(Row(1L, "", "en", "src0", 0L), Row(2L, "abc", "en", "src0", 3L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val out = graft.operators.Multimodal.defs("m3_frame_sample")(spark, d2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Spark sequence(1,0) is descending [1,0] — the guard must keep the
+    // empty doc frameless, like DuckDB's generate_series(1,0) = []
+    assert(out.toSet == Set((2L, 1L)))
   }
 
   test("d4_jaccard_pairs scores identical docs at 1.0") {
@@ -98,12 +120,9 @@ class OperatorSpec extends AnyFunSuite {
   test("w1_wordcount matches a plain-Scala oracle on the fixture") {
     val counts = TextOps.defs("w1_wordcount")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
-    val expected = Seq(
-      "the cat sat on the mat today",
-      "the cat sat on the mat today",
-      "the cat sat on the mat yesterday evening",
-      "completely different words entirely here now")
-      .flatMap(_.split(" ")).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = docTexts.map(_._2)
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
     assert(counts == expected)
   }
 }
