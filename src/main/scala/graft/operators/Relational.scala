@@ -319,8 +319,22 @@ object Relational {
         .filter(col("event_type") === "click" && col("last_view_id").isNotNull)
         .select(col("event_id").as("click_id"), col("user_id"),
           col("last_view_id"), (col("ms") - col("last_view_ms")).as("ms_since_view"))
+    },
+
+    // SQL API + correlated subquery: the one dialect-common SQL string runs
+    // verbatim in spark.sql AND as the DuckDB oracle. Catalyst decorrelates
+    // the EXISTS into a left-semi join (same plan family as q5's DSL form).
+    "q25_correlated_exists" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(correlatedExistsSql)
     }
   )
+
+  /** Shared verbatim between spark.sql and the DuckDB oracle. */
+  private val correlatedExistsSql: String =
+    """SELECT p_partkey, p_brand FROM part p
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)""".stripMargin
 
   private val q1Sums =
     s"""${dsumSql("l_quantity")} AS sum_qty,
@@ -491,6 +505,8 @@ object Relational {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id AS click_id, user_id, last_view_id,
         |  ms - last_view_ms AS ms_since_view
-        |FROM c WHERE event_type = 'click' AND last_view_id IS NOT NULL""".stripMargin
+        |FROM c WHERE event_type = 'click' AND last_view_id IS NOT NULL""".stripMargin,
+
+    "q25_correlated_exists" -> correlatedExistsSql
   )
 }

@@ -47,6 +47,26 @@ object StreamingSessionize {
         dsum(col("value"), 6).as("sum_value"))
       .select("user_id", "n_events", "start_ms", "end_ms", "sum_value")
 
+  /** Stream-stream time-interval join: each click joins every view by the
+    * same user in the preceding 30 minutes. Both sides are watermarked so
+    * the join state (buffered views awaiting future clicks) is bounded —
+    * the canonical two-stream join with a range condition. On a full replay
+    * the result equals the batch interval join, which is the oracle. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    clicks.join(views,
+        expr("c_user = v_user AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("c_user").as("user_id"), col("view_id"),
+        (unix_millis(col("c_ts")) - unix_millis(col("v_ts"))).as("ms_gap"))
+  }
+
   /** Hourly tumbling-window rollup — the streaming twin of the batch q15:
     * watermark + window() + partial/final streaming aggregate. */
   def hourlyRollup(events: DataFrame): DataFrame =
@@ -97,7 +117,10 @@ object StreamingSessionize {
 
   val defs: Map[String, Q] = Map(
     "x1_stream_sessionize" -> { (s, dir) => runToCompletion(s, dir) },
-    "x2_stream_hourly" -> { (s, dir) => runToCompletion(s, dir, hourlyRollup) }
+    "x2_stream_hourly" -> { (s, dir) => runToCompletion(s, dir, hourlyRollup) },
+    "x3_stream_interval_join" -> { (s, dir) =>
+      runToCompletion(s, dir, clickViewJoin, outputMode = "append")
+    }
   )
 
   /** Batch-SQL restatement of session_window semantics (brk on diff >= gap;
@@ -123,6 +146,14 @@ object StreamingSessionize {
     "x2_stream_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
          |  event_type, count(*) AS n_events, ${dsumSql("value", 6)} AS sum_value
-         |FROM events GROUP BY 1, 2""".stripMargin
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "x3_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+        |  epoch_ms(c.ts) - epoch_ms(v.ts) AS ms_gap
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'""".stripMargin
   )
 }
