@@ -24,5 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"hex8_to_long requires exactly 1 argument, got ${args.length}")
         HexPrefixToLong(args.head, 8)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2,
+          s"vec_dot requires exactly 2 arguments, got ${args.length}")
+        DotProduct(args.head, args(1))
+      }))
   }
 }

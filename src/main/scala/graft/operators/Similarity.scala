@@ -40,9 +40,12 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
 
-  /** Sequential-fold dot product — bit-identical to DuckDB list_sum. */
+  /** Sequential-fold dot product — bit-identical to DuckDB list_sum.
+    * Native codegen'd expression (graft.functions.DotProduct): the composed
+    * zip_with+aggregate form is interpreted (HOFs are CodegenFallback) and
+    * dominated s1/s2/s3 at pair-join cardinalities. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
