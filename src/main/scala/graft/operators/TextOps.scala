@@ -117,12 +117,11 @@ object TextOps {
 
     // Polynomial rolling hash over the raw character stream (base 31 mod
     // 1e9+7) — the order-sensitive fingerprint complement to t4's
-    // order-normalized md5. Sequential fold, identical in both engines.
+    // order-normalized md5. Native codegen'd fold (graft.functions
+    // .RollingHash); the DuckDB oracle performs the identical integer fold.
     "t6_rolling_hash" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        expr("aggregate(transform(sequence(1, length(text)), " +
-          "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)").as("rhash"))
+        graft.functions.RollingHash.rollingHash(col("text")).as("rhash"))
     }
   )
 

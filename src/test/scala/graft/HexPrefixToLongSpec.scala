@@ -47,6 +47,21 @@ class HexPrefixToLongSpec extends AnyFunSuite {
     assert(r.head.isNullAt(0))
   }
 
+  test("native rolling hash agrees with the composed fold, ASCII and unicode") {
+    import spark.implicits._
+    val composed = expr("aggregate(transform(sequence(1, length(s)), " +
+      "i -> CAST(ascii(substr(s, i, 1)) AS BIGINT)), " +
+      "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)")
+    val rnd = new scala.util.Random(13)
+    val inputs = (1 to 50).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(200)).mkString) ++
+      Seq("", "héllo wörld", "日本語テキスト", "mix 日本 ascii", "a😀b")
+    val df = inputs.toDF("s").select(
+      graft.functions.RollingHash.rollingHash(col("s")).as("native"),
+      composed.as("folded"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("SQL name resolves when registered via GraftExtensions") {
     // extensions apply at builder time; the shared test session predates
     // them, so register into its function registry the same way the
