@@ -198,18 +198,24 @@ object Dedup {
     // LSH candidate pairs via band self-join (the non-cartesian scale path).
     "d3_lsh_pairs" -> { (s, dir) => lshPairs(s, dir) },
 
-    // Exact n-gram Jaccard, computed only for LSH candidates (verification
-    // stage of the 2-stage near-dup pipeline).
+    // n-gram Jaccard, computed only for LSH candidates (verification stage
+    // of the 2-stage near-dup pipeline). Set elements are the 32-bit shingle
+    // hashes, not the shingle strings — integer set ops instead of string
+    // compares, exactly as a scale dedup pipeline stores them (the ~1e-6
+    // per-doc collision odds are noise next to the LSH candidate error).
     "d4_jaccard_pairs" -> { (s, dir) =>
       val sh = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), array_distinct(shinglesOf(col("w"))).as("sh"))
+        .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
+        .select(col("doc_id"), array_distinct(
+          transform(expr("transform(sh, x -> md5(x))"),
+            m => graft.functions.HexPrefixToLong.hex8(m))).as("hs"))
       lshPairs(s, dir)
         .join(sh.as("x"), col("d1") === col("x.doc_id"))
         .join(sh.as("y"), col("d2") === col("y.doc_id"))
         .select(col("d1"), col("d2"),
-          (size(array_intersect(col("x.sh"), col("y.sh"))).cast(DoubleType) /
-            size(array_distinct(concat(col("x.sh"), col("y.sh"))))).as("jaccard"))
+          (size(array_intersect(col("x.hs"), col("y.hs"))).cast(DoubleType) /
+            size(array_distinct(concat(col("x.hs"), col("y.hs"))))).as("jaccard"))
     },
 
     // SimHash: 32-bit fingerprint per document.
@@ -252,16 +258,23 @@ object Dedup {
       s"""WITH $sigSqlCte
          |SELECT d1, d2 FROM cand""".stripMargin,
 
-    "d4_jaccard_pairs" ->
+    "d4_jaccard_pairs" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
       s"""WITH $sigSqlCte,
          |sh AS (SELECT doc_id,
-         |         list_distinct(list_transform(generate_series(1, len(w)-2),
-         |                       i -> array_to_string(w[i:i+2], ' '))) AS sh
+         |         list_distinct(list_transform(
+         |           list_transform(list_transform(generate_series(1, len(w)-2),
+         |                          i -> array_to_string(w[i:i+2], ' ')),
+         |                          x -> md5(x)),
+         |           m -> $hexToInt)) AS hs
          |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t)
          |SELECT d1, d2,
-         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-         |    / len(list_distinct(x.sh || y.sh)) AS jaccard
-         |FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id""".stripMargin,
+         |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |    / len(list_distinct(x.hs || y.hs)) AS jaccard
+         |FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id""".stripMargin
+    },
 
     "d5_simhash" ->
       s"""WITH $simhashSqlCte
