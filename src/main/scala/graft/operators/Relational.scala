@@ -327,6 +327,21 @@ object Relational {
     "q25_correlated_exists" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(correlatedExistsSql)
+    },
+
+    // Supplier-dimension rollup: fact scan + two broadcast dims (supplier,
+    // nation), shipped volume per supplier nation.
+    "q26_supplier_share" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
     }
   )
 
@@ -507,6 +522,15 @@ object Relational {
         |  ms - last_view_ms AS ms_since_view
         |FROM c WHERE event_type = 'click' AND last_view_id IS NOT NULL""".stripMargin,
 
-    "q25_correlated_exists" -> correlatedExistsSql
+    "q25_correlated_exists" -> correlatedExistsSql,
+
+    "q26_supplier_share" ->
+      s"""SELECT n_name, ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin
   )
 }
