@@ -329,6 +329,23 @@ object Relational {
       s.sql(correlatedExistsSql)
     },
 
+    // RANGE window frame: per-customer 7-day trailing spend — the
+    // value-range frame (rangeBetween over a time axis), complementing
+    // q7's row-count frame. One shuffle on the partition key.
+    "q27_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("d"))
+        .rangeBetween(-6, 0) // d is epoch DAYS: 6 preceding + current = 7-day window
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)").as("d"),
+          col("o_totalprice"))
+        .withColumn("trailing_7d_spend",
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast(DoubleType))
+        .select("o_orderkey", "o_custkey", "trailing_7d_spend")
+    },
+
     // Supplier-dimension rollup: fact scan + two broadcast dims (supplier,
     // nation), shipped volume per supplier nation.
     "q26_supplier_share" -> { (s, dir) =>
@@ -523,6 +540,15 @@ object Relational {
         |FROM c WHERE event_type = 'click' AND last_view_id IS NOT NULL""".stripMargin,
 
     "q25_correlated_exists" -> correlatedExistsSql,
+
+    "q27_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY d
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d_spend
+        |FROM (SELECT o_orderkey, o_custkey,
+        |        epoch_ms(o_orderdate) // 1000 // 86400 AS d, o_totalprice
+        |      FROM orders) t""".stripMargin,
 
     "q26_supplier_share" ->
       s"""SELECT n_name, ${dsumSql("l_quantity")} AS sum_qty,
