@@ -204,18 +204,23 @@ object Dedup {
     // compares, exactly as a scale dedup pipeline stores them (the ~1e-6
     // per-doc collision odds are noise next to the LSH candidate error).
     "d4_jaccard_pairs" -> { (s, dir) =>
+      // hash sets are sorted ONCE per document; per pair the native
+      // merge-walk (IntersectCountSorted) counts the overlap allocation-free
+      // and |union| = |a| + |b| - |intersect| on distinct sets.
       val sh = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
-        .select(col("doc_id"), array_distinct(
+        .select(col("doc_id"), array_sort(array_distinct(
           transform(expr("transform(sh, x -> md5(x))"),
-            m => graft.functions.HexPrefixToLong.hex8(m))).as("hs"))
+            m => graft.functions.HexPrefixToLong.hex8(m)))).as("hs"))
       lshPairs(s, dir)
         .join(sh.as("x"), col("d1") === col("x.doc_id"))
         .join(sh.as("y"), col("d2") === col("y.doc_id"))
+        .withColumn("ic",
+          graft.functions.IntersectCountSorted.intersectCount(col("x.hs"), col("y.hs")))
         .select(col("d1"), col("d2"),
-          (size(array_intersect(col("x.hs"), col("y.hs"))).cast(DoubleType) /
-            size(array_distinct(concat(col("x.hs"), col("y.hs"))))).as("jaccard"))
+          (col("ic").cast(DoubleType) /
+            (size(col("x.hs")) + size(col("y.hs")) - col("ic"))).as("jaccard"))
     },
 
     // SimHash: 32-bit fingerprint per document.
