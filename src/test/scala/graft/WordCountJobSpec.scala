@@ -109,4 +109,14 @@ class WordCountJobSpec extends AnyFunSuite {
     val files = runJob("a  b ", 1, fidelityTok = true)
     assert(parse(files).toMap == Map("a" -> 1L, "" -> 1L, "b" -> 1L))
   }
+
+  test("both fidelity flags together reproduce the reference byte-for-byte") {
+    // chunk0 = "aa bb"+"cc dd" fused = "aa bbcc dd" → tokens "aa","bbcc"
+    // ("dd" dropped); chunk1 = "ee" → none. Partitions: int(char) % 3:
+    // 'a'=97 → 1 (file 2), 'b'=98 → 2 (file 3); file 1 stays empty.
+    import scala.jdk.CollectionConverters._
+    val files = runJob("aa bb\ncc dd\nee", 3, fidelity = true, fidelityTok = true)
+    val perFile = files.map(f => Files.readAllLines(f).asScala.toSeq)
+    assert(perFile == Seq(Seq(), Seq("aa 1"), Seq("bbcc 1")))
+  }
 }
