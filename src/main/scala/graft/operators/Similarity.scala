@@ -76,17 +76,19 @@ object Similarity {
 
   private def planeBitSql(p: Int): String = {
     val sign = s"(((instr('0123456789abcdef', substr(md5('${p}_' || d), 1, 1)) - 1) % 2) * 2 - 1)"
-    s"CASE WHEN list_sum(list_transform(generate_series(1, $dims), d -> $sign * v[d])) >= 0 THEN '1' ELSE '0' END"
+    s"CASE WHEN list_sum(list_transform(generate_series(1, $dims), d -> $sign * v[d])) >= 0 THEN ${1 << p} ELSE 0 END"
   }
 
+  /** Integer bucket code: bit p set iff the vector is on plane p's positive
+    * side. Integer codes make multi-probe neighbors plain xor bit flips. */
   private def bucketed(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).withColumn("bucket",
-      concat((0 until numPlanes).map { p =>
-        when(dot(col("v"), typedLit(planeSigns(p))) >= 0, "1").otherwise("0")
-      }: _*))
+      (0 until numPlanes).map { p =>
+        when(dot(col("v"), typedLit(planeSigns(p))) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _))
 
   private val bucketSql: String =
-    (0 until numPlanes).map(planeBitSql).mkString(" || ")
+    (0 until numPlanes).map(planeBitSql).mkString(" + ")
 
   val defs: Map[String, Q] = Map(
     // Brute-force cosine top-10 for query vectors (vec_id < 5): the exact
@@ -106,16 +108,23 @@ object Similarity {
         .select("query_id", "neighbor_id", "rnk", "sim")
     },
 
-    // LSH-bucketed ANN: equi-join on the hyperplane-sign bucket, exact cosine
-    // within the bucket only, top-5 per query. The 100 TB path.
+    // Multi-probe LSH ANN: each query probes its own bucket PLUS the four
+    // hamming-1 neighbor codes (xor bit flips) — the standard recall fix for
+    // bucketed ANN (a near neighbor straddling one hyperplane lands one bit
+    // away). Still an equi-join on the bucket code; exact cosine only within
+    // probed buckets; top-5 per query. The 100 TB path.
     "s2_ann_lsh" -> { (s, dir) =>
       val b = bucketed(s, dir)
+      val probes = col("qb") +: (0 until numPlanes).map(p =>
+        col("qb").bitwiseXOR(lit(1 << p)))
       val q = b.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("bucket").as("qbucket"))
+          col("bucket").as("qb"))
+        .select(col("query_id"), col("qv"),
+          explode(array(probes: _*)).as("probe"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("sim").desc, col("neighbor_id"))
-      b.join(broadcast(q), col("bucket") === col("qbucket")
+      b.join(broadcast(q), col("bucket") === col("probe")
           && col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cosine(col("qv"), col("v")).as("sim"))
@@ -154,16 +163,21 @@ object Similarity {
          |  FROM p) r
          |WHERE rnk <= 10""".stripMargin,
 
-    "s2_ann_lsh" ->
+    "s2_ann_lsh" -> {
+      val probeList = ("qb" +: (0 until numPlanes).map(p => s"xor(qb, ${1 << p})"))
+        .mkString("[", ", ", "]")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 5),
+         |q AS (SELECT query_id, qv, unnest($probeList) AS probe FROM (
+         |        SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b
+         |        WHERE vec_id < 5) q0),
          |p AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
-         |      FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id)
+         |      FROM b JOIN q ON b.bucket = q.probe AND b.vec_id <> q.query_id)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM p) r
-         |WHERE rnk <= 5""".stripMargin,
+         |WHERE rnk <= 5""".stripMargin
+    },
 
     "s3_embed_neardup" -> {
       val dotU = "list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2]))"
