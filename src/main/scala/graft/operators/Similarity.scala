@@ -133,6 +133,19 @@ object Similarity {
         .select("query_id", "neighbor_id", "rnk", "sim")
     },
 
+    // ANN quality measurement: recall@5 of the multi-probe LSH (s2) against
+    // the exact baseline (s1) per query — the evaluation loop any ANN
+    // deployment runs to tune plane count / probe count.
+    "s4_ann_recall" -> { (s, dir) =>
+      val exact5 = defs("s1_knn_brute")(s, dir)
+        .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
+      val approx5 = defs("s2_ann_lsh")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact5.join(approx5, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
+    },
+
     // Embedding near-dup: label-blocked pair cosine above threshold — the
     // blocking key keeps the pair join off the cartesian path. Vectors are
     // unit-normalized BEFORE the join (O(N) norms instead of O(pairs)), so
@@ -177,6 +190,31 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM p) r
          |WHERE rnk <= 5""".stripMargin
+    },
+
+    "s4_ann_recall" -> {
+      val probeList = ("qb" +: (0 until numPlanes).map(p => s"xor(qb, ${1 << p})"))
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q1 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |p1 AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |       FROM e CROSS JOIN q1 WHERE vec_id <> query_id),
+         |e5 AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |         FROM p1) r WHERE rnk <= 5),
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+         |q2 AS (SELECT query_id, qv, unnest($probeList) AS probe FROM (
+         |         SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b
+         |         WHERE vec_id < 5) q0),
+         |p2 AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |       FROM b JOIN q2 ON b.bucket = q2.probe AND b.vec_id <> q2.query_id),
+         |a5 AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |         FROM p2) r WHERE rnk <= 5)
+         |SELECT e5.query_id, sum(coalesce(a5.hit, 0)) / 5.0 AS recall_at_5
+         |FROM e5 LEFT JOIN a5
+         |  ON e5.query_id = a5.query_id AND e5.neighbor_id = a5.neighbor_id
+         |GROUP BY e5.query_id""".stripMargin
     },
 
     "s3_embed_neardup" -> {
