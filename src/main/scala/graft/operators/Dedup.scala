@@ -223,6 +223,20 @@ object Dedup {
             (size(col("x.hs")) + size(col("y.hs")) - col("ic"))).as("jaccard"))
     },
 
+    // Quality-aware dedup policy: within each exact-duplicate group keep the
+    // HIGHEST-quality doc (longest, ties to lowest id) — the policy real
+    // training pipelines use instead of min-id. One window over fp.
+    "d7_dedup_keep_best" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"), fpCol.as("fp"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("fp"), col("doc_id").as("keeper_doc_id"),
+          col("n_chars").as("keeper_n_chars"))
+    },
+
     // SimHash: 32-bit fingerprint per document.
     "d5_simhash" -> { (s, dir) => simhashDf(s, dir) },
 
@@ -280,6 +294,16 @@ object Dedup {
          |    / len(list_distinct(x.hs || y.hs)) AS jaccard
          |FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id""".stripMargin
     },
+
+    "d7_dedup_keep_best" ->
+      """SELECT fp, doc_id AS keeper_doc_id, n_chars AS keeper_n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp,
+        |    row_number() OVER (
+        |      PARTITION BY md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))))
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk = 1""".stripMargin,
 
     "d5_simhash" ->
       s"""WITH $simhashSqlCte

@@ -346,6 +346,29 @@ object Relational {
         .select("o_orderkey", "o_custkey", "trailing_7d_spend")
     },
 
+    // Pivot: event counts reshaped to one column per event type. Compiles to
+    // the same conditional-aggregation plan the oracle states explicitly —
+    // pivot is API sugar, not a new physical operator.
+    "q28_pivot" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+    },
+
+    // Explicit GROUPING SETS with grouping_id — finer than rollup/cube
+    // (q11/q12); dialect-common SQL shared verbatim with the oracle.
+    "q29_grouping_sets" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(groupingSetsSql)
+    },
+
     // Supplier-dimension rollup: fact scan + two broadcast dims (supplier,
     // nation), shipped volume per supplier nation.
     "q26_supplier_share" -> { (s, dir) =>
@@ -361,6 +384,14 @@ object Relational {
           count(lit(1)).as("n_items"))
     }
   )
+
+  /** Shared verbatim between spark.sql and the DuckDB oracle. */
+  private val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
 
   /** Shared verbatim between spark.sql and the DuckDB oracle. */
   private val correlatedExistsSql: String =
@@ -540,6 +571,17 @@ object Relational {
         |FROM c WHERE event_type = 'click' AND last_view_id IS NOT NULL""".stripMargin,
 
     "q25_correlated_exists" -> correlatedExistsSql,
+
+    "q28_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q29_grouping_sets" -> groupingSetsSql,
 
     "q27_range_frame" ->
       """SELECT o_orderkey, o_custkey,
