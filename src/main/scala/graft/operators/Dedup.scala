@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,7 +9,9 @@ import graft.sources.Tables
 
 /** Deduplication operators over the `documents` table — the LLM-training-data
   * pipeline surface (builder brief): exact dedup, MinHash signatures, LSH
-  * candidate generation, n-gram Jaccard verification, and SimHash.
+  * candidate generation, n-gram Jaccard verification, SimHash, the dedup
+  * keep-best policy, the materialized deduped corpus, and LSH recall
+  * measurement.
   *
   * The reference engine has no dedup of any kind (SURVEY.md §2.2 — no distinct,
   * no joins); this pack is the §7 extension row "dedup: exact `dropDuplicates`;
@@ -16,19 +19,28 @@ import graft.sources.Tables
   *
   * Everything is codegen'd built-in expressions — no UDFs. Hash functions are
   * md5-based so the DuckDB oracle reproduces them bit-for-bit: a MinHash
-  * signature here is the *lexicographic minimum of md5(seed || shingle)*,
-  * which is a valid min-wise permutation family and portable across engines.
+  * signature here is the *minimum of an affine transform of the 32-bit md5
+  * prefix per shingle*, a valid min-wise permutation family portable across
+  * engines.
   *
   * Scale posture (100 TB):
   *  - d1 is one hash-aggregate on a 32-char key — the canonical exact-dedup
   *    shape (shuffle carries fp + doc_id only, never the text).
   *  - d2 is a narrow projection (no shuffle): per-doc signatures.
-  *  - d3 is the LSH band self-join — candidates come from an equi-join on the
-  *    band value (shuffle on band key, AQE handles skewed bands), NEVER an
-  *    all-pairs cross join.
-  *  - d4 re-joins only the candidate pairs back to shingle sets (two hash
-  *    joins on doc_id) — exact Jaccard is computed on candidates only.
-  *  - d5 is one hash-aggregate on doc_id with 16 integer partial aggregates.
+  *  - d3 is the LSH band self-grouping — candidates come from grouping on the
+  *    band value (shuffle on band key), NEVER an all-pairs cross join; viral
+  *    buckets are size-filtered BEFORE any id-list aggregation (a window
+  *    count over the band partition — spillable — drops oversized buckets so
+  *    no O(bucket) aggregation buffer is ever built for them).
+  *  - d4 re-joins only the candidate pairs back to shingle sets and reads
+  *    `documents` exactly twice (one scan feeding signatures/bands, one scan
+  *    feeding the verify-side hash sets via a single melt-join).
+  *  - d5 is one hash-aggregate on doc_id with 32 int votes.
+  *  - Banding is b×r with r=2 (8 bands × 2 rows over 16 signatures): the
+  *    candidate probability is 1-(1-j^2)^8 — ~0.999998 at j=0.9, ~0.53 at
+  *    j=0.3, ~0.28 at j=0.2 — a real s-curve, unlike r=1 which admits
+  *    1-(1-j)^b of *everything*. d9 measures the resulting candidate recall
+  *    against brute-force ground truth.
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
@@ -49,41 +61,54 @@ object Dedup {
       transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ", slice(w, i, lit(3)))))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  private val numHashes = 6
+  /** shingle array → 32-bit base-hash array: ONE md5 per shingle, then the
+    * native codegen'd [[graft.functions.HexPrefixToLong]] (a tight loop per
+    * shingle, not an 8-term instr/substr chain). */
+  private def hvOf(sh: Column): Column =
+    transform(transform(sh, x => md5(x)), m => graft.functions.HexPrefixToLong.hex8(m))
+
+  /** b×r banding over `numHashes` signatures: `numBands` bands of `bandRows`
+    * signatures each. */
+  private val numHashes = 16
+  private val bandRows = 2
+  private val numBands = numHashes / bandRows
 
   /** Affine minhash family over ONE base hash per shingle:
     * h(x) = int of the first 8 hex chars of md5(x) (< 2^32), then
     * sig_j = min over shingles of (a_j·h + b_j) mod P. One md5 per shingle
     * total (not one per hash function) — at 100 TB the md5 pass dominates
-    * signature cost, so the affine family is 6× cheaper than rehashing.
-    * All arithmetic stays below 2^62 (no overflow under ANSI mode) and is
-    * reproduced exactly by the DuckDB oracle. */
+    * signature cost, so the affine family is 16× cheaper than rehashing.
+    * All a_j < 2^30 so a·h < 2^62 (no overflow under ANSI mode) and the
+    * arithmetic is reproduced exactly by the DuckDB oracle. */
   private val P = 1000000007L
-  private val hashA = Seq(131L, 9973L, 999331L, 22695477L, 747796405L, 69069L)
-  private val hashB = Seq(17L, 911L, 65599L, 104729L, 50331653L, 998244353L)
+  private val hashA = Seq(131L, 9973L, 999331L, 22695477L, 747796405L, 69069L,
+    48271L, 16807L, 69621L, 40692L, 40014L, 65539L, 214013L, 134775813L,
+    999999893L, 536870909L)
+  private val hashB = Seq(17L, 911L, 65599L, 104729L, 50331653L, 998244353L,
+    7919L, 104659L, 1299709L, 15485863L, 32452843L, 49979687L, 67867967L,
+    86028121L, 982451653L, 377777777L)
 
-  /** doc_id → (doc_id, s0..s5 bigint) signature frame. The shingle array and
-    * the base-hash array are each materialized once per row; the hex→long
-    * step is the native codegen'd [[graft.functions.HexPrefixToLong]] (one
-    * tight loop per shingle, not an 8-term instr/substr chain). */
+  /** doc_id → (doc_id, s0..s15 bigint) signature frame: a narrow per-doc
+    * projection (no shuffle). The shingle array and the base-hash array are
+    * each materialized once per row. */
   private def sigs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
-      .withColumn("hv", transform(expr("transform(sh, x -> md5(x))"),
-        m => graft.functions.HexPrefixToLong.hex8(m)))
+      .withColumn("hv", hvOf(col("sh")))
       .select(col("doc_id") +: (0 until numHashes).map { j =>
         expr(s"array_min(transform(hv, h -> (${hashA(j)} * h + ${hashB(j)}) % $P))")
           .as(s"s$j")
       }: _*)
 
-  /** One row per (doc, band): 6 bands of 1 signature each (row-probability of
-    * a candidate = Jaccard per band — tuned for recall on small corpora).
-    * Band key packs (band index, sig) into one BIGINT join key. */
+  /** One row per (doc, band): band k packs (k, s_{2k}, s_{2k+1}) into one
+    * BIGINT join key — k·2^60 + s·2^30 + s' (each sig < P < 2^30, k < 8, so
+    * the packed value stays under 2^63). */
   private def bands(s: SparkSession, dir: String): DataFrame =
     sigs(s, dir).select(col("doc_id"),
-      explode(array((0 until numHashes).map(j =>
-        (lit(j.toLong * (1L << 30)) + col(s"s$j")).cast(LongType)): _*)).as("band"))
+      explode(array((0 until numBands).map(k =>
+        (lit(k.toLong << 60) + col(s"s${bandRows * k}") * lit(1L << 30)
+          + col(s"s${bandRows * k + 1}")).cast(LongType)): _*)).as("band"))
       // docs with <3 tokens have NULL signatures; NULL must not form a
       // bucket (groupBy groups NULLs; the oracle's equi-join never matches
       // them — and semantically shingle-less docs have no LSH identity)
@@ -94,21 +119,36 @@ object Dedup {
   private val maxBucket = 100
 
   /** Distinct candidate pairs (d1 < d2), generated within each band bucket.
-    * ONE pass computes signatures (a band self-join would recompute the md5
-    * pipeline on both sides — 2× the dominant cost); one shuffle groups by
-    * band; pairs expand only inside buckets of size 2..maxBucket. */
+    * The band-size filter runs BEFORE any id-list aggregation: a window
+    * count over the band partition (WindowExec buffers spill to disk) tags
+    * every row with its bucket size, oversized/singleton buckets are dropped,
+    * and only then does `collect_list` build a list — bounded at `maxBucket`
+    * elements. A viral bucket (say 10k identical docs) never materializes a
+    * 10k-element aggregation buffer. The window's hash-partitioning on band
+    * is reused by the following groupBy — one shuffle for both. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     bands(s, dir)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band")))
+      .filter(col("bsz").between(2, maxBucket))
       .groupBy("band").agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
         "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a AS d1, b AS d2)))), p -> p.d1 < p.d2)"))
         .as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
 
+  /** Sorted distinct 32-bit shingle-hash set per doc — the verify-side
+    * representation (integer set ops instead of string compares, exactly as
+    * a scale dedup pipeline stores them; the ~1e-6 per-doc collision odds
+    * are noise next to the LSH candidate error). */
+  private def hashSets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
+      .select(col("doc_id"), array_sort(array_distinct(hvOf(col("sh")))).as("hs"))
+
   /** Shared SQL for the oracle-side signature table (DuckDB dialect),
-    * mirroring the affine family bit-for-bit. */
+    * mirroring the affine family and b×r band packing bit-for-bit. */
   private val sigSqlCte: String = {
     val hexToInt = (0 until 8).map { i =>
       s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
@@ -116,6 +156,9 @@ object Dedup {
     val sigExprs = (0 until numHashes).map(j =>
       s"list_min(list_transform(hv, h -> (${hashA(j)} * h + ${hashB(j)}) % $P)) AS s$j")
       .mkString(",\n    ")
+    val bandExprs = (0 until numBands).map(k =>
+      s"CAST(${k.toLong << 60} AS BIGINT) + s${bandRows * k} * CAST(${1L << 30} AS BIGINT) + s${bandRows * k + 1}")
+      .mkString(", ")
     s"""sigs AS (
        |  SELECT doc_id,
        |    $sigExprs
@@ -126,14 +169,28 @@ object Dedup {
        |                               i -> array_to_string(w[i:i+2], ' ')) AS sh
        |              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) t2) u),
        |bands AS (
-       |  SELECT doc_id, unnest([${(0 until numHashes).map(j => s"CAST(${j.toLong * (1L << 30)} AS BIGINT) + s$j").mkString(", ")}]) AS band
-       |  FROM sigs),
+       |  SELECT doc_id, unnest([$bandExprs]) AS band
+       |  FROM sigs WHERE s0 IS NOT NULL),
        |ok AS (
        |  SELECT band FROM bands GROUP BY band HAVING count(*) BETWEEN 2 AND $maxBucket),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
        |  WHERE a.band IN (SELECT band FROM ok))""".stripMargin
+  }
+
+  /** Oracle-side sorted distinct hash-set CTE (verify-side of d4/d9). */
+  private val hashSetSqlCte: String = {
+    val hexToInt = (0 until 8).map { i =>
+      s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+    }.mkString(" + ")
+    s"""sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           list_transform(list_transform(generate_series(1, len(w)-2),
+       |                          i -> array_to_string(w[i:i+2], ' ')),
+       |                          x -> md5(x)),
+       |           m -> $hexToInt)) AS hs
+       |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t)""".stripMargin
   }
 
   /** SimHash bit width: 32 bits from the first 8 hex chars of md5(token). */
@@ -195,40 +252,41 @@ object Dedup {
     // MinHash signatures: narrow per-doc projection, no shuffle.
     "d2_minhash_sig" -> { (s, dir) => sigs(s, dir) },
 
-    // LSH candidate pairs via band self-join (the non-cartesian scale path).
+    // LSH candidate pairs via band grouping (the non-cartesian scale path),
+    // viral buckets dropped before any list aggregation.
     "d3_lsh_pairs" -> { (s, dir) => lshPairs(s, dir) },
 
     // n-gram Jaccard, computed only for LSH candidates (verification stage
-    // of the 2-stage near-dup pipeline). Set elements are the 32-bit shingle
-    // hashes, not the shingle strings — integer set ops instead of string
-    // compares, exactly as a scale dedup pipeline stores them (the ~1e-6
-    // per-doc collision odds are noise next to the LSH candidate error).
+    // of the 2-stage near-dup pipeline). Exactly TWO `documents` scans: one
+    // inside lshPairs, one for the verify-side hash sets — each pair is
+    // melted to (pair, side, doc_id) rows, joined to the hash sets ONCE, and
+    // folded back per pair, instead of two separate x/y joins that would
+    // each rescan the md5 pipeline (the dominant cost at corpus scale).
     "d4_jaccard_pairs" -> { (s, dir) =>
-      // hash sets are sorted ONCE per document; per pair the native
-      // merge-walk (IntersectCountSorted) counts the overlap allocation-free
-      // and |union| = |a| + |b| - |intersect| on distinct sets.
-      val sh = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
-        .select(col("doc_id"), array_sort(array_distinct(
-          transform(expr("transform(sh, x -> md5(x))"),
-            m => graft.functions.HexPrefixToLong.hex8(m)))).as("hs"))
+      val hs = hashSets(s, dir)
       lshPairs(s, dir)
-        .join(sh.as("x"), col("d1") === col("x.doc_id"))
-        .join(sh.as("y"), col("d2") === col("y.doc_id"))
+        .select(col("d1"), col("d2"), explode(array(
+          struct(lit(1).as("side"), col("d1").as("doc_id")),
+          struct(lit(2).as("side"), col("d2").as("doc_id")))).as("e"))
+        .select(col("d1"), col("d2"), col("e.side").as("side"), col("e.doc_id").as("doc_id"))
+        .join(hs, "doc_id")
+        .groupBy("d1", "d2")
+        .agg(max(when(col("side") === 1, col("hs"))).as("hs1"),
+          max(when(col("side") === 2, col("hs"))).as("hs2"))
+        // per pair the native merge-walk (IntersectCountSorted) counts the
+        // overlap allocation-free; |union| = |a| + |b| - |intersect|
         .withColumn("ic",
-          graft.functions.IntersectCountSorted.intersectCount(col("x.hs"), col("y.hs")))
+          graft.functions.IntersectCountSorted.intersectCount(col("hs1"), col("hs2")))
         .select(col("d1"), col("d2"),
           (col("ic").cast(DoubleType) /
-            (size(col("x.hs")) + size(col("y.hs")) - col("ic"))).as("jaccard"))
+            (size(col("hs1")) + size(col("hs2")) - col("ic"))).as("jaccard"))
     },
 
     // Quality-aware dedup policy: within each exact-duplicate group keep the
     // HIGHEST-quality doc (longest, ties to lowest id) — the policy real
     // training pipelines use instead of min-id. One window over fp.
     "d7_dedup_keep_best" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id"))
+      val w = Window.partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id"))
       docs(s, dir)
         .select(col("doc_id"), col("n_chars"), fpCol.as("fp"))
         .withColumn("rk", row_number().over(w))
@@ -237,21 +295,37 @@ object Dedup {
           col("n_chars").as("keeper_n_chars"))
     },
 
+    // The deduped corpus itself — the pipeline's actual deliverable: the
+    // surviving documents under the d7 keep-best policy. ONE corpus scan and
+    // ONE shuffle (the fp window); a keepers⋉documents semi-join would scan
+    // and shuffle the corpus twice for the same result. Ready to feed
+    // Sinks.writePartitioned for the partitioned training-data layout.
+    "d8_dedup_corpus" -> { (s, dir) =>
+      val w = Window.partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, dir)
+        .withColumn("fp", fpCol)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    },
+
     // SimHash: 32-bit fingerprint per document.
     "d5_simhash" -> { (s, dir) => simhashDf(s, dir) },
 
     // SimHash near-dup: 4 bands of 8 bits (pigeonhole: any pair at hamming
-    // <= 3 shares a clean band unless its bucket was capped), in-bucket pair
-    // expansion, exact hamming via codegen'd bit_count(xor).
+    // <= 3 shares a clean band unless its bucket was capped), viral buckets
+    // dropped by a window count BEFORE the in-bucket pair expansion, exact
+    // hamming via codegen'd bit_count(xor).
     "d6_simhash_neardup" -> { (s, dir) =>
       val b = simhashDf(s, dir).select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(k =>
           (lit(k.toLong * 256) +
             expr(s"shiftright(simhash, ${8 * k}) & 255")).cast(LongType)): _*))
           .as("band"))
-      b.groupBy("band")
+      b.withColumn("bsz", count(lit(1)).over(Window.partitionBy("band")))
+        .filter(col("bsz").between(2, maxBucket))
+        .groupBy("band")
         .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
-        .filter(size(col("xs")).between(2, maxBucket))
         .select(explode(expr(
           "filter(flatten(transform(xs, a -> transform(xs, b -> " +
             "named_struct('d1', a.doc_id, 'h1', a.simhash, 'd2', b.doc_id, 'h2', b.simhash)))), " +
@@ -260,6 +334,30 @@ object Dedup {
           expr("bit_count(p.h1 ^ p.h2)").cast(LongType).as("hamming"))
         .filter(col("hamming") <= 3)
         .distinct()
+    },
+
+    // LSH candidate recall vs brute-force ground truth — the number you need
+    // before trusting the b×r banding parameters. Ground truth = all pairs
+    // with exact hash-set Jaccard >= 0.5 (brute force, like s4's exact-kNN
+    // baseline: an EVALUATION query run on a sample at scale, not a
+    // production path — hence the deliberate broadcast nested-loop join).
+    "d9_lsh_recall" -> { (s, dir) =>
+      val hs = hashSets(s, dir).filter(size(col("hs")) > 0)
+      val truth = hs.as("x")
+        .join(broadcast(hs.as("y")), col("x.doc_id") < col("y.doc_id"))
+        .withColumn("ic", graft.functions.IntersectCountSorted
+          .intersectCount(col("x.hs"), col("y.hs")))
+        .filter(col("ic").cast(DoubleType) /
+          (size(col("x.hs")) + size(col("y.hs")) - col("ic")) >= 0.5)
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      truth.join(lshPairs(s, dir).withColumn("hit", lit(1)),
+          Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).as("nc"))
+        .select(col("n_truth"), col("nc").cast(LongType).as("n_caught"),
+          // guarded: ANSI mode makes 0/0 an error, and n_truth can be 0
+          when(col("n_truth") > 0,
+            col("nc").cast(DoubleType) / col("n_truth")).as("recall"))
     }
   )
 
@@ -277,28 +375,27 @@ object Dedup {
       s"""WITH $sigSqlCte
          |SELECT d1, d2 FROM cand""".stripMargin,
 
-    "d4_jaccard_pairs" -> {
-      val hexToInt = (0 until 8).map { i =>
-        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
-      }.mkString(" + ")
+    "d4_jaccard_pairs" ->
       s"""WITH $sigSqlCte,
-         |sh AS (SELECT doc_id,
-         |         list_distinct(list_transform(
-         |           list_transform(list_transform(generate_series(1, len(w)-2),
-         |                          i -> array_to_string(w[i:i+2], ' ')),
-         |                          x -> md5(x)),
-         |           m -> $hexToInt)) AS hs
-         |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t)
+         |$hashSetSqlCte
          |SELECT d1, d2,
          |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
          |    / len(list_distinct(x.hs || y.hs)) AS jaccard
-         |FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id""".stripMargin
-    },
+         |FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id""".stripMargin,
 
     "d7_dedup_keep_best" ->
       """SELECT fp, doc_id AS keeper_doc_id, n_chars AS keeper_n_chars FROM (
         |  SELECT doc_id, n_chars,
         |    md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp,
+        |    row_number() OVER (
+        |      PARTITION BY md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))))
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk = 1""".stripMargin,
+
+    "d8_dedup_corpus" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT doc_id, text, lang, source, n_chars,
         |    row_number() OVER (
         |      PARTITION BY md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))))
         |      ORDER BY n_chars DESC, doc_id) AS rk
@@ -321,6 +418,22 @@ object Dedup {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
          |WHERE a.band IN (SELECT band FROM ok)
-         |  AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "d9_lsh_recall" ->
+      s"""WITH $sigSqlCte,
+         |$hashSetSqlCte,
+         |truth AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE len(x.hs) > 0 AND len(y.hs) > 0
+         |    AND CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |          / len(list_distinct(x.hs || y.hs)) >= 0.5)
+         |SELECT count(*) AS n_truth,
+         |  CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+         |  CASE WHEN count(*) > 0
+         |       THEN CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |  END AS recall
+         |FROM truth LEFT JOIN cand c ON truth.d1 = c.d1 AND truth.d2 = c.d2""".stripMargin
   )
 }

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Scale-posture pins for the dedup pack: a viral bucket (hundreds of
+  * identical docs — exactly the skewed input LSH banding exists for) must be
+  * dropped by the band-size filter BEFORE any id-list aggregation, so no
+  * O(bucket) aggregation buffer is ever built, and it must not leak a single
+  * candidate pair. */
+class DedupScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val viralN = 300 // > maxBucket (100): every band bucket it touches is dropped
+
+  /** 300 identical docs (the viral group) + one exact-dup pair of a distinct
+    * text. Expected candidates: exactly the (301, 302) pair. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-viral").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val viral = "all work and no play makes a dull boy indeed"
+    val rare = "a completely unrelated sentence about distributed query engines"
+    val rows = (1 to viralN).map(i => Row(i.toLong, viral, "en", "s", viral.length.toLong)) ++
+      Seq(Row(301L, rare, "en", "s", rare.length.toLong),
+        Row(302L, rare, "en", "s", rare.length.toLong))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("d3: a viral bucket is dropped whole; the small bucket still pairs") {
+    val pairs = Dedup.defs("d3_lsh_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((301L, 302L)),
+      s"viral bucket must contribute zero candidates, got ${pairs.take(5)}...")
+  }
+
+  test("d6: same viral-bucket hygiene for the simhash bands") {
+    val pairs = Dedup.defs("d6_simhash_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((301L, 302L)),
+      s"viral bucket must contribute zero candidates, got ${pairs.take(5)}...")
+  }
+
+  test("d3/d6 plans size-filter bands BELOW (before) the collect_list agg") {
+    Seq("d3_lsh_pairs", "d6_simhash_neardup").foreach { n =>
+      val p = Dedup.defs(n)(spark, dir).queryExecution.optimizedPlan.toString
+      val agg = p.indexOf("collect_list")
+      val flt = p.indexOf("bsz")
+      assert(agg >= 0 && flt >= 0, s"$n: expected a collect_list agg and a bsz window count\n$p")
+      // the optimized tree prints parents first: the bucket-size filter must
+      // sit strictly below the list aggregation, never above it
+      assert(flt > agg, s"$n: band-size filter must run before collect_list\n$p")
+    }
+  }
+
+  test("d4 reads documents exactly twice (shared melt-join verify side)") {
+    val p = Dedup.defs("d4_jaccard_pairs")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"d4 must not re-derive the md5 pipeline per join side ($scans scans)\n$p")
+  }
+
+  test("d8 corpus keeps exactly the d7 keepers") {
+    val kept = Dedup.defs("d8_dedup_corpus")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    // keep-best: longest text, ties to lowest id → doc 1 for the viral group,
+    // doc 301 for the rare pair
+    assert(kept == Set(1L, 301L))
+  }
+
+  test("d9 honestly reports the recall lost to the viral-bucket cap") {
+    val r = Dedup.defs("d9_lsh_recall")(spark, dir).collect().head
+    // truth = in-group pairs: C(300,2) + 1; every one shares all 16 sigs, but
+    // the viral bucket is capped — so caught = only the (301,302) pair. This
+    // pins that d9 HONESTLY reports the recall cost of the bucket cap.
+    val nTruth = viralN.toLong * (viralN - 1) / 2 + 1
+    assert(r.getLong(0) == nTruth)
+    assert(r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(2) - 1.0 / nTruth) < 1e-12)
+  }
+}
