@@ -1,8 +1,8 @@
 package graft.streaming
 
-import java.util.UUID
+import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -78,9 +78,19 @@ object StreamingSessionize {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** Run a streaming transform over `dir`/events.parquet to completion
-    * (file source → memory sink, complete mode) and return the final state.
-    * This is the correctness-gate harness: same result as the batch query,
-    * but computed by the streaming engine's incremental state merge. */
+    * (file source → `foreachBatch` → parquet) and return the result as a
+    * FILE-BACKED DataFrame. This is the correctness-gate harness: same
+    * result as the batch query, but computed by the streaming engine's
+    * incremental state merge.
+    *
+    * No driver materialization anywhere: each microbatch is written
+    * distributed (complete mode delivers the full state per trigger →
+    * overwrite; append mode delivers only the new rows → append), which
+    * keeps the harness O(1) in driver memory even for x3's unbounded
+    * append-mode join output — the scale path a production
+    * `writeStream.format("parquet")` job would take. The temp dir lives for
+    * the session (the returned frame lazily reads it) and is
+    * delete-on-exit. */
   def runToCompletion(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame = sessions(_),
       outputMode: String = "complete"): DataFrame = {
@@ -90,27 +100,22 @@ object StreamingSessionize {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val name = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
-    val q = transform(stream)
-      .writeStream
-      .format("memory")
-      .queryName(name)
+    val transformed = transform(stream)
+    val schema = transformed.schema
+    val out = Files.createTempDirectory("graft-stream-sink-").toFile
+    out.deleteOnExit()
+    val saveMode = if (outputMode == "complete") "overwrite" else "append"
+    val q = transformed.writeStream
       .outputMode(outputMode)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode(saveMode).parquet(out.getAbsolutePath)
+      }
       .start()
-    try {
-      q.processAllAvailable()
-      // materialize into a local DataFrame so neither the memory-sink temp
-      // view nor a cache entry outlives this call (repeated gate/bench runs
-      // must not accumulate session state). The result is an aggregate —
-      // orders of magnitude smaller than the stream — so driver-side
-      // materialization is the harness's job, not an operator collect().
-      val tbl = spark.table(name)
-      val rows = java.util.Arrays.asList(tbl.collect(): _*)
-      spark.createDataFrame(rows, tbl.schema)
-    } finally {
-      q.stop()
-      spark.catalog.dropTempView(name)
-    }
+    try q.processAllAvailable()
+    finally q.stop()
+    val wrote = Option(out.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
+    if (wrote) spark.read.schema(schema).parquet(out.getAbsolutePath)
+    else spark.createDataFrame(new java.util.ArrayList[Row](), schema)
   }
 
   type Q = (SparkSession, String) => DataFrame

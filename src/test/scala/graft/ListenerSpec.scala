@@ -1,9 +1,9 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.scheduler.SparkListenerApplicationEnd
+import org.apache.spark.scheduler.{SparkListenerApplicationEnd, StageInfo}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.jobs.WordCountJob
@@ -11,22 +11,26 @@ import graft.listen.Hw4EventLogListener
 
 /** Validates the event-log CSV grammar against hw4.cc:84-203 (SURVEY.md §5
   * item 5): schema per event, Start_Job first, Finish_Job last, dispatch
-  * precedes completion per (kind, taskid). */
+  * precedes completion per (kind, taskid) — with AQE on AND off, and with
+  * the private shuffleDepId API simulated away (job-topology fallback). */
 class ListenerSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def runWithListener(): Seq[String] = {
+  private def runWithListener(jobName: String, aqe: Boolean,
+      mkListener: WordCountJob.Config => Hw4EventLogListener): Seq[String] = {
     val in = Files.createTempFile("lst-in", ".txt")
     Files.writeString(in, "alpha beta alpha gamma beta alpha")
     val out = Files.createTempDirectory("lst-out")
-    val cfg = WordCountJob.Config("lsttest", 2, 0, in.toString, 2, "none",
+    val cfg = WordCountJob.Config(jobName, 2, 0, in.toString, 2, "none",
       out.toString)
-    val listener = new Hw4EventLogListener(cfg, 4)
+    val listener = mkListener(cfg)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
     spark.sparkContext.addSparkListener(listener)
     try {
       WordCountJob.run(spark, cfg)
       // listener bus is async (and private[spark]); wait for the log to settle
-      val log = Paths.get("lsttest-log.out")
+      val log = Paths.get(s"$jobName-log.out")
       var last = -1L
       var stable = 0
       while (stable < 3) {
@@ -37,17 +41,17 @@ class ListenerSpec extends AnyFunSuite {
       // the test session outlives the job; deliver application-end directly
       listener.onApplicationEnd(SparkListenerApplicationEnd(System.currentTimeMillis()))
     } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.sparkContext.removeSparkListener(listener)
       listener.close()
     }
-    val log = Paths.get("lsttest-log.out")
+    val log = Paths.get(s"$jobName-log.out")
     val lines = Files.readAllLines(log).asScala.toSeq
     Files.deleteIfExists(log)
     lines
   }
 
-  test("log follows the hw4 CSV grammar") {
-    val lines = runWithListener()
+  private def checkGrammar(lines: Seq[String]): Unit = {
     assert(lines.nonEmpty)
 
     val events = lines.map(_.split(",", -1))
@@ -84,5 +88,26 @@ class ListenerSpec extends AnyFunSuite {
     // timestamps are non-decreasing
     val ts = events.map(_(0).toLong)
     assert(ts == ts.sorted)
+  }
+
+  test("log follows the hw4 CSV grammar (AQE on)") {
+    checkGrammar(runWithListener("lstaqe", aqe = true, new Hw4EventLogListener(_, 4)))
+  }
+
+  test("log follows the hw4 CSV grammar (AQE off)") {
+    checkGrammar(runWithListener("lstnoaqe", aqe = false, new Hw4EventLogListener(_, 4)))
+  }
+
+  test("classifier survives the shuffleDepId API shifting (topology fallback)") {
+    // simulate a future Spark where the private API is gone: the listener
+    // must fall back to job topology, not classify every stage one way.
+    // Topology ("a later stage exists in the job") is exact for multi-stage
+    // job DAGs, i.e. with AQE off — under AQE each shuffle stage is its own
+    // single-stage job, where only the shuffleDepId probe can tell (and that
+    // path is covered by the AQE-on grammar test above).
+    val mk = (cfg: WordCountJob.Config) => new Hw4EventLogListener(cfg, 4) {
+      override protected def shuffleMapViaApi(info: StageInfo): Option[Boolean] = None
+    }
+    checkGrammar(runWithListener("lstnorefl", aqe = false, mk))
   }
 }
