@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HexPrefixToLong(args.head, 8)
       }))
     ext.injectFunction((
+      FunctionIdentifier("md5_hash32"),
+      new ExpressionInfo(classOf[Md5Hash32].getName, "md5_hash32"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1,
+          s"md5_hash32 requires exactly 1 argument, got ${args.length}")
+        Md5Hash32(args.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -61,11 +61,12 @@ object Dedup {
       transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ", slice(w, i, lit(3)))))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** shingle array → 32-bit base-hash array: ONE md5 per shingle, then the
-    * native codegen'd [[graft.functions.HexPrefixToLong]] (a tight loop per
-    * shingle, not an 8-term instr/substr chain). */
+  /** shingle array → 32-bit base-hash array: ONE fused digest→long per
+    * shingle via the native codegen'd [[graft.functions.Md5Hash32]] — no
+    * 32-char md5 hex string is materialized (the oracle keeps the two-step
+    * `instr`-chain-over-`md5(x)` spelling; identical values). */
   private def hvOf(sh: Column): Column =
-    transform(transform(sh, x => md5(x)), m => graft.functions.HexPrefixToLong.hex8(m))
+    transform(sh, x => graft.functions.Md5Hash32.hash32(x))
 
   /** b×r banding over `numHashes` signatures: `numBands` bands of `bandRows`
     * signatures each. */
