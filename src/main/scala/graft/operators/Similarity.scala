@@ -146,6 +146,44 @@ object Similarity {
         .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
     },
 
+    // IVF-style ANN — the other classic scale path next to hyperplane LSH
+    // (s2): a tiny coarse-quantizer codebook (8 deterministic seed centroids,
+    // broadcast), every vector assigned to its nearest centroid (the
+    // "inverted file" — an equi-partition by cid), queries probe their
+    // nprobe=2 nearest lists, exact cosine only within probed lists. At
+    // 100 TB the codebook comes from k-means on a sample; the seed-centroid
+    // stand-in keeps the query engine-checkable (same argmax/probe/join
+    // plan) while the "training" step stays swappable.
+    "s5_ann_ivf" -> { (s, dir) =>
+      val n = emb(s, dir)
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      val cent = n.filter(col("vec_id").between(100, 107))
+        .select((col("vec_id") - 100).as("cid"), col("u").as("cu"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+      val assigned = n.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("u"), col("cid"), dot(col("u"), col("cu")).as("csim"))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("u"), col("cid"))
+      val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
+      val probes = n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"))
+        .crossJoin(broadcast(cent))
+        .select(col("query_id"), col("qu"), col("cid"), dot(col("qu"), col("cu")).as("csim"))
+        .withColumn("crk", row_number().over(wProbe))
+        .filter(col("crk") <= 2)
+        .select(col("query_id"), col("qu"), col("cid"))
+      val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      assigned.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          dot(col("qu"), col("u")).as("sim"))
+        .withColumn("rnk", row_number().over(wTop).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "sim")
+    },
+
     // Embedding near-dup: label-blocked pair cosine above threshold — the
     // blocking key keeps the pair join off the cartesian path. Vectors are
     // unit-normalized BEFORE the join (O(N) norms instead of O(pairs)), so
@@ -215,6 +253,33 @@ object Similarity {
          |FROM e5 LEFT JOIN a5
          |  ON e5.query_id = a5.query_id AND e5.neighbor_id = a5.neighbor_id
          |GROUP BY e5.query_id""".stripMargin
+    },
+
+    "s5_ann_ivf" -> {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |cent AS (SELECT vec_id - 100 AS cid, u AS cu FROM n WHERE vec_id BETWEEN 100 AND 107),
+         |asg AS (SELECT vec_id, u, cid FROM (
+         |    SELECT n.vec_id, n.u, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent) t WHERE crk = 1),
+         |probes AS (SELECT query_id, qu, cid FROM (
+         |    SELECT n.vec_id AS query_id, n.u AS qu, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent WHERE n.vec_id < 5) t WHERE crk <= 2),
+         |p AS (SELECT query_id, asg.vec_id AS neighbor_id, ${d("qu", "asg.u")} AS sim
+         |      FROM asg JOIN probes ON asg.cid = probes.cid
+         |      WHERE asg.vec_id <> probes.query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p) r
+         |WHERE rnk <= 5""".stripMargin
     },
 
     "s3_embed_neardup" -> {

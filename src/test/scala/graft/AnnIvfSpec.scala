@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Semantic pins for the IVF-style ANN (s5) on real testdata: result shape,
+  * ranking invariants, and agreement with the exact baseline on what it does
+  * return (an IVF list restricts candidates; it must not mis-rank them). */
+class AnnIvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("s5: 5 queries, ranks dense from 1, sims valid and non-increasing") {
+    val rows = Similarity.defs("s5_ann_ivf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { qs =>
+      val sorted = qs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq, "ranks must be dense from 1")
+      assert(sorted.map(_._4).reverse.sorted.reverse.toSeq == sorted.map(_._4).toSeq,
+        "sims must be non-increasing with rank")
+      qs.foreach { case (q, n, _, sim) =>
+        assert(n != q, "self must be excluded")
+        assert(sim >= -1.0000001 && sim <= 1.0000001)
+      }
+    }
+  }
+
+  test("s5 never ranks a candidate above a same-list candidate s1 ranks higher") {
+    // s1 is the exact ordering; within the candidates s5 DID consider, its
+    // relative order must match s1's global cosine order
+    val exact = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val approx = Similarity.defs("s5_ann_ivf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    approx.groupBy(_._1).values.foreach { qs =>
+      val inOrder = qs.sortBy(_._3).map(_._4)
+      assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a >= b })
+    }
+    // spot-agreement: where s5's neighbor appears in s1's top-10, the cosine
+    // values are identical (same math, both engines' proven fold)
+    approx.foreach { case (q, n, _, sim) =>
+      exact.get((q, n)).foreach(es => assert(math.abs(es - sim) < 1e-9))
+    }
+  }
+}
