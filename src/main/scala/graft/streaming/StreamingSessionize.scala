@@ -67,6 +67,19 @@ object StreamingSessionize {
         (unix_millis(col("c_ts")) - unix_millis(col("v_ts"))).as("ms_gap"))
   }
 
+  /** Streaming stateful dedup: first-seen (user_id, event_type) keys via
+    * `dropDuplicates` — the streaming twin of exact dedup (d1). State is one
+    * entry per DISTINCT KEY (bounded by the key domain, not the stream
+    * length; for time-windowed keys put the event time in the key so the
+    * watermark evicts, or use dropDuplicatesWithinWatermark). Only the key
+    * columns are emitted: which physical row was first-seen is
+    * microbatch-order-dependent, but the distinct key set is deterministic
+    * and equals batch DISTINCT on a full replay — which is the oracle. */
+  def streamDedup(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Hourly tumbling-window rollup — the streaming twin of the batch q15:
     * watermark + window() + partial/final streaming aggregate. */
   def hourlyRollup(events: DataFrame): DataFrame =
@@ -125,6 +138,9 @@ object StreamingSessionize {
     "x2_stream_hourly" -> { (s, dir) => runToCompletion(s, dir, hourlyRollup) },
     "x3_stream_interval_join" -> { (s, dir) =>
       runToCompletion(s, dir, clickViewJoin, outputMode = "append")
+    },
+    "x4_stream_dedup" -> { (s, dir) =>
+      runToCompletion(s, dir, streamDedup, outputMode = "append")
     }
   )
 
@@ -159,6 +175,9 @@ object StreamingSessionize {
         |FROM events c JOIN events v
         |  ON c.user_id = v.user_id
         | AND c.event_type = 'click' AND v.event_type = 'view'
-        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'""".stripMargin
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'""".stripMargin,
+
+    "x4_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
   )
 }

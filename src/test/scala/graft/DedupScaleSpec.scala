@@ -62,6 +62,14 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("d3 shuffles exactly twice: band (shared by window+agg) and pair-distinct") {
+    val p = Dedup.defs("d3_lsh_pairs")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n == 2,
+      s"expected the window's band partitioning to be reused by collect_list ($n exchanges)\n$p")
+  }
+
   test("d4 reads documents exactly twice (shared melt-join verify side)") {
     val p = Dedup.defs("d4_jaccard_pairs")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
