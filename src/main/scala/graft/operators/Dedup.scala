@@ -341,6 +341,26 @@ object Dedup {
         .distinct()
     },
 
+    // The end-to-end corpus pipeline — quality gate (t2's bar) THEN exact
+    // keep-best dedup THEN the surviving documents: the composition a
+    // training-data job actually ships. Filter runs before the fp window, so
+    // rejected docs never enter the shuffle; still one corpus scan and one
+    // shuffle total.
+    "d10_corpus_pipeline" -> { (s, dir) =>
+      val w = Window.partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, dir)
+        .withColumn("wd", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("wd")).cast(LongType))
+        .withColumn("n_stop",
+          size(expr(s"filter(wd, x -> x IN (${TextOps.stopSqlList}))")).cast(LongType))
+        .filter(col("n_tokens") >= 20
+          && col("n_stop").cast(DoubleType) / col("n_tokens") > 0.01)
+        .withColumn("fp", fpCol)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    },
+
     // LSH candidate recall vs EXACT ground truth — the number you need
     // before trusting the b×r banding parameters. Ground truth = all pairs
     // with exact hash-set Jaccard >= 0.5, generated WITHOUT an all-pairs
@@ -433,6 +453,20 @@ object Dedup {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
          |WHERE a.band IN (SELECT band FROM ok)
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "d10_corpus_pipeline" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    row_number() OVER (
+         |      PARTITION BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g'))))
+         |      ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM (SELECT doc_id, text, lang, source, n_chars,
+         |          len(w) AS n_tokens,
+         |          len(list_filter(w, x -> x IN (${TextOps.stopSqlList}))) AS n_stop
+         |        FROM (SELECT doc_id, text, lang, source, n_chars,
+         |                string_split(text, ' ') AS w FROM documents) t) u
+         |  WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01) f
+         |WHERE rk = 1""".stripMargin,
 
     "d9_lsh_recall" ->
       s"""WITH $sigSqlCte,

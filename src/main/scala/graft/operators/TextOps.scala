@@ -25,9 +25,10 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Function words for the stopword-ratio heuristics (shared with oracles). */
-  private val stopwords = Seq("the", "a", "of", "to", "in", "and", "is")
-  private val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+  /** Function words for the stopword-ratio heuristics (shared with oracles
+    * and with the d10 corpus pipeline). */
+  private[operators] val stopwords = Seq("the", "a", "of", "to", "in", "and", "is")
+  private[operators] val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val defs: Map[String, Q] = Map(
     // The reference job: WordCount. One narrow stage + one shuffle.
@@ -122,6 +123,25 @@ object TextOps {
     "t6_rolling_hash" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
         graft.functions.RollingHash.rollingHash(col("text")).as("rhash"))
+    },
+
+    // Corpus rollup per (lang, source) — the dataset-card numbers every
+    // training corpus publishes: doc/token/char totals and how many docs
+    // clear the t2 quality bar. One partial+final hash aggregate; all
+    // integer arithmetic (deterministic without decimal staging).
+    "t7_corpus_stats" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("w")).cast(LongType))
+        .withColumn("n_stop",
+          size(expr(s"filter(w, x -> x IN ($stopSqlList))")).cast(LongType))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast(LongType).as("total_tokens"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"),
+          sum(when(col("n_tokens") >= 20
+            && col("n_stop").cast(DoubleType) / col("n_tokens") > 0.01, 1L)
+            .otherwise(0L)).cast(LongType).as("n_quality_ok"))
     }
   )
 
@@ -186,6 +206,20 @@ object TextOps {
         |    list_transform(generate_series(1, length(text)),
         |                   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "t7_corpus_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(CASE WHEN n_tokens >= 20
+         |                 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
+         |FROM (SELECT lang, source, n_chars,
+         |        len(w) AS n_tokens,
+         |        len(list_filter(w, x -> x IN ($stopSqlList))) AS n_stop
+         |      FROM (SELECT lang, source, n_chars,
+         |              string_split(text, ' ') AS w FROM documents) t) u
+         |GROUP BY lang, source""".stripMargin
   )
 }
