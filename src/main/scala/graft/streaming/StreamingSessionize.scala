@@ -108,6 +108,14 @@ object StreamingSessionize {
       transform: DataFrame => DataFrame = sessions(_),
       outputMode: String = "complete"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // A streaming query fixes its state-store layout at start: with the
+    // session's batch-oriented shuffle.partitions (32 on the driver) every
+    // microbatch pays 32 state-store checkpoints for a stream whose state is
+    // tiny — measured 3x harness overhead. Pin a small partition count for
+    // the stream and restore the session conf after (a production job sizes
+    // this to its state volume instead).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -125,7 +133,10 @@ object StreamingSessionize {
       }
       .start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     val wrote = Option(out.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
     if (wrote) spark.read.schema(schema).parquet(out.getAbsolutePath)
     else spark.createDataFrame(new java.util.ArrayList[Row](), schema)
