@@ -368,6 +368,11 @@ object Dedup {
     // inverted-index equi-join on the shingle hash yields a candidate
     // superset (~1.3M postings-pairs vs 12.5M all-pairs at sf0.1, measured),
     // then exact Jaccard keeps the true pairs. No nested-loop join anywhere.
+    // Scale posture: evaluation, not production — at corpus scale a viral
+    // shingle (boilerplate) makes the postings self-join quadratic in its
+    // df, so the deployed form restricts ONE join side to a deterministic
+    // query sample (recall estimates need thousands of truth pairs, not all
+    // of them) and/or df-caps the index, exactly like s4 samples queries.
     "d9_lsh_recall" -> { (s, dir) =>
       // postings carry the set size, so per (d1, d2) the count of matching
       // posting rows IS |A∩B| (sets are distinct) and no hash-set re-join
