@@ -382,6 +382,49 @@ object Relational {
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"),
           count(lit(1)).as("n_items"))
+    },
+
+    // Ranking-window suite: ntile / percent_rank / cume_dist / lead — the
+    // remaining window shapes q7/q16/q27 don't cover. One shuffle on the
+    // partition key; the ORDER BY carries a unique tiebreak (o_orderkey) so
+    // every function is deterministic. percent_rank/cume_dist are exact
+    // small-integer ratios — bit-identical across engines.
+    "q30_window_suite" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+    },
+
+    // Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicates — the
+    // bag semantics q10's distinct-set forms don't exercise. Customers'
+    // per-order key multisets, so multiplicity matters.
+    "q31_setops_all" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 350000).select(col("o_custkey").as("custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+      big.intersectAll(urgent).withColumn("tag", lit("big_and_urgent"))
+        .unionAll(big.exceptAll(urgent).withColumn("tag", lit("big_not_urgent")))
+        .select("tag", "custkey")
+    },
+
+    // Full outer join: both unmatched sides preserved — the one join type
+    // q3-q6 don't cover. Sides are filtered to force all three match cases;
+    // the dimension side is small but a FULL join cannot broadcast (both
+    // sides must see all unmatched rows), so Spark correctly plans SMJ.
+    "q32_full_outer" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 500000)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("o_orderkey"), col("o_totalprice"))
     }
   )
 
@@ -599,6 +642,36 @@ object Relational {
          |FROM lineitem
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation ON s_nationkey = n_nationkey
-         |GROUP BY n_name""".stripMargin
+         |GROUP BY n_name""".stripMargin,
+
+    "q30_window_suite" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WHERE o_totalprice > 400000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "q31_setops_all" ->
+      """SELECT 'big_and_urgent' AS tag, custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'big_not_urgent' AS tag, custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q32_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  c_acctbal, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |      WHERE o_totalprice > 500000) o
+        |  ON c_custkey = o_custkey""".stripMargin
   )
 }
