@@ -77,6 +77,27 @@ object Multimodal {
             "ELSE CAST(array() AS ARRAY<STRING>) END")))
         .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("frame_no"),
           md5(col("col")).as("frame_md5"))
+    },
+
+    // STUB resize: the remaining media verb. Source dims are stub-decoded
+    // from the payload (md5-derived, like m2); the FIT-WITHIN-256×256
+    // aspect-preserving target math is real — exact integer arithmetic
+    // (scaled floor division, no FP), which is how production resizers
+    // compute dims. Narrow projection, zero shuffle; a real decoder swaps
+    // in behind the same columns.
+    "m4_resize_stub" -> { (s, dir) =>
+      docs(s, dir)
+        // stub "decode": width 256..1279, height 144..1167 from the checksum
+        .withColumn("src_w", expr(s"CAST(256 + (${featureSql(0)} % 1024) AS BIGINT)"))
+        .withColumn("src_h", expr(s"CAST(144 + (${featureSql(1)} % 1024) AS BIGINT)"))
+        .withColumn("fit",
+          expr("CASE WHEN src_w >= src_h THEN 256 * src_h DIV src_w " +
+            "ELSE 256 * src_w DIV src_h END"))
+        .select(col("doc_id"), col("src_w"), col("src_h"),
+          when(col("src_w") >= col("src_h"), lit(256L)).otherwise(
+            greatest(col("fit"), lit(1L))).cast(LongType).as("dst_w"),
+          when(col("src_w") >= col("src_h"),
+            greatest(col("fit"), lit(1L))).otherwise(lit(256L)).cast(LongType).as("dst_h"))
     }
   )
 
@@ -95,6 +116,17 @@ object Multimodal {
         |  md5(substr(text, (CAST(i AS INT)-1)*32 + 1, 32)) AS frame_md5
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(1, CAST((n_chars + 31) // 32 AS INT))) AS i
-        |      FROM documents) t""".stripMargin
+        |      FROM documents) t""".stripMargin,
+
+    "m4_resize_stub" ->
+      s"""SELECT doc_id, src_w, src_h,
+         |  CAST(CASE WHEN src_w >= src_h THEN 256
+         |            ELSE greatest(256 * src_w // src_h, 1) END AS BIGINT) AS dst_w,
+         |  CAST(CASE WHEN src_w >= src_h THEN greatest(256 * src_h // src_w, 1)
+         |            ELSE 256 END AS BIGINT) AS dst_h
+         |FROM (SELECT doc_id,
+         |        CAST(256 + (${featureSql(0)} % 1024) AS BIGINT) AS src_w,
+         |        CAST(144 + (${featureSql(1)} % 1024) AS BIGINT) AS src_h
+         |      FROM documents) t""".stripMargin
   )
 }
