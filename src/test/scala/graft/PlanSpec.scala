@@ -46,7 +46,8 @@ class PlanSpec extends AnyFunSuite {
   test("narrow per-doc queries are shuffle-free") {
     Seq(TextOps.defs("t1_token_stats"), TextOps.defs("t5_token_count"),
       TextOps.defs("t6_rolling_hash"), Multimodal.defs("m1_media_meta"),
-      Multimodal.defs("m2_feature_stub"), Dedup.defs("d2_minhash_sig"))
+      Multimodal.defs("m2_feature_stub"), Multimodal.defs("m4_resize_stub"),
+      Dedup.defs("d2_minhash_sig"))
       .foreach { q =>
         val p = plan(q(spark, dir))
         assert(!p.contains("Exchange"), p)
