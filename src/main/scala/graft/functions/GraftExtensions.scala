@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions so SQL text can reach them (`hex8_to_long(col)`), alongside the
@@ -15,30 +15,34 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("hex8_to_long"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  /** The ONE registration list — the extension injects it at builder time,
+    * and tests register the same tuples (same builders, same arity checks)
+    * into an existing session's function registry. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("hex8_to_long"),
       new ExpressionInfo(classOf[HexPrefixToLong].getName, "hex8_to_long"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (args: Seq[Expression]) => {
         require(args.length == 1,
           s"hex8_to_long requires exactly 1 argument, got ${args.length}")
         HexPrefixToLong(args.head, 8)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("md5_hash32"),
+      }),
+    (FunctionIdentifier("md5_hash32"),
       new ExpressionInfo(classOf[Md5Hash32].getName, "md5_hash32"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (args: Seq[Expression]) => {
         require(args.length == 1,
           s"md5_hash32 requires exactly 1 argument, got ${args.length}")
         Md5Hash32(args.head)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
+      }),
+    (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (args: Seq[Expression]) => {
         require(args.length == 2,
           s"vec_dot requires exactly 2 arguments, got ${args.length}")
         DotProduct(args.head, args(1))
       }))
-  }
 }

@@ -42,6 +42,7 @@ class Hw4EventLogListener(cfg: WordCountJob.Config, ncpus: Int)
   private var started = false
   private val stageIsFinal = mutable.Map[Int, Boolean]()
   private val topoIsFinal = mutable.Map[Int, Boolean]()
+  private val jobStages = mutable.Map[Int, Seq[Int]]()
 
   private def now(): Long = System.currentTimeMillis() / 1000L
 
@@ -57,11 +58,15 @@ class Hw4EventLogListener(cfg: WordCountJob.Config, ncpus: Int)
       // Topology fallback for the stage classifier: within a job, every
       // stage that a later stage follows is a "map" phase; only the job's
       // last stage is a result ("reduce") phase. Used when the private
-      // shuffleDepId API is unavailable (see onStageSubmitted).
+      // shuffleDepId API is unavailable (see onStageSubmitted). Exact for
+      // multi-stage job DAGs, i.e. with AQE off; under AQE each shuffle
+      // stage is its own single-stage job, where only the shuffleDepId
+      // probe can tell map from result.
       val ids = jobStart.stageInfos.map(_.stageId)
       if (ids.nonEmpty) {
         val maxId = ids.max
         ids.foreach(id => topoIsFinal(id) = id == maxId)
+        jobStages(jobStart.jobId) = ids.toSeq
       }
       if (!started) {
         started = true
@@ -109,6 +114,16 @@ class Hw4EventLogListener(cfg: WordCountJob.Config, ncpus: Int)
     val ms = taskEnd.taskInfo.duration
     if (isFinal) line("Complete_ReduceTask", taskEnd.taskInfo.index + 1, ms)
     else line("Complete_MapTask", taskEnd.taskInfo.index, ms)
+  }
+
+  override def onJobEnd(jobEnd: SparkListenerJobEnd): Unit = synchronized {
+    // keep the classifier maps bounded: drop the finished job's stages
+    // (the class doc's "buffers nothing unbounded" must hold for long-lived
+    // sessions running many jobs through one listener)
+    jobStages.remove(jobEnd.jobId).foreach(_.foreach { id =>
+      topoIsFinal.remove(id)
+      stageIsFinal.remove(id)
+    })
   }
 
   override def onApplicationEnd(applicationEnd: SparkListenerApplicationEnd): Unit =

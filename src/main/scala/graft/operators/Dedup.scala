@@ -52,6 +52,17 @@ object Dedup {
   private val fpCol: Column =
     md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " "))))
 
+  /** The keep-best policy in ONE place (d7/d8/d10): within each exact-dup
+    * fingerprint group keep the HIGHEST-quality doc (longest, ties to lowest
+    * id). Returns the winners with `fp` attached; callers project. */
+  private def keepBest(docsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id"))
+    docsDf
+      .withColumn("fp", fpCol)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+  }
+
   /** 3-gram word shingles over a pre-split token array column (empty array
     * when the doc has <3 tokens — matches DuckDB generate_series(1, n<1)=[]).
     * Takes the tokens as a bound column so `split` runs once per row, not
@@ -287,15 +298,9 @@ object Dedup {
       withJaccard(lshPairs(s, dir), hashSets(s, dir))
     },
 
-    // Quality-aware dedup policy: within each exact-duplicate group keep the
-    // HIGHEST-quality doc (longest, ties to lowest id) — the policy real
-    // training pipelines use instead of min-id. One window over fp.
+    // Quality-aware dedup policy — the keepBest window, keepers only.
     "d7_dedup_keep_best" -> { (s, dir) =>
-      val w = Window.partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id"))
-      docs(s, dir)
-        .select(col("doc_id"), col("n_chars"), fpCol.as("fp"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      keepBest(docs(s, dir))
         .select(col("fp"), col("doc_id").as("keeper_doc_id"),
           col("n_chars").as("keeper_n_chars"))
     },
@@ -306,11 +311,7 @@ object Dedup {
     // and shuffle the corpus twice for the same result. Ready to feed
     // Sinks.writePartitioned for the partitioned training-data layout.
     "d8_dedup_corpus" -> { (s, dir) =>
-      val w = Window.partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id"))
-      docs(s, dir)
-        .withColumn("fp", fpCol)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      keepBest(docs(s, dir))
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     },
 
@@ -347,17 +348,7 @@ object Dedup {
     // rejected docs never enter the shuffle; still one corpus scan and one
     // shuffle total.
     "d10_corpus_pipeline" -> { (s, dir) =>
-      val w = Window.partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id"))
-      docs(s, dir)
-        .withColumn("wd", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("wd")).cast(LongType))
-        .withColumn("n_stop",
-          size(expr(s"filter(wd, x -> x IN (${TextOps.stopSqlList}))")).cast(LongType))
-        .filter(col("n_tokens") >= 20
-          && col("n_stop").cast(DoubleType) / col("n_tokens") > 0.01)
-        .withColumn("fp", fpCol)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      keepBest(TextOps.withQualityCols(docs(s, dir)).filter(TextOps.qualityOkCol))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     },
 
@@ -470,7 +461,7 @@ object Dedup {
          |          len(list_filter(w, x -> x IN (${TextOps.stopSqlList}))) AS n_stop
          |        FROM (SELECT doc_id, text, lang, source, n_chars,
          |                string_split(text, ' ') AS w FROM documents) t) u
-         |  WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01) f
+         |  WHERE ${TextOps.qualityOkSql}) f
          |WHERE rk = 1""".stripMargin,
 
     "d9_lsh_recall" ->

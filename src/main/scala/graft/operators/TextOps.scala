@@ -30,6 +30,24 @@ object TextOps {
   private[operators] val stopwords = Seq("the", "a", "of", "to", "in", "and", "is")
   private[operators] val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Stage the t2 quality inputs on a documents frame: token array `w`,
+    * `n_tokens`, `n_stop`. ONE definition feeds t2, t7, and Dedup.d10 —
+    * the quality bar must not drift between the scorer and its consumers. */
+  private[operators] def withQualityCols(df: DataFrame): DataFrame = df
+    .withColumn("w", split(col("text"), " "))
+    .withColumn("n_tokens", size(col("w")).cast(LongType))
+    .withColumn("n_stop",
+      size(expr(s"filter(w, x -> x IN ($stopSqlList))")).cast(LongType))
+
+  /** The t2 quality bar over the staged columns (Spark side). */
+  private[operators] val qualityOkCol: org.apache.spark.sql.Column =
+    col("n_tokens") >= 20 &&
+      col("n_stop").cast(DoubleType) / col("n_tokens") > 0.01
+
+  /** The same bar in the shared SQL dialect (oracle side). */
+  private[operators] val qualityOkSql: String =
+    "n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01"
+
   val defs: Map[String, Q] = Map(
     // The reference job: WordCount. One narrow stage + one shuffle.
     "w1_wordcount" -> { (s, dir) =>
@@ -67,18 +85,12 @@ object TextOps {
 
     // Quality scoring: length/stopword-ratio heuristics, exact arithmetic.
     "t2_quality_score" -> { (s, dir) =>
-      docs(s, dir)
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("w")).cast(LongType))
-        .withColumn("n_stop",
-          size(expr(s"filter(w, x -> x IN ($stopSqlList))")).cast(LongType))
+      withQualityCols(docs(s, dir))
         .select(col("doc_id"), col("n_tokens"), col("n_stop"),
           (length(regexp_replace(col("text"), " ", "")).cast(DoubleType)
             / col("n_tokens")).as("avg_token_len"),
           (col("n_stop").cast(DoubleType) / col("n_tokens")).as("stop_ratio"),
-          when(col("n_tokens") >= 20
-            && col("n_stop").cast(DoubleType) / col("n_tokens") > 0.01, 1L)
-            .otherwise(0L).as("quality_ok"))
+          when(qualityOkCol, 1L).otherwise(0L).as("quality_ok"))
     },
 
     // Language ID: function-word-hit heuristic vs the labeled lang column.
@@ -130,18 +142,12 @@ object TextOps {
     // clear the t2 quality bar. One partial+final hash aggregate; all
     // integer arithmetic (deterministic without decimal staging).
     "t7_corpus_stats" -> { (s, dir) =>
-      docs(s, dir)
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("w")).cast(LongType))
-        .withColumn("n_stop",
-          size(expr(s"filter(w, x -> x IN ($stopSqlList))")).cast(LongType))
+      withQualityCols(docs(s, dir))
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast(LongType).as("total_tokens"),
           sum(col("n_chars")).cast(LongType).as("total_chars"),
-          sum(when(col("n_tokens") >= 20
-            && col("n_stop").cast(DoubleType) / col("n_tokens") > 0.01, 1L)
-            .otherwise(0L)).cast(LongType).as("n_quality_ok"))
+          sum(when(qualityOkCol, 1L).otherwise(0L)).cast(LongType).as("n_quality_ok"))
     }
   )
 
@@ -168,7 +174,7 @@ object TextOps {
       s"""SELECT doc_id, n_tokens, n_stop,
          |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tokens AS avg_token_len,
          |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-         |  CAST(CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01
+         |  CAST(CASE WHEN $qualityOkSql
          |       THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
          |FROM (SELECT doc_id, text,
          |        CAST(len(w) AS BIGINT) AS n_tokens,
@@ -212,8 +218,7 @@ object TextOps {
       s"""SELECT lang, source, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-         |  CAST(sum(CASE WHEN n_tokens >= 20
-         |                 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01
+         |  CAST(sum(CASE WHEN $qualityOkSql
          |            THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
          |FROM (SELECT lang, source, n_chars,
          |        len(w) AS n_tokens,

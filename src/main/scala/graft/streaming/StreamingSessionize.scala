@@ -113,33 +113,55 @@ object StreamingSessionize {
     // microbatch pays 32 state-store checkpoints for a stream whose state is
     // tiny — measured 3x harness overhead. Pin a small partition count for
     // the stream and restore the session conf after (a production job sizes
-    // this to its state volume instead).
+    // this to its state volume instead). The restore wraps EVERYTHING from
+    // the pin on — a failure in stream construction, analysis, or start()
+    // must not leave the shared session at 4 partitions.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val transformed = transform(stream)
-    val schema = transformed.schema
-    val out = Files.createTempDirectory("graft-stream-sink-").toFile
-    out.deleteOnExit()
-    val saveMode = if (outputMode == "complete") "overwrite" else "append"
-    val q = transformed.writeStream
-      .outputMode(outputMode)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode(saveMode).parquet(out.getAbsolutePath)
-      }
-      .start()
-    try q.processAllAvailable()
-    finally {
-      q.stop()
+    val out = Sink.tempDir()
+    try {
+      val stream = spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val transformed = transform(stream)
+      val schema = transformed.schema
+      val saveMode = if (outputMode == "complete") "overwrite" else "append"
+      val q = transformed.writeStream
+        .outputMode(outputMode)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode(saveMode).parquet(out.getAbsolutePath)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val wrote = Option(out.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
+      if (wrote) spark.read.schema(schema).parquet(out.getAbsolutePath)
+      else spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    val wrote = Option(out.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
-    if (wrote) spark.read.schema(schema).parquet(out.getAbsolutePath)
-    else spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+  }
+
+  /** Sink temp dirs live until JVM exit (the returned frames lazily read
+    * them) and are then deleted RECURSIVELY by one shutdown hook —
+    * `File.deleteOnExit` only removes empty directories, which would leak
+    * every part file. */
+  private object Sink {
+    private val dirs = scala.collection.mutable.ArrayBuffer[java.io.File]()
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      dirs.synchronized(dirs.foreach(rm))
+    }
+    def tempDir(): java.io.File = {
+      val d = Files.createTempDirectory("graft-stream-sink-").toFile
+      dirs.synchronized(dirs += d)
+      d
+    }
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -47,16 +47,19 @@ class Md5Hash32Spec extends AnyFunSuite {
   }
 
   test("SQL name resolves when registered via GraftExtensions") {
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("md5_hash32"),
-      new ExpressionInfo(classOf[Md5Hash32].getName, "md5_hash32"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Md5Hash32(args.head))
+    // extensions apply at builder time; the shared test session predates
+    // them, so register GraftExtensions' OWN function list (same tuples the
+    // injector uses — builders and arity checks included) into its registry
+    graft.functions.GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
     val out = spark.sql("SELECT md5_hash32('deadbeef') AS v").collect()
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest("deadbeef".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(out.head.getLong(0) == java.lang.Long.parseLong(hex.take(8), 16))
+    // the arity contract is part of the registration
+    val err = intercept[Exception](spark.sql("SELECT md5_hash32('a', 'b')").collect())
+    assert(err.getMessage.contains("requires exactly 1 argument") ||
+      Option(err.getCause).exists(_.getMessage.contains("requires exactly 1 argument")))
   }
 }
