@@ -19,7 +19,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // a malformed env value degrades to the default run count instead of
+    // aborting the whole bench before any query runs (ADVICE r4)
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3))
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")

@@ -93,11 +93,23 @@ class Hw4EventLogListener(cfg: WordCountJob.Config, ncpus: Int)
     // the job-topology fallback recorded at onJobStart — never a constant
     // (which would silently classify every stage one way if the API shifts).
     val info = stageSubmitted.stageInfo
-    val isFinal = shuffleMapViaApi(info).map(!_)
+    val viaApi = shuffleMapViaApi(info).map(!_)
+    // One-time stderr warning when the exact probe is gone (ADVICE r4): a
+    // Spark upgrade that removes shuffleDepId must be noticed, not silently
+    // change event-log kinds (topology is only exact with AQE off; the
+    // terminal default labels everything a map task).
+    if (viaApi.isEmpty && !warnedFallback.getAndSet(true))
+      Console.err.println(
+        "[Hw4EventLogListener] WARN: StageInfo.shuffleDepId unavailable; " +
+          "falling back to job-topology stage classification (exact only " +
+          "with AQE off). Check for a Spark API change.")
+    val isFinal = viaApi
       .orElse(synchronized(topoIsFinal.get(info.stageId)))
       .getOrElse(false)
     stageIsFinal(info.stageId) = isFinal
   }
+
+  private val warnedFallback = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   override def onTaskStart(taskStart: SparkListenerTaskStart): Unit = {
     val isFinal = stageIsFinal.getOrElse(taskStart.stageId, false)

@@ -106,7 +106,8 @@ object StreamingSessionize {
     * delete-on-exit. */
   def runToCompletion(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame = sessions(_),
-      outputMode: String = "complete"): DataFrame = {
+      outputMode: String = "complete",
+      sinkName: String = "default"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A streaming query fixes its state-store layout at start: with the
     // session's batch-oriented shuffle.partitions (32 on the driver) every
@@ -118,7 +119,7 @@ object StreamingSessionize {
     // must not leave the shared session at 4 partitions.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val out = Sink.tempDir()
+    val out = Sink.dirFor(sinkName)
     try {
       val stream = spark.readStream
         .schema(rawSchema)
@@ -144,22 +145,27 @@ object StreamingSessionize {
     }
   }
 
-  /** Sink temp dirs live until JVM exit (the returned frames lazily read
-    * them) and are then deleted RECURSIVELY by one shutdown hook —
-    * `File.deleteOnExit` only removes empty directories, which would leak
-    * every part file. */
+  /** ONE sink dir per query name, reused across invocations and cleared at
+    * the start of each run (ADVICE r4: fresh temp dirs accumulated over a
+    * long-lived session — a bench run is 1 warmup + N timed runs per
+    * streaming query). A previously returned frame for the same name is
+    * invalidated by the reuse; callers (Verify/Bench/tests) fully consume
+    * each result before re-running. Dirs are deleted RECURSIVELY by one
+    * shutdown hook — `File.deleteOnExit` only removes empty directories,
+    * which would leak every part file. */
   private object Sink {
-    private val dirs = scala.collection.mutable.ArrayBuffer[java.io.File]()
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      dirs.synchronized(dirs.foreach(rm))
+    private val dirs = scala.collection.mutable.HashMap[String, java.io.File]()
+    private def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
     }
-    def tempDir(): java.io.File = {
-      val d = Files.createTempDirectory("graft-stream-sink-").toFile
-      dirs.synchronized(dirs += d)
+    sys.addShutdownHook {
+      dirs.synchronized(dirs.values.foreach(rm))
+    }
+    def dirFor(name: String): java.io.File = dirs.synchronized {
+      val d = dirs.getOrElseUpdate(name,
+        Files.createTempDirectory(s"graft-stream-sink-$name-").toFile)
+      Option(d.listFiles()).foreach(_.foreach(rm))
       d
     }
   }
@@ -167,13 +173,17 @@ object StreamingSessionize {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
-    "x1_stream_sessionize" -> { (s, dir) => runToCompletion(s, dir) },
-    "x2_stream_hourly" -> { (s, dir) => runToCompletion(s, dir, hourlyRollup) },
+    "x1_stream_sessionize" -> { (s, dir) =>
+      runToCompletion(s, dir, sinkName = "x1")
+    },
+    "x2_stream_hourly" -> { (s, dir) =>
+      runToCompletion(s, dir, hourlyRollup, sinkName = "x2")
+    },
     "x3_stream_interval_join" -> { (s, dir) =>
-      runToCompletion(s, dir, clickViewJoin, outputMode = "append")
+      runToCompletion(s, dir, clickViewJoin, outputMode = "append", sinkName = "x3")
     },
     "x4_stream_dedup" -> { (s, dir) =>
-      runToCompletion(s, dir, streamDedup, outputMode = "append")
+      runToCompletion(s, dir, streamDedup, outputMode = "append", sinkName = "x4")
     }
   )
 
