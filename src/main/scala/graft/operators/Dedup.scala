@@ -100,24 +100,31 @@ object Dedup {
     7919L, 104659L, 1299709L, 15485863L, 32452843L, 49979687L, 67867967L,
     86028121L, 982451653L, 377777777L)
 
+  /** (doc_id, hv) → (doc_id, s0..s15 bigint) signatures. The base may carry
+    * hv with or without duplicate hashes: sig_j is a MIN over the affine
+    * transforms, and min over a multiset equals min over its support set —
+    * so the sorted-distinct hash set (hashSets) is a valid hv source too
+    * (d9 exploits this to derive signatures from one shared projection). */
+  private def sigsFromHv(base: DataFrame): DataFrame =
+    base.select(col("doc_id") +: (0 until numHashes).map { j =>
+      expr(s"array_min(transform(hv, h -> (${hashA(j)} * h + ${hashB(j)}) % $P))")
+        .as(s"s$j")
+    }: _*)
+
   /** doc_id → (doc_id, s0..s15 bigint) signature frame: a narrow per-doc
     * projection (no shuffle). The shingle array and the base-hash array are
     * each materialized once per row. */
   private def sigs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    sigsFromHv(docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
-      .withColumn("hv", hvOf(col("sh")))
-      .select(col("doc_id") +: (0 until numHashes).map { j =>
-        expr(s"array_min(transform(hv, h -> (${hashA(j)} * h + ${hashB(j)}) % $P))")
-          .as(s"s$j")
-      }: _*)
+      .withColumn("hv", hvOf(col("sh"))))
 
   /** One row per (doc, band): band k packs (k, s_{2k}, s_{2k+1}) into one
     * BIGINT join key — k·2^60 + s·2^30 + s' (each sig < P < 2^30, k < 8, so
     * the packed value stays under 2^63). */
-  private def bands(s: SparkSession, dir: String): DataFrame =
-    sigs(s, dir).select(col("doc_id"),
+  private def bandsFrom(sg: DataFrame): DataFrame =
+    sg.select(col("doc_id"),
       explode(array((0 until numBands).map(k =>
         (lit(k.toLong << 60) + col(s"s${bandRows * k}") * lit(1L << 30)
           + col(s"s${bandRows * k + 1}")).cast(LongType)): _*)).as("band"))
@@ -139,7 +146,10 @@ object Dedup {
     * 10k-element aggregation buffer. The window's hash-partitioning on band
     * is reused by the following groupBy — one shuffle for both. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    bands(s, dir)
+    lshPairsFrom(sigs(s, dir))
+
+  private def lshPairsFrom(sg: DataFrame): DataFrame =
+    bandsFrom(sg)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band")))
       .filter(col("bsz").between(2, maxBucket))
       .groupBy("band").agg(collect_list("doc_id").as("ids"))
@@ -355,32 +365,38 @@ object Dedup {
     // LSH candidate recall vs EXACT ground truth — the number you need
     // before trusting the b×r banding parameters. Ground truth = all pairs
     // with exact hash-set Jaccard >= 0.5, generated WITHOUT an all-pairs
-    // scan: j >= 0.5 implies at least one shared shingle, so an
-    // inverted-index equi-join on the shingle hash yields a candidate
-    // superset (~1.3M postings-pairs vs 12.5M all-pairs at sf0.1, measured),
-    // then exact Jaccard keeps the true pairs. No nested-loop join anywhere.
+    // scan via PREFIX FILTERING (PPJoin): over sorted sets, any pair with
+    // J >= t shares its smallest common element within the first
+    // |X| - ceil(t·|X|) + 1 elements of EACH side (the smallest common
+    // element has >= ceil(t·|X|)-1 common elements after it), so an
+    // inverted-index equi-join over half-length prefixes yields an exact
+    // candidate superset at ~1/4 the posting-pairs of a full-set join;
+    // exact Jaccard (merge-walk intersect) then keeps the true pairs.
+    // The whole query reads `documents` ONCE: the sorted-distinct hash-set
+    // projection is localCheckpoint'd (the "persist the shared expensive
+    // projection" pattern — at cluster scale an intermediate table) and
+    // feeds the prefix index, the verify sets, AND the LSH signatures
+    // (min over the distinct set = min over the shingle multiset).
     // Scale posture: evaluation, not production — at corpus scale a viral
-    // shingle (boilerplate) makes the postings self-join quadratic in its
+    // shingle (boilerplate) makes the prefix self-join quadratic in its
     // df, so the deployed form restricts ONE join side to a deterministic
     // query sample (recall estimates need thousands of truth pairs, not all
     // of them) and/or df-caps the index, exactly like s4 samples queries.
     "d9_lsh_recall" -> { (s, dir) =>
-      // postings carry the set size, so per (d1, d2) the count of matching
-      // posting rows IS |A∩B| (sets are distinct) and no hash-set re-join
-      // is needed: one equi self-join + one aggregate.
-      val posts = hashSets(s, dir)
-        .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
-      val truth = posts.as("x")
-        .join(posts.as("y"), col("x.h") === col("y.h")
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      // t=0.5 prefix: first floor(|hs|/2)+1 = |hs| - ceil(|hs|/2) + 1 elements
+      val pre = hs0.select(col("doc_id"),
+        explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+      val cand = pre.as("x")
+        .join(pre.as("y"), col("x.h") === col("y.h")
           && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          col("x.sz").as("sa"), col("y.sz").as("sb"))
-        .groupBy("d1", "d2")
-        .agg(count(lit(1)).as("ic"), max("sa").as("sza"), max("sb").as("szb"))
-        .filter(col("ic").cast(DoubleType) /
-          (col("sza") + col("szb") - col("ic")) >= 0.5)
-        .select("d1", "d2")
-      truth.join(lshPairs(s, dir).withColumn("hit", lit(1)),
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val truth = withJaccard(cand, hs0)
+        .filter(col("jaccard") >= 0.5).select("d1", "d2")
+      val lsh = lshPairsFrom(sigsFromHv(
+        hs0.select(col("doc_id"), col("hs").as("hv"))))
+      truth.join(lsh.withColumn("hit", lit(1)),
           Seq("d1", "d2"), "left")
         .agg(count(lit(1)).as("n_truth"),
           sum(coalesce(col("hit"), lit(0))).as("nc"))
