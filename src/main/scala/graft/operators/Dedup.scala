@@ -404,6 +404,51 @@ object Dedup {
           // guarded: ANSI mode makes 0/0 an error, and n_truth can be 0
           when(col("n_truth") > 0,
             col("nc").cast(DoubleType) / col("n_truth")).as("recall"))
+    },
+
+    // Near-dup CLUSTERS — connected components over the verified near-dup
+    // pair graph (LSH candidates with exact Jaccard >= 0.5), the step a
+    // dedup pipeline needs after pair generation: pairs (a,b),(b,c) must
+    // collapse to ONE surviving doc, which pairwise keep-best cannot see.
+    // cluster_id = min doc_id reachable. Distributed min-label propagation:
+    // each round sends every vertex's label across its edges and takes the
+    // min — all joins/aggs stay distributed, only a scalar per-round
+    // convergence check (labels are monotone non-increasing, so an
+    // unchanged SUM means a fixed point) crosses the driver. Rounds needed
+    // = graph diameter; near-dup components are quasi-cliques (diameter
+    // 1-2), and the 25-round cap is a safety rail, not a truncation — the
+    // loop exits on the fixed point. At 1000-executor scale the same loop
+    // runs with star-contraction (large-star/small-star) to force
+    // O(log^2 n) rounds on adversarial chains; localCheckpoint stands in
+    // for the per-round lineage cut either way.
+    "d11_neardup_clusters" -> { (s, dir) =>
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      val edges = withJaccard(
+          lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))), hs0)
+        .filter(col("jaccard") >= 0.5)
+        .select("d1", "d2").localCheckpoint()
+      val und = edges.select(col("d1").as("v"), col("d2").as("u"))
+        .union(edges.select(col("d2").as("v"), col("d1").as("u")))
+        .localCheckpoint()
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("lbl")), lit(0L))).collect()(0).getLong(0)
+      var lbl = und.select(col("v")).distinct()
+        .withColumn("lbl", col("v")).localCheckpoint()
+      var prevSum = labelSum(lbl)
+      var converged = false
+      var iter = 0
+      while (iter < 25 && !converged) {
+        val msgs = und
+          .join(lbl.select(col("v").as("u"), col("lbl").as("nl")), "u")
+          .select(col("v"), col("nl").as("lbl"))
+        lbl = lbl.union(msgs).groupBy("v").agg(min("lbl").as("lbl"))
+          .localCheckpoint()
+        val s2 = labelSum(lbl)
+        converged = s2 == prevSum
+        prevSum = s2
+        iter += 1
+      }
+      lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
     }
   )
 
@@ -494,6 +539,23 @@ object Dedup {
          |  CASE WHEN count(*) > 0
          |       THEN CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
          |  END AS recall
-         |FROM truth LEFT JOIN cand c ON truth.d1 = c.d1 AND truth.d2 = c.d2""".stripMargin
+         |FROM truth LEFT JOIN cand c ON truth.d1 = c.d1 AND truth.d2 = c.d2""".stripMargin,
+
+    "d11_neardup_clusters" ->
+      s"""WITH RECURSIVE $sigSqlCte,
+         |$hashSetSqlCte,
+         |edges AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT d1, d2,
+         |      CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |        / len(list_distinct(x.hs || y.hs)) AS j
+         |    FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id) t
+         |  WHERE j >= 0.5),
+         |und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM und
+         |  UNION
+         |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v)
+         |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin
   )
 }

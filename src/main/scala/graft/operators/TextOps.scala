@@ -148,6 +148,49 @@ object TextOps {
           sum(col("n_tokens")).cast(LongType).as("total_tokens"),
           sum(col("n_chars")).cast(LongType).as("total_chars"),
           sum(when(qualityOkCol, 1L).otherwise(0L)).cast(LongType).as("n_quality_ok"))
+    },
+
+    // Top-5 TF-IDF terms per document — the per-doc keyword surface (topic
+    // tagging / dedup-explanations in a training pipeline). tf and df are
+    // both derived from ONE (doc, term, tf) intermediate (its term-grouped
+    // rollup IS df — no second corpus scan), N rides in via a broadcast
+    // scalar. The score uses the RATIONAL idf tf·N/df: ln() is not
+    // bit-portable across engines (libm vs JVM intrinsic), while integer
+    // multiply + one double divide is IEEE-exact in both — same ranking,
+    // hashable score. Top-k via row_number (score desc, term asc): one
+    // doc_id window after vocab-sized joins.
+    "t8_tfidf" -> { (s, dir) =>
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfT, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n")).cast(DoubleType) / col("df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score")
+    },
+
+    // Corpus bigram table — the n-gram LM / contamination-check building
+    // block. Two-phase like w2 (per-doc partial dedup before the global
+    // rollup); bigrams with a single occurrence are dropped (the long tail
+    // is noise and at corpus scale dominates the output size).
+    "t9_bigram_counts" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", slice(col("w"), i, lit(2)))))
+          .otherwise(array().cast(ArrayType(StringType)))).as("bigram"))
+        .groupBy("bigram", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("bigram")
+        .agg(sum("c").cast(LongType).as("cnt"), count(lit(1)).as("n_docs"))
+        .filter(col("cnt") >= 2)
     }
   )
 
@@ -225,6 +268,29 @@ object TextOps {
          |        len(list_filter(w, x -> x IN ($stopSqlList))) AS n_stop
          |      FROM (SELECT lang, source, n_chars,
          |              string_split(text, ' ') AS w FROM documents) t) u
-         |GROUP BY lang, source""".stripMargin
+         |GROUP BY lang, source""".stripMargin,
+
+    "t8_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df, score FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+        |    CAST(tf.tf * n.n AS DOUBLE) / dft.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dft.df DESC, tf.term) AS rk
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n) t
+        |WHERE rk <= 5""".stripMargin,
+
+    "t9_bigram_counts" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |                          i -> array_to_string(w[i:i+1], ' '))) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+        |g AS (SELECT bigram, doc_id, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT bigram, CAST(sum(c) AS BIGINT) AS cnt, count(*) AS n_docs
+        |FROM g GROUP BY bigram HAVING sum(c) >= 2""".stripMargin
   )
 }

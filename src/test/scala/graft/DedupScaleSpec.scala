@@ -85,6 +85,29 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(kept == Set(1L, 301L))
   }
 
+  test("d11 collapses a transitive near-dup chain into one cluster") {
+    val d = Files.createTempDirectory("graft-chain").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val base = (1 to 20).map(i => s"tok$i")
+    val a = base.mkString(" ")                                  // A
+    val b = (base.dropRight(2) ++ Seq("x1", "x2")).mkString(" ") // ~0.8 vs A
+    val c = (Seq("y1", "y2") ++ base.slice(2, 18) ++ Seq("x1", "x2")).mkString(" ") // ~0.8 vs B
+    val lone = "a totally different sentence about nothing shared with others at all"
+    val rows = Seq((10L, a), (11L, b), (12L, c), (99L, lone))
+      .map { case (id, t) => Row(id, t, "en", "s", t.length.toLong) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.defs("d11_neardup_clusters")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // pairwise A-B and B-C clear J >= 0.5, so the chain is one component
+    // labeled by its min id; the unrelated doc is not in the pair graph
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L),
+      s"chain must collapse into cluster 10, got $got")
+  }
+
   test("d9 honestly reports the recall lost to the viral-bucket cap") {
     val r = Dedup.defs("d9_lsh_recall")(spark, dir).collect().head
     // truth = in-group pairs: C(300,2) + 1; every one shares all 16 sigs, but
