@@ -302,10 +302,14 @@ object Dedup {
     "d3_lsh_pairs" -> { (s, dir) => lshPairs(s, dir) },
 
     // n-gram Jaccard, computed only for LSH candidates (verification stage
-    // of the 2-stage near-dup pipeline). Exactly TWO `documents` scans: one
-    // inside lshPairs, one for the verify-side hash sets (see withJaccard).
+    // of the 2-stage near-dup pipeline). ONE `documents` scan: the
+    // checkpointed hash-set projection feeds both the LSH signatures (min
+    // over the distinct set = min over the shingle multiset) and the
+    // verify-side sets (see withJaccard).
     "d4_jaccard_pairs" -> { (s, dir) =>
-      withJaccard(lshPairs(s, dir), hashSets(s, dir))
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      withJaccard(
+        lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))), hs0)
     },
 
     // Quality-aware dedup policy — the keepBest window, keepers only.
@@ -426,29 +430,9 @@ object Dedup {
       val edges = withJaccard(
           lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))), hs0)
         .filter(col("jaccard") >= 0.5)
-        .select("d1", "d2").localCheckpoint()
-      val und = edges.select(col("d1").as("v"), col("d2").as("u"))
-        .union(edges.select(col("d2").as("v"), col("d1").as("u")))
-        .localCheckpoint()
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("lbl")), lit(0L))).collect()(0).getLong(0)
-      var lbl = und.select(col("v")).distinct()
-        .withColumn("lbl", col("v")).localCheckpoint()
-      var prevSum = labelSum(lbl)
-      var converged = false
-      var iter = 0
-      while (iter < 25 && !converged) {
-        val msgs = und
-          .join(lbl.select(col("v").as("u"), col("lbl").as("nl")), "u")
-          .select(col("v"), col("nl").as("lbl"))
-        lbl = lbl.union(msgs).groupBy("v").agg(min("lbl").as("lbl"))
-          .localCheckpoint()
-        val s2 = labelSum(lbl)
-        converged = s2 == prevSum
-        prevSum = s2
-        iter += 1
-      }
-      lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+        .select("d1", "d2")
+      Components.minLabel(edges)
+        .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
     }
   )
 

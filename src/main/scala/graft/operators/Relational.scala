@@ -425,6 +425,23 @@ object Relational {
       c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
         .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
           col("c_acctbal"), col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // EXACT percentiles per group — the complement to q23's sketches (which
+    // are rows-only checked because sketches aren't cross-engine
+    // reproducible). Spark's `percentile` and DuckDB's `quantile_cont` both
+    // implement type-7 linear interpolation at index p·(n-1); the inputs
+    // are the same doubles, so the interpolated values hash-match. Exact
+    // percentile is a full-sort-per-group aggregate — fine keyed by a
+    // low-cardinality group, the sketch (q23) is the scale path for
+    // high-cardinality keys.
+    "q33_exact_percentile" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+          expr("percentile(l_quantity, 0.9)").as("qty_p90"),
+          expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
+          expr("percentile(l_extendedprice, 0.75)").as("price_p75"))
     }
   )
 
@@ -672,6 +689,14 @@ object Relational {
         |FULL OUTER JOIN
         |     (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |      WHERE o_totalprice > 500000) o
-        |  ON c_custkey = o_custkey""".stripMargin
+        |  ON c_custkey = o_custkey""".stripMargin,
+
+    "q33_exact_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |  quantile_cont(l_quantity, 0.9) AS qty_p90,
+        |  quantile_cont(l_extendedprice, 0.25) AS price_p25,
+        |  quantile_cont(l_extendedprice, 0.75) AS price_p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

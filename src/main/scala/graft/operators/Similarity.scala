@@ -200,6 +200,17 @@ object Similarity {
           col("a.label").as("label"),
           dot(col("a.u"), col("b.u")).as("sim"))
         .filter(col("sim") > 0.3)
+    },
+
+    // Embedding near-dup CLUSTERS — connected components over the s3 pair
+    // graph (shared min-label propagation, operators/Components.scala): the
+    // embedding-modality twin of d11, collapsing chains (a~b, b~c) that
+    // pairwise near-dup lists cannot see into one surviving group per
+    // component.
+    "s6_embed_clusters" -> { (s, dir) =>
+      val edges = defs("s3_embed_neardup")(s, dir).select("id_a", "id_b")
+      graft.operators.Components.minLabel(edges)
+        .select(col("v").as("vec_id"), col("lbl").as("cluster_id"))
     }
   )
 
@@ -292,6 +303,25 @@ object Similarity {
          |  $dotU AS sim
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $dotU > 0.3""".stripMargin
+    },
+
+    "s6_embed_clusters" -> {
+      val dotU = "list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2]))"
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, label, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |edges AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE $dotU > 0.3),
+         |und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM und
+         |  UNION
+         |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v)
+         |SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin
     }
   )
 }
