@@ -27,10 +27,12 @@ object Components {
     * (a singleton's "cluster" is itself — join back if needed). */
   def minLabel(edges: DataFrame): DataFrame = {
     val Seq(a, b) = edges.columns.take(2).toSeq.map(col)
+    // checkpoint the (possibly expensive) edge derivation ONCE; the
+    // undirected doubling is two narrow selects over the checkpointed
+    // blocks — not worth its own materialization job
     val e = edges.select(a.as("d1"), b.as("d2")).localCheckpoint()
     val und = e.select(col("d1").as("v"), col("d2").as("u"))
       .union(e.select(col("d2").as("v"), col("d1").as("u")))
-      .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).collect()(0).getLong(0)
     var lbl = und.select(col("v")).distinct()

@@ -184,6 +184,21 @@ object StreamingSessionize {
     },
     "x4_stream_dedup" -> { (s, dir) =>
       runToCompletion(s, dir, streamDedup, outputMode = "append", sinkName = "x4")
+    },
+
+    // Stream-static enrichment join — the stateless streaming pattern x1-x4
+    // don't cover: each event microbatch joins a STATIC dimension (no
+    // watermark, no join state; the dim is broadcast per batch). The
+    // canonical "enrich the event stream with its user/customer record"
+    // job; on a full replay equals the batch join, which is the oracle.
+    "x5_stream_static_enrich" -> { (s, dir) =>
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      runToCompletion(s, dir,
+        ev => ev.join(broadcast(cust), ev("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("c_mktsegment"), col("value")),
+        outputMode = "append", sinkName = "x5")
     }
   )
 
@@ -221,6 +236,10 @@ object StreamingSessionize {
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'""".stripMargin,
 
     "x4_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "x5_stream_static_enrich" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment, value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
   )
 }
