@@ -160,10 +160,15 @@ object TextOps {
     // hashable score. Top-k via row_number (score desc, term asc): one
     // doc_id window after vocab-sized joins.
     "t8_tfidf" -> { (s, dir) =>
+      // the tokenize + first shuffle is the expensive pass; checkpoint it
+      // once so the df rollup and the final join both read the same blocks
+      // (without it Spark plans three corpus scans — measured, no
+      // ReusedExchange fires across the aggregation boundary)
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
