@@ -436,12 +436,18 @@ object Relational {
     // low-cardinality group, the sketch (q23) is the scale path for
     // high-cardinality keys.
     "q33_exact_percentile" -> { (s, dir) =>
+      // array-percentile form: ONE value buffer per column instead of one
+      // per requested quantile (exact percentile buffers the group's full
+      // multiset — the buffer, not the interpolation, is the cost)
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, 0.5)").as("qty_p50"),
-          expr("percentile(l_quantity, 0.9)").as("qty_p90"),
-          expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
-          expr("percentile(l_extendedprice, 0.75)").as("price_p75"))
+        .agg(expr("percentile(l_quantity, array(0.5D, 0.9D))").as("qp"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("pp"))
+        .select(col("l_returnflag"),
+          col("qp").getItem(0).as("qty_p50"),
+          col("qp").getItem(1).as("qty_p90"),
+          col("pp").getItem(0).as("price_p25"),
+          col("pp").getItem(1).as("price_p75"))
     }
   )
 
