@@ -414,17 +414,8 @@ object Dedup {
     // pair graph (LSH candidates with exact Jaccard >= 0.5), the step a
     // dedup pipeline needs after pair generation: pairs (a,b),(b,c) must
     // collapse to ONE surviving doc, which pairwise keep-best cannot see.
-    // cluster_id = min doc_id reachable. Distributed min-label propagation:
-    // each round sends every vertex's label across its edges and takes the
-    // min — all joins/aggs stay distributed, only a scalar per-round
-    // convergence check (labels are monotone non-increasing, so an
-    // unchanged SUM means a fixed point) crosses the driver. Rounds needed
-    // = graph diameter; near-dup components are quasi-cliques (diameter
-    // 1-2), and the 25-round cap is a safety rail, not a truncation — the
-    // loop exits on the fixed point. At 1000-executor scale the same loop
-    // runs with star-contraction (large-star/small-star) to force
-    // O(log^2 n) rounds on adversarial chains; localCheckpoint stands in
-    // for the per-round lineage cut either way.
+    // cluster_id = min doc_id reachable; computed by the shared distributed
+    // hook+contract loop (operators/Components.scala).
     "d11_neardup_clusters" -> { (s, dir) =>
       val hs0 = hashSets(s, dir).localCheckpoint()
       val edges = withJaccard(
