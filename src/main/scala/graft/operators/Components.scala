@@ -59,8 +59,10 @@ object Components {
         .select(least(col("d1"), col("d2")).as("x"),
           greatest(col("d1"), col("d2")).as("y"))
         .distinct())
+      // vertex set from e, NOT g: a vertex appearing only in self-loop
+      // edges must still be labeled (with itself), per the contract above
       var mapping = materialize(
-        g.select(col("x").as("v")).union(g.select(col("y").as("v")))
+        e.select(col("d1").as("v")).union(e.select(col("d2").as("v")))
           .distinct().withColumn("lbl", col("v")))
       var iter = 0
       while (g.head(1).nonEmpty) {

@@ -33,8 +33,8 @@ import graft.sources.Tables
   *    count over the band partition — spillable — drops oversized buckets so
   *    no O(bucket) aggregation buffer is ever built for them).
   *  - d4 re-joins only the candidate pairs back to shingle sets and reads
-  *    `documents` exactly twice (one scan feeding signatures/bands, one scan
-  *    feeding the verify-side hash sets via a single melt-join).
+  *    `documents` exactly ONCE: a checkpointed hash-set projection feeds
+  *    both the signatures/bands and the verify-side sets (melt-join).
   *  - d5 is one hash-aggregate on doc_id with 32 int votes.
   *  - Banding is b×r with r=2 (8 bands × 2 rows over 16 signatures): the
   *    candidate probability is 1-(1-j^2)^8 — ~0.999998 at j=0.9, ~0.53 at

@@ -90,6 +90,6 @@ object CustomStateSessionize {
           .select(col("user_id"), col("ts"),
             unix_millis(col("ts")).as("ms"), col("value"))
           .as[Ev]).toDF(),
-      outputMode = "append")
+      outputMode = "append", sinkName = "custom-state")
   }
 }

@@ -60,4 +60,8 @@ class ComponentsSpec extends AnyFunSuite {
   test("empty edge set yields an empty labeling") {
     assert(run(Nil).isEmpty)
   }
+
+  test("a vertex appearing only in self-loops is labeled with itself") {
+    assert(run(List((7L, 7L), (1L, 2L))) == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
 }

@@ -70,11 +70,15 @@ class DedupScaleSpec extends AnyFunSuite {
       s"expected the window's band partitioning to be reused by collect_list ($n exchanges)\n$p")
   }
 
-  test("d4 reads documents exactly twice (shared melt-join verify side)") {
+  test("d4's final plan re-derives nothing from documents (one checkpointed scan)") {
+    // the single corpus scan happens eagerly inside the hash-set
+    // localCheckpoint; the executed plan must consume ONLY that
+    // checkpointed projection — any parquet scan here means some branch
+    // went back to the raw table and re-ran the md5 pipeline
     val p = Dedup.defs("d4_jaccard_pairs")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans <= 2, s"d4 must not re-derive the md5 pipeline per join side ($scans scans)\n$p")
+    assert(scans == 0, s"d4 must derive all branches from the checkpointed hash sets ($scans scans)\n$p")
   }
 
   test("d8 corpus keeps exactly the d7 keepers") {
