@@ -181,6 +181,33 @@ object TextOps {
         .select("doc_id", "term", "tf", "df", "score")
     },
 
+    // Bigram conditional probabilities — the actual LM table built from the
+    // t9-style counts: p(w2 | w1) = cnt(w1 w2) / sum over continuations of
+    // cnt(w1 ·), top-3 continuations per prefix among bigrams seen >= 2
+    // times. The denominator is the prefix-marginal of the SAME bigram
+    // counts (not the unigram count), so the distribution sums to 1 over
+    // the kept support; one token shuffle, one prefix window, integer
+    // counts + a single double divide (hash-portable).
+    "w3_bigram_lm" -> { (s, dir) =>
+      val bg = docs(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2) // sequence(1, 0) would step BACKWARD
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val win = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+      val rk = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+        .orderBy(col("c").desc, col("w2"))
+      bg.withColumn("tot", sum("c").over(win))
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 3)
+        .select(col("w1"), col("w2"), col("c"),
+          (col("c").cast(DoubleType) / col("tot")).as("p"))
+    },
+
     // Corpus bigram table — the n-gram LM / contamination-check building
     // block. Two-phase like w2 (per-doc partial dedup before the global
     // rollup); bigrams with a single occurrence are dropped (the long tail
@@ -287,6 +314,19 @@ object TextOps {
         |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dft.df DESC, tf.term) AS rk
         |  FROM tf JOIN dft USING (term) CROSS JOIN n) t
         |WHERE rk <= 5""".stripMargin,
+
+    "w3_bigram_lm" ->
+      """WITH b AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents) t,
+        |       LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)),
+        |g AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT w1, w2, c, p FROM (
+        |  SELECT w1, w2, c,
+        |    CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY w1) AS p,
+        |    row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rk
+        |  FROM g) r
+        |WHERE rk <= 3""".stripMargin,
 
     "t9_bigram_counts" ->
       """WITH b AS (
