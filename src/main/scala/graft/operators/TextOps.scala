@@ -208,6 +208,24 @@ object TextOps {
           (col("c").cast(DoubleType) / col("tot")).as("p"))
     },
 
+    // Deterministic stratified sampling — the corpus-MIXING step a training
+    // pipeline runs last (per-stratum inclusion rates, e.g. upweight one
+    // source, downsample another). The sampling key is a hash-mod bucket
+    // from md5(doc_id), NOT rand(): reproducible across engines, retries,
+    // and partitionings (rand() in a distributed scan is none of those).
+    // Pure narrow filter — no shuffle, pushes to the scan at 100 TB.
+    "t10_stratified_sample" -> { (s, dir) =>
+      val bucket = graft.functions.HexPrefixToLong
+        .hex8(md5(col("doc_id").cast(StringType))) % 100
+      val rate = when(col("lang") === "en", lit(75))
+        .when(col("lang") === "zh", lit(25))
+        .otherwise(lit(50))
+      docs(s, dir)
+        .withColumn("bucket", bucket.cast(LongType))
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+    },
+
     // Corpus bigram table — the n-gram LM / contamination-check building
     // block. Two-phase like w2 (per-doc partial dedup before the global
     // rollup); bigrams with a single occurrence are dropped (the long tail
@@ -314,6 +332,19 @@ object TextOps {
         |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dft.df DESC, tf.term) AS rk
         |  FROM tf JOIN dft USING (term) CROSS JOIN n) t
         |WHERE rk <= 5""".stripMargin,
+
+    "t10_stratified_sample" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""SELECT doc_id, lang, source, bucket FROM (
+         |  SELECT doc_id, lang, source,
+         |    ($hexToInt) % 100 AS bucket
+         |  FROM (SELECT doc_id, lang, source,
+         |          md5(CAST(doc_id AS VARCHAR)) AS m FROM documents) t) u
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 75
+         |                    WHEN lang = 'zh' THEN 25 ELSE 50 END""".stripMargin
+    },
 
     "w3_bigram_lm" ->
       """WITH b AS (
