@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components by min-label hooking + graph
@@ -14,15 +14,23 @@ import org.apache.spark.sql.functions._
   * and self-loops/duplicates dropped, so the graph SHRINKS every round
   * (label-propagation without contraction needs one round per hop of
   * graph diameter over the FULL edge set — measured 18 rounds on the
-  * sf0.1 cosine graph — while the contracted graph collapses
-  * near-geometrically on non-adversarial id layouts and the tail rounds
-  * run on a vanishing edge set); (3) COMPOSE — the vertex→label map is
-  * pushed through the hook map. All joins/aggregations stay distributed;
-  * only an is-empty probe on the shrinking edge set crosses the driver
-  * per round. `materialize` cuts the per-round lineage AND resets plan
-  * statistics (see its doc). The 50-round cap is a safety rail for
-  * adversarially ordered chain graphs (which contract by O(1) per
-  * round); hitting it throws rather than returning a partial labeling.
+  * sf0.1 cosine graph); (3) COMPOSE — the vertex→label map is pushed
+  * through the hook map.
+  *
+  * Min-hooking contracts by only O(1) per round on a monotonically
+  * ordered chain (ids 0-1-2-…-n: each round removes one vertex) — and
+  * sequential doc ids with gradually drifting text make exactly that
+  * graph. The loop therefore runs over a SCRAMBLED id space: a bijective
+  * bit-rotate-xor of each vertex id de-correlates the hook ordering from
+  * the insertion order, giving geometric contraction in expectation on
+  * any input layout; the final labels are regrouped to the min ORIGINAL
+  * id per component (the scramble is only the loop's internal ordering).
+  *
+  * All joins/aggregations stay distributed; only an is-empty probe on the
+  * shrinking edge set crosses the driver per round. `materialize` cuts
+  * the per-round lineage AND resets plan statistics (see its doc). The
+  * 50-round cap is a safety rail; hitting it throws rather than
+  * returning a partial labeling.
   */
 object Components {
 
@@ -39,6 +47,15 @@ object Components {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** Bijective 64-bit scramble: rotate-left by 27 then xor a constant.
+    * Pure bitwise ops — no ANSI overflow, trivially invertible (unused:
+    * original ids are carried alongside instead). Moves the low-order
+    * variation of sequential ids into the high bits, so the min-hook
+    * ordering over scrambled ids behaves like a random permutation. */
+  private def scramble(v: Column): Column =
+    shiftleft(v, 27).bitwiseOR(shiftrightunsigned(v, 37))
+      .bitwiseXOR(lit(0x9E3779B97F4A7C15L))
+
   /** edges: two LongType columns (first two), each row one undirected edge.
     * Returns (v, lbl): every vertex appearing in an edge, labeled with the
     * min vertex id reachable from it. Vertices with no edges don't appear
@@ -52,7 +69,8 @@ object Components {
     // small count for the loop and restore after (the streaming harness
     // pattern; a production job sizes this to its edge volume).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val e = materialize(edges.select(a.as("d1"), b.as("d2")))
+    val e = materialize(edges.select(scramble(a).as("d1"), scramble(b).as("d2"),
+      a.as("o1"), b.as("o2")))
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       var g = materialize(e.filter(col("d1") =!= col("d2"))
@@ -60,10 +78,13 @@ object Components {
           greatest(col("d1"), col("d2")).as("y"))
         .distinct())
       // vertex set from e, NOT g: a vertex appearing only in self-loop
-      // edges must still be labeled (with itself), per the contract above
+      // edges must still be labeled (with itself), per the contract above.
+      // `v` is the original id, `lbl` lives in the scrambled space until
+      // the final regroup.
       var mapping = materialize(
-        e.select(col("d1").as("v")).union(e.select(col("d2").as("v")))
-          .distinct().withColumn("lbl", col("v")))
+        e.select(col("o1").as("v"), col("d1").as("lbl"))
+          .union(e.select(col("o2").as("v"), col("d2").as("lbl")))
+          .distinct())
       var iter = 0
       while (g.head(1).nonEmpty) {
         if (iter >= 50)
@@ -89,7 +110,11 @@ object Components {
           .distinct())
         iter += 1
       }
-      mapping
+      // back to original ids: per scrambled component label, the cluster
+      // id is the min ORIGINAL member id
+      val clusterOf = mapping.groupBy("lbl").agg(min("v").as("cluster"))
+      mapping.join(clusterOf, "lbl")
+        .select(col("v"), col("cluster").as("lbl"))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }

@@ -57,6 +57,16 @@ class ComponentsSpec extends AnyFunSuite {
     assert(run(path) == (0L to 19L).map(_ -> 0L).toMap)
   }
 
+  test("a 200-node sequential-id path stays under the round cap") {
+    // monotonically ordered chains are min-hooking's worst case (O(1)
+    // contraction per round without the id scramble — this graph would
+    // need 200 rounds and throw); the scrambled ordering contracts it
+    // geometrically. Sequential doc ids with drifting text produce
+    // exactly this shape in real corpora.
+    val path = (0L until 200L).map(i => (i, i + 1)).toList
+    assert(run(path) == (0L to 200L).map(_ -> 0L).toMap)
+  }
+
   test("empty edge set yields an empty labeling") {
     assert(run(Nil).isEmpty)
   }
