@@ -9,8 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Tables
 
 /** Source-format coverage beyond parquet (the reference reads only
-  * whitespace text): CSV with an explicit schema and JSON-lines round-trip
-  * losslessly through the same DataFrame surface. */
+  * whitespace text): CSV with an explicit schema, JSON-lines, and ORC
+  * round-trip losslessly through the same DataFrame surface. */
 class SourceFormatSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
@@ -47,5 +47,18 @@ class SourceFormatSpec extends AnyFunSuite {
       .orderBy("n_nationkey").collect()
     assert(extracted.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       expected.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("ORC round-trip is lossless and pushes filters to the scan") {
+    val out = Files.createTempDirectory("orc-rt").toString
+    nationKeyed.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nationKeyed.orderBy("n_nationkey").collect().toSeq)
+    // the columnar scan must receive the pushed predicate, same as parquet
+    val plan = back.filter(col("n_regionkey") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]"),
+      s"expected ORC pushdown in:\n$plan")
   }
 }
