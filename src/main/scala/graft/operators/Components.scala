@@ -111,10 +111,12 @@ object Components {
         iter += 1
       }
       // back to original ids: per scrambled component label, the cluster
-      // id is the min ORIGINAL member id
+      // id is the min ORIGINAL member id. Materialized INSIDE the pinned
+      // conf (lazy evaluation after the finally would shuffle this tiny
+      // map at the corpus-sized session partition count).
       val clusterOf = mapping.groupBy("lbl").agg(min("v").as("cluster"))
-      mapping.join(clusterOf, "lbl")
-        .select(col("v"), col("cluster").as("lbl"))
+      materialize(mapping.join(clusterOf, "lbl")
+        .select(col("v"), col("cluster").as("lbl")))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }

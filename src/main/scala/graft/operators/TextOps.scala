@@ -48,6 +48,20 @@ object TextOps {
   private[operators] val qualityOkSql: String =
     "n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01"
 
+  /** One row per adjacent token pair: (doc_id, w1, w2). ONE definition
+    * feeds both the t9 count table and the w3 LM table — the bigram
+    * extraction must not drift between them (same reason withQualityCols
+    * exists). Docs with <2 tokens produce no rows; `sequence(1, 0)` would
+    * step BACKWARD, hence the guard filter. */
+  private def bigramPairs(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .filter(size(col("w")) >= 2)
+    .select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+    .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
   val defs: Map[String, Q] = Map(
     // The reference job: WordCount. One narrow stage + one shuffle.
     "w1_wordcount" -> { (s, dir) =>
@@ -189,13 +203,11 @@ object TextOps {
     // the kept support; one token shuffle, one prefix window, integer
     // counts + a single double divide (hash-portable).
     "w3_bigram_lm" -> { (s, dir) =>
-      val bg = docs(s, dir)
-        .select(split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2) // sequence(1, 0) would step BACKWARD
-        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
-          i => struct(element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + 1).as("w2")))).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // empty tokens (split artifacts from doubled/leading spaces) are
+      // excluded, like every token query (w1/w2/t8) — '' must not become
+      // an LM prefix or displace a real continuation
+      val bg = bigramPairs(docs(s, dir))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
         .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
       val win = org.apache.spark.sql.expressions.Window.partitionBy("w1")
@@ -213,7 +225,9 @@ object TextOps {
     // source, downsample another). The sampling key is a hash-mod bucket
     // from md5(doc_id), NOT rand(): reproducible across engines, retries,
     // and partitionings (rand() in a distributed scan is none of those).
-    // Pure narrow filter — no shuffle, pushes to the scan at 100 TB.
+    // Pure narrow filter — no shuffle; the predicate evaluates inside the
+    // scan stage (it is md5-derived, so it is NOT a source-pushed filter
+    // and prunes no row groups — every row is read once, none shuffled).
     "t10_stratified_sample" -> { (s, dir) =>
       val bucket = graft.functions.HexPrefixToLong
         .hex8(md5(col("doc_id").cast(StringType))) % 100
@@ -231,12 +245,8 @@ object TextOps {
     // rollup); bigrams with a single occurrence are dropped (the long tail
     // is noise and at corpus scale dominates the output size).
     "t9_bigram_counts" -> { (s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(when(size(col("w")) >= 2,
-          transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat_ws(" ", slice(col("w"), i, lit(2)))))
-          .otherwise(array().cast(ArrayType(StringType)))).as("bigram"))
+      bigramPairs(docs(s, dir))
+        .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("bigram"))
         .groupBy("bigram", "doc_id").agg(count(lit(1)).as("c"))
         .groupBy("bigram")
         .agg(sum("c").cast(LongType).as("cnt"), count(lit(1)).as("n_docs"))
@@ -350,7 +360,8 @@ object TextOps {
       """WITH b AS (
         |  SELECT w[i] AS w1, w[i+1] AS w2
         |  FROM (SELECT string_split(text, ' ') AS w FROM documents) t,
-        |       LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)),
+        |       LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+        |  WHERE w[i] <> '' AND w[i+1] <> ''),
         |g AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT w1, w2, c, p FROM (
         |  SELECT w1, w2, c,
