@@ -410,6 +410,26 @@ object Dedup {
             col("nc").cast(DoubleType) / col("n_truth")).as("recall"))
     },
 
+    // Benchmark DECONTAMINATION — the n-gram-overlap check every training
+    // corpus runs before shipping: how many of each document's 3-gram
+    // shingles also appear in a held-out benchmark set (here: doc_id < 10
+    // stands in for the benchmark suite; in production it is the eval-set
+    // shingle index). The benchmark index is tiny relative to the corpus
+    // → BROADCAST hash join against one corpus scan; per-doc overlap from
+    // one aggregate. Corpus rows never shuffle; only (doc_id, counts) do.
+    "d12_contamination" -> { (s, dir) =>
+      val bench = hashSets(s, dir).filter(col("doc_id") < 10)
+        .select(explode(col("hs")).as("h")).distinct()
+      hashSets(s, dir).filter(col("doc_id") >= 10)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_contaminated"))
+        .withColumn("ratio",
+          col("n_contaminated").cast(DoubleType) / col("n_shingles"))
+    },
+
     // Near-dup CLUSTERS — connected components over the verified near-dup
     // pair graph (LSH candidates with exact Jaccard >= 0.5), the step a
     // dedup pipeline needs after pair generation: pairs (a,b),(b,c) must
@@ -515,6 +535,17 @@ object Dedup {
          |       THEN CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
          |  END AS recall
          |FROM truth LEFT JOIN cand c ON truth.d1 = c.d1 AND truth.d2 = c.d2""".stripMargin,
+
+    "d12_contamination" ->
+      s"""WITH $hashSetSqlCte,
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 10),
+         |corpus AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 10)
+         |SELECT c.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS ratio
+         |FROM corpus c LEFT JOIN bench b ON c.h = b.h
+         |GROUP BY c.doc_id""".stripMargin,
 
     "d11_neardup_clusters" ->
       s"""WITH RECURSIVE $sigSqlCte,
