@@ -81,6 +81,13 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(scans == 0, s"d4 must derive all branches from the checkpointed hash sets ($scans scans)\n$p")
   }
 
+  test("d12 joins the benchmark index by broadcast (corpus rows never shuffle)") {
+    val p = Dedup.defs("d12_contamination")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle index must broadcast\n$p")
+  }
+
   test("d8 corpus keeps exactly the d7 keepers") {
     val kept = Dedup.defs("d8_dedup_corpus")(spark, dir).collect()
       .map(_.getLong(0)).toSet
