@@ -418,9 +418,12 @@ object Dedup {
     // → BROADCAST hash join against one corpus scan; per-doc overlap from
     // one aggregate. Corpus rows never shuffle; only (doc_id, counts) do.
     "d12_contamination" -> { (s, dir) =>
-      val bench = hashSets(s, dir).filter(col("doc_id") < 10)
+      // one checkpointed shingle pass feeds both sides (without it the
+      // md5 pipeline runs twice — once per filter branch)
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      val bench = hs0.filter(col("doc_id") < 10)
         .select(explode(col("hs")).as("h")).distinct()
-      hashSets(s, dir).filter(col("doc_id") >= 10)
+      hs0.filter(col("doc_id") >= 10)
         .select(col("doc_id"), explode(col("hs")).as("h"))
         .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left")
         .groupBy("doc_id")
