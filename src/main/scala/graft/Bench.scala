@@ -37,16 +37,27 @@ object Bench {
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    // Each run of a checkpoint-using query (d4/d9/d12/t8, components) leaves
+    // its localCheckpoint blocks in the block manager until session end;
+    // 73 queries x 4 runs of accumulation turns the bench's later queries
+    // into a storage-eviction measurement. Drop all persistent RDDs between
+    // runs (outside the timed region — each force() rebuilds its own state).
+    def clearBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     val names = SparkEntry.queries.keys.toSeq.sorted
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>
       try {
         force(name) // warm-up
+        clearBlocks()
         val ts = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           force(name)
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          clearBlocks()
+          dt
         }.sorted
         timings(name) = ts(ts.length / 2)
       } catch {

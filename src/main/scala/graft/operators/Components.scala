@@ -34,6 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** A materialized round state plus the handle needed to free it.
+    * `localCheckpoint` blocks live in the block manager until the RDD is
+    * unpersisted or the session dies; an iterative loop that never frees
+    * superseded rounds leaks one block set per materialize, and a
+    * long-running session (a bench sweep, a multi-query job) accumulates
+    * them until storage pressure evicts into execution memory. */
+  private final case class Mat(df: DataFrame, blocks: Seq[org.apache.spark.rdd.RDD[_]]) {
+    def free(): Unit = blocks.foreach(_.unpersist(blocking = false))
+  }
+
   /** Materialize a round's state AND break Catalyst stats propagation.
     * `localCheckpoint` alone keeps the origin plan's `sizeInBytes`
     * estimate on the LogicalRDD; in an iterative loop each round's plan
@@ -41,10 +51,18 @@ object Components {
     * multiplicatively — by round ~15 the "estimate" has millions of
     * digits and the optimizer hangs inside BigInteger multiplication
     * (observed: 31 s/round, then livelock). Re-wrapping the checkpointed
-    * RDD in a fresh DataFrame resets the leaf stats every round. */
-  private def materialize(df: DataFrame): DataFrame = {
+    * RDD in a fresh DataFrame resets the leaf stats every round.
+    * The checkpoint's persistent RDD is captured by diffing the context's
+    * registry around the (eager) localCheckpoint call, so a superseded
+    * round can be freed once its successor is materialized. */
+  private def materialize(df: DataFrame): Mat = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint()
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    val mine = sc.getPersistentRDDs.collect {
+      case (id, r) if !before.contains(id) => r
+    }.toSeq
+    Mat(ck.sparkSession.createDataFrame(ck.rdd, ck.schema), mine)
   }
 
   /** Bijective 64-bit scramble: rotate-left by 27 then xor a constant.
@@ -73,7 +91,7 @@ object Components {
       a.as("o1"), b.as("o2")))
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      var g = materialize(e.filter(col("d1") =!= col("d2"))
+      var g = materialize(e.df.filter(col("d1") =!= col("d2"))
         .select(least(col("d1"), col("d2")).as("x"),
           greatest(col("d1"), col("d2")).as("y"))
         .distinct())
@@ -82,41 +100,49 @@ object Components {
       // `v` is the original id, `lbl` lives in the scrambled space until
       // the final regroup.
       var mapping = materialize(
-        e.select(col("o1").as("v"), col("d1").as("lbl"))
-          .union(e.select(col("o2").as("v"), col("d2").as("lbl")))
+        e.df.select(col("o1").as("v"), col("d1").as("lbl"))
+          .union(e.df.select(col("o2").as("v"), col("d2").as("lbl")))
           .distinct())
+      e.free() // consumed by the (eager) g/mapping materializations above
       var iter = 0
-      while (g.head(1).nonEmpty) {
+      while (g.df.head(1).nonEmpty) {
         if (iter >= 50)
           throw new IllegalStateException(
             s"connected components did not converge in $iter rounds")
         // hook: min of self and neighbors, per super-vertex still in play
-        val nbr = g.select(col("x").as("sv"), col("y").as("nl"))
-          .union(g.select(col("y").as("sv"), col("x").as("nl")))
+        val nbr = g.df.select(col("x").as("sv"), col("y").as("nl"))
+          .union(g.df.select(col("y").as("sv"), col("x").as("nl")))
         val m = materialize(nbr.groupBy("sv").agg(min("nl").as("mn"))
           .select(col("sv"), least(col("sv"), col("mn")).as("m")))
         // compose: v -> m(lbl(v)); vertices whose representative already
         // contracted away keep their label (left join + coalesce)
-        mapping = materialize(mapping
-          .join(m.select(col("sv").as("lbl"), col("m")), Seq("lbl"), "left")
+        val mapping1 = materialize(mapping.df
+          .join(m.df.select(col("sv").as("lbl"), col("m")), Seq("lbl"), "left")
           .select(col("v"), coalesce(col("m"), col("lbl")).as("lbl")))
         // contract: rewrite edges through the hook map, drop self-loops
-        g = materialize(g
-          .join(m.select(col("sv").as("x"), col("m").as("mx")), "x")
-          .join(m.select(col("sv").as("y"), col("m").as("my")), "y")
+        val g1 = materialize(g.df
+          .join(m.df.select(col("sv").as("x"), col("m").as("mx")), "x")
+          .join(m.df.select(col("sv").as("y"), col("m").as("my")), "y")
           .filter(col("mx") =!= col("my"))
           .select(least(col("mx"), col("my")).as("x"),
             greatest(col("mx"), col("my")).as("y"))
           .distinct())
+        // the new round is materialized; the superseded round's blocks
+        // (and the hook map's) are dead weight — free them so the loop
+        // holds at most two rounds of state, not O(rounds)
+        m.free(); mapping.free(); g.free()
+        mapping = mapping1; g = g1
         iter += 1
       }
       // back to original ids: per scrambled component label, the cluster
       // id is the min ORIGINAL member id. Materialized INSIDE the pinned
       // conf (lazy evaluation after the finally would shuffle this tiny
       // map at the corpus-sized session partition count).
-      val clusterOf = mapping.groupBy("lbl").agg(min("v").as("cluster"))
-      materialize(mapping.join(clusterOf, "lbl")
+      val clusterOf = mapping.df.groupBy("lbl").agg(min("v").as("cluster"))
+      val res = materialize(mapping.df.join(clusterOf, "lbl")
         .select(col("v"), col("cluster").as("lbl")))
+      mapping.free(); g.free()
+      res.df
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
