@@ -447,6 +447,30 @@ object Dedup {
         .select("d1", "d2")
       Components.minLabel(edges)
         .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    },
+
+    // Substring-level duplication diagnostic — the shingle-granularity form
+    // of exact-substring dedup ("Deduplicating Training Data Makes Language
+    // Models Better": duplicated n-grams, not just duplicated documents,
+    // drive memorization): per document, how many of its DISTINCT 3-gram
+    // shingles occur in >= 2 documents, and what fraction of the doc that
+    // is. Plan: one checkpointed hash-set scan → postings (the inverted
+    // index) → per-shingle document frequency (hash-agg on the 32-bit hash)
+    // → equi-join df back onto the postings → per-doc aggregate. Two
+    // shuffles, both on keys with no quadratic expansion (the df join adds
+    // ONE row per posting); a viral boilerplate shingle costs its posting
+    // count, never its square — the same reason d3 bands never cross-join.
+    "d13_dup_shingles" -> { (s, dir) =>
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      val post = hs0.select(col("doc_id"), explode(col("hs")).as("h"))
+      val df = post.groupBy("h").agg(count(lit(1)).as("df"))
+      post.join(df, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1).otherwise(0)).cast(LongType)
+            .as("n_dup_shingles"))
+        .withColumn("dup_frac",
+          col("n_dup_shingles").cast(DoubleType) / col("n_shingles"))
     }
   )
 
@@ -565,6 +589,17 @@ object Dedup {
          |  SELECT a, a FROM und
          |  UNION
          |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v)
-         |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin
+         |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin,
+
+    "d13_dup_shingles" ->
+      s"""WITH $hashSetSqlCte,
+         |post AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |df AS (SELECT h, count(*) AS df FROM post GROUP BY h)
+         |SELECT p.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+         |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS dup_frac
+         |FROM post p JOIN df ON p.h = df.h
+         |GROUP BY p.doc_id""".stripMargin
   )
 }

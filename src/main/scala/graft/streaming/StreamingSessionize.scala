@@ -199,6 +199,20 @@ object StreamingSessionize {
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("c_mktsegment"), col("value")),
         outputMode = "append", sinkName = "x5")
+    },
+
+    // Custom-state sessionize (flatMapGroupsWithState) as a GATE query, not
+    // just a parity spec: the emitted set is exactly the batch sessions
+    // minus each user's LAST session when the final watermark never passed
+    // its `end + gap` event-time timeout (Spark fires a timeout only when
+    // timeoutTimestamp < watermark, in a no-data microbatch after the
+    // watermark advances) — that exact set is what the oracle restates.
+    // Only the deterministic columns are gated: the open-session double sum
+    // folds in shuffle-arrival order within equal-ms ties, so sum_value is
+    // parity-tested (StreamingSpec, 1e-4) but excluded from the bit-exact
+    // hash compare.
+    "x6_stream_custom_state" -> { (s, dir) =>
+      CustomStateSessionize.runToCompletion(s, dir).drop("sum_value")
     }
   )
 
@@ -240,6 +254,34 @@ object StreamingSessionize {
 
     "x5_stream_static_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment, value
-        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    // Mirrors CustomStateSessionize.fold (merge while diff <= gap, so brk on
+    // diff > gap — the built-in session_window breaks on >=; the two differ
+    // only at an exact-gap tie) and the timeout-emission rule: a user's last
+    // session surfaces only if end + gap < (max event ms - 1h watermark).
+    "x6_stream_custom_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        |), b AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
+        |         WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+        |), sn AS (
+        |  SELECT user_id, ms,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b
+        |), sess AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    min(ms) AS start_ms, max(ms) AS end_ms,
+        |    max(sid) OVER (PARTITION BY user_id) AS last_sid
+        |  FROM sn GROUP BY user_id, sid
+        |)
+        |SELECT user_id, n_events, start_ms, end_ms
+        |FROM sess
+        |WHERE sid < last_sid
+        |   OR end_ms + 1800000 < (SELECT max(ms) - 3600000 FROM e)""".stripMargin
   )
 }

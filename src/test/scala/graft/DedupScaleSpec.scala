@@ -81,6 +81,16 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(scans == 0, s"d4 must derive all branches from the checkpointed hash sets ($scans scans)\n$p")
   }
 
+  test("d13's final plan re-derives nothing from documents (one checkpointed scan)") {
+    // both the df rollup and the join-back consume the checkpointed
+    // hash-set projection; a parquet scan here means the md5 shingle
+    // pipeline runs more than once
+    val p = Dedup.defs("d13_dup_shingles")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"d13 must derive all branches from the checkpointed hash sets ($scans scans)\n$p")
+  }
+
   test("d12 joins the benchmark index by broadcast (corpus rows never shuffle)") {
     val p = Dedup.defs("d12_contamination")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
