@@ -448,6 +448,23 @@ object Relational {
           col("qp").getItem(1).as("qty_p90"),
           col("pp").getItem(0).as("price_p25"),
           col("pp").getItem(1).as("price_p75"))
+    },
+
+    // UNPIVOT/melt — the inverse of q28's pivot: wide per-group measure
+    // columns back to long (group, metric, value) rows. Spark's native
+    // `unpivot` is a zero-shuffle Expand over the aggregated frame (3 rows
+    // out per row in, no extra exchange); the oracle spells it as the
+    // portable UNION ALL. All measures share one type (the dsum double),
+    // which is what makes the melt well-typed.
+    "q34_unpivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_discount")).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "val")
     }
   )
 
@@ -703,6 +720,19 @@ object Relational {
         |  quantile_cont(l_quantity, 0.9) AS qty_p90,
         |  quantile_cont(l_extendedprice, 0.25) AS price_p25,
         |  quantile_cont(l_extendedprice, 0.75) AS price_p75
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q34_unpivot" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag,
+         |    ${dsumSql("l_quantity")} AS sum_qty,
+         |    ${dsumSql("l_extendedprice")} AS sum_price,
+         |    ${dsumSql("l_discount")} AS sum_disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS val FROM a""".stripMargin
   )
 }

@@ -211,6 +211,21 @@ object Similarity {
       val edges = defs("s3_embed_neardup")(s, dir).select("id_a", "id_b")
       graft.operators.Components.minLabel(edges)
         .select(col("v").as("vec_id"), col("lbl").as("cluster_id"))
+    },
+
+    // IVF recall@5 vs the exact baseline — the evaluation s4 runs for the
+    // hyperplane-LSH path, for the coarse-quantizer path: with nprobe=2 of
+    // 8 lists the probed share of the corpus bounds the reachable recall,
+    // and this query is the number that tells you whether to raise nprobe
+    // or retrain the codebook before trusting s5 at scale.
+    "s7_ivf_recall" -> { (s, dir) =>
+      val exact5 = defs("s1_knn_brute")(s, dir)
+        .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
+      val approx5 = defs("s5_ann_ivf")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact5.join(approx5, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
     }
   )
 
@@ -322,6 +337,42 @@ object Similarity {
          |  UNION
          |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v)
          |SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin
+    },
+
+    "s7_ivf_recall" -> {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q1 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |p1 AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |       FROM e CROSS JOIN q1 WHERE vec_id <> query_id),
+         |e5 AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |         FROM p1) r WHERE rnk <= 5),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |cent AS (SELECT vec_id - 100 AS cid, u AS cu FROM n WHERE vec_id BETWEEN 100 AND 107),
+         |asg AS (SELECT vec_id, u, cid FROM (
+         |    SELECT n.vec_id, n.u, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent) t WHERE crk = 1),
+         |probes AS (SELECT query_id, qu, cid FROM (
+         |    SELECT n.vec_id AS query_id, n.u AS qu, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent WHERE n.vec_id < 5) t WHERE crk <= 2),
+         |p2 AS (SELECT query_id, asg.vec_id AS neighbor_id, ${d("qu", "asg.u")} AS sim
+         |       FROM asg JOIN probes ON asg.cid = probes.cid
+         |       WHERE asg.vec_id <> probes.query_id),
+         |a5 AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id) AS rnk FROM p2) r WHERE rnk <= 5)
+         |SELECT e5.query_id, sum(coalesce(a5.hit, 0)) / 5.0 AS recall_at_5
+         |FROM e5 LEFT JOIN a5
+         |  ON e5.query_id = a5.query_id AND e5.neighbor_id = a5.neighbor_id
+         |GROUP BY e5.query_id""".stripMargin
     }
   )
 }
