@@ -43,6 +43,17 @@ class DedupScaleSpec extends AnyFunSuite {
       s"viral bucket must contribute zero candidates, got ${pairs.take(5)}...")
   }
 
+  test("d13: viral shingles cost their posting count, never their square") {
+    // every viral doc shares every shingle with 299 others: the df join must
+    // stay one-row-per-posting (no pair expansion), and every shingle of
+    // every doc here is duplicated somewhere → dup_frac 1.0 for all docs
+    val rows = Dedup.defs("d13_dup_shingles")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(rows.size == viralN + 2)
+    assert(rows.values.forall(_ == 1.0),
+      s"all shingles are shared in this corpus, got ${rows.filter(_._2 != 1.0).take(5)}")
+  }
+
   test("d6: same viral-bucket hygiene for the simhash bands") {
     val pairs = Dedup.defs("d6_simhash_neardup")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
