@@ -251,6 +251,24 @@ object TextOps {
         .groupBy("bigram")
         .agg(sum("c").cast(LongType).as("cnt"), count(lit(1)).as("n_docs"))
         .filter(col("cnt") >= 2)
+    },
+
+    // Distribution-relative quality gate — the curation step after t2's
+    // absolute bar: keep documents at or above the corpus's own 25th
+    // percentile of stopword ratio (a threshold learned from the score
+    // distribution, not hardcoded — how real pipelines set their bars).
+    // Plan: one scored scan → a ONE-ROW exact-percentile aggregate →
+    // broadcast back over the scores (a scalar threshold never shuffles
+    // the corpus; the filter is a broadcast-join residual). At 100 TB the
+    // exact percentile over one global group is the one full-sort buffer —
+    // swap in approx_percentile there (q23's path) at identical plan shape.
+    "t11_quality_gate" -> { (s, dir) =>
+      val scored = withQualityCols(docs(s, dir))
+        .select(col("doc_id"),
+          (col("n_stop").cast(DoubleType) / col("n_tokens")).as("score"))
+      val thr = scored.agg(expr("percentile(score, 0.25D)").as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("score") >= col("thr"))
     }
   )
 
@@ -378,6 +396,16 @@ object TextOps {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
         |g AS (SELECT bigram, doc_id, count(*) AS c FROM b GROUP BY 1, 2)
         |SELECT bigram, CAST(sum(c) AS BIGINT) AS cnt, count(*) AS n_docs
-        |FROM g GROUP BY bigram HAVING sum(c) >= 2""".stripMargin
+        |FROM g GROUP BY bigram HAVING sum(c) >= 2""".stripMargin,
+
+    "t11_quality_gate" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, CAST(n_stop AS DOUBLE) / n_tokens AS score
+         |  FROM (SELECT doc_id,
+         |          CAST(len(w) AS BIGINT) AS n_tokens,
+         |          CAST(len(list_filter(w, x -> x IN ($stopSqlList))) AS BIGINT) AS n_stop
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u),
+         |thr AS (SELECT quantile_cont(score, 0.25) AS thr FROM sc)
+         |SELECT doc_id, score, thr FROM sc, thr WHERE score >= thr""".stripMargin
   )
 }
