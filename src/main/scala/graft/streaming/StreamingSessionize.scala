@@ -213,6 +213,28 @@ object StreamingSessionize {
     // hash compare.
     "x6_stream_custom_state" -> { (s, dir) =>
       CustomStateSessionize.runToCompletion(s, dir).drop("sum_value")
+    },
+
+    // CHAINED stateful operators — hourly distinct users as watermarked
+    // dedup → tumbling-window count (the multi-stateful-operator pipeline
+    // Spark supports natively since 3.4; x1-x6 each exercise ONE stateful
+    // op). `dropDuplicatesWithinWatermark` bounds the dedup state by the
+    // watermark delay (a plain dropDuplicates would hold every
+    // (user, hour) key forever); (user, hour) duplicates are at most an
+    // hour apart in event time, within the 1-hour delay, so the dedup is
+    // exact. Append mode emits a window only once the watermark passes its
+    // end, so the trailing unfinalized hours stay in state — the oracle
+    // restates that cutoff exactly.
+    "x7_stream_hourly_users" -> { (s, dir) =>
+      runToCompletion(s, dir, ev =>
+        ev.withWatermark("ts", "1 hour")
+          .withColumn("hour", date_trunc("hour", col("ts")))
+          .dropDuplicatesWithinWatermark("user_id", "hour")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_users"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_ts"), col("n_users")),
+        outputMode = "append", sinkName = "x7")
     }
   )
 
@@ -282,6 +304,17 @@ object StreamingSessionize {
         |SELECT user_id, n_events, start_ms, end_ms
         |FROM sess
         |WHERE sid < last_sid
-        |   OR end_ms + 1800000 < (SELECT max(ms) - 3600000 FROM e)""".stripMargin
+        |   OR end_ms + 1800000 < (SELECT max(ms) - 3600000 FROM e)""".stripMargin,
+
+    // Distinct (user, hour) then count per hour; append mode only emits
+    // windows whose end the final watermark (max event ms - 1h) passed.
+    "x7_stream_hourly_users" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+        |agg AS (SELECT h, count(*) AS n_users FROM d GROUP BY h),
+        |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_users
+        |FROM agg, wm
+        |WHERE epoch_ms(h) + 3600000 <= w""".stripMargin
   )
 }
