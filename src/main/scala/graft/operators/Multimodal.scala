@@ -45,6 +45,10 @@ object Multimodal {
 
   private val numFeatures = 8
 
+  /** m5: feature codes with more members than this are dropped whole
+    * (identical-boilerplate payloads; same policy as Dedup's LSH buckets). */
+  private val maxCodeBucket = 100
+
   val defs: Map[String, Q] = Map(
     // Typed metadata over an opaque binary payload: size, checksum, header.
     "m1_media_meta" -> { (s, dir) =>
@@ -77,6 +81,46 @@ object Multimodal {
             "ELSE CAST(array() AS ARRAY<STRING>) END")))
         .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("frame_no"),
           md5(col("col")).as("frame_md5"))
+    },
+
+    // Media near-dup — the multimodal twin of d6: quantize each payload's
+    // feature vector to a compact binary code, then find pairs within
+    // hamming distance 1 by EQUI-join (s2's multi-probe pattern), never
+    // all-pairs. The quantizer is the 1-bit-ITQ stand-in: bit i says
+    // feature i is at/above its corpus mean, computed as the integer-exact
+    // f_i·n >= Σf_i (no FP mean — avg() rounding is not cross-engine
+    // portable) from a ONE-ROW broadcast aggregate (the "train the
+    // quantizer" step: at 100 TB it runs on a sample, same plan). Viral
+    // codes (> 100 members — identical boilerplate payloads) are dropped
+    // whole by a spillable window count, d3's bucket hygiene. With the md5
+    // stub features only exact payload dups collide; a real decoder swaps
+    // in behind the same columns and near payloads cluster.
+    "m5_media_neardup" -> { (s, dir) =>
+      val f = docs(s, dir).select(
+        col("doc_id") +:
+          (0 until numFeatures).map(i => expr(featureSql(i)).as(s"f$i")): _*)
+      val stats = f.agg(count(lit(1)).as("n"),
+        (0 until numFeatures).map(i => sum(col(s"f$i")).as(s"t$i")): _*)
+      val coded = f.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (0 until numFeatures)
+            .map(i => when(col(s"f$i") * col("n") >= col(s"t$i"), lit(1L << i))
+              .otherwise(lit(0L)))
+            .reduce(_ + _).cast(LongType).as("code"))
+      val okc = coded
+        .withColumn("bsz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("code")))
+        .filter(col("bsz") <= maxCodeBucket)
+        .drop("bsz")
+      val probes = okc.select(col("doc_id").as("d1"), col("code").as("c1"),
+        explode(array(col("code") +:
+          (0 until numFeatures).map(i =>
+            col("code").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
+      probes.join(okc.select(col("doc_id").as("d2"), col("code").as("c2")),
+          col("probe") === col("c2") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          expr("bit_count(c1 ^ c2)").cast(LongType).as("hamming"))
+        .distinct()
     },
 
     // STUB resize: the remaining media verb. Source dims are stub-decoded
@@ -117,6 +161,25 @@ object Multimodal {
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(1, CAST((n_chars + 31) // 32 AS INT))) AS i
         |      FROM documents) t""".stripMargin,
+
+    "m5_media_neardup" -> {
+      val bits = (0 until numFeatures)
+        .map(i => s"CASE WHEN f$i * n >= t$i THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH f AS (
+         |  SELECT doc_id, ${(0 until numFeatures).map(i => s"${featureSql(i)} AS f$i").mkString(", ")}
+         |  FROM documents),
+         |st AS (SELECT count(*) AS n,
+         |         ${(0 until numFeatures).map(i => s"CAST(sum(f$i) AS BIGINT) AS t$i").mkString(", ")}
+         |       FROM f),
+         |c AS (SELECT doc_id, CAST($bits AS BIGINT) AS code FROM f, st),
+         |ok AS (SELECT code FROM c GROUP BY code HAVING count(*) <= $maxCodeBucket),
+         |cc AS (SELECT doc_id, code FROM c WHERE code IN (SELECT code FROM ok))
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming
+         |FROM cc a JOIN cc b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.code, b.code)) <= 1""".stripMargin
+    },
 
     "m4_resize_stub" ->
       s"""SELECT doc_id, src_w, src_h,
