@@ -104,16 +104,24 @@ object Components {
           .union(e.df.select(col("o2").as("v"), col("d2").as("lbl")))
           .distinct())
       e.free() // consumed by the (eager) g/mapping materializations above
+      def nbr(gd: DataFrame): DataFrame =
+        gd.select(col("x").as("sv"), col("y").as("nl"))
+          .union(gd.select(col("y").as("sv"), col("x").as("nl")))
       var iter = 0
       while (g.df.head(1).nonEmpty) {
         if (iter >= 50)
           throw new IllegalStateException(
             s"connected components did not converge in $iter rounds")
-        // hook: min of self and neighbors, per super-vertex still in play
-        val nbr = g.df.select(col("x").as("sv"), col("y").as("nl"))
-          .union(g.df.select(col("y").as("sv"), col("x").as("nl")))
-        val m = materialize(nbr.groupBy("sv").agg(min("nl").as("mn"))
-          .select(col("sv"), least(col("sv"), col("mn")).as("m")))
+        // hook: min of self and neighbors, per super-vertex still in play;
+        // then ONE pointer-doubling pass (m ∘ m) — the composed target is
+        // still a reachable, no-larger representative, and following two
+        // hops per round roughly halves the rounds to convergence for one
+        // extra join on the (shrinking) hook map, never on the edge set
+        val m1 = nbr(g.df).groupBy("sv").agg(min("nl").as("mn"))
+          .select(col("sv"), least(col("sv"), col("mn")).as("m"))
+        val m = materialize(m1
+          .join(m1.select(col("sv").as("m"), col("m").as("mm")), Seq("m"), "left")
+          .select(col("sv"), coalesce(col("mm"), col("m")).as("m")))
         // compose: v -> m(lbl(v)); vertices whose representative already
         // contracted away keep their label (left join + coalesce)
         val mapping1 = materialize(mapping.df
