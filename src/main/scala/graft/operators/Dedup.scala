@@ -449,6 +449,38 @@ object Dedup {
         .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
     },
 
+    // MinHash estimation error — the third evaluator next to d9 (candidate
+    // recall) and d4 (exact verify): per LSH candidate pair, the
+    // sketch-estimated Jaccard (fraction of agreeing signature components —
+    // an unbiased estimator with stderr ~ sqrt(j(1-j)/16)) against the
+    // exact set Jaccard. The number that says whether 16 hashes are enough
+    // to SKIP the exact-verify stage at scale, where the verify join (not
+    // the signatures) dominates. Same one-scan shape as d4: the checkpointed
+    // hash sets feed signatures, candidates, AND the exact verify.
+    "d14_minhash_estimate" -> { (s, dir) =>
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      val sg = sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))
+        .select(col("doc_id"),
+          array((0 until numHashes).map(j => col(s"s$j")): _*).as("sa"))
+      val cand = lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv"))))
+      val est = cand
+        .select(col("d1"), col("d2"), explode(array(
+          struct(lit(1).as("side"), col("d1").as("doc_id")),
+          struct(lit(2).as("side"), col("d2").as("doc_id")))).as("e"))
+        .select(col("d1"), col("d2"), col("e.side").as("side"), col("e.doc_id").as("doc_id"))
+        .join(sg, "doc_id")
+        .groupBy("d1", "d2")
+        .agg(max(when(col("side") === 1, col("sa"))).as("sa1"),
+          max(when(col("side") === 2, col("sa"))).as("sa2"))
+        .select(col("d1"), col("d2"),
+          (expr("CAST(size(filter(zip_with(sa1, sa2, (x, y) -> x = y), v -> v)) AS DOUBLE)")
+            / numHashes).as("est_jaccard"))
+      withJaccard(cand, hs0)
+        .join(est, Seq("d1", "d2"))
+        .select(col("d1"), col("d2"), col("est_jaccard"), col("jaccard"),
+          abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+    },
+
     // Substring-level duplication diagnostic — the shingle-granularity form
     // of exact-substring dedup ("Deduplicating Training Data Makes Language
     // Models Better": duplicated n-grams, not just duplicated documents,
@@ -590,6 +622,24 @@ object Dedup {
          |  UNION
          |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v)
          |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin,
+
+    "d14_minhash_estimate" ->
+      s"""WITH $sigSqlCte,
+         |$hashSetSqlCte,
+         |sa AS (SELECT doc_id, [${(0 until numHashes).map(j => s"s$j").mkString(", ")}] AS sa FROM sigs),
+         |est AS (
+         |  SELECT d1, d2,
+         |    CAST(len(list_filter(list_zip(a.sa, b.sa), p -> p[1] = p[2])) AS DOUBLE)
+         |      / $numHashes AS est_jaccard
+         |  FROM cand JOIN sa a ON cand.d1 = a.doc_id JOIN sa b ON cand.d2 = b.doc_id),
+         |ex AS (
+         |  SELECT d1, d2,
+         |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |      / len(list_distinct(x.hs || y.hs)) AS jaccard
+         |  FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id)
+         |SELECT est.d1, est.d2, est_jaccard, jaccard,
+         |  abs(est_jaccard - jaccard) AS abs_err
+         |FROM est JOIN ex ON est.d1 = ex.d1 AND est.d2 = ex.d2""".stripMargin,
 
     "d13_dup_shingles" ->
       s"""WITH $hashSetSqlCte,
