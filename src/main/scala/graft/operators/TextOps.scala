@@ -253,6 +253,34 @@ object TextOps {
         .filter(col("cnt") >= 2)
     },
 
+    // Word co-occurrence association table — rational PMI (the exp of PMI:
+    // P(a,b)/(P(a)P(b)) = n_both·N/(df_a·df_b), kept as the ratio because
+    // ln() is not bit-portable cross-engine, see t8): which word pairs
+    // co-occur in documents more than chance. Per-doc DISTINCT tokens
+    // self-join WITHIN the doc — quadratic in doc VOCABULARY, linear in the
+    // corpus (the per-doc type count is bounded; this is the standard
+    // co-occurrence-matrix build). The n_both >= 5 support floor keeps the
+    // long tail out of the output, and the unigram df table joins back by
+    // plain equi-join (at 100 TB it is far bigger than broadcastable).
+    "w4_cooccur_pmi" -> { (s, dir) =>
+      val dt = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+      val df = dt.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      dt.as("a").join(dt.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 5)
+        .join(df.select(col("w").as("w1"), col("df").as("df1")), "w1")
+        .join(df.select(col("w").as("w2"), col("df").as("df2")), "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("n_both"),
+          (col("n_both").cast(DoubleType) * col("n") / col("df1") / col("df2"))
+            .as("lift"))
+    },
+
     // Distribution-relative quality gate — the curation step after t2's
     // absolute bar: keep documents at or above the corpus's own 25th
     // percentile of stopword ratio (a threshold learned from the score
@@ -397,6 +425,21 @@ object TextOps {
         |g AS (SELECT bigram, doc_id, count(*) AS c FROM b GROUP BY 1, 2)
         |SELECT bigram, CAST(sum(c) AS BIGINT) AS cnt, count(*) AS n_docs
         |FROM g GROUP BY bigram HAVING sum(c) >= 2""".stripMargin,
+
+    "w4_cooccur_pmi" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> ''),
+        |df AS (SELECT w, count(*) AS df FROM dt GROUP BY w),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |p AS (
+        |  SELECT a.w AS w1, b.w AS w2, count(*) AS n_both
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, n_both,
+        |  CAST(n_both AS DOUBLE) * n / d1.df / d2.df AS lift
+        |FROM p JOIN df d1 ON p.w1 = d1.w JOIN df d2 ON p.w2 = d2.w, n""".stripMargin,
 
     "t11_quality_gate" ->
       s"""WITH sc AS (
