@@ -40,11 +40,16 @@ object Bench {
     // Each run of a checkpoint-using query (d4/d9/d12/t8, components) leaves
     // its localCheckpoint blocks in the block manager until session end;
     // 73 queries x 4 runs of accumulation turns the bench's later queries
-    // into a storage-eviction measurement. Drop all persistent RDDs between
-    // runs (outside the timed region — each force() rebuilds its own state).
+    // into a storage-eviction measurement. Drop the RDDs persisted since the
+    // bench started — not every persistent RDD in the context, which would
+    // silently break a future query that intentionally shares cached state —
+    // between runs, blocking so cleanup can't bleed into the next timed run
+    // (both outside the timed region — each force() rebuilds its own state).
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     def clearBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .collect { case (id, r) if !preexisting.contains(id) => r }
+        .foreach(_.unpersist(blocking = true))
     val names = SparkEntry.queries.keys.toSeq.sorted
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -52,17 +52,19 @@ object Components {
     * digits and the optimizer hangs inside BigInteger multiplication
     * (observed: 31 s/round, then livelock). Re-wrapping the checkpointed
     * RDD in a fresh DataFrame resets the leaf stats every round.
-    * The checkpoint's persistent RDD is captured by diffing the context's
-    * registry around the (eager) localCheckpoint call, so a superseded
-    * round can be freed once its successor is materialized. */
+    * The checkpoint's persistent RDD is found by walking the checkpointed
+    * Dataset's OWN lineage to the storage-backed RDD (not by diffing the
+    * context's global registry, which under a concurrent query could
+    * capture — and later free — someone else's unrecoverable checkpoint
+    * blocks), so a superseded round can be freed once its successor is
+    * materialized. */
   private def materialize(df: DataFrame): Mat = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint()
-    val mine = sc.getPersistentRDDs.collect {
-      case (id, r) if !before.contains(id) => r
-    }.toSeq
-    Mat(ck.sparkSession.createDataFrame(ck.rdd, ck.schema), mine)
+    def persisted(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Seq(r)
+      else r.dependencies.flatMap(d => persisted(d.rdd))
+    Mat(ck.sparkSession.createDataFrame(ck.rdd, ck.schema),
+      persisted(ck.queryExecution.toRdd))
   }
 
   /** Bijective 64-bit scramble: rotate-left by 27 then xor a constant.
@@ -87,11 +89,18 @@ object Components {
     // small count for the loop and restore after (the streaming harness
     // pattern; a production job sizes this to its edge volume).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val e = materialize(edges.select(scramble(a).as("d1"), scramble(b).as("d2"),
+    // every live Mat is tracked so a mid-loop failure (job error, the
+    // convergence-cap throw) frees its checkpoint blocks instead of
+    // leaking them for the session lifetime — a library caller that
+    // catches the exception must not keep paying for the dead rounds
+    val live = scala.collection.mutable.Set.empty[Mat]
+    def mat(df: DataFrame): Mat = { val x = materialize(df); live += x; x }
+    def drop(xs: Mat*): Unit = xs.foreach { x => x.free(); live -= x }
+    val e = mat(edges.select(scramble(a).as("d1"), scramble(b).as("d2"),
       a.as("o1"), b.as("o2")))
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      var g = materialize(e.df.filter(col("d1") =!= col("d2"))
+      var g = mat(e.df.filter(col("d1") =!= col("d2"))
         .select(least(col("d1"), col("d2")).as("x"),
           greatest(col("d1"), col("d2")).as("y"))
         .distinct())
@@ -99,11 +108,11 @@ object Components {
       // edges must still be labeled (with itself), per the contract above.
       // `v` is the original id, `lbl` lives in the scrambled space until
       // the final regroup.
-      var mapping = materialize(
+      var mapping = mat(
         e.df.select(col("o1").as("v"), col("d1").as("lbl"))
           .union(e.df.select(col("o2").as("v"), col("d2").as("lbl")))
           .distinct())
-      e.free() // consumed by the (eager) g/mapping materializations above
+      drop(e) // consumed by the (eager) g/mapping materializations above
       def nbr(gd: DataFrame): DataFrame =
         gd.select(col("x").as("sv"), col("y").as("nl"))
           .union(gd.select(col("y").as("sv"), col("x").as("nl")))
@@ -119,16 +128,16 @@ object Components {
         // extra join on the (shrinking) hook map, never on the edge set
         val m1 = nbr(g.df).groupBy("sv").agg(min("nl").as("mn"))
           .select(col("sv"), least(col("sv"), col("mn")).as("m"))
-        val m = materialize(m1
+        val m = mat(m1
           .join(m1.select(col("sv").as("m"), col("m").as("mm")), Seq("m"), "left")
           .select(col("sv"), coalesce(col("mm"), col("m")).as("m")))
         // compose: v -> m(lbl(v)); vertices whose representative already
         // contracted away keep their label (left join + coalesce)
-        val mapping1 = materialize(mapping.df
+        val mapping1 = mat(mapping.df
           .join(m.df.select(col("sv").as("lbl"), col("m")), Seq("lbl"), "left")
           .select(col("v"), coalesce(col("m"), col("lbl")).as("lbl")))
         // contract: rewrite edges through the hook map, drop self-loops
-        val g1 = materialize(g.df
+        val g1 = mat(g.df
           .join(m.df.select(col("sv").as("x"), col("m").as("mx")), "x")
           .join(m.df.select(col("sv").as("y"), col("m").as("my")), "y")
           .filter(col("mx") =!= col("my"))
@@ -138,7 +147,7 @@ object Components {
         // the new round is materialized; the superseded round's blocks
         // (and the hook map's) are dead weight — free them so the loop
         // holds at most two rounds of state, not O(rounds)
-        m.free(); mapping.free(); g.free()
+        drop(m, mapping, g)
         mapping = mapping1; g = g1
         iter += 1
       }
@@ -147,10 +156,15 @@ object Components {
       // conf (lazy evaluation after the finally would shuffle this tiny
       // map at the corpus-sized session partition count).
       val clusterOf = mapping.df.groupBy("lbl").agg(min("v").as("cluster"))
-      val res = materialize(mapping.df.join(clusterOf, "lbl")
+      val res = mat(mapping.df.join(clusterOf, "lbl")
         .select(col("v"), col("cluster").as("lbl")))
-      mapping.free(); g.free()
+      drop(mapping, g)
+      live -= res // the result's blocks belong to the caller
       res.df
+    } catch {
+      case t: Throwable =>
+        live.foreach(_.free())
+        throw t
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }

@@ -455,14 +455,18 @@ object Dedup {
     // an unbiased estimator with stderr ~ sqrt(j(1-j)/16)) against the
     // exact set Jaccard. The number that says whether 16 hashes are enough
     // to SKIP the exact-verify stage at scale, where the verify join (not
-    // the signatures) dominates. Same one-scan shape as d4: the checkpointed
-    // hash sets feed signatures, candidates, AND the exact verify.
+    // the signatures) dominates. One-scan shape like d4, plus the signature
+    // projection is itself checkpointed so the 16-hash compute runs ONCE and
+    // feeds both the estimator vectors and the LSH banding (two lazy
+    // consumers of the same plan would each re-evaluate it) — at cluster
+    // scale the signature table is a materialized intermediate anyway.
     "d14_minhash_estimate" -> { (s, dir) =>
       val hs0 = hashSets(s, dir).localCheckpoint()
-      val sg = sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))
-        .select(col("doc_id"),
-          array((0 until numHashes).map(j => col(s"s$j")): _*).as("sa"))
-      val cand = lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv"))))
+      val sigs0 = sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))
+        .localCheckpoint()
+      val sg = sigs0.select(col("doc_id"),
+        array((0 until numHashes).map(j => col(s"s$j")): _*).as("sa"))
+      val cand = lshPairsFrom(sigs0)
       val est = cand
         .select(col("d1"), col("d2"), explode(array(
           struct(lit(1).as("side"), col("d1").as("doc_id")),

@@ -74,4 +74,22 @@ class ComponentsSpec extends AnyFunSuite {
   test("a vertex appearing only in self-loops is labeled with itself") {
     assert(run(List((7L, 7L), (1L, 2L))) == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("the loop frees every superseded round's checkpoint blocks") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // quiesce: drop leftovers from earlier tests sharing the session
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = sc.getPersistentRDDs.keySet
+    val res = Components.minLabel(
+      (0L until 40L).map(i => (i, i + 1)).toList.toDF("d1", "d2"))
+    res.collect()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // exactly the RESULT's own checkpoint may remain (it belongs to the
+    // caller); every per-round intermediate must already be unpersisted
+    assert(leaked.size <= 1,
+      s"minLabel leaked ${leaked.size} persistent RDDs: $leaked")
+    sc.getPersistentRDDs.collect { case (id, r) if !before.contains(id) => r }
+      .foreach(_.unpersist(blocking = true))
+  }
 }
