@@ -238,6 +238,35 @@ object Dedup {
        |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t)""".stripMargin
   }
 
+  /** Verified near-dup edges (LSH candidates with exact Jaccard >= 0.5) —
+    * the pair graph d11 clusters and d15 dedups against. One corpus scan:
+    * the checkpointed hash sets feed signatures, candidates, and verify. */
+  private def neardupEdges(s: SparkSession, dir: String): DataFrame = {
+    val hs0 = hashSets(s, dir).localCheckpoint()
+    withJaccard(
+        lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))), hs0)
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2")
+  }
+
+  /** Oracle-side near-dup cluster CTEs (shared by d11/d15): verified edges
+    * → undirected closure → recursive reachability → min-id label per
+    * clustered doc. Requires WITH RECURSIVE and sigs/sh CTEs in scope. */
+  private val clusterSqlCtes: String =
+    """edges AS (
+      |  SELECT d1, d2 FROM (
+      |    SELECT d1, d2,
+      |      CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+      |        / len(list_distinct(x.hs || y.hs)) AS j
+      |    FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id) t
+      |  WHERE j >= 0.5),
+      |und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+      |reach(v, r) AS (
+      |  SELECT a, a FROM und
+      |  UNION
+      |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v),
+      |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
   /** SimHash bit width: 32 bits from the first 8 hex chars of md5(token). */
   private val simhashBits = 32
 
@@ -440,13 +469,31 @@ object Dedup {
     // cluster_id = min doc_id reachable; computed by the shared distributed
     // hook+contract loop (operators/Components.scala).
     "d11_neardup_clusters" -> { (s, dir) =>
-      val hs0 = hashSets(s, dir).localCheckpoint()
-      val edges = withJaccard(
-          lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))), hs0)
-        .filter(col("jaccard") >= 0.5)
-        .select("d1", "d2")
-      Components.minLabel(edges)
+      Components.minLabel(neardupEdges(s, dir))
         .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    },
+
+    // The near-dup-deduped corpus — the FUZZY-pipeline deliverable that d8
+    // is for exact dedup: LSH candidates → exact-Jaccard verify → connected
+    // components → keep the best doc per cluster (longest, ties to lowest
+    // id), drop the rest. The keep-best window runs over the CLUSTERED DOCS
+    // ONLY (cluster map ⋈ a narrow (doc_id, n_chars) projection — near-dup
+    // members, not the corpus), so its sort buffer never holds text; the
+    // fat corpus rows move exactly once, through the final doc_id anti-join
+    // against the loser set. Exact duplicates are near-dups at j=1.0 with
+    // identical signatures, so this subsumes d8 up to the viral-bucket cap
+    // (capped buckets keep their members — LSH hygiene over completeness).
+    "d15_neardup_corpus" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val cl = Components.minLabel(neardupEdges(s, dir))
+        .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val losers = cl.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1)
+        .select("doc_id")
+      d.join(losers, Seq("doc_id"), "left_anti")
     },
 
     // MinHash estimation error — the third evaluator next to d9 (candidate
@@ -613,19 +660,22 @@ object Dedup {
     "d11_neardup_clusters" ->
       s"""WITH RECURSIVE $sigSqlCte,
          |$hashSetSqlCte,
-         |edges AS (
-         |  SELECT d1, d2 FROM (
-         |    SELECT d1, d2,
-         |      CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
-         |        / len(list_distinct(x.hs || y.hs)) AS j
-         |    FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id) t
-         |  WHERE j >= 0.5),
-         |und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
-         |reach(v, r) AS (
-         |  SELECT a, a FROM und
-         |  UNION
-         |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v)
-         |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin,
+         |$clusterSqlCtes
+         |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+
+    "d15_neardup_corpus" ->
+      s"""WITH RECURSIVE $sigSqlCte,
+         |$hashSetSqlCte,
+         |$clusterSqlCtes,
+         |losers AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |      row_number() OVER (PARTITION BY c.cluster_id
+         |                         ORDER BY d.n_chars DESC, c.doc_id) AS rk
+         |    FROM cl c JOIN documents d ON c.doc_id = d.doc_id) t
+         |  WHERE rk > 1)
+         |SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "d14_minhash_estimate" ->
       s"""WITH $sigSqlCte,
