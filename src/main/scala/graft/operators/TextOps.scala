@@ -48,6 +48,73 @@ object TextOps {
   private[operators] val qualityOkSql: String =
     "n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01"
 
+  /** PII patterns (t13), cross-engine-safe by construction: character
+    * classes and explicit repetition only — no shorthand classes (\d, \w
+    * differ in Unicode scope between Java regex and RE2), no backslash
+    * escapes ([.] instead of \.), no single quotes (patterns are inlined
+    * into SQL string literals on both sides). */
+  private[operators] val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+  private[operators] val phoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  private[operators] val idRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** PII detection + redaction over a (doc_id, text) frame — factored off
+    * the table loader so the spec can drive it with constructed strings
+    * (the synthetic corpus contains no PII; the gate run proves the
+    * plumbing, the spec proves the logic). Redaction order matters:
+    * emails first (their dotted local/domain parts could otherwise be
+    * half-eaten by the phone pattern), then the more specific 3-2-4 id
+    * shape, then phones. Narrow projection — zero shuffle. */
+  private[graft] def piiScrub(df: DataFrame): DataFrame = df
+    .withColumn("n_emails",
+      size(expr(s"regexp_extract_all(text, '$emailRe', 0)")).cast(LongType))
+    .withColumn("n_phones",
+      size(expr(s"regexp_extract_all(text, '$phoneRe', 0)")).cast(LongType))
+    .withColumn("n_ids",
+      size(expr(s"regexp_extract_all(text, '$idRe', 0)")).cast(LongType))
+    .withColumn("redacted",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          idRe, "<ID>"),
+        phoneRe, "<PHONE>"))
+
+  /** Gopher-style quality-rule columns (Rae et al. 2021, adapted to this
+    * corpus) over a (doc_id, text) frame. Every FLAG is integer-exact
+    * arithmetic (5·n_alpha >= 4·n_words, not a 0.8 double threshold):
+    * FP-boundary comparisons are not reliably bit-portable across engines,
+    * integer cross-multiplication is (the m5 quantizer lesson). The double
+    * ratio columns are informational, each a single division. */
+  private[graft] def withGopherCols(df: DataFrame): DataFrame = df
+    .withColumn("w", split(col("text"), " "))
+    .withColumn("n_words", size(col("w")).cast(LongType))
+    .withColumn("n_alpha",
+      size(expr("filter(w, x -> x rlike '^[a-zA-Z]+$')")).cast(LongType))
+    .withColumn("n_stop",
+      size(expr(s"filter(w, x -> x IN ($stopSqlList))")).cast(LongType))
+    .withColumn("n_types", size(array_distinct(col("w"))).cast(LongType))
+    .withColumn("nsp_chars",
+      length(regexp_replace(col("text"), " ", "")).cast(LongType))
+    .withColumn("avg_word_len",
+      col("nsp_chars").cast(DoubleType) / col("n_words"))
+    .withColumn("alpha_frac", col("n_alpha").cast(DoubleType) / col("n_words"))
+    .withColumn("rep_frac",
+      (col("n_words") - col("n_types")).cast(DoubleType) / col("n_words"))
+    .withColumn("ok_word_count",
+      when(col("n_words").between(50, 100000), 1L).otherwise(0L))
+    .withColumn("ok_word_len",
+      when(col("nsp_chars") >= col("n_words") * 3
+        && col("nsp_chars") <= col("n_words") * 10, 1L).otherwise(0L))
+    .withColumn("ok_alpha",
+      when(col("n_alpha") * 5 >= col("n_words") * 4, 1L).otherwise(0L))
+    .withColumn("ok_stop", when(col("n_stop") >= 2, 1L).otherwise(0L))
+    .withColumn("ok_repetition",
+      when((col("n_words") - col("n_types")) * 5 <= col("n_words") * 3, 1L)
+        .otherwise(0L))
+    .withColumn("gopher_ok",
+      when(col("ok_word_count") === 1 && col("ok_word_len") === 1
+        && col("ok_alpha") === 1 && col("ok_stop") === 1
+        && col("ok_repetition") === 1, 1L).otherwise(0L))
+
   /** One row per adjacent token pair: (doc_id, w1, w2). ONE definition
     * feeds both the t9 count table and the w3 LM table — the bigram
     * extraction must not drift between them (same reason withQualityCols
@@ -297,6 +364,31 @@ object TextOps {
       val thr = scored.agg(expr("percentile(score, 0.25D)").as("thr"))
       scored.crossJoin(broadcast(thr))
         .filter(col("score") >= col("thr"))
+    },
+
+    // Gopher-style rule filter — the multi-rule absolute quality bar
+    // (word-count window, mean word length, alpha fraction, stopword
+    // floor, repetition cap) every curation pipeline stacks in front of
+    // the learned bars (t11). Narrow projection, zero shuffle; flags are
+    // integer-exact (see withGopherCols).
+    "t12_gopher_rules" -> { (s, dir) =>
+      withGopherCols(docs(s, dir))
+        .select(col("doc_id"), col("n_words"), col("avg_word_len"),
+          col("alpha_frac"), col("rep_frac"), col("ok_word_count"),
+          col("ok_word_len"), col("ok_alpha"), col("ok_stop"),
+          col("ok_repetition"), col("gopher_ok"))
+    },
+
+    // PII scrub — detection counts + redacted text, the compliance pass a
+    // training pipeline runs before shipping a corpus. Zero shuffle; the
+    // regex work is per-row inside the scan stage. The synthetic corpus
+    // contains no PII (all counts 0, redacted == text) — the gate run
+    // proves the plumbing at scale, OperatorSpec proves the detection and
+    // redaction logic on constructed strings.
+    "t13_pii_scrub" -> { (s, dir) =>
+      piiScrub(docs(s, dir))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ids"), col("redacted"))
     }
   )
 
@@ -449,6 +541,43 @@ object TextOps {
          |          CAST(len(list_filter(w, x -> x IN ($stopSqlList))) AS BIGINT) AS n_stop
          |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u),
          |thr AS (SELECT quantile_cont(score, 0.25) AS thr FROM sc)
-         |SELECT doc_id, score, thr FROM sc, thr WHERE score >= thr""".stripMargin
+         |SELECT doc_id, score, thr FROM sc, thr WHERE score >= thr""".stripMargin,
+
+    "t12_gopher_rules" ->
+      s"""SELECT doc_id, n_words,
+         |  CAST(nsp_chars AS DOUBLE) / n_words AS avg_word_len,
+         |  CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+         |  CAST(n_words - n_types AS DOUBLE) / n_words AS rep_frac,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_word_count,
+         |  CAST(CASE WHEN nsp_chars >= n_words * 3 AND nsp_chars <= n_words * 10
+         |       THEN 1 ELSE 0 END AS BIGINT) AS ok_word_len,
+         |  CAST(CASE WHEN n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha,
+         |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+         |  CAST(CASE WHEN (n_words - n_types) * 5 <= n_words * 3 THEN 1 ELSE 0 END AS BIGINT) AS ok_repetition,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |        AND nsp_chars >= n_words * 3 AND nsp_chars <= n_words * 10
+         |        AND n_alpha * 5 >= n_words * 4
+         |        AND n_stop >= 2
+         |        AND (n_words - n_types) * 5 <= n_words * 3
+         |       THEN 1 ELSE 0 END AS BIGINT) AS gopher_ok
+         |FROM (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-zA-Z]+'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(w, x -> x IN ($stopSqlList))) AS BIGINT) AS n_stop,
+         |        CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+         |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS nsp_chars
+         |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t) u""".stripMargin,
+
+    "t13_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$idRe')) AS BIGINT) AS n_ids,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+         |      '$idRe', '<ID>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g') AS redacted
+         |FROM documents""".stripMargin
   )
 }

@@ -117,6 +117,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L))) // same-label near-parallel pair only
   }
 
+  test("t13 piiScrub detects and redacts emails, phones, and id numbers") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@example.co.uk or call 555-123-4567 now"),
+      (2L, "ssn 123-45-6789 next to phone 555 123 4567"),
+      (3L, "no pii here at all"),
+      (4L, "two mails a@b.com c@d.org one id 987-65-4321"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiScrub(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ids")), r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 == ((1L, 1L, 0L)))
+    assert(out(1L)._2 == "mail <EMAIL> or call <PHONE> now")
+    assert(out(2L)._1 == ((0L, 1L, 1L)))
+    assert(out(2L)._2 == "ssn <ID> next to phone <PHONE>")
+    assert(out(3L)._1 == ((0L, 0L, 0L)))
+    assert(out(3L)._2 == "no pii here at all")
+    assert(out(4L)._1 == ((2L, 0L, 1L)))
+    assert(out(4L)._2 == "two mails <EMAIL> <EMAIL> one id <ID>")
+  }
+
+  test("t12 gopher flags are integer-exact on boundary docs") {
+    import spark.implicits._
+    // 50 words, all alpha, all distinct-ish, enough stopwords: passes all;
+    // second doc: 10 words (fails word count), one repeated word 10x
+    // (fails repetition and stopword floor)
+    // 48 distinct 4-char alpha words + "the a": 50 words, avg len in
+    // [3,10], all-alpha, 2 stopwords, zero repetition
+    val good = (for { x <- 'a' to 'z'; y <- 'a' to 'z' } yield s"xy$x$y")
+      .take(48).mkString("the a ", " ", "")
+    val df = Seq((1L, good), (2L, Seq.fill(10)("zz").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.withGopherCols(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ok_word_count"), r.getAs[Long]("ok_stop"),
+          r.getAs[Long]("ok_repetition"), r.getAs[Long]("gopher_ok"))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1L)))
+    assert(out(2L) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("w1_wordcount matches a plain-Scala oracle on the fixture") {
     val counts = TextOps.defs("w1_wordcount")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
