@@ -67,6 +67,31 @@ object StreamingSessionize {
         (unix_millis(col("c_ts")) - unix_millis(col("v_ts"))).as("ms_gap"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — x3's join with the unmatched
+    * clicks kept. Outer results cannot stream eagerly: a click is only
+    * provably match-less once no future view can land in its 30-minute
+    * lookback, i.e. once the GLOBAL watermark (the min over both sides'
+    * watermark nodes — views and clicks track separate max event times)
+    * passes the click's timestamp; Spark then evicts the click's state and
+    * emits the null-extended row in a no-data microbatch. Clicks above the
+    * final watermark stay buffered forever on a finite replay — the oracle
+    * restates exactly that emission rule. */
+  def clickViewLeftJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    clicks.join(views,
+        expr("c_user = v_user AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"), col("view_id"),
+        (unix_millis(col("c_ts")) - unix_millis(col("v_ts"))).as("ms_gap"))
+  }
+
   /** Streaming stateful dedup: first-seen (user_id, event_type) keys via
     * `dropDuplicates` — the streaming twin of exact dedup (d1). State is one
     * entry per DISTINCT KEY (bounded by the key domain, not the stream
@@ -186,6 +211,14 @@ object StreamingSessionize {
       runToCompletion(s, dir, streamDedup, outputMode = "append", sinkName = "x4")
     },
 
+    // Left-outer stream-stream join: inner matches stream immediately;
+    // null-extended rows emit on state eviction as the watermark passes
+    // each unmatched click (see clickViewLeftJoin).
+    "x8_stream_left_join" -> { (s, dir) =>
+      runToCompletion(s, dir, clickViewLeftJoin, outputMode = "append",
+        sinkName = "x8")
+    },
+
     // Stream-static enrichment join — the stateless streaming pattern x1-x4
     // don't cover: each event microbatch joins a STATIC dimension (no
     // watermark, no join state; the dim is broadcast per batch). The
@@ -273,6 +306,25 @@ object StreamingSessionize {
 
     "x4_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // Inner matches = the batch join; null-extended rows = unmatched clicks
+    // STRICTLY below the final global watermark (min over the two sides'
+    // watermark nodes — views and clicks track separate max event times —
+    // minus the 1 h delay; eviction is strict like x6's timeout rule).
+    // Clicks at/above it are still buffered when the replay ends.
+    "x8_stream_left_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(epoch_ms(ts)) FROM v),
+        |                    (SELECT max(epoch_ms(ts)) FROM c)) - 3600000 AS w),
+        |j AS (
+        |  SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+        |    epoch_ms(c.ts) - epoch_ms(v.ts) AS ms_gap, epoch_ms(c.ts) AS c_ms
+        |  FROM c LEFT JOIN v
+        |    ON c.user_id = v.user_id AND c.ts >= v.ts
+        |   AND c.ts <= v.ts + INTERVAL '30 minutes')
+        |SELECT click_id, user_id, view_id, ms_gap
+        |FROM j, wm WHERE view_id IS NOT NULL OR c_ms < w""".stripMargin,
 
     "x5_stream_static_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment, value
