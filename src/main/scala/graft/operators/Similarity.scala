@@ -226,6 +226,22 @@ object Similarity {
       exact5.join(approx5, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
+    },
+
+    // Threshold-sweep curve — how many near-dup pairs survive at each
+    // candidate cosine threshold, from ONE pass over the s3 pair sims (the
+    // number you look at before committing a dedup threshold; re-running
+    // the pair join per candidate threshold would multiply the dominant
+    // join cost by the sweep size). The blocked pair join is the expensive
+    // stage; the 4x explode happens on its (much smaller) output.
+    "s8_threshold_sweep" -> { (s, dir) =>
+      val thresholds = Seq(0.3, 0.5, 0.7, 0.9)
+      defs("s3_embed_neardup")(s, dir)
+        .select(col("sim"),
+          explode(array(thresholds.map(lit): _*)).as("threshold"))
+        .groupBy("threshold")
+        .agg(sum(when(col("sim") > col("threshold"), 1L).otherwise(0L))
+          .cast(LongType).as("n_pairs"))
     }
   )
 
@@ -373,6 +389,21 @@ object Similarity {
          |FROM e5 LEFT JOIN a5
          |  ON e5.query_id = a5.query_id AND e5.neighbor_id = a5.neighbor_id
          |GROUP BY e5.query_id""".stripMargin
+    },
+
+    "s8_threshold_sweep" -> {
+      val dotU = "list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2]))"
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, label, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |p AS (SELECT $dotU AS sim
+         |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |      WHERE $dotU > 0.3),
+         |t AS (SELECT unnest([0.3::DOUBLE, 0.5::DOUBLE, 0.7::DOUBLE, 0.9::DOUBLE]) AS threshold)
+         |SELECT threshold,
+         |  CAST(sum(CASE WHEN sim > threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+         |FROM t CROSS JOIN p GROUP BY threshold""".stripMargin
     }
   )
 }

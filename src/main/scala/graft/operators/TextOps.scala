@@ -379,6 +379,52 @@ object TextOps {
           col("ok_repetition"), col("gopher_ok"))
     },
 
+    // Corpus mixture weights — the data-MIXING step after curation: per
+    // language, its token share and the sampling weight that would equalize
+    // shares (weight = T/(k·tokens), the uniform-target special case of
+    // target/actual reweighting). One partial+final hash aggregate over
+    // per-doc token counts; the k-row rollup joins back as a broadcast
+    // scalar. All integer arithmetic until one final division per column.
+    "t14_mixture_weights" -> { (s, dir) =>
+      val g = withQualityCols(docs(s, dir))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast(LongType).as("tokens"))
+      val tot = g.agg(sum("tokens").cast(LongType).as("t"),
+        count(lit(1)).as("k"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("tokens"),
+          (col("tokens").cast(DoubleType) / col("t")).as("token_share"),
+          (col("t").cast(DoubleType) / (col("k") * col("tokens"))).as("weight"))
+    },
+
+    // Bigram novelty scoring — the memorization-risk / fluency signal per
+    // document: what fraction of its bigram OCCURRENCES are unique in the
+    // corpus (novel), plus the average and minimum corpus frequency of its
+    // bigrams (low avg = novel or noisy, high avg = templated). d13 is the
+    // same diagnostic at shingle-set granularity; this one scores token
+    // transitions with multiplicity. One checkpointed tokenize pass feeds
+    // both the corpus counts and the join-back (the t8/d13 share-the-
+    // expensive-projection pattern); the count join adds one row per bigram
+    // occurrence — linear, never quadratic, in a viral bigram's frequency.
+    "w5_bigram_novelty" -> { (s, dir) =>
+      val bg = bigramPairs(docs(s, dir))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("bigram"))
+        .localCheckpoint()
+      val cnt = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast(LongType).as("n_novel"),
+          sum("cnt").cast(LongType).as("sum_freq"),
+          min("cnt").cast(LongType).as("min_bigram_freq"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+          (col("n_novel").cast(DoubleType) / col("n_bigrams")).as("novelty"),
+          (col("sum_freq").cast(DoubleType) / col("n_bigrams")).as("avg_bigram_freq"),
+          col("min_bigram_freq"))
+    },
+
     // PII scrub — detection counts + redacted text, the compliance pass a
     // training pipeline runs before shipping a corpus. Zero shuffle; the
     // regex work is per-row inside the scan stage. The synthetic corpus
@@ -567,6 +613,31 @@ object TextOps {
          |        CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
          |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS nsp_chars
          |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t) u""".stripMargin,
+
+    "t14_mixture_weights" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t, count(*) AS k FROM g)
+        |SELECT lang, n_docs, tokens,
+        |  CAST(tokens AS DOUBLE) / t AS token_share,
+        |  CAST(t AS DOUBLE) / (k * tokens) AS weight
+        |FROM g, tot""".stripMargin,
+
+    "w5_bigram_novelty" ->
+      """WITH b AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |       LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+        |  WHERE w[i] <> '' AND w[i+1] <> ''),
+        |c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty,
+        |  CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_bigram_freq,
+        |  CAST(min(cnt) AS BIGINT) AS min_bigram_freq
+        |FROM b JOIN c USING (bigram) GROUP BY doc_id""".stripMargin,
 
     "t13_pii_scrub" ->
       s"""SELECT doc_id,
