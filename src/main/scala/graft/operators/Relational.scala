@@ -465,6 +465,70 @@ object Relational {
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
           "metric", "val")
+    },
+
+    // Batch time-interval (range) join — the BINNED equi-join form of the
+    // range join x3 runs stream-stream: each click matched to the same
+    // user's views in the preceding 30 minutes. A raw theta join
+    // (`user AND range`) sort-merge-joins on user_id alone and applies the
+    // range as a post-join filter, so a power user's full click×view
+    // history crosses the join before any row is dropped. Binning both
+    // sides to 30-minute buckets turns the range into part of the JOIN KEY:
+    // a qualifying view can only sit in the click's bin or the one before,
+    // so the click side probes (bin, bin-1) — a fixed 2× fan-out — and the
+    // exact range predicate filters the residue. Per-key join cardinality
+    // is a user's 30-MINUTE activity, never their lifetime history; each
+    // matched pair is produced exactly once (a view has one bin, the probe
+    // bins are distinct). This is the generic recipe for any band/interval
+    // join Spark lacks a native operator for.
+    "q35_range_join" -> { (s, dir) =>
+      val binMs = 1800000L // = the interval width; wider bins trade probe
+                           // count for residual-filter selectivity
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ms").as("v_ms"), expr(s"ms div $binMs").as("bin"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ms").as("c_ms"),
+          explode(array(expr(s"ms div $binMs"), expr(s"ms div $binMs - 1")))
+            .as("bin"))
+      clicks.join(views, Seq("user_id", "bin"))
+        .filter(col("c_ms") >= col("v_ms") && col("c_ms") <= col("v_ms") + binMs)
+        .select(col("click_id"), col("user_id"), col("view_id"),
+          (col("c_ms") - col("v_ms")).as("ms_gap"))
+    },
+
+    // KMV (k-minimum-values) distinct sketch — the ENGINE-PORTABLE
+    // alternative to q23's opaque HLL: hash every key with md5, keep the k
+    // smallest hash values per group, estimate |distinct| = (k-1)/u_k where
+    // u_k is the k-th smallest hash normalized to [0,1) (Bar-Yossef et al.,
+    // "Counting distinct elements in a data stream"). Because the hash and
+    // the selection are deterministic, two engines agree BIT-FOR-BIT on the
+    // estimate — which is why this query is oracle-gated while q23 cannot
+    // be. Plan: two-phase distinct on (event_type, user_id) — the q9 shape,
+    // shuffle carries deduplicated pairs — then one ranked pass per group
+    // over ALREADY-DEDUPLICATED hashes (bounded by the group's distinct
+    // count, not the table). Rank ties on equal hv cannot change the value
+    // at rank k, so row_number over hv alone is deterministic here.
+    "q36_kmv_sketch" -> { (s, dir) =>
+      val k = 64
+      val h = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"),
+          graft.functions.HexPrefixToLong
+            .hex8(md5(col("user_id").cast(StringType))).as("hv"))
+      val w = Window.partitionBy("event_type").orderBy("hv")
+      h.withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_exact"),
+          max(when(col("rn") === k, col("hv"))).as("kth"))
+        .select(col("event_type"), col("n_exact"),
+          when(col("kth").isNotNull,
+            lit((k - 1).toDouble * 4294967296.0) / col("kth").cast(DoubleType))
+            .otherwise(col("n_exact").cast(DoubleType)).as("est_users"))
     }
   )
 
@@ -733,6 +797,35 @@ object Relational {
          |UNION ALL
          |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM a
          |UNION ALL
-         |SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS val FROM a""".stripMargin
+         |SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS val FROM a""".stripMargin,
+
+    // q35: the binning is invisible to the result — the oracle is the plain
+    // theta join (same SQL as the x3 stream-stream gate).
+    "q35_range_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+        |  epoch_ms(c.ts) - epoch_ms(v.ts) AS ms_gap
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'""".stripMargin,
+
+    // q36: the deterministic sketch replays exactly in any engine — same
+    // md5, same hex fold (Dedup's instr chain), same rank-k selection,
+    // same two exact double operands with one rounded division.
+    "q36_kmv_sketch" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type, $hexToInt AS hv
+         |      FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS m FROM d) t),
+         |r AS (SELECT event_type, hv,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+         |      FROM h)
+         |SELECT event_type, count(*) AS n_exact,
+         |  coalesce(63.0 * 4294967296.0 / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE),
+         |           CAST(count(*) AS DOUBLE)) AS est_users
+         |FROM r GROUP BY event_type""".stripMargin
+    }
   )
 }

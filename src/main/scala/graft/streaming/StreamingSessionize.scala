@@ -268,6 +268,25 @@ object StreamingSessionize {
           .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
             .as("hour_ts"), col("n_users")),
         outputMode = "append", sinkName = "x7")
+    },
+
+    // Sliding-window aggregate — the overlapping-window form x2's tumbling
+    // rollup doesn't cover: every event lands in window/slide = 6 windows
+    // (60 min length, 10 min slide, epoch-aligned starts). Spark expands
+    // each row to its 6 window assignments BEFORE the shuffle and partial-
+    // aggregates per (window) inside the map side, so the shuffle carries
+    // per-window partials, not the 6× row expansion. Append mode: a window
+    // emits once the watermark passes its end; on a finite replay that is
+    // every window with end <= max(ts) - 1 h (the oracle's cutoff clause,
+    // x7's rule).
+    "x9_stream_sliding" -> { (s, dir) =>
+      runToCompletion(s, dir, ev =>
+        ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "60 minutes", "10 minutes"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("w_start"), col("n_events"), col("sum_value")),
+        outputMode = "append", sinkName = "x9")
     }
   )
 
@@ -367,6 +386,22 @@ object StreamingSessionize {
         |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_users
         |FROM agg, wm
-        |WHERE epoch_ms(h) + 3600000 <= w""".stripMargin
+        |WHERE epoch_ms(h) + 3600000 <= w""".stripMargin,
+
+    // Each event belongs to the 6 epoch-aligned 10-min slots covering it
+    // (slot = window start / 600000); emission cutoff as in x7.
+    "x9_stream_sliding" ->
+      s"""WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events),
+         |s AS (SELECT ms, value,
+         |        unnest(generate_series(ms // 600000 - 5, ms // 600000)) AS slot
+         |      FROM e),
+         |agg AS (SELECT slot, count(*) AS n_events,
+         |          ${dsumSql("value", 6)} AS sum_value
+         |        FROM s GROUP BY slot),
+         |wm AS (SELECT max(ms) - 3600000 AS w FROM e)
+         |SELECT strftime(make_timestamp(slot * 600000000), '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  n_events, sum_value
+         |FROM agg, wm
+         |WHERE slot * 600000 + 3600000 <= w""".stripMargin
   )
 }

@@ -39,4 +39,21 @@ class ApproxSpec extends AnyFunSuite {
       assert(nEvents == n)
     }
   }
+
+  test("q36: KMV estimate within 10% of exact on the sketch path (sf0.01)") {
+    // sf0.001 has 15 users/type — under k=64 q36 degenerates to the exact
+    // path; sf0.01 (150 users) exercises the real (k-1)/u_k estimator. The
+    // hash family is fixed, so this is a deterministic single draw: 3.4%
+    // here (stderr for k=64 is 1/sqrt(k-2) ~= 12.7%; the bound pins THIS
+    // family's draw, not a probabilistic contract).
+    val rows = Relational.defs("q36_kmv_sketch")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (et, nExact, est) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(nExact > 64, s"$et: expected the sketch path, n_exact=$nExact")
+      assert(math.abs(est - nExact) / nExact <= 0.10,
+        s"$et: KMV est $est vs exact $nExact")
+    }
+  }
 }

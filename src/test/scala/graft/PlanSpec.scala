@@ -67,6 +67,13 @@ class PlanSpec extends AnyFunSuite {
     assert(s2.contains("BroadcastHashJoin") || s2.contains("SortMergeJoin"), s2)
   }
 
+  test("q35 binned range join is an equi-join, never a nested loop") {
+    val p = plan(Relational.defs("q35_range_join")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("s1 brute-force knn broadcasts the query side against one corpus scan") {
     val p = plan(Similarity.defs("s1_knn_brute")(spark, dir))
     assert(p.contains("BroadcastExchange"), p)
