@@ -242,6 +242,76 @@ object Similarity {
         .groupBy("threshold")
         .agg(sum(when(col("sim") > col("threshold"), 1L).otherwise(0L))
           .cast(LongType).as("n_pairs"))
+    },
+
+    // Product-quantization ANN with asymmetric distance computation (ADC;
+    // Jégou et al., "Product Quantization for Nearest Neighbor Search") —
+    // the COMPRESSION scale path next to bucketing (s2) and coarse
+    // quantization (s5): split each unit vector into M=4 16-dim subvectors,
+    // encode each against K=8 per-subspace centroids (L2 argmin, same seed
+    // vectors as s5's codebook), and score candidates WITHOUT touching the
+    // original vectors — approx cosine = Σ_m LUT(m, code_m), where the LUT
+    // holds each query-subvector × centroid dot product. The corpus a scan
+    // reads shrinks from 64 floats to M single-byte codes per vector
+    // (64×: the difference between a 100 TB and a 1.6 TB ANN scan); the
+    // M×K LUT (32 rows/query) is broadcast. All folds are the native
+    // sequential DotProduct, the per-pair Σ_m is four fixed-order adds
+    // (pivot by m, never a float groupBy-sum), so codes and scores replay
+    // bit-identically in the oracle.
+    "s9_pq_ann" -> { (s, dir) =>
+      val (nSub, subDim) = (4, 16)
+      val n = emb(s, dir)
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      val sub = (0 until nSub).map(m =>
+        struct(lit(m).as("m"), slice(col("u"), m * subDim + 1, subDim).as("su")))
+      val cent = n.filter(col("vec_id").between(100, 107))
+        .select((col("vec_id") - 100).as("cid"), explode(array(sub: _*)).as("e"))
+        .select(col("cid"), col("e.m").as("m"), col("e.su").as("cu"))
+      val l2 = dot(col("su"), col("su")) - lit(2.0) * dot(col("su"), col("cu")) +
+        dot(col("cu"), col("cu"))
+      val wCode = Window.partitionBy("vec_id", "m").orderBy(col("l2"), col("cid"))
+      val codes = n.select(col("vec_id"), explode(array(sub: _*)).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.su").as("su"))
+        .join(broadcast(cent), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cid"), l2.as("l2"))
+        .withColumn("crk", row_number().over(wCode))
+        .filter(col("crk") === 1)
+        .select("vec_id", "m", "cid")
+      val lut = n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), explode(array(sub: _*)).as("e"))
+        .select(col("query_id"), col("e.m").as("m"), col("e.su").as("qsu"))
+        .join(broadcast(cent), Seq("m"))
+        .select(col("query_id"), col("m"), col("cid"),
+          dot(col("qsu"), col("cu")).as("pdot"))
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("approx_sim").desc, col("neighbor_id"))
+      val ps = (0 until nSub).map(m =>
+        max(when(col("m") === m, col("pdot"))).as(s"p$m"))
+      codes.join(broadcast(lut), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(ps.head, ps.tail: _*)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (col("p0") + col("p1") + col("p2") + col("p3")).as("approx_sim"))
+        .withColumn("rnk", row_number().over(wTop).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "approx_sim")
+    },
+
+    // PQ recall@5 vs the exact baseline — the same evaluation loop as s4
+    // (hyperplane LSH) and s7 (IVF), closing the measurement triangle over
+    // all three ANN scale paths: compression loss (how much the 4-byte code
+    // approximation of a 64-dim dot product costs in neighbor quality) is a
+    // number, not a guess, before anyone trusts s9's codes at scale.
+    "s10_pq_recall" -> { (s, dir) =>
+      val exact5 = defs("s1_knn_brute")(s, dir)
+        .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
+      val approx5 = defs("s9_pq_ann")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact5.join(approx5, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
     }
   )
 
@@ -404,6 +474,63 @@ object Similarity {
          |SELECT threshold,
          |  CAST(sum(CASE WHEN sim > threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
          |FROM t CROSS JOIN p GROUP BY threshold""".stripMargin
-    }
+    },
+
+    // s9: same codebook seeds, same three-dot L2 identity, same sequential
+    // folds, same fixed-order four-term Σ_m — codes and scores replay
+    // bit-for-bit.
+    "s9_pq_ann" ->
+      s"""WITH $pqCtes
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, approx_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY approx_sim DESC, neighbor_id) AS rnk FROM p) r
+         |WHERE rnk <= 5""".stripMargin,
+
+    "s10_pq_recall" ->
+      s"""WITH $pqCtes,
+         |q1 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |p1 AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |       FROM e CROSS JOIN q1 WHERE vec_id <> query_id),
+         |e5 AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |         FROM p1) r WHERE rnk <= 5),
+         |a5 AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY approx_sim DESC, neighbor_id) AS rnk FROM p) r WHERE rnk <= 5)
+         |SELECT e5.query_id, sum(coalesce(a5.hit, 0)) / 5.0 AS recall_at_5
+         |FROM e5 LEFT JOIN a5
+         |  ON e5.query_id = a5.query_id AND e5.neighbor_id = a5.neighbor_id
+         |GROUP BY e5.query_id""".stripMargin
   )
+
+  /** Shared oracle-side PQ pipeline (s9/s10): subspace split → codebook →
+    * L2-argmin codes → query LUT → fixed-order ADC scores. */
+  private lazy val pqCtes: String = {
+    def d(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+    val pCols = (0 until 4).map(m =>
+      s"max(CASE WHEN codes.m = $m THEN pdot END) AS p$m").mkString(",\n        ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+       |      FROM (SELECT vec_id, v,
+       |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+       |sub AS (SELECT vec_id, m, list_slice(u, m*16+1, m*16+16) AS su
+       |        FROM n CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) ms),
+       |cent AS (SELECT vec_id - 100 AS cid, m, su AS cu
+       |         FROM sub WHERE vec_id BETWEEN 100 AND 107),
+       |codes AS (SELECT vec_id, m, cid FROM (
+       |    SELECT sub.vec_id, sub.m, cent.cid,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |        ORDER BY ${d("su", "su")} - 2.0 * ${d("su", "cu")} + ${d("cu", "cu")},
+       |                 cent.cid) AS crk
+       |    FROM sub JOIN cent ON sub.m = cent.m) t WHERE crk = 1),
+       |lut AS (SELECT q.vec_id AS query_id, q.m, cent.cid, ${d("q.su", "cent.cu")} AS pdot
+       |        FROM sub q JOIN cent ON q.m = cent.m WHERE q.vec_id < 5),
+       |g AS (SELECT query_id, codes.vec_id AS neighbor_id,
+       |        $pCols
+       |      FROM codes JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
+       |      WHERE codes.vec_id <> lut.query_id
+       |      GROUP BY query_id, codes.vec_id),
+       |p AS (SELECT query_id, neighbor_id, p0 + p1 + p2 + p3 AS approx_sim FROM g)""".stripMargin
+  }
 }
