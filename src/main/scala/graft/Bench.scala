@@ -50,7 +50,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .collect { case (id, r) if !preexisting.contains(id) => r }
         .foreach(_.unpersist(blocking = true))
+    // SPARK_GRAFT_ONLY=q17_json_extract,q15_events_hourly reruns a subset in
+    // isolation — the way to tell a real regression from shared-JVM
+    // accumulation (93 queries in one JVM: code cache, broadcast/temp-sink
+    // debris) without paying the full-suite wall clock per hypothesis.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>

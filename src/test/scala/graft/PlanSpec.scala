@@ -67,6 +67,19 @@ class PlanSpec extends AnyFunSuite {
     assert(s2.contains("BroadcastHashJoin") || s2.contains("SortMergeJoin"), s2)
   }
 
+  test("top-k-per-group windows get the rank-limit pushdown (WindowGroupLimit)") {
+    // q7 is deliberately absent: its rank filter sits above a SECOND window
+    // (the running spend over all of the customer's rows), so pushing a
+    // group limit below it would be semantically wrong and Catalyst
+    // correctly leaves it alone.
+    Seq(Similarity.defs("s1_knn_brute"), Similarity.defs("s9_pq_ann"),
+      TextOps.defs("t8_tfidf"))
+      .foreach { q =>
+        val p = plan(q(spark, dir))
+        assert(p.contains("WindowGroupLimit"), p)
+      }
+  }
+
   test("q35 binned range join is an equi-join, never a nested loop") {
     val p = plan(Relational.defs("q35_range_join")(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
