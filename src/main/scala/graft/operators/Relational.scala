@@ -509,25 +509,28 @@ object Relational {
     // the selection are deterministic, two engines agree BIT-FOR-BIT on the
     // estimate — which is why this query is oracle-gated while q23 cannot
     // be. Plan: two-phase distinct on (event_type, user_id) — the q9 shape,
-    // shuffle carries deduplicated pairs — then one ranked pass per group
-    // over ALREADY-DEDUPLICATED hashes (bounded by the group's distinct
-    // count, not the table). Rank ties on equal hv cannot change the value
-    // at rank k, so row_number over hv alone is deterministic here.
+    // shuffle carries deduplicated pairs — then the custom MERGEABLE
+    // bottom-k aggregate (functions/BottomKAgg, the typed-Aggregator
+    // extension point): partial aggregation reduces each map-side partition
+    // to <= k longs per group BEFORE the shuffle, where the rank-window
+    // form would shuffle the group's whole distinct hash set to one
+    // partition and sort it to find 64 values. The multiset's k smallest
+    // is merge-order independent, so the result — and the DuckDB oracle,
+    // which spells it as the rank window — is unchanged.
     "q36_kmv_sketch" -> { (s, dir) =>
       val k = 64
-      val h = t(s, dir, "events")
+      val bottomK = udaf(new graft.functions.BottomKAgg(k))
+      t(s, dir, "events")
         .select(col("event_type"), col("user_id")).distinct()
         .select(col("event_type"),
           graft.functions.HexPrefixToLong
             .hex8(md5(col("user_id").cast(StringType))).as("hv"))
-      val w = Window.partitionBy("event_type").orderBy("hv")
-      h.withColumn("rn", row_number().over(w))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_exact"),
-          max(when(col("rn") === k, col("hv"))).as("kth"))
+        .agg(count(lit(1)).as("n_exact"), bottomK(col("hv")).as("bot"))
         .select(col("event_type"), col("n_exact"),
-          when(col("kth").isNotNull,
-            lit((k - 1).toDouble * 4294967296.0) / col("kth").cast(DoubleType))
+          when(size(col("bot")) === k,
+            lit((k - 1).toDouble * 4294967296.0) /
+              element_at(col("bot"), k).cast(DoubleType))
             .otherwise(col("n_exact").cast(DoubleType)).as("est_users"))
     }
   )
