@@ -554,6 +554,40 @@ object Dedup {
             .as("n_dup_shingles"))
         .withColumn("dup_frac",
           col("n_dup_shingles").cast(DoubleType) / col("n_shingles"))
+    },
+
+    // Source-level overlap via MERGEABLE MinHash sketches — the property
+    // that makes sketches 100 TB-viable: min is associative, so the
+    // elementwise min of any partition's signatures IS the signature of
+    // that partition's shingle UNION, and partial+final min aggregation
+    // combines partition sketches without ever re-scanning text. Per
+    // source: one 16-component sketch of its whole shingle universe (one
+    // hash-agg over the postings, the d13 explode). Then every source PAIR
+    // is compared on the 20-row sketch table — estimated Jaccard between
+    // two sources' full shingle sets from 2×16 longs, where the exact
+    // answer would join their complete postings. The corpus-curation use:
+    // which sources are near-copies of each other (mirrors, scrapes of the
+    // same site) before mixing weights (t14) are assigned.
+    "d16_source_overlap" -> { (s, dir) =>
+      val hv = docs(s, dir)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .select(col("source"), explode(hvOf(shinglesOf(col("w")))).as("h"))
+      val sketchCols = (0 until numHashes).map { j =>
+        min(expr(s"(${hashA(j)} * h + ${hashB(j)}) % $P")).as(s"s$j")
+      }
+      val sk = hv.groupBy("source").agg(sketchCols.head, sketchCols.tail: _*)
+      val left = sk.select(col("source").as("src1") +:
+        (0 until numHashes).map(j => col(s"s$j").as(s"a$j")): _*)
+      val right = sk.select(col("source").as("src2") +:
+        (0 until numHashes).map(j => col(s"s$j").as(s"b$j")): _*)
+      val nAgree = (0 until numHashes)
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      left.crossJoin(broadcast(right))
+        .filter(col("src1") < col("src2"))
+        .select(col("src1"), col("src2"), nAgree.cast(LongType).as("n_agree"))
+        .withColumn("est_jaccard",
+          col("n_agree").cast(DoubleType) / numHashes)
     }
   )
 
@@ -704,6 +738,32 @@ object Dedup {
          |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*) AS dup_frac
          |FROM post p JOIN df ON p.h = df.h
-         |GROUP BY p.doc_id""".stripMargin
+         |GROUP BY p.doc_id""".stripMargin,
+
+    // d16: same shingle → md5 → affine-min pipeline keyed by source, same
+    // component-agreement count, so the sketches replay bit-for-bit.
+    "d16_source_overlap" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      val sketchExprs = (0 until numHashes).map(j =>
+        s"min((${hashA(j)} * hv + ${hashB(j)}) % $P) AS s$j").mkString(",\n    ")
+      val agree = (0 until numHashes).map(j =>
+        s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |shl AS (SELECT source,
+         |          unnest(list_transform(generate_series(1, len(w)-2),
+         |                                i -> array_to_string(w[i:i+2], ' '))) AS x
+         |        FROM t),
+         |h AS (SELECT source, $hexToInt AS hv
+         |      FROM (SELECT source, md5(x) AS m FROM shl) z),
+         |sk AS (SELECT source,
+         |    $sketchExprs
+         |  FROM h GROUP BY source)
+         |SELECT a.source AS src1, b.source AS src2,
+         |  CAST($agree AS BIGINT) AS n_agree,
+         |  CAST($agree AS DOUBLE) / $numHashes AS est_jaccard
+         |FROM sk a JOIN sk b ON a.source < b.source""".stripMargin
+    }
   )
 }
