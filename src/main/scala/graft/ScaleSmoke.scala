@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Forward-scaling smoke: replicate the documents corpus N× and time the
+  * document-table queries on it — the "would this hold at 10×/100× the
+  * data" question answered by measurement instead of plan-reading.
+  *
+  * Replication is VOLUME-pure: every replica's tokens are prefixed with a
+  * replica tag (`r3_word`), so all shingles/fingerprints/tokens differ
+  * across replicas — no cross-replica duplicate or near-dup structure is
+  * created, each replica carries exactly the original corpus's dup
+  * structure, and the workload is the original difficulty at N× the rows.
+  * (Identical-text replication is the OTHER experiment — the viral-bucket
+  * stress — and lives in DedupScaleSpec.) `doc_id`s are re-keyed
+  * `id·N + replica` to stay unique; `n_chars` is recomputed to keep the
+  * `length(text)` invariant the quality queries rely on.
+  *
+  * Usage: runMain graft.ScaleSmoke [baseSfDir] [factor] [q1,q2,...]
+  * Prints one JSON line per the Bench format (median of 3 timed runs
+  * after a warm-up, noop-write forcing). Only documents-backed queries are
+  * valid — the replicated dir contains only documents.parquet.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val names = (if (args.length > 2) args(2) else
+      "d1_exact_dedup,d2_minhash_sig,d3_lsh_pairs,d4_jaccard_pairs,d13_dup_shingles,t8_tfidf,w1_wordcount")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = s"/tmp/graft-scale-$factor"
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until factor).map { i =>
+      docs.withColumn("doc_id", col("doc_id") * factor + i)
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def force(name: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    def clearBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs
+        .collect { case (id, r) if !preexisting.contains(id) => r }
+        .foreach(_.unpersist(blocking = true))
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    names.foreach { name =>
+      force(name); clearBlocks()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        force(name)
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearBlocks()
+        dt
+      }.sorted
+      timings(name) = ts(1)
+    }
+    val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","factor":$factor,"base":"$base","queries":$qs}""")
+    spark.stop()
+  }
+}
