@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleSmoke [baseSfDir] [factor] [q1,q2,...]
   * Prints one JSON line per the Bench format (median of 3 timed runs
-  * after a warm-up, noop-write forcing). Only documents-backed queries are
-  * valid — the replicated dir contains only documents.parquet.
+  * after a warm-up, noop-write forcing). Only documents- and
+  * embeddings-backed queries are valid — the replicated dir contains only
+  * those two tables. For embeddings, corpus-wide queries (s3 near-dup, s6
+  * components) are the meaningful targets; the fixed `vec_id < 5` query
+  * sets of s1/s2/s5/s9 change meaning under re-keying.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -49,6 +52,17 @@ object ScaleSmoke {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: volume-pure means re-keying the LABEL too — with shared
+    // labels, replicas land in the same blocking group and the s3 pair join
+    // grows by factor² instead of factor. Re-keyed, group sizes (and the
+    // near-dup structure inside each) are the original's, at factor× the
+    // group count; vectors themselves are unchanged.
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until factor).map { i =>
+      emb.withColumn("vec_id", col("vec_id") * factor + i)
+        .withColumn("label", col("label") * factor + i)
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, dir)
