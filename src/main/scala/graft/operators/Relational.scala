@@ -532,8 +532,71 @@ object Relational {
             lit((k - 1).toDouble * 4294967296.0) /
               element_at(col("bot"), k).cast(DoubleType))
             .otherwise(col("n_exact").cast(DoubleType)).as("est_users"))
+    },
+
+    // Runtime Bloom-filter semi-join reduction — the missing piece between
+    // "broadcast the small side" (impossible when the build side is merely
+    // SMALLER, not SMALL) and "shuffle both sides" (pays full freight for
+    // fact rows that can never match). The filtered orders' KEY SET is
+    // OR-folded into a 64 Kbit bitset by the mergeable BloomAgg (partial
+    // aggregation ships one 1024-word array per map partition, never the
+    // keys), the single-row bitset is BROADCAST into the lineitem scan, and
+    // k=3 double-hashed probes (Kirsch-Mitzenstein: bit_i = h1 + i*h2 mod m)
+    // drop non-matching fact rows BEFORE the join shuffle. False positives
+    // survive the probe but die in the residual equi-join, so the result is
+    // EXACT — the oracle is the plain join — while the shuffle carries only
+    // matching-or-FP rows. At 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~selectivity
+    // fraction that can match (Spark's own runtime row-group filters apply
+    // below the exchange; this is the same idea as an explicit, pinnable
+    // operator). No-false-negatives and partition-order-independent merge
+    // are pinned by BloomSpec.
+    "q37_bloom_join" -> { (s, dir) =>
+      val bits = 1 << 16
+      val k = 3
+      val bloomAgg = udaf(new graft.functions.BloomAgg(bits, k))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-06-01").cast(TimestampType))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bloom = o
+        .select(bloomPacked(col("o_orderkey")).as("pk"))
+        .agg(bloomAgg(col("pk")).as("bf"))
+      val probeCond = (0 until k).map { i =>
+        expr(s"""(shiftright(element_at(bf,
+                 |    CAST(((ph1 + $i * ph2) % $bits) div 64 AS INT) + 1),
+                 |  CAST(((ph1 + $i * ph2) % $bits) % 64 AS INT)) & 1) = 1"""
+          .stripMargin)
+      }.reduce(_ && _)
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      bloomProbe(l, col("l_orderkey"), bloom)
+        .filter(probeCond)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
     }
   )
+
+  /** One md5 of the key → two independent 32-bit hashes packed as
+    * `(h1 << 32) | h2` (hex chars 1-8 and 9-16 of the digest) — the input
+    * contract of [[graft.functions.BloomAgg]] and of the probe side, so
+    * build and probe positions agree by construction. */
+  private def bloomPacked(key: Column): Column = {
+    val m = md5(key.cast(StringType))
+    shiftleft(graft.functions.HexPrefixToLong.hex8(m), 32)
+      .bitwiseOR(graft.functions.HexPrefixToLong.hex8(substring(m, 9, 8)))
+  }
+
+  /** Attach the broadcast single-row bloom bitset plus the probe hashes
+    * (`bf`, `ph1`, `ph2`) to the fact side. */
+  private def bloomProbe(fact: DataFrame, key: Column, bloom: DataFrame): DataFrame = {
+    val m = md5(key.cast(StringType))
+    fact.crossJoin(broadcast(bloom))
+      .withColumn("ph1", graft.functions.HexPrefixToLong.hex8(m))
+      .withColumn("ph2", graft.functions.HexPrefixToLong.hex8(substring(m, 9, 8)))
+  }
 
   /** Shared verbatim between spark.sql and the DuckDB oracle. */
   private val groupingSetsSql: String =
@@ -829,6 +892,16 @@ object Relational {
          |  coalesce(63.0 * 4294967296.0 / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE),
          |           CAST(count(*) AS DOUBLE)) AS est_users
          |FROM r GROUP BY event_type""".stripMargin
-    }
+    },
+
+    // The bloom probe is pure pruning: the residual join makes the result
+    // exactly the plain join's, which is what the oracle spells.
+    "q37_bloom_join" ->
+      s"""SELECT o_orderpriority,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+         |GROUP BY o_orderpriority""".stripMargin
   )
 }
