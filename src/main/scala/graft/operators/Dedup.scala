@@ -588,6 +588,55 @@ object Dedup {
         .select(col("src1"), col("src2"), nAgree.cast(LongType).as("n_agree"))
         .withColumn("est_jaccard",
           col("n_agree").cast(DoubleType) / numHashes)
+    },
+
+    // Content-defined chunking — the SCALABLE path to substring-level exact
+    // dedup ("Deduplicating Training Data Makes Language Models Better"
+    // finds duplicated SPANS, not just duplicated documents; its
+    // suffix-array build is inherently sequential, while CDC is one
+    // map-side pass). A chunk boundary falls after any token whose md5 hash
+    // ≡ 0 (mod 8) — a function of CONTENT ONLY, so an insertion early in a
+    // document shifts chunk ids but not chunk CONTENTS: the same boilerplate
+    // paragraph chunks identically wherever it appears (the property
+    // fixed-width chunking lacks, and the reason rsync/LBFS/dedup storage
+    // all use CDC). Expected chunk length 8 tokens. Pipeline: tokenize with
+    // positions → running cut-count window (one shuffle on doc_id; the
+    // groupBy reuses the window's partitioning — doc_id partitioning
+    // satisfies the (doc_id, chunk_id) clustering, no second exchange) →
+    // chunk fingerprints, checkpointed so the chunking pass runs ONCE →
+    // chunk-level document frequency → join df back → per-doc duplication
+    // rollup. Every shuffle is equi-keyed; a viral boilerplate chunk costs
+    // its occurrence count, never its square (d13's discipline at chunk
+    // granularity).
+    "d17_cdc_chunks" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+        .withColumn("cut",
+          when(graft.functions.Md5Hash32.hash32(col("w")) % 8 === 0, 1L)
+            .otherwise(0L))
+      val preceding = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ck = tok
+        .withColumn("chunk_id", coalesce(sum("cut").over(preceding), lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")))).as("cfp"))
+        .localCheckpoint()
+      val df = ck.groupBy("cfp").agg(countDistinct("doc_id").as("cdf"))
+      ck.join(df, "cfp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("cdf") >= 2, 1L).otherwise(0L)).cast(LongType)
+            .as("n_dup_chunks"),
+          sum(col("n_tokens")).cast(LongType).as("total_tokens"),
+          sum(when(col("cdf") >= 2, col("n_tokens")).otherwise(0L))
+            .cast(LongType).as("dup_tokens"))
+        .withColumn("dup_frac",
+          col("dup_tokens").cast(DoubleType) / col("total_tokens"))
     }
   )
 
@@ -764,6 +813,36 @@ object Dedup {
          |  CAST($agree AS BIGINT) AS n_agree,
          |  CAST($agree AS DOUBLE) / $numHashes AS est_jaccard
          |FROM sk a JOIN sk b ON a.source < b.source""".stripMargin
-    }
+    },
+
+    // The cut decision needs only hash % 8, and 16^k ≡ 0 (mod 8) for k ≥ 1,
+    // so the 32-bit hash mod 8 equals its LAST hex digit (digit 8) mod 8 —
+    // one instr, not the 8-term chain.
+    "d17_cdc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS pos, w[i] AS w,
+        |    CASE WHEN (instr('0123456789abcdef', substr(md5(w[i]), 8, 1)) - 1) % 8 = 0
+        |         THEN 1 ELSE 0 END AS cut
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |       LATERAL unnest(generate_series(1, len(w))) AS u(i)
+        |  WHERE w[i] <> ''),
+        |ch AS (
+        |  SELECT doc_id, pos, w,
+        |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM tok),
+        |ck AS (
+        |  SELECT doc_id, chunk_id, count(*) AS n_tokens,
+        |    md5(string_agg(w, ' ' ORDER BY pos)) AS cfp
+        |  FROM ch GROUP BY doc_id, chunk_id),
+        |df AS (SELECT cfp, count(DISTINCT doc_id) AS cdf FROM ck GROUP BY cfp)
+        |SELECT ck.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN cdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN cdf >= 2 THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens,
+        |  CAST(sum(CASE WHEN cdf >= 2 THEN n_tokens ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n_tokens) AS DOUBLE) AS dup_frac
+        |FROM ck JOIN df USING (cfp)
+        |GROUP BY ck.doc_id""".stripMargin
   )
 }

@@ -150,4 +150,59 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(r.getLong(1) == 1L)
     assert(math.abs(r.getDouble(2) - 1.0 / nTruth) < 1e-12)
   }
+
+  test("d17's final plan re-derives nothing from documents (one checkpointed scan)") {
+    // the chunking pass (tokenize → window → chunk fingerprints) runs once
+    // inside the localCheckpoint; both the df rollup and the join-back must
+    // consume those blocks
+    val p = Dedup.defs("d17_cdc_chunks")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"d17 must derive all branches from the checkpointed chunks ($scans scans)\n$p")
+  }
+
+  test("d17 chunk boundaries are content-defined: a prefix insertion preserves downstream chunks") {
+    // the CDC property fixed-width chunking lacks: inserting text EARLY in a
+    // document must not re-align every later chunk. Build doc A = T and
+    // doc B = P + T where P's last token is a cut token (hash % 8 == 0) —
+    // then T chunks identically inside both docs, so EVERY chunk of A is
+    // duplicated in B: dup_frac(A) == 1.0.
+    import org.apache.spark.unsafe.types.UTF8String
+    val cutTok = (1 to 10000).map(i => s"w$i")
+      .find(w => graft.functions.Md5Hash32.hash32(UTF8String.fromString(w)) % 8 == 0)
+      .get
+    val t = (1 to 40).map(i => s"body$i").mkString(" ")
+    val prefix = s"inserted preamble tokens $cutTok"
+    val d = Files.createTempDirectory("graft-cdc").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(Row(1L, t, "en", "s", t.length.toLong),
+      Row(2L, s"$prefix $t", "en", "s", (prefix.length + 1 + t.length).toLong))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.defs("d17_cdc_chunks")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(got(1L) == 1.0,
+      s"every chunk of the un-prefixed doc must recur in the prefixed doc: $got")
+  }
+
+  test("d17's chunking pipeline shuffles ONCE: the groupBy reuses the window's doc_id partitioning") {
+    // HashPartitioning(doc_id) satisfies the (doc_id, chunk_id) clustering,
+    // so tokenize → running-cut window → per-chunk aggregate is one exchange
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("cut", when(graft.functions.Md5Hash32.hash32(col("w")) % 8 === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum("cut").over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_id").agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"chunking must shuffle exactly once, got $exchanges\n$p")
+  }
 }
