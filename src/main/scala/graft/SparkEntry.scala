@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TypedAggs
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Graph, Multimodal, Relational, Similarity, TextOps}
 import graft.streaming.StreamingSessionize
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,12 +23,13 @@ object SparkEntry {
     * d (dedup), s (similarity), m (multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs ++
-      Multimodal.defs ++ StreamingSessionize.defs ++ TypedAggs.defs
+      Multimodal.defs ++ StreamingSessionize.defs ++ TypedAggs.defs ++
+      Graph.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ StreamingSessionize.oracles ++
-      TypedAggs.oracles
+      TypedAggs.oracles ++ Graph.oracles
 }

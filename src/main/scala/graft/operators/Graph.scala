@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over relationally-derived graphs.
+  *
+  * The reference engine has no graph surface (SURVEY.md §2.2); this pack is a
+  * §7 extension alongside the connected-components operator that Dedup's
+  * d11/s6 embed (operators/Components.scala). The graph here is the co-order
+  * ("market-basket") graph: parts are vertices, and an edge joins two parts
+  * that appear together in >= 2 orders (the support floor keeps the long tail
+  * of one-off co-occurrences out, t9/w4 discipline).
+  *
+  * Scale posture (100 TB): triangle counting is the classic quadratic-blowup
+  * trap — enumerating every vertex's neighborhood² explodes on hubs. The
+  * degree-orientation algorithm (Cohen's MapReduce triangle counting;
+  * Suri-Vassilvitskii) bounds it: orient every edge from the (degree, id)-
+  * smaller endpoint to the larger, so every vertex's OUT-degree is O(√m),
+  * wedges are built only from out-neighbor pairs (≤ C(out-deg, 2) per
+  * vertex — a hub with a million neighbors but low out-degree generates
+  * almost none), and each triangle is counted exactly once, at its
+  * smallest-degree corner. Both joins are equi-keyed (wedge build on the
+  * center u; closure on the (x, y) edge key) — never a cross join, never an
+  * unbounded neighborhood expansion.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, Q] = Map(
+    // Global triangle census of the co-order graph: nodes, edges, wedges
+    // (open or closed two-paths in orientation order), triangles, and the
+    // closed-wedge fraction. Plan: per-order distinct (order, part) pairs
+    // self-join WITHIN the order (bounded by C(items-per-order, 2) — TPC-H
+    // orders hold ~4 items) → support-filtered edge list, checkpointed
+    // (three consumers) → degree table → oriented edges carrying both
+    // endpoint degrees, checkpointed (wedge self-join + closure probe) →
+    // wedge equi-join on the center vertex → closure equi-join on the
+    // wedge's far pair. The exact integer counts make the closed-wedge
+    // ratio bit-portable (one division of two exact longs).
+    "g1_triangle_count" -> { (s, dir) =>
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = lp.as("l1").join(lp.as("l2"),
+          col("l1.ok") === col("l2.ok") && col("l1.pk") < col("l2.pk"))
+        .select(col("l1.pk").as("a"), col("l2.pk").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select("a", "b")
+        .localCheckpoint()
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val da = deg.select(col("v").as("a"), col("d").as("dda"))
+      val db = deg.select(col("v").as("b"), col("d").as("ddb"))
+      val aFirst = col("dda") < col("ddb") ||
+        (col("dda") === col("ddb") && col("a") < col("b"))
+      val oe = e.join(da, "a").join(db, "b")
+        .select(
+          when(aFirst, col("a")).otherwise(col("b")).as("u"),
+          when(aFirst, col("b")).otherwise(col("a")).as("v"),
+          when(aFirst, col("ddb")).otherwise(col("dda")).as("dv"))
+        .localCheckpoint()
+      val e1 = oe.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      val e2 = oe.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+      val wedge = e1.join(e2, "u")
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .select("x", "y")
+      val closed = wedge.join(oe,
+        wedge("x") === oe("u") && wedge("y") === oe("v"), "left_semi")
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(wedge.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+        .withColumn("closed_frac",
+          when(col("n_wedges") === 0, lit(0.0))
+            .otherwise(col("n_triangles").cast("double") / col("n_wedges")))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical graph build + orientation, spelled relationally; the
+    // closure is a semi-join in both engines so a multi-edge can never
+    // double-count (edges are distinct by construction, but the intent is
+    // explicit)
+    "g1_triangle_count" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |          FROM lp l1 JOIN lp l2
+        |            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |edges AS (SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) AS d
+        |        FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) t
+        |        GROUP BY v),
+        |oe AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |                   THEN e.a ELSE e.b END AS u,
+        |              CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |                   THEN e.b ELSE e.a END AS v,
+        |              CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |                   THEN db.d ELSE da.d END AS dv
+        |       FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+        |wedge AS (SELECT e1.v AS x, e2.v AS y
+        |          FROM oe e1 JOIN oe e2 ON e1.u = e2.u
+        |          WHERE (e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v)),
+        |closed AS (SELECT x, y FROM wedge
+        |           WHERE EXISTS (SELECT 1 FROM oe WHERE oe.u = wedge.x AND oe.v = wedge.y))
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM edges) AS n_edges,
+        |       (SELECT count(*) FROM wedge) AS n_wedges,
+        |       (SELECT count(*) FROM closed) AS n_triangles,
+        |       CASE WHEN (SELECT count(*) FROM wedge) = 0 THEN 0.0
+        |            ELSE CAST((SELECT count(*) FROM closed) AS DOUBLE)
+        |                   / (SELECT count(*) FROM wedge) END AS closed_frac""".stripMargin
+  )
+}
