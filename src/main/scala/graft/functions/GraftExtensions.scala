@@ -44,5 +44,12 @@ object GraftExtensions {
         require(args.length == 2,
           s"vec_dot requires exactly 2 arguments, got ${args.length}")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("morton16"),
+      new ExpressionInfo(classOf[MortonCode].getName, "morton16"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"morton16 requires exactly 2 arguments, got ${args.length}")
+        MortonCode(args.head, args(1))
       }))
 }

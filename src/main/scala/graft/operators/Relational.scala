@@ -576,6 +576,31 @@ object Relational {
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"),
           count(lit(1)).as("n_items"))
+    },
+
+    // Z-order (Morton) layout keys — the multi-dimensional data-layout
+    // primitive: interleaving the bits of two columns makes rows close in
+    // BOTH dimensions close in sort order, so parquet min/max zone maps
+    // prune 2-D box predicates where a linear sort prunes only its leading
+    // column (the construction behind OPTIMIZE ZORDER BY in public
+    // lakehouse engines). The native codegen'd `morton16` expression
+    // (functions/MortonCode) computes the interleave in one static call.
+    // This query aggregates lineitem into 4096-key z-cells and reports each
+    // cell's (partkey, suppkey) bounding box — the per-cell min/max IS the
+    // zone-map a writer would get from range-partitioning by zkey: every
+    // cell bounds a <= 64x64 box of the key space (the locality property;
+    // pinned quantitatively in ZorderSpec, where z-range files touch ~4x
+    // fewer files than a linear sort for a 2-D box probe). One scan, one
+    // equi-keyed shuffle on the cell id.
+    "q38_zorder_cells" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          graft.functions.MortonCode
+            .morton16(col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .groupBy(expr("zkey div 4096").as("zcell"))
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
     }
   )
 
@@ -902,6 +927,17 @@ object Relational {
          |  count(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderdate >= TIMESTAMP '1998-06-01'
-         |GROUP BY o_orderpriority""".stripMargin
+         |GROUP BY o_orderpriority""".stripMargin,
+
+    // the 32-term bit sum is generated from the same construction the
+    // native expression implements; `//` is DuckDB integer division
+    "q38_zorder_cells" ->
+      s"""SELECT (zk // 4096) AS zcell, count(*) AS n,
+         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+         |FROM (SELECT l_partkey, l_suppkey,
+         |        ${graft.functions.MortonCode.mortonSql("l_partkey", "l_suppkey")} AS zk
+         |      FROM lineitem) t
+         |GROUP BY 1""".stripMargin
   )
 }
