@@ -312,6 +312,100 @@ object Similarity {
       exact5.join(approx5, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
+    },
+
+    // IVF+PQ — the two scale paths COMPOSED, which is the architecture
+    // billion-scale ANN systems actually run (FAISS IVFPQ): the coarse
+    // quantizer (s5) prunes the candidate set to nprobe/nlists of the
+    // corpus, and PQ codes (s9) score what remains without touching the
+    // original vectors. At 100 TB the scan reads (vec_id, ivf, 4 bytes of
+    // codes) for 1/4 of the corpus — both the 64× compression AND the 4×
+    // list pruning multiply. Candidates come from the casg⋈probes
+    // equi-join on the list id; scoring joins the candidate's 4 code rows
+    // against the broadcast query LUT; the Σ_m is the same fixed-order
+    // four-add pivot as s9, so scores replay bit-identically in the
+    // oracle. (Production IVFPQ encodes RESIDUALS u - centroid; encoding
+    // the raw vector keeps the oracle compact at identical plan shape —
+    // the residual subtraction is one extra zip_with before the argmin.)
+    // The normalized projection is checkpointed: FIVE consumers (coarse
+    // centroids, assignments, probes, PQ codebook, codes, LUT) would each
+    // re-scan parquet otherwise.
+    "s11_ivf_pq" -> { (s, dir) =>
+      val (nSub, subDim) = (4, 16)
+      val n = emb(s, dir)
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+        .localCheckpoint()
+      val sub = (0 until nSub).map(m =>
+        struct(lit(m).as("m"), slice(col("u"), m * subDim + 1, subDim).as("su")))
+      // coarse quantizer: assignment + query probes (s5's plan)
+      val ccent = n.filter(col("vec_id").between(100, 107))
+        .select((col("vec_id") - 100).as("ivf"), col("u").as("cu"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ivf"))
+      val casg = n.crossJoin(broadcast(ccent))
+        .select(col("vec_id"), col("ivf"), dot(col("u"), col("cu")).as("csim"))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select("vec_id", "ivf")
+      val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("ivf"))
+      val cprobes = n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"))
+        .crossJoin(broadcast(ccent))
+        .select(col("query_id"), col("ivf"), dot(col("qu"), col("cu")).as("csim"))
+        .withColumn("crk", row_number().over(wProbe))
+        .filter(col("crk") <= 2)
+        .select("query_id", "ivf")
+      // PQ codebook, codes, LUT (s9's plan)
+      val cent = n.filter(col("vec_id").between(100, 107))
+        .select((col("vec_id") - 100).as("cid"), explode(array(sub: _*)).as("e"))
+        .select(col("cid"), col("e.m").as("m"), col("e.su").as("cu"))
+      val l2 = dot(col("su"), col("su")) - lit(2.0) * dot(col("su"), col("cu")) +
+        dot(col("cu"), col("cu"))
+      val wCode = Window.partitionBy("vec_id", "m").orderBy(col("l2"), col("cid"))
+      val codes = n.select(col("vec_id"), explode(array(sub: _*)).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.su").as("su"))
+        .join(broadcast(cent), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cid"), l2.as("l2"))
+        .withColumn("crk", row_number().over(wCode))
+        .filter(col("crk") === 1)
+        .select("vec_id", "m", "cid")
+      val lut = n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), explode(array(sub: _*)).as("e"))
+        .select(col("query_id"), col("e.m").as("m"), col("e.su").as("qsu"))
+        .join(broadcast(cent), Seq("m"))
+        .select(col("query_id"), col("m"), col("cid"),
+          dot(col("qsu"), col("cu")).as("pdot"))
+      // candidates = probed lists only; ADC-score just those
+      val cand = casg.join(broadcast(cprobes), Seq("ivf"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+      val ps = (0 until nSub).map(m =>
+        max(when(col("m") === m, col("pdot"))).as(s"p$m"))
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("approx_sim").desc, col("neighbor_id"))
+      cand.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "m", "cid"))
+        .groupBy("query_id", "vec_id")
+        .agg(ps.head, ps.tail: _*)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (col("p0") + col("p1") + col("p2") + col("p3")).as("approx_sim"))
+        .withColumn("rnk", row_number().over(wTop).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "approx_sim")
+    },
+
+    // IVF+PQ recall@5 — completes the evaluation square (s4 LSH, s7 IVF,
+    // s10 PQ, s12 both): list-pruning loss and compression loss COMPOUND,
+    // and this is the number that says whether the composition still
+    // clears the recall bar or nprobe must rise.
+    "s12_ivfpq_recall" -> { (s, dir) =>
+      val exact5 = defs("s1_knn_brute")(s, dir)
+        .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
+      val approx5 = defs("s11_ivf_pq")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact5.join(approx5, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
     }
   )
 
@@ -500,16 +594,43 @@ object Similarity {
          |SELECT e5.query_id, sum(coalesce(a5.hit, 0)) / 5.0 AS recall_at_5
          |FROM e5 LEFT JOIN a5
          |  ON e5.query_id = a5.query_id AND e5.neighbor_id = a5.neighbor_id
+         |GROUP BY e5.query_id""".stripMargin,
+
+    // s11: pqBase's codes/LUT restricted to the coarse quantizer's probed
+    // lists — same seeds, same folds, same fixed-order Σ_m as s9.
+    "s11_ivf_pq" ->
+      s"""WITH $ivfPqCtes
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, approx_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY approx_sim DESC, neighbor_id) AS rnk FROM p) r
+         |WHERE rnk <= 5""".stripMargin,
+
+    "s12_ivfpq_recall" ->
+      s"""WITH $ivfPqCtes,
+         |q1 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |p1 AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |       FROM e CROSS JOIN q1 WHERE vec_id <> query_id),
+         |e5 AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |         FROM p1) r WHERE rnk <= 5),
+         |a5 AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY approx_sim DESC, neighbor_id) AS rnk FROM p) r WHERE rnk <= 5)
+         |SELECT e5.query_id, sum(coalesce(a5.hit, 0)) / 5.0 AS recall_at_5
+         |FROM e5 LEFT JOIN a5
+         |  ON e5.query_id = a5.query_id AND e5.neighbor_id = a5.neighbor_id
          |GROUP BY e5.query_id""".stripMargin
   )
 
-  /** Shared oracle-side PQ pipeline (s9/s10): subspace split → codebook →
-    * L2-argmin codes → query LUT → fixed-order ADC scores. */
-  private lazy val pqCtes: String = {
-    def d(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
-    val pCols = (0 until 4).map(m =>
-      s"max(CASE WHEN codes.m = $m THEN pdot END) AS p$m").mkString(",\n        ")
+  private def dSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+
+  private lazy val pCols = (0 until 4).map(m =>
+    s"max(CASE WHEN codes.m = $m THEN pdot END) AS p$m").mkString(",\n        ")
+
+  /** Shared oracle-side PQ base (s9/s10/s11/s12): subspace split → codebook
+    * → L2-argmin codes → query LUT. */
+  private lazy val pqBase: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
        |      FROM (SELECT vec_id, v,
@@ -521,16 +642,45 @@ object Similarity {
        |codes AS (SELECT vec_id, m, cid FROM (
        |    SELECT sub.vec_id, sub.m, cent.cid,
        |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
-       |        ORDER BY ${d("su", "su")} - 2.0 * ${d("su", "cu")} + ${d("cu", "cu")},
+       |        ORDER BY ${dSql("su", "su")} - 2.0 * ${dSql("su", "cu")} + ${dSql("cu", "cu")},
        |                 cent.cid) AS crk
        |    FROM sub JOIN cent ON sub.m = cent.m) t WHERE crk = 1),
-       |lut AS (SELECT q.vec_id AS query_id, q.m, cent.cid, ${d("q.su", "cent.cu")} AS pdot
-       |        FROM sub q JOIN cent ON q.m = cent.m WHERE q.vec_id < 5),
+       |lut AS (SELECT q.vec_id AS query_id, q.m, cent.cid, ${dSql("q.su", "cent.cu")} AS pdot
+       |        FROM sub q JOIN cent ON q.m = cent.m WHERE q.vec_id < 5)""".stripMargin
+
+  /** All-pairs ADC scores (s9/s10). */
+  private lazy val pqCtes: String =
+    s"""$pqBase,
        |g AS (SELECT query_id, codes.vec_id AS neighbor_id,
        |        $pCols
        |      FROM codes JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
        |      WHERE codes.vec_id <> lut.query_id
        |      GROUP BY query_id, codes.vec_id),
        |p AS (SELECT query_id, neighbor_id, p0 + p1 + p2 + p3 AS approx_sim FROM g)""".stripMargin
-  }
+
+  /** IVF-restricted ADC scores (s11/s12): the coarse quantizer's probed
+    * lists bound the candidate set, then the same LUT scoring applies. */
+  private lazy val ivfPqCtes: String =
+    s"""$pqBase,
+       |ccent AS (SELECT vec_id - 100 AS ivf, u AS cu FROM n WHERE vec_id BETWEEN 100 AND 107),
+       |casg AS (SELECT vec_id, ivf FROM (
+       |    SELECT n.vec_id, ccent.ivf,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dSql("n.u", "ccent.cu")} DESC, ccent.ivf) AS crk
+       |    FROM n CROSS JOIN ccent) t WHERE crk = 1),
+       |cprobes AS (SELECT query_id, ivf FROM (
+       |    SELECT n.vec_id AS query_id, ccent.ivf,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dSql("n.u", "ccent.cu")} DESC, ccent.ivf) AS crk
+       |    FROM n CROSS JOIN ccent WHERE n.vec_id < 5) t WHERE crk <= 2),
+       |cand AS (SELECT cprobes.query_id, casg.vec_id
+       |         FROM casg JOIN cprobes USING (ivf)
+       |         WHERE casg.vec_id <> cprobes.query_id),
+       |g AS (SELECT cand.query_id, codes.vec_id AS neighbor_id,
+       |        $pCols
+       |      FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+       |        JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
+       |          AND lut.query_id = cand.query_id
+       |      GROUP BY cand.query_id, codes.vec_id),
+       |p AS (SELECT query_id, neighbor_id, p0 + p1 + p2 + p3 AS approx_sim FROM g)""".stripMargin
 }

