@@ -637,6 +637,57 @@ object Dedup {
             .cast(LongType).as("dup_tokens"))
         .withColumn("dup_frac",
           col("dup_tokens").cast(DoubleType) / col("total_tokens"))
+    },
+
+    // Incremental dedup — the shape a production pipeline actually runs
+    // daily: classify a NEW batch of documents (here the deterministic 10%
+    // slice doc_id % 10 = 7, standing in for today's crawl) against the
+    // EXISTING corpus without comparing batch docs to each other. Each
+    // batch doc gets a verdict: 'exact' (its normalized fingerprint already
+    // exists in the corpus), 'near' (an LSH band match verified at Jaccard
+    // >= 0.5 against some corpus doc), or 'novel'. Plan: ONE scan builds a
+    // checkpointed (fp, hash-set) projection for all docs; signatures/bands
+    // derive from it (min over distinct set = min over multiset); the probe
+    // is an ASYMMETRIC band equi-join — batch bands against corpus bands —
+    // with the viral-bucket cap applied to the CORPUS side (the probe cost
+    // per batch band is its corpus bucket size, so the cap bounds it; a
+    // batch doc landing only in dropped buckets degrades to 'novel'
+    // exactly like d3's capped recall, measured by d9). At scale the
+    // corpus-side index (fp set, band buckets, hash sets) is a MATERIALIZED
+    // table maintained across increments — the per-batch cost is then
+    // batch-sized joins against it, never a corpus rescan; this query
+    // builds it inline because the gate is single-shot.
+    "d18_incremental_dedup" -> { (s, dir) =>
+      val base = docs(s, dir)
+        .select(col("doc_id"), fpCol.as("fp"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("fp"), shinglesOf(col("w")).as("sh"))
+        .select(col("doc_id"), col("fp"),
+          array_sort(array_distinct(hvOf(col("sh")))).as("hs"))
+        .localCheckpoint()
+      val isBatch = col("doc_id") % 10 === 7
+      val bands = bandsFrom(
+        sigsFromHv(base.select(col("doc_id"), col("hs").as("hv"))))
+      val bb = bands.filter(isBatch).select(col("doc_id").as("d1"), col("band"))
+      val cb = bands.filter(!isBatch)
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band")))
+        .filter(col("bsz") <= maxBucket)
+        .select(col("doc_id").as("d2"), col("band"))
+      val cand = bb.join(cb, Seq("band")).select("d1", "d2").distinct()
+      val nd = withJaccard(cand, base.select(col("doc_id"), col("hs")))
+        .groupBy(col("d1").as("doc_id"))
+        .agg(count(lit(1)).as("n_candidates"), max(col("jaccard")).as("max_jaccard"))
+      val corpusFp = base.filter(!isBatch).select("fp").distinct()
+        .withColumn("hit", lit(1))
+      base.filter(isBatch).select("doc_id", "fp")
+        .join(corpusFp, Seq("fp"), "left")
+        .join(nd, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+          col("hit").isNotNull.as("exact_dup"),
+          when(col("hit").isNotNull, "exact")
+            .when(coalesce(col("max_jaccard"), lit(0.0)) >= 0.5, "near")
+            .otherwise("novel").as("verdict"))
     }
   )
 
@@ -843,6 +894,38 @@ object Dedup {
         |  CAST(sum(CASE WHEN cdf >= 2 THEN n_tokens ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n_tokens) AS DOUBLE) AS dup_frac
         |FROM ck JOIN df USING (cfp)
-        |GROUP BY ck.doc_id""".stripMargin
+        |GROUP BY ck.doc_id""".stripMargin,
+
+    // asymmetric probe: batch bands against corpus bands (corpus-side
+    // bucket cap), exact-Jaccard verify, fingerprint lookup for 'exact'
+    "d18_incremental_dedup" ->
+      s"""WITH $sigSqlCte,
+         |$hashSetSqlCte,
+         |bb AS (SELECT doc_id AS d1, band FROM bands WHERE doc_id % 10 = 7),
+         |cb0 AS (SELECT doc_id AS d2, band FROM bands WHERE doc_id % 10 <> 7),
+         |okc AS (SELECT band FROM cb0 GROUP BY band HAVING count(*) <= $maxBucket),
+         |bcand AS (SELECT DISTINCT d1, d2 FROM bb JOIN cb0 USING (band)
+         |          WHERE band IN (SELECT band FROM okc)),
+         |jac AS (SELECT d1, d2,
+         |          CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |            / len(list_distinct(x.hs || y.hs)) AS jaccard
+         |        FROM bcand JOIN sh x ON bcand.d1 = x.doc_id
+         |                   JOIN sh y ON bcand.d2 = y.doc_id),
+         |nd AS (SELECT d1 AS doc_id, count(*) AS n_candidates,
+         |         max(jaccard) AS max_jaccard
+         |       FROM jac GROUP BY d1),
+         |fps AS (SELECT doc_id,
+         |          md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g')))) AS fp
+         |        FROM documents),
+         |cfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 7)
+         |SELECT b.doc_id,
+         |  CAST(coalesce(nd.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  coalesce(nd.max_jaccard, 0.0) AS max_jaccard,
+         |  (b.fp IN (SELECT fp FROM cfp)) AS exact_dup,
+         |  CASE WHEN b.fp IN (SELECT fp FROM cfp) THEN 'exact'
+         |       WHEN coalesce(nd.max_jaccard, 0.0) >= 0.5 THEN 'near'
+         |       ELSE 'novel' END AS verdict
+         |FROM (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 7) b
+         |LEFT JOIN nd ON b.doc_id = nd.doc_id""".stripMargin
   )
 }

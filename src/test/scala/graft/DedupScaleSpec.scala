@@ -188,6 +188,40 @@ class DedupScaleSpec extends AnyFunSuite {
       s"every chunk of the un-prefixed doc must recur in the prefixed doc: $got")
   }
 
+  test("d18 classifies exact/near/novel against the corpus only — batch docs never match each other") {
+    val d = Files.createTempDirectory("graft-incr").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 18).map(i => s"tok$i") ++ Seq("x1", "x2")).mkString(" ") // J ~ 0.8 vs base
+    val uniq = "a completely different sentence about nothing else whatsoever here"
+    val batchOnly = "this duplicated text exists only in the new batch twice over"
+    def row(id: Long, t: String) = Row(id, t, "en", "s", t.length.toLong)
+    val rows = Seq(
+      row(3L, base),       // corpus
+      row(4L, base),       // corpus (so the fp exists regardless of keep policy)
+      row(7L, base),       // batch: exact dup of corpus
+      row(17L, near),      // batch: near dup of corpus base
+      row(27L, uniq),      // batch: novel
+      row(37L, batchOnly), // batch: identical to 47 — but 47 is batch too,
+      row(47L, batchOnly)) //   so BOTH must stay novel (asymmetric probe)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.defs("d18_incremental_dedup")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got == Map(7L -> "exact", 17L -> "near", 27L -> "novel",
+      37L -> "novel", 47L -> "novel"), s"got $got")
+  }
+
+  test("d18's final plan re-derives nothing from documents (one checkpointed scan)") {
+    val p = Dedup.defs("d18_incremental_dedup")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"d18 must derive all branches from the checkpointed projection ($scans scans)\n$p")
+  }
+
   test("d17's chunking pipeline shuffles ONCE: the groupBy reuses the window's doc_id partitioning") {
     // HashPartitioning(doc_id) satisfies the (doc_id, chunk_id) clustering,
     // so tokenize → running-cut window → per-chunk aggregate is one exchange
