@@ -78,11 +78,7 @@ class BloomSpec extends AnyFunSuite {
     val bits = 1 << 16
     val k = 3
     val bloomAgg = udaf(new BloomAgg(bits, k))
-    def packed(c: org.apache.spark.sql.Column) = {
-      val m = md5(c.cast("string"))
-      shiftleft(graft.functions.HexPrefixToLong.hex8(m), 32)
-        .bitwiseOR(graft.functions.HexPrefixToLong.hex8(substring(m, 9, 8)))
-    }
+    def packed(c: org.apache.spark.sql.Column) = xxhash64(c)
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
     val nMatchKeys = o.select("o_orderkey").distinct().count()
@@ -92,10 +88,9 @@ class BloomSpec extends AnyFunSuite {
     val total = l.count()
     val matching = l.join(o.select("o_orderkey"),
       col("l_orderkey") === col("o_orderkey"), "left_semi").count()
-    val m5 = md5(col("l_orderkey").cast("string"))
     val survivors = l.crossJoin(broadcast(bloom))
-      .withColumn("ph1", graft.functions.HexPrefixToLong.hex8(m5))
-      .withColumn("ph2", graft.functions.HexPrefixToLong.hex8(substring(m5, 9, 8)))
+      .withColumn("ph1", shiftrightunsigned(xxhash64(col("l_orderkey")), 32))
+      .withColumn("ph2", xxhash64(col("l_orderkey")).bitwiseAND(lit(0xffffffffL)))
       .filter((0 until k).map { i =>
         expr(s"""(shiftright(element_at(bf,
                  |    CAST(((ph1 + $i * ph2) % $bits) div 64 AS INT) + 1),
