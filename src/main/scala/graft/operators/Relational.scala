@@ -601,8 +601,38 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
           min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+    },
+
+    // Recursive CTE (Spark ≥ 4.0, executed as UnionLoopExec) — iterative
+    // queries INSIDE the SQL surface, where pre-4.0 engines needed driver
+    // loops (the Components.scala pattern remains the 100 TB path for
+    // GRAPH closure: a recursive CTE unions every iteration's frontier,
+    // so its state grows with path count, while hook-contract components
+    // shrink the graph each round). The hierarchy here is the digit-tree
+    // over part keys (parent = ⌊key/10⌋) — a BOM-style rollup walking each
+    // part to its single-digit root: depth-bounded (≤6 levels at any SF),
+    // dialect-common, and shared VERBATIM with the DuckDB oracle. Each
+    // iteration is one narrow projection of the previous frontier (no
+    // shuffle inside the loop; rows leave the loop through the a<10
+    // filter).
+    "q39_recursive_cte" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(recursiveWalkSql)
     }
   )
+
+  /** Shared verbatim between spark.sql and the DuckDB oracle. floor(a/10)
+    * (not a/10 cast) because int/int division is DOUBLE in both dialects
+    * but bare double→bigint CAST truncates in Spark and rounds in DuckDB —
+    * floor first makes both exact. */
+  private val recursiveWalkSql: String =
+    """WITH RECURSIVE walk(p, a, d) AS (
+      |  SELECT p_partkey, p_partkey, 0 FROM part
+      |  UNION ALL
+      |  SELECT p, CAST(floor(a / 10) AS BIGINT), d + 1 FROM walk WHERE a >= 10
+      |)
+      |SELECT p AS p_partkey, a AS root_key, CAST(d AS BIGINT) AS depth
+      |FROM walk WHERE a < 10""".stripMargin
 
   /** One xxhash64 of the key → two 32-bit halves packed as `(h1 << 32) | h2`
     * — the input contract of [[graft.functions.BloomAgg]] and of the probe
@@ -940,6 +970,8 @@ object Relational {
          |FROM (SELECT l_partkey, l_suppkey,
          |        ${graft.functions.MortonCode.mortonSql("l_partkey", "l_suppkey")} AS zk
          |      FROM lineitem) t
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    "q39_recursive_cte" -> recursiveWalkSql
   )
 }

@@ -34,7 +34,10 @@ object CustomStateSessionize {
 
   val defaultGapMs: Long = 30L * 60 * 1000
 
-  private def fold(uid: Long, evs: Seq[Ev], st: Option[OpenSession],
+  /** Shared with [[TransformWithStateSessionize]] so both APIs run the
+    * SAME state machine — their parity is by construction, not by test
+    * luck. */
+  private[streaming] def fold(uid: Long, evs: Seq[Ev], st: Option[OpenSession],
       gapMs: Long): (Seq[Session], Option[OpenSession]) = {
     var open = st
     val out = Seq.newBuilder[Session]

@@ -248,6 +248,13 @@ object StreamingSessionize {
       CustomStateSessionize.runToCompletion(s, dir).drop("sum_value")
     },
 
+    // The SAME sessionization on Spark 4's transformWithState API (typed
+    // named state + event-time timers on RocksDB) — x6's state machine,
+    // shared fold, identical emissions; the oracle is restated verbatim.
+    "x10_transform_with_state" -> { (s, dir) =>
+      TransformWithStateSessionize.runToCompletion(s, dir).drop("sum_value")
+    },
+
     // CHAINED stateful operators — hourly distinct users as watermarked
     // dedup → tumbling-window count (the multi-stateful-operator pipeline
     // Spark supports natively since 3.4; x1-x6 each exercise ONE stateful
@@ -292,6 +299,31 @@ object StreamingSessionize {
 
   /** Batch-SQL restatement of session_window semantics (brk on diff >= gap;
     * see the class doc for the strict-< merge convention). */
+  /** Shared by x6 and x10 — both run CustomStateSessionize.fold. */
+  private val customStateOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+      |), b AS (
+      |  SELECT user_id, event_id, ms,
+      |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
+      |         WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+      |), sn AS (
+      |  SELECT user_id, ms,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM b
+      |), sess AS (
+      |  SELECT user_id, sid, count(*) AS n_events,
+      |    min(ms) AS start_ms, max(ms) AS end_ms,
+      |    max(sid) OVER (PARTITION BY user_id) AS last_sid
+      |  FROM sn GROUP BY user_id, sid
+      |)
+      |SELECT user_id, n_events, start_ms, end_ms
+      |FROM sess
+      |WHERE sid < last_sid
+      |   OR end_ms + 1800000 < (SELECT max(ms) - 3600000 FROM e)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x1_stream_sessionize" ->
       s"""WITH e AS (
@@ -353,29 +385,11 @@ object StreamingSessionize {
     // diff > gap — the built-in session_window breaks on >=; the two differ
     // only at an exact-gap tie) and the timeout-emission rule: a user's last
     // session surfaces only if end + gap < (max event ms - 1h watermark).
-    "x6_stream_custom_state" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
-        |), b AS (
-        |  SELECT user_id, event_id, ms,
-        |    CASE WHEN lag(ms) OVER w IS NULL THEN 1
-        |         WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
-        |), sn AS (
-        |  SELECT user_id, ms,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM b
-        |), sess AS (
-        |  SELECT user_id, sid, count(*) AS n_events,
-        |    min(ms) AS start_ms, max(ms) AS end_ms,
-        |    max(sid) OVER (PARTITION BY user_id) AS last_sid
-        |  FROM sn GROUP BY user_id, sid
-        |)
-        |SELECT user_id, n_events, start_ms, end_ms
-        |FROM sess
-        |WHERE sid < last_sid
-        |   OR end_ms + 1800000 < (SELECT max(ms) - 3600000 FROM e)""".stripMargin,
+    "x6_stream_custom_state" -> customStateOracleSql,
+
+    // x10 runs x6's exact state machine (shared fold) on the
+    // transformWithState API — same emissions, same oracle.
+    "x10_transform_with_state" -> customStateOracleSql,
 
     // Distinct (user, hour) then count per hour; append mode only emits
     // windows whose end the final watermark (max event ms - 1h) passed.

@@ -92,4 +92,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p)
     assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 2, p)
   }
+
+  test("q39 executes as a recursive UnionLoop and terminates at the digit-tree depth") {
+    val df = Relational.defs("q39_recursive_cte")(spark, dir)
+    assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
+      "recursive CTE must plan as UnionLoopExec")
+    val rows = df.collect()
+    val parts = spark.read.parquet(s"$dir/part.parquet").count()
+    assert(rows.length == parts, "exactly one root row per part")
+    // every part walks to a single-digit root in <= 6 halvings-by-10
+    assert(rows.forall(r => r.getLong(1) < 10 && r.getLong(2) <= 6))
+    // spot-check the arithmetic: 1234 -> 123 -> 12 -> 1 (depth 3)
+    rows.find(_.getLong(0) == 1234L).foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == 3L)
+    }
+  }
 }

@@ -53,4 +53,20 @@ class StreamingSpec extends AnyFunSuite {
     mustEmit.foreach(k => assert(emitted.contains(k), s"unemitted closed $k"))
     assert(mustEmit.nonEmpty, "test corpus must close some sessions")
   }
+
+  test("transformWithState emits exactly flatMapGroupsWithState's sessions (x10 == x6)") {
+    // both APIs run the shared CustomStateSessionize.fold — emissions must
+    // be identical row-for-row (timers replace setTimeoutTimestamp; RocksDB
+    // replaces the HDFS-backed store; neither may change semantics)
+    val x6 = graft.streaming.CustomStateSessionize
+      .runToCompletion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val x10 = graft.streaming.TransformWithStateSessionize
+      .runToCompletion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(x6.nonEmpty)
+    assert(x10 == x6, s"APIs diverged: x6=${x6.size} rows, x10=${x10.size} rows")
+  }
 }
