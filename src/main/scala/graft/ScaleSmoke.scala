@@ -63,6 +63,18 @@ object ScaleSmoke {
         .withColumn("label", col("label") * factor + i)
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // lineitem (g1's graph source), volume-pure: re-keying BOTH orderkey
+    // and partkey makes the replicated co-order graph N disjoint copies of
+    // the original — same degrees, same triangles per copy, N× the volume.
+    // Only the two columns g1 reads are written; other lineitem queries are
+    // not valid against this dir.
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    (0 until factor).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") * factor + i)
+        .withColumn("l_partkey", col("l_partkey") * factor + i)
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
 
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, dir)

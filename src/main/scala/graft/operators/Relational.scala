@@ -618,8 +618,28 @@ object Relational {
     "q39_recursive_cte" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(recursiveWalkSql)
+    },
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — top-2 orders per
+    // customer spelled the way SQL users write it. Catalyst DECORRELATES
+    // it (DecorrelateInnerQuery): the per-row subquery becomes one join +
+    // rank window over orders grouped by o_custkey — no per-customer
+    // re-execution, the same physical shape as q8's explicit window top-k
+    // (pinned: the plan contains a Window and equi-join, never a per-row
+    // loop). Shared VERBATIM with the DuckDB oracle.
+    "q40_lateral_topk" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(lateralTopkSql)
     }
   )
+
+  /** Shared verbatim between spark.sql and the DuckDB oracle. */
+  private val lateralTopkSql: String =
+    """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin
 
   /** Shared verbatim between spark.sql and the DuckDB oracle. floor(a/10)
     * (not a/10 cast) because int/int division is DOUBLE in both dialects
@@ -972,6 +992,8 @@ object Relational {
          |      FROM lineitem) t
          |GROUP BY 1""".stripMargin,
 
-    "q39_recursive_cte" -> recursiveWalkSql
+    "q39_recursive_cte" -> recursiveWalkSql,
+
+    "q40_lateral_topk" -> lateralTopkSql
   )
 }

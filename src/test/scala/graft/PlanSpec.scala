@@ -93,6 +93,16 @@ class PlanSpec extends AnyFunSuite {
     assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q40's correlated LATERAL LIMIT decorrelates to a window + equi-join") {
+    val df = Relational.defs("q40_lateral_topk")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), s"expected the decorrelated rank window\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"expected an equi-join, not per-row subquery re-execution\n$p")
+    assert(df.count() > 0)
+  }
+
   test("q39 executes as a recursive UnionLoop and terminates at the digit-tree depth") {
     val df = Relational.defs("q39_recursive_cte")(spark, dir)
     assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
