@@ -44,12 +44,19 @@ object Graph {
     // wedge's far pair. The exact integer counts make the closed-wedge
     // ratio bit-portable (one division of two exact longs).
     "g1_triangle_count" -> { (s, dir) =>
-      val lp = t(s, dir, "lineitem")
+      // per-order part sets via collect_set (orders hold ~4 items — the
+      // aggregation buffer is bounded by the order, NEVER corpus-scale, so
+      // this is not the d3 viral-bucket shape) and in-row pair expansion:
+      // one shuffle on the order key replaces distinct + self-join's three
+      // (no change at sf0.1 where fixed overhead dominates; 32 s → 25 s at
+      // the 100× ScaleSmoke, where the saved shuffles carry real volume)
+      val e = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e = lp.as("l1").join(lp.as("l2"),
-          col("l1.ok") === col("l2.ok") && col("l1.pk") < col("l2.pk"))
-        .select(col("l1.pk").as("a"), col("l2.pk").as("b"))
+        .groupBy("ok").agg(collect_set("pk").as("ps"))
+        .select(explode(expr(
+          "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
         .select("a", "b")
