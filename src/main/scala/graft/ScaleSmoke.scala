@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleSmoke [baseSfDir] [factor] [q1,q2,...]
   * Prints one JSON line per the Bench format (median of 3 timed runs
-  * after a warm-up, noop-write forcing). Only documents- and
-  * embeddings-backed queries are valid — the replicated dir contains only
-  * those two tables. For embeddings, corpus-wide queries (s3 near-dup, s6
-  * components) are the meaningful targets; the fixed `vec_id < 5` query
-  * sets of s1/s2/s5/s9 change meaning under re-keying.
+  * after a warm-up, noop-write forcing). Only documents- (d/t/w),
+  * embeddings- (s), and g1's two-column lineitem-backed queries are valid
+  * — each table is replicated only when a selected query needs it, and
+  * the replicated lineitem carries ONLY (l_orderkey, l_partkey), so other
+  * lineitem queries are not valid against this dir. For embeddings,
+  * corpus-wide queries (s3 near-dup, s6 components) are the meaningful
+  * targets; the fixed `vec_id < 5` query sets of s1/s2/s5/s9 change
+  * meaning under re-keying.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -44,37 +47,48 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = s"/tmp/graft-scale-$factor"
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    (0 until factor).map { i =>
-      docs.withColumn("doc_id", col("doc_id") * factor + i)
-        .withColumn("text",
-          regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    }.reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // replicate only what the selected queries read — an absent table in
+    // `base` stays a non-issue unless a query actually needs it
+    val needsDocs = names.exists(n =>
+      n.startsWith("d") || n.startsWith("t") || n.startsWith("w"))
+    val needsEmb = names.exists(_.startsWith("s"))
+    val needsLineitem = names.exists(_.startsWith("g"))
+    if (needsDocs) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      (0 until factor).map { i =>
+        docs.withColumn("doc_id", col("doc_id") * factor + i)
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
     // embeddings: volume-pure means re-keying the LABEL too — with shared
     // labels, replicas land in the same blocking group and the s3 pair join
     // grows by factor² instead of factor. Re-keyed, group sizes (and the
     // near-dup structure inside each) are the original's, at factor× the
     // group count; vectors themselves are unchanged.
-    val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    (0 until factor).map { i =>
-      emb.withColumn("vec_id", col("vec_id") * factor + i)
-        .withColumn("label", col("label") * factor + i)
-    }.reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    if (needsEmb) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until factor).map { i =>
+        emb.withColumn("vec_id", col("vec_id") * factor + i)
+          .withColumn("label", col("label") * factor + i)
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
     // lineitem (g1's graph source), volume-pure: re-keying BOTH orderkey
     // and partkey makes the replicated co-order graph N disjoint copies of
     // the original — same degrees, same triangles per copy, N× the volume.
-    // Only the two columns g1 reads are written; other lineitem queries are
-    // not valid against this dir.
-    val li = spark.read.parquet(s"$base/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
-    (0 until factor).map { i =>
-      li.withColumn("l_orderkey", col("l_orderkey") * factor + i)
-        .withColumn("l_partkey", col("l_partkey") * factor + i)
-    }.reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // Only the two columns g1 reads are written.
+    if (needsLineitem) {
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      (0 until factor).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") * factor + i)
+          .withColumn("l_partkey", col("l_partkey") * factor + i)
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
 
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, dir)

@@ -23,6 +23,11 @@ object Verify {
     // same knob as Bench; the driver never sets it, local iteration does.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail fast, not silently dump zero queries
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown SPARK_GRAFT_ONLY queries: ${unknown.mkString(",")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries

@@ -8,13 +8,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * build side into a fixed-size bitset (an Array[Long] of `numBits / 64`
   * words), for runtime semi-join reduction (q37).
   *
-  * Input is a PACKED pair of independent 32-bit hashes — `(h1 << 32) | h2`,
-  * both derived from one md5 of the key — and the k probe positions come
-  * from Kirsch-Mitzenstein double hashing: `bit_i = (h1 + i*h2) mod numBits`
-  * (i in [0, k)), the standard trick that gets k independent-enough probes
-  * from two hashes without k digest passes. The SAME positions are computed
-  * on the probe side with built-in column functions (Relational.bloomProbe),
-  * so build and probe agree by construction.
+  * Input is a PACKED pair of 32-bit hash halves — `(h1 << 32) | h2`. The
+  * aggregate is hash-family-agnostic: build and probe agree as long as
+  * BOTH pack the same value for the same key, which the single shared
+  * producer (Relational.bloomPacked — one xxhash64 per key, split into
+  * halves) guarantees; never feed this from a second hash construction.
+  * The k probe positions come from Kirsch-Mitzenstein double hashing:
+  * `bit_i = (h1 + i*h2) mod numBits` (i in [0, k)), the standard trick
+  * that gets k independent-enough probes from two hashes. The SAME
+  * positions are computed on the probe side with built-in column
+  * functions (Relational.bloomProbe).
   *
   * Why an Aggregator and not `collect_set` + broadcast join: the point of a
   * Bloom semi-join is that the build side's KEY SET is too big to broadcast

@@ -71,11 +71,18 @@ object MortonCode {
       MortonCode(ColumnBridge.expression(x), ColumnBridge.expression(y)))
 
   /** The identical value as portable SQL (the DuckDB oracle's spelling):
-    * Σ_i ((x div 2^i) % 2)·4^i + 2·((y div 2^i) % 2)·4^i. */
-  def mortonSql(x: String, y: String): String =
+    * Σ_i ((x div 2^i) % 2)·4^i + 2·((y div 2^i) % 2)·4^i, over the input
+    * reduced to its low 16 bits FIRST — `(v % 65536 + 65536) % 65536` is
+    * the two's-complement low-16 mask for negative values too, matching
+    * the native `& 0xFFFF` (DuckDB's `%` follows the dividend sign, so
+    * the bare bit-sum would emit negative garbage terms for a negative
+    * input where the native expression masks). */
+  def mortonSql(x: String, y: String): String = {
+    def m16(v: String) = s"((($v) % 65536 + 65536) % 65536)"
     (0 until 16).flatMap { i =>
       val p4 = 1L << (2 * i)
-      Seq(s"((($x) // ${1L << i}) % 2) * $p4",
-        s"((($y) // ${1L << i}) % 2) * ${2 * p4}")
+      Seq(s"((${m16(x)} // ${1L << i}) % 2) * $p4",
+        s"((${m16(y)} // ${1L << i}) % 2) * ${2 * p4}")
     }.mkString(" + ")
+  }
 }

@@ -90,6 +90,100 @@ object Similarity {
   private val bucketSql: String =
     (0 until numPlanes).map(planeBitSql).mkString(" + ")
 
+  /** Unit-normalized (vec_id, u) projection, CHECKPOINTED — every caller
+    * (s5/s9/s11) fans it into 3+ consumers which would each re-scan
+    * parquet otherwise. Shared between the IVF and PQ blocks so the seed
+    * choice and normalization can never drift between them (the Scala-side
+    * twin of the oracle's shared pqBase CTEs). */
+  private def normalized(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      .localCheckpoint()
+
+  /** Coarse-quantizer codebook: 8 deterministic seed centroids (cid, cu). */
+  private def coarseCentroids(n: DataFrame): DataFrame =
+    n.filter(col("vec_id").between(100, 107))
+      .select((col("vec_id") - 100).as("cid"), col("u").as("cu"))
+
+  /** Every vector assigned to its argmax-cosine centroid: (vec_id, u, cid). */
+  private def coarseAssign(n: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+    n.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("u"), col("cid"), dot(col("u"), col("cu")).as("csim"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("u"), col("cid"))
+  }
+
+  /** Each query's nprobe nearest lists: (query_id, qu, cid). */
+  private def coarseProbes(n: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
+    n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qu"), col("cid"), dot(col("qu"), col("cu")).as("csim"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("qu"), col("cid"))
+  }
+
+  private val pqSub = 4
+  private val pqSubDim = 16
+
+  /** Per-row subspace split of the normalized vector column `u`. */
+  private def pqSubCols: Seq[Column] = (0 until pqSub).map(m =>
+    struct(lit(m).as("m"), slice(col("u"), m * pqSubDim + 1, pqSubDim).as("su")))
+
+  /** Per-subspace codebook from the same seed vectors: (cid, m, cu). */
+  private def pqCentroids(n: DataFrame): DataFrame =
+    n.filter(col("vec_id").between(100, 107))
+      .select((col("vec_id") - 100).as("cid"), explode(array(pqSubCols: _*)).as("e"))
+      .select(col("cid"), col("e.m").as("m"), col("e.su").as("cu"))
+
+  /** Three-dot L2 identity — bit-portable argmin ordering. */
+  private def pqL2: Column =
+    dot(col("su"), col("su")) - lit(2.0) * dot(col("su"), col("cu")) +
+      dot(col("cu"), col("cu"))
+
+  /** L2-argmin PQ codes per (vector, subspace): (vec_id, m, cid). */
+  private def pqCodes(n: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("l2"), col("cid"))
+    n.select(col("vec_id"), explode(array(pqSubCols: _*)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.su").as("su"))
+      .join(broadcast(cent), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"), pqL2.as("l2"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select("vec_id", "m", "cid")
+  }
+
+  /** Query LUT: each query-subvector × centroid dot: (query_id, m, cid, pdot). */
+  private def pqLut(n: DataFrame, cent: DataFrame): DataFrame =
+    n.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), explode(array(pqSubCols: _*)).as("e"))
+      .select(col("query_id"), col("e.m").as("m"), col("e.su").as("qsu"))
+      .join(broadcast(cent), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"),
+        dot(col("qsu"), col("cu")).as("pdot"))
+
+  /** ADC top-5 from (query_id, vec_id, m, pdot) rows: pivot to the four
+    * fixed-order subspace partials (never a float groupBy-sum), Σ_m, rank. */
+  private def adcTop5(scored: DataFrame): DataFrame = {
+    val ps = (0 until pqSub).map(m =>
+      max(when(col("m") === m, col("pdot"))).as(s"p$m"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    scored
+      .groupBy("query_id", "vec_id")
+      .agg(ps.head, ps.tail: _*)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("p0") + col("p1") + col("p2") + col("p3")).as("approx_sim"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk", "approx_sim")
+  }
+
   val defs: Map[String, Q] = Map(
     // Brute-force cosine top-10 for query vectors (vec_id < 5): the exact
     // baseline every ANN variant is measured against.
@@ -155,27 +249,11 @@ object Similarity {
     // stand-in keeps the query engine-checkable (same argmax/probe/join
     // plan) while the "training" step stays swappable.
     "s5_ann_ivf" -> { (s, dir) =>
-      val n = emb(s, dir)
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
-      val cent = n.filter(col("vec_id").between(100, 107))
-        .select((col("vec_id") - 100).as("cid"), col("u").as("cu"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
-      val assigned = n.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("u"), col("cid"), dot(col("u"), col("cu")).as("csim"))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("u"), col("cid"))
-      val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
-      val probes = n.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("u").as("qu"))
-        .crossJoin(broadcast(cent))
-        .select(col("query_id"), col("qu"), col("cid"), dot(col("qu"), col("cu")).as("csim"))
-        .withColumn("crk", row_number().over(wProbe))
-        .filter(col("crk") <= 2)
-        .select(col("query_id"), col("qu"), col("cid"))
+      val n = normalized(s, dir)
+      val cent = coarseCentroids(n)
       val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-      assigned.join(broadcast(probes), Seq("cid"))
+      coarseAssign(n, cent)
+        .join(broadcast(coarseProbes(n, cent, nprobe = 2)), Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           dot(col("qu"), col("u")).as("sim"))
@@ -259,44 +337,11 @@ object Similarity {
     // (pivot by m, never a float groupBy-sum), so codes and scores replay
     // bit-identically in the oracle.
     "s9_pq_ann" -> { (s, dir) =>
-      val (nSub, subDim) = (4, 16)
-      val n = emb(s, dir)
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
-      val sub = (0 until nSub).map(m =>
-        struct(lit(m).as("m"), slice(col("u"), m * subDim + 1, subDim).as("su")))
-      val cent = n.filter(col("vec_id").between(100, 107))
-        .select((col("vec_id") - 100).as("cid"), explode(array(sub: _*)).as("e"))
-        .select(col("cid"), col("e.m").as("m"), col("e.su").as("cu"))
-      val l2 = dot(col("su"), col("su")) - lit(2.0) * dot(col("su"), col("cu")) +
-        dot(col("cu"), col("cu"))
-      val wCode = Window.partitionBy("vec_id", "m").orderBy(col("l2"), col("cid"))
-      val codes = n.select(col("vec_id"), explode(array(sub: _*)).as("e"))
-        .select(col("vec_id"), col("e.m").as("m"), col("e.su").as("su"))
-        .join(broadcast(cent), Seq("m"))
-        .select(col("vec_id"), col("m"), col("cid"), l2.as("l2"))
-        .withColumn("crk", row_number().over(wCode))
-        .filter(col("crk") === 1)
-        .select("vec_id", "m", "cid")
-      val lut = n.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), explode(array(sub: _*)).as("e"))
-        .select(col("query_id"), col("e.m").as("m"), col("e.su").as("qsu"))
-        .join(broadcast(cent), Seq("m"))
-        .select(col("query_id"), col("m"), col("cid"),
-          dot(col("qsu"), col("cu")).as("pdot"))
-      val wTop = Window.partitionBy("query_id")
-        .orderBy(col("approx_sim").desc, col("neighbor_id"))
-      val ps = (0 until nSub).map(m =>
-        max(when(col("m") === m, col("pdot"))).as(s"p$m"))
-      codes.join(broadcast(lut), Seq("m", "cid"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(ps.head, ps.tail: _*)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (col("p0") + col("p1") + col("p2") + col("p3")).as("approx_sim"))
-        .withColumn("rnk", row_number().over(wTop).cast(LongType))
-        .filter(col("rnk") <= 5)
-        .select("query_id", "neighbor_id", "rnk", "approx_sim")
+      val n = normalized(s, dir)
+      val cent = pqCentroids(n)
+      adcTop5(
+        pqCodes(n, cent).join(broadcast(pqLut(n, cent)), Seq("m", "cid"))
+          .filter(col("vec_id") =!= col("query_id")))
     },
 
     // PQ recall@5 vs the exact baseline — the same evaluation loop as s4
@@ -331,67 +376,21 @@ object Similarity {
     // centroids, assignments, probes, PQ codebook, codes, LUT) would each
     // re-scan parquet otherwise.
     "s11_ivf_pq" -> { (s, dir) =>
-      val (nSub, subDim) = (4, 16)
-      val n = emb(s, dir)
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
-        .localCheckpoint()
-      val sub = (0 until nSub).map(m =>
-        struct(lit(m).as("m"), slice(col("u"), m * subDim + 1, subDim).as("su")))
-      // coarse quantizer: assignment + query probes (s5's plan)
-      val ccent = n.filter(col("vec_id").between(100, 107))
-        .select((col("vec_id") - 100).as("ivf"), col("u").as("cu"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ivf"))
-      val casg = n.crossJoin(broadcast(ccent))
-        .select(col("vec_id"), col("ivf"), dot(col("u"), col("cu")).as("csim"))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") === 1)
-        .select("vec_id", "ivf")
-      val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("ivf"))
-      val cprobes = n.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("u").as("qu"))
-        .crossJoin(broadcast(ccent))
-        .select(col("query_id"), col("ivf"), dot(col("qu"), col("cu")).as("csim"))
-        .withColumn("crk", row_number().over(wProbe))
-        .filter(col("crk") <= 2)
-        .select("query_id", "ivf")
-      // PQ codebook, codes, LUT (s9's plan)
-      val cent = n.filter(col("vec_id").between(100, 107))
-        .select((col("vec_id") - 100).as("cid"), explode(array(sub: _*)).as("e"))
-        .select(col("cid"), col("e.m").as("m"), col("e.su").as("cu"))
-      val l2 = dot(col("su"), col("su")) - lit(2.0) * dot(col("su"), col("cu")) +
-        dot(col("cu"), col("cu"))
-      val wCode = Window.partitionBy("vec_id", "m").orderBy(col("l2"), col("cid"))
-      val codes = n.select(col("vec_id"), explode(array(sub: _*)).as("e"))
-        .select(col("vec_id"), col("e.m").as("m"), col("e.su").as("su"))
-        .join(broadcast(cent), Seq("m"))
-        .select(col("vec_id"), col("m"), col("cid"), l2.as("l2"))
-        .withColumn("crk", row_number().over(wCode))
-        .filter(col("crk") === 1)
-        .select("vec_id", "m", "cid")
-      val lut = n.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), explode(array(sub: _*)).as("e"))
-        .select(col("query_id"), col("e.m").as("m"), col("e.su").as("qsu"))
-        .join(broadcast(cent), Seq("m"))
-        .select(col("query_id"), col("m"), col("cid"),
-          dot(col("qsu"), col("cu")).as("pdot"))
-      // candidates = probed lists only; ADC-score just those
+      val n = normalized(s, dir)
+      val ccent = coarseCentroids(n)
+      // candidates = probed lists only ("ivf" renames the coarse list id so
+      // it can't collide with the PQ code column, also named cid)
+      val casg = coarseAssign(n, ccent)
+        .select(col("vec_id"), col("cid").as("ivf"))
+      val cprobes = coarseProbes(n, ccent, nprobe = 2)
+        .select(col("query_id"), col("cid").as("ivf"))
       val cand = casg.join(broadcast(cprobes), Seq("ivf"))
         .filter(col("vec_id") =!= col("query_id"))
         .select("query_id", "vec_id")
-      val ps = (0 until nSub).map(m =>
-        max(when(col("m") === m, col("pdot"))).as(s"p$m"))
-      val wTop = Window.partitionBy("query_id")
-        .orderBy(col("approx_sim").desc, col("neighbor_id"))
-      cand.join(codes, Seq("vec_id"))
-        .join(broadcast(lut), Seq("query_id", "m", "cid"))
-        .groupBy("query_id", "vec_id")
-        .agg(ps.head, ps.tail: _*)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (col("p0") + col("p1") + col("p2") + col("p3")).as("approx_sim"))
-        .withColumn("rnk", row_number().over(wTop).cast(LongType))
-        .filter(col("rnk") <= 5)
-        .select("query_id", "neighbor_id", "rnk", "approx_sim")
+      val cent = pqCentroids(n)
+      adcTop5(
+        cand.join(pqCodes(n, cent), Seq("vec_id"))
+          .join(broadcast(pqLut(n, cent)), Seq("query_id", "m", "cid")))
     },
 
     // IVF+PQ recall@5 — completes the evaluation square (s4 LSH, s7 IVF,

@@ -67,11 +67,49 @@ class AnnIvfSpec extends AnyFunSuite {
       s9Scores.get((q, n)).foreach(s9 => assert(s9 == sim,
         s"ADC score diverged for ($q,$n): s9=$s9 s11=$sim"))
     }
-    // candidate containment: s11's top-5 pairs all lie in probed lists.
-    // s5's output is ITS top-5 of the same candidate set, so containment is
-    // checked at the intersection: any s11 pair that s5 ranked must agree
+    // candidate containment, against an INDEPENDENT test-local
+    // recomputation of the probed-list candidate set (not s5's top-5,
+    // which truncates): every s11 pair must lie in a probed IVF list —
+    // if the cand join ever regressed to score all vectors (degenerating
+    // to s9), this catches it
+    val candSet = independentCandidates()
+    s11.foreach { case (q, n, _, _) =>
+      assert(candSet((q, n)), s"s11 pair ($q,$n) is not in any probed IVF list")
+    }
     assert(s11.count { case (q, n, _, _) => s5Pairs((q, n)) } > 0,
       "s11 and s5 top-5 sets should overlap on the same probed lists")
+  }
+
+  /** The probed-list candidate set, recomputed with scalar driver-side
+    * math (collect the tiny corpus, assign/probe in plain Scala) so the
+    * pin does not share code with the implementation under test. */
+  private def independentCandidates(): Set[(Long, Long)] = {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        r.getLong(r.fieldIndex("vec_id")) -> v.map(_ / nrm)
+      }.toMap
+    val cents = (100L to 107L).map(id => (id - 100) -> vecs(id))
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def ranked(u: Array[Double]) =
+      cents.map { case (cid, cu) => (cid, dotp(u, cu)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }
+    // .toSeq on both: a for-comprehension whose inner generator is a Map
+    // would rebuild a Map from the yielded (q, id) pairs — deduping by q
+    // and silently keeping ONE candidate per query
+    val assign = vecs.toSeq.map { case (id, u) => id -> ranked(u).head._1 }
+    val probes = vecs.keys.toSeq.filter(_ < 5)
+      .map(q => q -> ranked(vecs(q)).take(2).map(_._1).toSet)
+    (for {
+      (q, lists) <- probes
+      (id, cid) <- assign
+      if id != q && lists(cid)
+    } yield (q, id)).toSet
   }
 
   test("s11 reads parquet once: every branch consumes the checkpointed projection") {

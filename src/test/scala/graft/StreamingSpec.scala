@@ -69,4 +69,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(x6.nonEmpty)
     assert(x10 == x6, s"APIs diverged: x6=${x6.size} rows, x10=${x10.size} rows")
   }
+
+  test("x10 == x6 on an EXACT watermark tie (timeout-vs-timer edge semantics)") {
+    // the one place the two APIs could legally disagree: x6 times out when
+    // the watermark passes end+gap (strict), x10 when a timer at end+gap
+    // expires. Build a corpus where final watermark == end+gap EXACTLY for
+    // user 1's only session (end + 30min == maxTs - 1h), plus a clearly
+    // closed and a clearly open session as controls — the two APIs must
+    // still emit identical rows, whatever the tie resolves to.
+    import java.nio.file.Files
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("graft-tie").toString
+    val H = 3600L * 1000_000_000L // one hour in nanos
+    val M = 60L * 1000_000_000L   // one minute
+    val base = 1700000000L * 1000_000_000L
+    val rows = Seq(
+      Row(1L, base, 1L, "view", 1.0, "{}"),                // user1: end = base
+      Row(2L, base + 30L * M + 90L * M, 2L, "view", 1.0, "{}"), // user2 session long closed
+      Row(3L, base + 30L * M + H, 9L, "view", 1.0, "{}"))  // maxTs: watermark = base+30min EXACTLY = user1 end+gap
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val x6 = graft.streaming.CustomStateSessionize
+      .runToCompletion(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val x10 = graft.streaming.TransformWithStateSessionize
+      .runToCompletion(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(x10 == x6, s"tie semantics diverge: x6=$x6 x10=$x10")
+    // and the strict-< oracle rule (shared by both gates) must also hold:
+    // user 1's session is NOT emitted on an exact tie under strict <
+    assert(!x6.exists(_._1 == 1L),
+      s"strict-< emission rule: the exact-tie session must stay open, got $x6")
+  }
 }
