@@ -149,7 +149,13 @@ object Dedup {
     lshPairsFrom(sigs(s, dir))
 
   private def lshPairsFrom(sg: DataFrame): DataFrame =
-    bandsFrom(sg)
+    pairsFromBands(bandsFrom(sg))
+
+  /** The capped in-bucket pair expansion shared by every banding scheme:
+    * window count pre-filter (viral buckets dropped BEFORE any id-list
+    * aggregation), then bounded collect_list + in-row pair explode. */
+  private def pairsFromBands(bands: DataFrame): DataFrame =
+    bands
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band")))
       .filter(col("bsz").between(2, maxBucket))
       .groupBy("band").agg(collect_list("doc_id").as("ids"))
@@ -158,6 +164,25 @@ object Dedup {
         .as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
+
+  /** Generic b×r banding over the 16 signatures for the d19 sweep: band k
+    * hashes its r signature values through md5 (the 30-bit packing of
+    * `bandsFrom` caps at r=2; the digest form covers any r) —
+    * `band = k·2^32 + hex8(md5(s_{kr} || '_' || ...))`. Null-signature
+    * docs (<3 tokens) are excluded BEFORE the concat: Spark's concat_ws
+    * skips nulls where DuckDB's array_to_string would too, but an
+    * all-null row must not band at all. */
+  private def bandsOfR(sg: DataFrame, bandRowsR: Int): DataFrame = {
+    val nb = numHashes / bandRowsR
+    sg.filter(col("s0").isNotNull)
+      .select(col("doc_id"),
+        explode(array((0 until nb).map { k =>
+          (lit(k.toLong << 32) + graft.functions.HexPrefixToLong.hex8(
+            md5(concat_ws("_",
+              (0 until bandRowsR).map(j => col(s"s${bandRowsR * k + j}")): _*))))
+            .cast(LongType)
+        }: _*)).as("band"))
+  }
 
   /** Sorted distinct 32-bit shingle-hash set per doc — the verify-side
     * representation (integer set ops instead of string compares, exactly as
@@ -688,6 +713,46 @@ object Dedup {
           when(col("hit").isNotNull, "exact")
             .when(coalesce(col("max_jaccard"), lit(0.0)) >= 0.5, "near")
             .otherwise("novel").as("verdict"))
+    },
+
+    // Banding-parameter sweep — the number you need before COMMITTING a
+    // b×r at scale: from ONE signature table, candidate volume and recall
+    // (vs the d9 prefix-filter ground truth) for 16×1, 8×2, and 4×4
+    // banding. The s-curve math says 16×1 floods (P(cand)=1-(1-j)^16 admits
+    // ~88% of j=0.3 junk), 4×4 starves (P=1-(1-j^4)^4 ≈ 0.23 at j=0.5),
+    // 8×2 sits between — this query turns that into measured corpus
+    // numbers. One checkpointed hash-set scan feeds truth, signatures, and
+    // all three band tables; each config is the same capped-bucket pair
+    // expansion as d3 (generic digest band key, since 30-bit packing caps
+    // at r=2). Cost is three cheap band shuffles over one signature pass —
+    // re-running d9 per config would triple the corpus-scale work instead.
+    "d19_banding_sweep" -> { (s, dir) =>
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      val pre = hs0.select(col("doc_id"),
+        explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+      val candT = pre.as("x")
+        .join(pre.as("y"), col("x.h") === col("y.h")
+          && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val truth = withJaccard(candT, hs0)
+        .filter(col("jaccard") >= 0.5).select("d1", "d2")
+        .localCheckpoint()
+      val sg = sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))
+        .localCheckpoint()
+      Seq(1, 2, 4).map { r =>
+        val cand = pairsFromBands(bandsOfR(sg, r))
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val hit = truth.join(cand.withColumn("hit", lit(1)), Seq("d1", "d2"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_caught"))
+        nCand.crossJoin(hit)
+          .select(lit(numHashes / r).cast(LongType).as("n_bands"),
+            lit(r.toLong).as("band_rows"),
+            col("n_candidates"), col("n_truth"), col("n_caught"),
+            when(col("n_truth") > 0,
+              col("n_caught").cast(DoubleType) / col("n_truth")).as("recall"))
+      }.reduce(_ unionAll _)
     }
   )
 
@@ -926,6 +991,61 @@ object Dedup {
          |       WHEN coalesce(nd.max_jaccard, 0.0) >= 0.5 THEN 'near'
          |       ELSE 'novel' END AS verdict
          |FROM (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 7) b
-         |LEFT JOIN nd ON b.doc_id = nd.doc_id""".stripMargin
+         |LEFT JOIN nd ON b.doc_id = nd.doc_id""".stripMargin,
+
+    // one sigs pass + d9's truth; per config the same digest band key and
+    // capped buckets, spelled relationally
+    "d19_banding_sweep" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      def cfg(r: Int): String = {
+        val nb = numHashes / r
+        val elems = (0 until nb).map { k =>
+          val sigList = (0 until r).map(j => s"s${r * k + j}").mkString(", ")
+          s"struct_pack(k := $k, m := md5(array_to_string([$sigList], '_')))"
+        }.mkString(",\n      ")
+        s"""bx$r AS (
+           |  SELECT doc_id, e.k AS k, e.m AS m FROM (
+           |    SELECT doc_id, unnest([$elems]) AS e
+           |    FROM sigs WHERE s0 IS NOT NULL) t),
+           |bd$r AS (SELECT doc_id,
+           |           CAST(k AS BIGINT) * 4294967296 + ($hexToInt) AS band
+           |         FROM bx$r),
+           |ok$r AS (SELECT band FROM bd$r GROUP BY band
+           |         HAVING count(*) BETWEEN 2 AND $maxBucket),
+           |cand$r AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |           FROM bd$r a JOIN bd$r b
+           |             ON a.band = b.band AND a.doc_id < b.doc_id
+           |           WHERE a.band IN (SELECT band FROM ok$r))""".stripMargin
+      }
+      def row(r: Int): String =
+        s"""SELECT CAST(${numHashes / r} AS BIGINT) AS n_bands,
+           |  CAST($r AS BIGINT) AS band_rows,
+           |  (SELECT count(*) FROM cand$r) AS n_candidates,
+           |  (SELECT count(*) FROM truth) AS n_truth,
+           |  (SELECT count(*) FROM truth t JOIN cand$r c
+           |     ON t.d1 = c.d1 AND t.d2 = c.d2) AS n_caught,
+           |  CASE WHEN (SELECT count(*) FROM truth) > 0
+           |       THEN CAST((SELECT count(*) FROM truth t JOIN cand$r c
+           |                    ON t.d1 = c.d1 AND t.d2 = c.d2) AS DOUBLE)
+           |              / (SELECT count(*) FROM truth) END AS recall""".stripMargin
+      s"""WITH $sigSqlCte,
+         |$hashSetSqlCte,
+         |truth AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE len(x.hs) > 0 AND len(y.hs) > 0
+         |    AND CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |          / len(list_distinct(x.hs || y.hs)) >= 0.5),
+         |${cfg(1)},
+         |${cfg(2)},
+         |${cfg(4)}
+         |${row(1)}
+         |UNION ALL
+         |${row(2)}
+         |UNION ALL
+         |${row(4)}""".stripMargin
+    }
   )
 }

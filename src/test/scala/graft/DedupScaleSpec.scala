@@ -222,6 +222,24 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(scans == 0, s"d18 must derive all branches from the checkpointed projection ($scans scans)\n$p")
   }
 
+  test("d19 sweep: candidate volume shrinks as r grows, recall never rises") {
+    // the s-curve tradeoff measured: more rows per band = stricter bands =
+    // fewer candidates and (weakly) lower recall. 16x1 must flood relative
+    // to 4x4 — that flood is the reason r=1 banding dies at corpus scale.
+    val rows = Dedup.defs("d19_banding_sweep")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    val byR = rows.map(t => t._1 -> t).toMap
+    assert(byR(1)._2 >= byR(2)._2 && byR(2)._2 >= byR(4)._2,
+      s"candidates must shrink with r: $rows")
+    assert(byR(1)._2 > byR(4)._2, s"16x1 must admit strictly more candidates: $rows")
+    assert(byR(1)._4 >= byR(4)._4, s"recall can only drop as bands tighten: $rows")
+    rows.foreach { case (_, nCand, nCaught, _) =>
+      assert(nCaught <= nCand, s"caught pairs are a subset of candidates: $rows")
+    }
+  }
+
   test("d17's chunking pipeline shuffles ONCE: the groupBy reuses the window's doc_id partitioning") {
     // HashPartitioning(doc_id) satisfies the (doc_id, chunk_id) clustering,
     // so tokenize → running-cut window → per-chunk aggregate is one exchange
