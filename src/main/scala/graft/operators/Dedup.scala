@@ -194,6 +194,25 @@ object Dedup {
       .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
       .select(col("doc_id"), array_sort(array_distinct(hvOf(col("sh")))).as("hs"))
 
+  /** Ground-truth near-dup pairs (Jaccard >= 0.5) WITHOUT an all-pairs
+    * scan, shared by d9 (recall) and d19 (banding sweep): the prefix-filter
+    * lemma — any pair at j >= 0.5 shares its smallest common element inside
+    * both half-length prefixes, so the candidate index takes the first
+    * floor(|hs|/2)+1 elements — then exact-Jaccard verify. The oracle twin
+    * is [[truthSqlCte]]; the 0.5 threshold and the prefix length live HERE
+    * and there, nowhere else. */
+  private def prefixTruth(hs0: DataFrame): DataFrame = {
+    val pre = hs0.select(col("doc_id"),
+      explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+    val cand = pre.as("x")
+      .join(pre.as("y"), col("x.h") === col("y.h")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    withJaccard(cand, hs0)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+  }
+
   /** Exact Jaccard for given (d1, d2) pairs against the hash-set projection
     * `hs`, reading it ONCE: each pair melts to (pair, side, doc_id) rows,
     * joins the sets in a single equi-join, and folds back per pair — instead
@@ -248,6 +267,16 @@ object Dedup {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
        |  WHERE a.band IN (SELECT band FROM ok))""".stripMargin
   }
+
+  /** Oracle twin of [[prefixTruth]] (d9/d19): the oracle affords the plain
+    * all-pairs spelling; the >= 0.5 threshold matches the Spark side. */
+  private val truthSqlCte: String =
+    """truth AS (
+      |  SELECT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      |  WHERE len(x.hs) > 0 AND len(y.hs) > 0
+      |    AND CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+      |          / len(list_distinct(x.hs || y.hs)) >= 0.5)""".stripMargin
 
   /** Oracle-side sorted distinct hash-set CTE (verify-side of d4/d9). */
   private val hashSetSqlCte: String = {
@@ -442,16 +471,7 @@ object Dedup {
     // of them) and/or df-caps the index, exactly like s4 samples queries.
     "d9_lsh_recall" -> { (s, dir) =>
       val hs0 = hashSets(s, dir).localCheckpoint()
-      // t=0.5 prefix: first floor(|hs|/2)+1 = |hs| - ceil(|hs|/2) + 1 elements
-      val pre = hs0.select(col("doc_id"),
-        explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
-      val cand = pre.as("x")
-        .join(pre.as("y"), col("x.h") === col("y.h")
-          && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      val truth = withJaccard(cand, hs0)
-        .filter(col("jaccard") >= 0.5).select("d1", "d2")
+      val truth = prefixTruth(hs0)
       val lsh = lshPairsFrom(sigsFromHv(
         hs0.select(col("doc_id"), col("hs").as("hv"))))
       truth.join(lsh.withColumn("hit", lit(1)),
@@ -728,20 +748,14 @@ object Dedup {
     // re-running d9 per config would triple the corpus-scale work instead.
     "d19_banding_sweep" -> { (s, dir) =>
       val hs0 = hashSets(s, dir).localCheckpoint()
-      val pre = hs0.select(col("doc_id"),
-        explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
-      val candT = pre.as("x")
-        .join(pre.as("y"), col("x.h") === col("y.h")
-          && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      val truth = withJaccard(candT, hs0)
-        .filter(col("jaccard") >= 0.5).select("d1", "d2")
-        .localCheckpoint()
+      val truth = prefixTruth(hs0).localCheckpoint()
       val sg = sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))
         .localCheckpoint()
       Seq(1, 2, 4).map { r =>
-        val cand = pairsFromBands(bandsOfR(sg, r))
+        // checkpointed: two lazy consumers (the count and the hit join)
+        // would each re-run the pair-dedup aggregate otherwise (d14's
+        // lesson)
+        val cand = pairsFromBands(bandsOfR(sg, r)).localCheckpoint()
         val nCand = cand.agg(count(lit(1)).as("n_candidates"))
         val hit = truth.join(cand.withColumn("hit", lit(1)), Seq("d1", "d2"), "left")
           .agg(count(lit(1)).as("n_truth"),
@@ -832,12 +846,7 @@ object Dedup {
     "d9_lsh_recall" ->
       s"""WITH $sigSqlCte,
          |$hashSetSqlCte,
-         |truth AS (
-         |  SELECT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-         |  WHERE len(x.hs) > 0 AND len(y.hs) > 0
-         |    AND CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
-         |          / len(list_distinct(x.hs || y.hs)) >= 0.5)
+         |$truthSqlCte
          |SELECT count(*) AS n_truth,
          |  CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
          |  CASE WHEN count(*) > 0
@@ -1032,12 +1041,7 @@ object Dedup {
            |              / (SELECT count(*) FROM truth) END AS recall""".stripMargin
       s"""WITH $sigSqlCte,
          |$hashSetSqlCte,
-         |truth AS (
-         |  SELECT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-         |  WHERE len(x.hs) > 0 AND len(y.hs) > 0
-         |    AND CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
-         |          / len(list_distinct(x.hs || y.hs)) >= 0.5),
+         |$truthSqlCte,
          |${cfg(1)},
          |${cfg(2)},
          |${cfg(4)}

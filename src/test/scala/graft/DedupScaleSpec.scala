@@ -226,18 +226,32 @@ class DedupScaleSpec extends AnyFunSuite {
     // the s-curve tradeoff measured: more rows per band = stricter bands =
     // fewer candidates and (weakly) lower recall. 16x1 must flood relative
     // to 4x4 — that flood is the reason r=1 banding dies at corpus scale.
+    // Caveat: these orderings are guaranteed only below the viral-bucket
+    // cap (an r=1 bucket over maxBucket drops WHOLE while its r=4
+    // refinements may stay under cap, which can invert both); the
+    // committed testdata stays under cap, so the pin holds here — on a
+    // regenerated skewed corpus, re-check the cap before this test.
     val rows = Dedup.defs("d19_banding_sweep")(spark, "/root/testdata/sf0.001")
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))
       .sortBy(_._1)
     assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(rows.forall(_._3 > 0), s"test premise: truth pairs exist: $rows")
     val byR = rows.map(t => t._1 -> t).toMap
     assert(byR(1)._2 >= byR(2)._2 && byR(2)._2 >= byR(4)._2,
       s"candidates must shrink with r: $rows")
     assert(byR(1)._2 > byR(4)._2, s"16x1 must admit strictly more candidates: $rows")
-    assert(byR(1)._4 >= byR(4)._4, s"recall can only drop as bands tighten: $rows")
-    rows.foreach { case (_, nCand, nCaught, _) =>
+    assert(byR(1)._5 >= byR(4)._5, s"recall can only drop as bands tighten: $rows")
+    rows.foreach { case (_, nCand, _, nCaught, _) =>
       assert(nCaught <= nCand, s"caught pairs are a subset of candidates: $rows")
     }
+  }
+
+  test("d19's final plan re-derives nothing from documents (one checkpointed scan)") {
+    val p = Dedup.defs("d19_banding_sweep")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"d19 must derive truth, sigs, and all bands from checkpoints ($scans scans)\n$p")
   }
 
   test("d17's chunking pipeline shuffles ONCE: the groupBy reuses the window's doc_id partitioning") {
