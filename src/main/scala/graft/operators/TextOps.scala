@@ -435,6 +435,39 @@ object TextOps {
       piiScrub(docs(s, dir))
         .select(col("doc_id"), col("n_emails"), col("n_phones"),
           col("n_ids"), col("redacted"))
+    },
+
+    // EXACT heavy hitters in bounded memory — the two-pass sketch-then-
+    // recount shape (q37's approximate-prune / exact-residual discipline on
+    // the aggregation axis): pass 1 folds the token stream into a mergeable
+    // Misra-Gries summary (functions/MisraGriesAgg, ObjectHashAggregate —
+    // partial aggregation ships <= 127 counters per map partition, the
+    // long tail NEVER reaches the shuffle), whose kept keys are a
+    // guaranteed superset of every token above n/128 of the stream; pass 2
+    // recounts ONLY those candidates exactly (broadcast the <= 127 keys
+    // into the scan) and keeps tokens above the n/64 threshold. w1's
+    // full-vocab
+    // groupBy shuffles every distinct token; at 100 TB the frequent-token
+    // question doesn't need that shuffle, and the sketch's partitioning-
+    // dependent key set is erased by the exact recount (the reason this is
+    // oracle-gateable while the raw sketch is not — pinned by
+    // MisraGriesSpec under adversarial partitionings). The integer-exact
+    // threshold (cnt·64 > n) avoids division entirely; on the test corpus
+    // it keeps the ~30 dominant boilerplate tokens (non-degenerate at
+    // every SF).
+    "w6_heavy_hitters" -> { (s, dir) =>
+      val mg = udaf(new graft.functions.MisraGriesAgg(127))
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val candKeys = toks.agg(mg(col("word")).as("sk"))
+        .select(explode(map_keys(col("sk"))).as("word"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      toks.join(broadcast(candKeys), Seq("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") * 64 > col("n"))
+        .select(col("word"), col("cnt"))
     }
   )
 
@@ -649,6 +682,19 @@ object TextOps {
          |      regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
          |      '$idRe', '<ID>', 'g'),
          |    '$phoneRe', '<PHONE>', 'g') AS redacted
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    // the sketch is pruning-only: the exact recount makes the result the
+    // plain frequent-token query, which is what the oracle spells
+    "w6_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT w AS word
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> ''),
+        |n AS (SELECT count(*) AS n FROM tok)
+        |SELECT word, count(*) AS cnt
+        |FROM tok CROSS JOIN n
+        |GROUP BY word, n.n
+        |HAVING count(*) * 64 > n.n""".stripMargin
   )
 }
