@@ -142,6 +142,24 @@ object Multimodal {
             greatest(col("fit"), lit(1L))).cast(LongType).as("dst_w"),
           when(col("src_w") >= col("src_h"),
             greatest(col("fit"), lit(1L))).otherwise(lit(256L)).cast(LongType).as("dst_h"))
+    },
+
+    // The media dedup DELIVERABLE — d8's discipline on the binary column:
+    // exact payload dedup by checksum with a keep-best policy (largest
+    // payload wins, ties to lowest id — in production "largest" is often
+    // "highest resolution"), emitting the SURVIVING media set. One window
+    // over the checksum; the shuffle carries (checksum, id, size), never
+    // payload bytes — at 100 TB of media that is the entire game.
+    "m6_media_dedup" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("checksum").orderBy(col("n_bytes").desc, col("doc_id"))
+      docs(s, dir)
+        .withColumn("payload", col("text").cast(BinaryType))
+        .select(col("doc_id"), md5(col("payload")).as("checksum"),
+          expr("CAST(octet_length(payload) AS BIGINT)").as("n_bytes"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("doc_id", "checksum", "n_bytes")
     }
   )
 
@@ -190,6 +208,15 @@ object Multimodal {
          |FROM (SELECT doc_id,
          |        CAST(256 + (${featureSql(0)} % 1024) AS BIGINT) AS src_w,
          |        CAST(144 + (${featureSql(1)} % 1024) AS BIGINT) AS src_h
-         |      FROM documents) t""".stripMargin
+         |      FROM documents) t""".stripMargin,
+
+    "m6_media_dedup" ->
+      """SELECT doc_id, checksum, n_bytes FROM (
+        |  SELECT doc_id, md5(text) AS checksum,
+        |    CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY octet_length(text::BLOB) DESC, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk = 1""".stripMargin
   )
 }

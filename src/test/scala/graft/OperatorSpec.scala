@@ -166,4 +166,13 @@ class OperatorSpec extends AnyFunSuite {
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     assert(counts == expected)
   }
+
+  test("m6 media dedup keeps one survivor per identical payload, lowest id on ties") {
+    // docs 1 and 2 are byte-identical payloads (identical size, so the
+    // tie-break decides): doc 1 must survive, doc 2 must not; every other
+    // payload is unique and survives
+    val survivors = graft.operators.Multimodal.defs("m6_media_dedup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L, 4L, 5L, 6L), s"got $survivors")
+  }
 }
