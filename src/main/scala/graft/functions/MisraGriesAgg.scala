@@ -27,39 +27,58 @@ import org.apache.spark.sql.expressions.Aggregator
   * under every partitioning (pinned by MisraGriesSpec).
   */
 final class MisraGriesAgg(k: Int)
-    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    extends Aggregator[String, scala.collection.Map[String, Long], Map[String, Long]] {
   require(k > 0, s"k must be positive, got $k")
 
-  override def zero: Map[String, Long] = Map.empty
+  import scala.collection.{mutable, Map => AnyMap}
 
-  override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+  /** The buffer lives as a plain object between encoder boundaries
+    * (ObjectHashAggregate serializes it only at the shuffle), so the hot
+    * per-token path mutates a HashMap in place; a buffer arriving from
+    * deserialization (immutable) is copied once on first touch. */
+  private def mut(b: AnyMap[String, Long]): mutable.HashMap[String, Long] =
+    b match {
+      case m: mutable.HashMap[String, Long] => m
+      case other => mutable.HashMap.from(other)
+    }
+
+  override def zero: AnyMap[String, Long] = mutable.HashMap.empty
+
+  override def reduce(b0: AnyMap[String, Long], x: String): AnyMap[String, Long] = {
+    val b = mut(b0)
     b.get(x) match {
-      case Some(c) => b.updated(x, c + 1)
-      case None if b.size < k => b.updated(x, 1L)
+      case Some(c) => b.update(x, c + 1)
+      case None if b.size < k => b.update(x, 1L)
       case None =>
         // decrement-all step: drop keys reaching zero; the arriving item
         // is "cancelled" against one unit of every tracked key
-        b.flatMap { case (key, c) =>
-          if (c > 1) Some(key -> (c - 1)) else None
+        val dead = List.newBuilder[String]
+        b.foreach { case (key, c) =>
+          if (c > 1) b.update(key, c - 1) else dead += key
         }
+        dead.result().foreach(b.remove)
     }
+    b
+  }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val combined = b.foldLeft(a) { case (acc, (key, c)) =>
-      acc.updated(key, acc.getOrElse(key, 0L) + c)
-    }
-    if (combined.size <= k) combined
+  override def merge(a0: AnyMap[String, Long], b0: AnyMap[String, Long]): AnyMap[String, Long] = {
+    val a = mut(a0)
+    b0.foreach { case (key, c) => a.update(key, a.getOrElse(key, 0L) + c) }
+    if (a.size <= k) a
     else {
       // subtract the (k+1)-largest count from everything; <= k survive
-      val cut = combined.values.toSeq.sorted(Ordering[Long].reverse)(k)
-      combined.flatMap { case (key, c) =>
-        if (c > cut) Some(key -> (c - cut)) else None
+      val cut = a.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      val dead = List.newBuilder[String]
+      a.foreach { case (key, c) =>
+        if (c > cut) a.update(key, c - cut) else dead += key
       }
+      dead.result().foreach(a.remove)
+      a
     }
   }
 
-  override def finish(b: Map[String, Long]): Map[String, Long] = b
+  override def finish(b: AnyMap[String, Long]): Map[String, Long] = b.toMap
 
-  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[AnyMap[String, Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
 }
