@@ -71,6 +71,37 @@ class BloomSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q37 plans the bloom probe BELOW the residual join (filter-below-join)") {
+    // the point of the reduction: non-matching fact rows die before the
+    // join's shuffle/build. Find the o_orderkey join and assert some child
+    // subtree contains the bloom probe filter (shiftright over bf).
+    val plan0 = operators.Relational.defs("q37_bloom_join")(spark, dir)
+      .queryExecution.executedPlan
+    // AdaptiveSparkPlanExec does not expose the inner tree as children
+    val plan = plan0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(_.toString.contains("orderkey")) => j
+    }
+    assert(joins.nonEmpty, s"expected the orderkey join\n$plan")
+    // the probe may survive as a FilterExec or get fused into the
+    // single-row bitset cross-join's condition — either way it must be a
+    // DESCENDANT of the residual join's probe side
+    val bloomBelowJoin = joins.exists(_.children.exists(c =>
+      c.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("shiftright") => f
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.condition.exists(_.toString.contains("shiftright")) => j
+      }.nonEmpty))
+    assert(bloomBelowJoin,
+      s"the bloom probe filter must sit below the residual join\n$plan")
+  }
+
   test("the probe filter prunes the fact side below the join") {
     // re-build the probe stage exactly as q37 does, and count survivors:
     // at sf0.001 the date filter keeps a small fraction of orders, so the
