@@ -630,6 +630,23 @@ object Relational {
     "q40_lateral_topk" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(lateralTopkSql)
+    },
+
+    // VARIANT path (Spark ≥ 4.0): q17's semantics on the shredded binary
+    // JSON type — `parse_json` parses ONCE into Variant and typed
+    // `variant_get` extracts without re-walking the string, where q17's
+    // `get_json_object` re-parses the JSON text at every call site. At
+    // 100 TB of semi-structured props, parse-once (and, with a Variant
+    // parquet column, shredded storage the scan can push into) is the
+    // difference between string-parsing the corpus per extracted field and
+    // per ingest. Same rows as q17; the oracle spells it as plain JSON
+    // extraction.
+    "q41_variant_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .filter(col("k") > 50)
     }
   )
 
@@ -994,6 +1011,10 @@ object Relational {
 
     "q39_recursive_cte" -> recursiveWalkSql,
 
-    "q40_lateral_topk" -> lateralTopkSql
+    "q40_lateral_topk" -> lateralTopkSql,
+
+    "q41_variant_extract" ->
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin
   )
 }
