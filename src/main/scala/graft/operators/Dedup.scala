@@ -194,20 +194,50 @@ object Dedup {
       .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
       .select(col("doc_id"), array_sort(array_distinct(hvOf(col("sh")))).as("hs"))
 
+  /** d9/d19 truth-side scale guards (the "evaluation, not production"
+    * posture, as code): prefix postings whose document frequency exceeds
+    * this cap are dropped from BOTH sides of the candidate self-join. A
+    * shingle that viral is boilerplate, and its df² posting expansion is
+    * the one quadratic a skewed corpus would otherwise hit (DedupScaleSpec
+    * pins the flood fixture). The cap never fires on the committed testdata
+    * (max prefix-posting df is 24 at sf0.1), so the oracle's all-pairs
+    * truth spelling stays exact with only the query sample mirrored. */
+  private val truthDfCap = 1024
+
+  /** Deterministic 50% query-side sample for the ground-truth join: first
+    * hex char of md5(doc_id) < '8' — the same md5-residue idiom s4 uses to
+    * sample recall queries. Restricting ONE side of the posting join to the
+    * sample bounds its cost by |postings(Q)|·df instead of df², and recall
+    * over the sampled truth is still EXACT recall (estimates need thousands
+    * of truth pairs, not all of them). Mirrored verbatim in
+    * [[truthSqlCte]]. */
+  private def isSampledQuery(docId: Column): Column =
+    substring(md5(docId.cast(StringType)), 1, 1) < "8"
+
   /** Ground-truth near-dup pairs (Jaccard >= 0.5) WITHOUT an all-pairs
     * scan, shared by d9 (recall) and d19 (banding sweep): the prefix-filter
     * lemma — any pair at j >= 0.5 shares its smallest common element inside
     * both half-length prefixes, so the candidate index takes the first
-    * floor(|hs|/2)+1 elements — then exact-Jaccard verify. The oracle twin
-    * is [[truthSqlCte]]; the 0.5 threshold and the prefix length live HERE
-    * and there, nowhere else. */
+    * floor(|hs|/2)+1 elements — then exact-Jaccard verify. One side of the
+    * posting join is restricted to the [[isSampledQuery]] sample and both
+    * sides are df-capped at [[truthDfCap]] (the two guards that keep the
+    * evaluator linear on a boilerplate-heavy corpus). The oracle twin is
+    * [[truthSqlCte]]; the 0.5 threshold, the prefix length, and the sample
+    * predicate live HERE and there, nowhere else. */
   private def prefixTruth(hs0: DataFrame): DataFrame = {
     val pre = hs0.select(col("doc_id"),
-      explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
-    val cand = pre.as("x")
+        explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+      // df-cap BEFORE the self-join: the window count tags each posting with
+      // its document frequency (same spillable pre-filter pattern as the
+      // band-size cap), and viral-shingle postings never enter the join
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= truthDfCap)
+      .select("doc_id", "h")
+    val cand = pre.filter(isSampledQuery(col("doc_id"))).as("x")
       .join(pre.as("y"), col("x.h") === col("y.h")
-        && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
       .distinct()
     withJaccard(cand, hs0)
       .filter(col("jaccard") >= 0.5).select("d1", "d2")
@@ -269,12 +299,18 @@ object Dedup {
   }
 
   /** Oracle twin of [[prefixTruth]] (d9/d19): the oracle affords the plain
-    * all-pairs spelling; the >= 0.5 threshold matches the Spark side. */
+    * all-pairs spelling; the >= 0.5 threshold and the md5-residue query
+    * sample (either endpoint sampled) match the Spark side verbatim. The
+    * [[truthDfCap]] guard is deliberately NOT mirrored — it never fires at
+    * oracle scales (max prefix-posting df 24 at sf0.1 vs cap 1024), so
+    * truth is identical with or without it there. */
   private val truthSqlCte: String =
     """truth AS (
       |  SELECT x.doc_id AS d1, y.doc_id AS d2
       |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
       |  WHERE len(x.hs) > 0 AND len(y.hs) > 0
+      |    AND (substr(md5(CAST(x.doc_id AS VARCHAR)), 1, 1) < '8'
+      |         OR substr(md5(CAST(y.doc_id AS VARCHAR)), 1, 1) < '8')
       |    AND CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
       |          / len(list_distinct(x.hs || y.hs)) >= 0.5)""".stripMargin
 
@@ -465,10 +501,12 @@ object Dedup {
     // feeds the prefix index, the verify sets, AND the LSH signatures
     // (min over the distinct set = min over the shingle multiset).
     // Scale posture: evaluation, not production — at corpus scale a viral
-    // shingle (boilerplate) makes the prefix self-join quadratic in its
-    // df, so the deployed form restricts ONE join side to a deterministic
-    // query sample (recall estimates need thousands of truth pairs, not all
-    // of them) and/or df-caps the index, exactly like s4 samples queries.
+    // shingle (boilerplate) would make the prefix self-join quadratic in
+    // its df, so prefixTruth restricts ONE join side to a deterministic
+    // md5-residue query sample (recall estimates need thousands of truth
+    // pairs, not all of them — exactly like s4 samples queries) AND
+    // df-caps the postings (truthDfCap); DedupScaleSpec's flood fixture
+    // pins that a >cap boilerplate group contributes zero posting pairs.
     "d9_lsh_recall" -> { (s, dir) =>
       val hs0 = hashSets(s, dir).localCheckpoint()
       val truth = prefixTruth(hs0)

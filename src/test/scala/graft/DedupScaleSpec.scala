@@ -140,15 +140,60 @@ class DedupScaleSpec extends AnyFunSuite {
       s"chain must collapse into cluster 10, got $got")
   }
 
+  /** The deterministic 50% query sample prefixTruth applies (first md5 hex
+    * char of the doc id < '8'), mirrored here so expectations track the
+    * predicate instead of hardcoding survivor counts. */
+  private def sampled(id: Long): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    hex.charAt(0) < '8'
+  }
+
   test("d9 honestly reports the recall lost to the viral-bucket cap") {
     val r = Dedup.defs("d9_lsh_recall")(spark, dir).collect().head
-    // truth = in-group pairs: C(300,2) + 1; every one shares all 16 sigs, but
-    // the viral bucket is capped — so caught = only the (301,302) pair. This
-    // pins that d9 HONESTLY reports the recall cost of the bucket cap.
-    val nTruth = viralN.toLong * (viralN - 1) / 2 + 1
+    // truth = in-group pairs with >= 1 sampled endpoint (the 50% query-side
+    // sample; viral df 300 stays under the 1024 posting cap, so the group
+    // itself is NOT dropped) + the (301,302) pair (301 is sampled). Every
+    // in-group pair shares all 16 sigs, but the viral band bucket is capped
+    // — so caught = only the (301,302) pair. This pins that d9 HONESTLY
+    // reports the recall cost of the bucket cap over the sampled truth.
+    val ids = (1 to viralN).map(_.toLong)
+    val nViral = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      if sampled(ids(i)) || sampled(ids(j))
+    } yield 1).size.toLong
+    assert(sampled(301L), "test premise: the rare pair is in the sampled truth")
+    val nTruth = nViral + 1
     assert(r.getLong(0) == nTruth)
     assert(r.getLong(1) == 1L)
     assert(math.abs(r.getDouble(2) - 1.0 / nTruth) < 1e-12)
+  }
+
+  test("d9 truth guard: a boilerplate flood above the posting df-cap contributes zero pairs") {
+    // 1100 identical docs: every half-prefix shingle they share has df 1100,
+    // above truthDfCap (1024), so the guard drops the WHOLE flood from the
+    // truth index — without it the prefix self-join would expand toward
+    // C(1100,2) ≈ 600k posting pairs. The low-df exact-dup pair alongside
+    // must still be found (2002 is in the md5 query sample).
+    val floodN = 1100
+    val d = Files.createTempDirectory("graft-flood").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val boiler = "subscribe to our newsletter for updates terms of service apply"
+    val rare = "a genuinely novel document about catalyst plan shapes"
+    val rows = (1 to floodN).map(i => Row(i.toLong, boiler, "en", "s", boiler.length.toLong)) ++
+      Seq(Row(2001L, rare, "en", "s", rare.length.toLong),
+        Row(2002L, rare, "en", "s", rare.length.toLong))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(sampled(2002L), "test premise: the rare pair is in the sampled truth")
+    val r = Dedup.defs("d9_lsh_recall")(spark, d).collect().head
+    assert(r.getLong(0) == 1L,
+      s"flood pairs must be df-capped out of the truth index, got n_truth=${r.getLong(0)}")
+    assert(r.getLong(1) == 1L, "the rare low-df pair must still be caught")
   }
 
   test("d17's final plan re-derives nothing from documents (one checkpointed scan)") {
