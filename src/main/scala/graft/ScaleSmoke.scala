@@ -50,7 +50,8 @@ object ScaleSmoke {
     // replicate only what the selected queries read — an absent table in
     // `base` stays a non-issue unless a query actually needs it
     val needsDocs = names.exists(n =>
-      n.startsWith("d") || n.startsWith("t") || n.startsWith("w"))
+      n.startsWith("d") || n.startsWith("t") || n.startsWith("w") ||
+        n.startsWith("m")) // multimodal queries are documents-backed too
     val needsEmb = names.exists(_.startsWith("s"))
     val needsLineitem = names.exists(_.startsWith("g"))
     if (needsDocs) {

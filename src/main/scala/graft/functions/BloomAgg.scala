@@ -35,8 +35,10 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 final class BloomAgg(numBits: Int, numHashFns: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] {
-  require(numBits > 0 && (numBits & (numBits - 1)) == 0,
-    s"numBits must be a positive power of two, got $numBits")
+  // >= 64, not just > 0: below one 64-bit word, words = numBits/64 = 0 and
+  // every reduce() would index into an empty buffer
+  require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+    s"numBits must be a power of two >= 64, got $numBits")
   require(numHashFns > 0, s"numHashFns must be positive, got $numHashFns")
 
   private val words = numBits / 64

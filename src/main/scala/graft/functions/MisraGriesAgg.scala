@@ -38,7 +38,10 @@ final class MisraGriesAgg(k: Int)
     * deserialization (immutable) is copied once on first touch. */
   private def mut(b: AnyMap[String, Long]): mutable.HashMap[String, Long] =
     b match {
-      case m: mutable.HashMap[String, Long] => m
+      // erasure makes the element types uncheckable at runtime; the only
+      // producers are `zero` and the encoder, both [String, Long], so the
+      // explicit cast documents (rather than silently assumes) that invariant
+      case m: mutable.HashMap[_, _] => m.asInstanceOf[mutable.HashMap[String, Long]]
       case other => mutable.HashMap.from(other)
     }
 

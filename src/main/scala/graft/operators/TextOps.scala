@@ -457,9 +457,13 @@ object TextOps {
     // every SF).
     "w6_heavy_hitters" -> { (s, dir) =>
       val mg = udaf(new graft.functions.MisraGriesAgg(127))
+      // checkpointed: THREE consumers (sketch, total count, exact recount)
+      // would otherwise each rescan documents and re-run the tokenize
+      // pipeline (the d14 multi-consumer lesson)
       val toks = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
+        .localCheckpoint()
       val candKeys = toks.agg(mg(col("word")).as("sk"))
         .select(explode(map_keys(col("sk"))).as("word"))
       val n = toks.agg(count(lit(1)).as("n"))

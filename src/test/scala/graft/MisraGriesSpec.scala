@@ -79,4 +79,14 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("w6's final plan re-derives nothing from documents (one checkpointed tokenize)") {
+    // three consumers of the token stream (sketch, total count, recount)
+    // must all read the checkpointed projection, not rescan parquet
+    val p = graft.operators.TextOps.defs("w6_heavy_hitters")(
+      spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"w6 must derive all branches from the checkpointed tokens ($scans scans)\n$p")
+  }
 }
