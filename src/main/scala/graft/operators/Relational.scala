@@ -285,16 +285,30 @@ object Relational {
           sum("ps").cast(DoubleType).as("sum_value"))
     },
 
-    // Approximate sketches: HLL distinct + approximate percentile. No DuckDB
-    // oracle on purpose — sketch internals differ across engines, so the
-    // driver applies its weaker rows-only check. At 100 TB these replace
-    // exact distinct/median where the 2-4% error is acceptable.
+    // Approximate sketches: HLL distinct + approximate percentile. Sketch
+    // VALUES can't be oracle-compared (internals differ across engines), so
+    // the query emits the exact statistics alongside BOUND BOOLEANS — the
+    // sketch's accuracy contract evaluated against the exact values — and
+    // the oracle recomputes the exact columns and asserts the bounds hold.
+    // HLL at rsd=0.02 against a 10% bound (5 sigma) and accuracy-1000
+    // percentile against the exact p45..p55 band: both have astronomically
+    // small violation odds on any data, so the gate is stable across SFs
+    // (ApproxSpec additionally re-derives the bounds from raw exacts).
+    // The exact columns here exist to GATE the sketch; at 100 TB production
+    // keeps only the sketch side — that is the point of the sketch.
     "q23_approx_stats" -> { (s, dir) =>
       t(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
-          count(lit(1)).as("n_events"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"),
+          expr("percentile(value, 0.45D)").as("p45"),
+          expr("percentile(value, 0.55D)").as("p55"))
+        .select(col("event_type"), col("n_events"), col("n_users_exact"),
+          (abs(col("au") - col("n_users_exact")).cast(DoubleType)
+            / col("n_users_exact") <= 0.10).as("users_within_10pct"),
+          col("am").between(col("p45"), col("p55")).as("median_in_p45_p55"))
     },
 
     // As-of join — an operator Spark has no native primitive for (the brief's
@@ -855,11 +869,22 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // q22: salting is invisible to the result — the oracle is the plain
-    // single-phase aggregate. (q23 has no oracle: sketches differ by engine.)
+    // single-phase aggregate.
     "q22_salted_agg" ->
       s"""SELECT event_type, count(*) AS n_events,
          |  ${dsumSql("value", 6)} AS sum_value
          |FROM events GROUP BY 1""".stripMargin,
+
+    // q23: sketch values differ by engine, so the oracle recomputes the
+    // EXACT columns and asserts the bound booleans — the Spark side computes
+    // them against its own exacts (which hash-match these), so a red row
+    // here means the sketch broke its accuracy contract.
+    "q23_approx_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users_exact,
+        |  TRUE AS users_within_10pct,
+        |  TRUE AS median_in_p45_p55
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q24_asof_join" ->
       """WITH e AS (

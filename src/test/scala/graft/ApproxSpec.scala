@@ -6,37 +6,43 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Relational
 import graft.sources.Tables
 
-/** q23 is deliberately oracle-less (sketch internals differ across engines),
-  * so this spec is its correctness gate: the sketches must honor their
-  * accuracy contracts against exact values on real data. */
+/** q23 gates its sketches through bound booleans the driver oracle asserts;
+  * this spec independently RE-DERIVES the bounds from raw sketch and exact
+  * values, so a bound boolean that went true by construction (rather than
+  * by sketch accuracy) would be caught here. */
 class ApproxSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("q23: approx_count_distinct within 5% and approx_median inside p45..p55") {
-    val approx = Relational.defs("q23_approx_stats")(spark, dir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+  test("q23: bound booleans are all true and re-derive from raw sketch vs exact values") {
+    val rows = Relational.defs("q23_approx_stats")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
       .toMap
-    val exact = Tables.load(spark, dir, "events")
+    // independent recomputation of BOTH sides of each bound
+    val raw = Tables.load(spark, dir, "events")
       .groupBy("event_type")
-      .agg(countDistinct("user_id").as("nd"),
-        expr("percentile(value, 0.45)").as("p45"),
-        expr("percentile(value, 0.55)").as("p55"),
-        count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("nd"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"),
+        expr("percentile(value, 0.45D)").as("p45"),
+        expr("percentile(value, 0.55D)").as("p55"))
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
       .toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (et, (nd, p45, p55, n)) =>
-      val (approxUsers, approxMedian, nEvents) = approx(et)
-      // HLL++ default relative standard deviation is 0.05
-      assert(math.abs(approxUsers - nd).toDouble / nd <= 0.05,
-        s"$et: approx_count_distinct $approxUsers vs exact $nd")
-      // percentile_approx(accuracy=1000) guarantees rank error <= n/1000,
-      // far inside the p45..p55 exact band at any n
-      assert(approxMedian >= p45 && approxMedian <= p55,
-        s"$et: approx_median $approxMedian outside exact [$p45, $p55]")
-      assert(nEvents == n)
+    assert(rows.keySet == raw.keySet)
+    raw.foreach { case (et, (n, nd, au, am, p45, p55)) =>
+      val (nEvents, nUsers, usersOk, medianOk) = rows(et)
+      assert(nEvents == n && nUsers == nd, s"$et: exact columns must be exact")
+      // HLL at rsd=0.02 vs a 10% bound = 5 sigma; accuracy-1000 percentile
+      // has rank error <= n/1000, far inside the exact p45..p55 band
+      assert(usersOk == (math.abs(au - nd).toDouble / nd <= 0.10),
+        s"$et: users_within_10pct must re-derive (au=$au nd=$nd)")
+      assert(medianOk == (am >= p45 && am <= p55),
+        s"$et: median_in_p45_p55 must re-derive (am=$am [$p45,$p55])")
+      assert(usersOk && medianOk,
+        s"$et: sketch broke its accuracy contract (au=$au nd=$nd am=$am [$p45,$p55])")
     }
   }
 
