@@ -328,6 +328,38 @@ object Dedup {
        |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t)""".stripMargin
   }
 
+  /** d18's corpus-side index as a PERSISTED bucketed table pair — the
+    * materialized form an incremental pipeline maintains across increments
+    * (what the d18 comment used to claim and now does):
+    *  - `graft_d18_sets_*`  (doc_id, fp, hs), bucketed+sorted on doc_id —
+    *    the exact-fingerprint set and the verify-side hash sets;
+    *  - `graft_d18_bands_*` (doc_id, band), bucketed+sorted on band — the
+    *    LSH buckets, pre-partitioned so the probe's band join and the
+    *    bucket-size window read the corpus side WITHOUT an exchange.
+    * Built once per (session, corpus dir) from ONE corpus scan and read
+    * back on every subsequent call (the suffix keys the table name to the
+    * dir, so fixtures and SFs never collide); a production pipeline would
+    * instead append/compact these tables as batches are admitted. */
+  private def corpusIndexTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val suffix = (dir.hashCode.toLong & 0xffffffffL).toString
+    val setsT = s"graft_d18_sets_$suffix"
+    val bandsT = s"graft_d18_bands_$suffix"
+    if (!s.catalog.tableExists(setsT) || !s.catalog.tableExists(bandsT)) {
+      val corpus = docs(s, dir).filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), fpCol.as("fp"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("fp"), shinglesOf(col("w")).as("sh"))
+        .select(col("doc_id"), col("fp"),
+          array_sort(array_distinct(hvOf(col("sh")))).as("hs"))
+        .localCheckpoint() // one corpus scan feeds both table writes
+      graft.sources.Bucketing.writeBucketed(
+        corpus.select("doc_id", "fp", "hs"), setsT, "doc_id", 8)
+      graft.sources.Bucketing.writeBucketed(
+        bandsFrom(sigsFromHv(corpus.select(col("doc_id"), col("hs").as("hv")))),
+        bandsT, "band", 8)
+    }
+    (s.table(setsT), s.table(bandsT))
+  }
+
   /** Verified near-dup edges (LSH candidates with exact Jaccard >= 0.5) —
     * the pair graph d11 clusters and d15 dedups against. One corpus scan:
     * the checkpointed hash sets feed signatures, candidates, and verify. */
@@ -728,40 +760,45 @@ object Dedup {
     // EXISTING corpus without comparing batch docs to each other. Each
     // batch doc gets a verdict: 'exact' (its normalized fingerprint already
     // exists in the corpus), 'near' (an LSH band match verified at Jaccard
-    // >= 0.5 against some corpus doc), or 'novel'. Plan: ONE scan builds a
-    // checkpointed (fp, hash-set) projection for all docs; signatures/bands
-    // derive from it (min over distinct set = min over multiset); the probe
-    // is an ASYMMETRIC band equi-join — batch bands against corpus bands —
-    // with the viral-bucket cap applied to the CORPUS side (the probe cost
-    // per batch band is its corpus bucket size, so the cap bounds it; a
-    // batch doc landing only in dropped buckets degrades to 'novel'
-    // exactly like d3's capped recall, measured by d9). At scale the
-    // corpus-side index (fp set, band buckets, hash sets) is a MATERIALIZED
-    // table maintained across increments — the per-batch cost is then
-    // batch-sized joins against it, never a corpus rescan; this query
-    // builds it inline because the gate is single-shot.
+    // >= 0.5 against some corpus doc), or 'novel'. The corpus-side index
+    // (fp, hash sets; band buckets) is a PERSISTED BUCKETED TABLE PAIR
+    // (corpusIndexTables) maintained across increments — built once per
+    // (session, corpus) and read back on every increment, so the probe
+    // plan never rescans corpus documents: its only parquet scans are the
+    // index tables (pinned in DedupScaleSpec). The probe itself is an
+    // ASYMMETRIC band equi-join — batch bands against corpus bands — with
+    // the viral-bucket cap applied to the CORPUS side (the probe cost per
+    // batch band is its corpus bucket size, so the cap bounds it; a batch
+    // doc landing only in dropped buckets degrades to 'novel' exactly like
+    // d3's capped recall, measured by d9). The bands table is bucketed ON
+    // band, so the bucket-size window and the corpus side of the band join
+    // need no exchange — only the batch-sized side shuffles.
     "d18_incremental_dedup" -> { (s, dir) =>
-      val base = docs(s, dir)
+      val (cSets, cBands) = corpusIndexTables(s, dir)
+      // the increment: only the batch slice of `documents` is read here,
+      // checkpointed so every probe branch consumes one batch scan
+      val batch = docs(s, dir).filter(col("doc_id") % 10 === 7)
         .select(col("doc_id"), fpCol.as("fp"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), col("fp"), shinglesOf(col("w")).as("sh"))
         .select(col("doc_id"), col("fp"),
           array_sort(array_distinct(hvOf(col("sh")))).as("hs"))
         .localCheckpoint()
-      val isBatch = col("doc_id") % 10 === 7
-      val bands = bandsFrom(
-        sigsFromHv(base.select(col("doc_id"), col("hs").as("hv"))))
-      val bb = bands.filter(isBatch).select(col("doc_id").as("d1"), col("band"))
-      val cb = bands.filter(!isBatch)
+      val bb = bandsFrom(
+        sigsFromHv(batch.select(col("doc_id"), col("hs").as("hv"))))
+        .select(col("doc_id").as("d1"), col("band"))
+      val cb = cBands
         .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band")))
         .filter(col("bsz") <= maxBucket)
         .select(col("doc_id").as("d2"), col("band"))
       val cand = bb.join(cb, Seq("band")).select("d1", "d2").distinct()
-      val nd = withJaccard(cand, base.select(col("doc_id"), col("hs")))
+      val hsAll = batch.select("doc_id", "hs")
+        .union(cSets.select("doc_id", "hs"))
+      val nd = withJaccard(cand, hsAll)
         .groupBy(col("d1").as("doc_id"))
         .agg(count(lit(1)).as("n_candidates"), max(col("jaccard")).as("max_jaccard"))
-      val corpusFp = base.filter(!isBatch).select("fp").distinct()
+      val corpusFp = cSets.select("fp").distinct()
         .withColumn("hit", lit(1))
-      base.filter(isBatch).select("doc_id", "fp")
+      batch.select("doc_id", "fp")
         .join(corpusFp, Seq("fp"), "left")
         .join(nd, Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -260,11 +260,35 @@ class DedupScaleSpec extends AnyFunSuite {
       37L -> "novel", 47L -> "novel"), s"got $got")
   }
 
-  test("d18's final plan re-derives nothing from documents (one checkpointed scan)") {
+  test("d18's increment plan reads ONLY the persisted corpus index (never corpus documents)") {
+    // the batch slice is checkpointed (no documents scan at probe time);
+    // every parquet scan left in the plan must be one of the two bucketed
+    // index tables the corpus side is materialized as
     val p = Dedup.defs("d18_incremental_dedup")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans == 0, s"d18 must derive all branches from the checkpointed projection ($scans scans)\n$p")
+    val scans = "Scan parquet [^\\[\\s]*".r.findAllIn(p).toList
+    assert(scans.nonEmpty, s"expected index-table scans in the probe plan\n$p")
+    val stray = scans.filterNot(_.contains("graft_d18_"))
+    assert(stray.isEmpty,
+      s"probe plan must scan only the persisted index tables, found $stray\n$p")
+  }
+
+  test("d18's band join reads the bucketed corpus bands without an exchange") {
+    // the bands table is bucketed on band: the bucket-size window consumes
+    // the scan's bucket partitioning directly. Parents print before
+    // children, so the window-over-band ... bands-scan chain must contain
+    // no Exchange line between them.
+    val p = Dedup.defs("d18_incremental_dedup")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toList
+    val bandScan = lines.indexWhere(l =>
+      l.contains("Scan parquet") && l.contains("graft_d18_bands_"))
+    assert(bandScan >= 0, s"expected a bands-table scan\n$p")
+    val windowAbove = lines.take(bandScan).lastIndexWhere(_.contains("Window"))
+    assert(windowAbove >= 0, s"expected the bucket-size Window above the bands scan\n$p")
+    val between = lines.slice(windowAbove + 1, bandScan).filter(_.contains("Exchange"))
+    assert(between.isEmpty,
+      s"the bucket-size window must consume the bucketed scan without an Exchange, found $between\n$p")
   }
 
   test("d19 sweep: candidate volume shrinks as r grows, recall never rises") {
