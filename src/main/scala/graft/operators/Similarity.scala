@@ -322,6 +322,33 @@ object Similarity {
           .cast(LongType).as("n_pairs"))
     },
 
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
+    // efficient learning at web-scale through semantic deduplication") — the
+    // embedding-axis member of the dedup-deliverable family: exact (d8),
+    // near-dup text (d15), media (m6), and THIS — s6's cosine clusters →
+    // keep ONE representative per cluster → anti-join the rest out of the
+    // embeddings corpus. Representative = highest squared norm (the
+    // strongest-signal copy; cosine clustering ignores magnitude, so norm
+    // is the quality axis the cluster didn't already collapse), ties to
+    // lowest vec_id — both engines compute norm² by the identical
+    // sequential fold, so the keep-best window replays exactly. Same scale
+    // shape as d15: the window runs over CLUSTERED vectors only (cluster
+    // map ⋈ a narrow (vec_id, norm2) projection), never the corpus; corpus
+    // rows move once, through the final anti-join.
+    "s13_semantic_dedup" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cl = defs("s6_embed_clusters")(s, dir)
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("norm2").desc, col("vec_id"))
+      val losers = cl
+        .join(e.select(col("vec_id"), dot(col("v"), col("v")).as("norm2")), "vec_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1)
+        .select("vec_id")
+      e.join(losers, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+    },
+
     // Product-quantization ANN with asymmetric distance computation (ADC;
     // Jégou et al., "Product Quantization for Nearest Neighbor Search") —
     // the COMPRESSION scale path next to bucketing (s2) and coarse
@@ -516,6 +543,36 @@ object Similarity {
          |  UNION
          |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v)
          |SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin
+    },
+
+    // s13: s6's recursive-CTE clusters + the keep-best window + anti-join —
+    // norm² spelled as the same sequential fold the normalize step uses.
+    "s13_semantic_dedup" -> {
+      val dotU = "list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2]))"
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, label, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |edges AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE $dotU > 0.3),
+         |und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM und
+         |  UNION
+         |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v),
+         |cl AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |losers AS (
+         |  SELECT vec_id FROM (
+         |    SELECT cl.vec_id,
+         |      row_number() OVER (PARTITION BY cl.cluster_id
+         |        ORDER BY list_sum(list_transform(e.v, p -> p*p)) DESC, cl.vec_id) AS rk
+         |    FROM cl JOIN e ON cl.vec_id = e.vec_id) t
+         |  WHERE rk > 1)
+         |SELECT vec_id, label FROM e
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin
     },
 
     "s7_ivf_recall" -> {

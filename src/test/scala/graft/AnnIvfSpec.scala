@@ -118,4 +118,24 @@ class AnnIvfSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 0, s"s11 must derive all branches from the checkpoint ($scans scans)\n$p")
   }
+
+  test("s13 keeps exactly one representative per s6 cluster plus every unclustered vector") {
+    val dir = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val clusters = graft.operators.Similarity.defs("s6_embed_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val kept = graft.operators.Similarity.defs("s13_semantic_dedup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(clusters.nonEmpty, "test premise: the corpus has semantic clusters")
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(kept) == 1, // exactly one survivor per cluster
+        s"cluster $cid: expected 1 survivor among $members, kept ${members.intersect(kept)}")
+    }
+    val clustered = clusters.map(_._1).toSet
+    assert((all -- clustered).subsetOf(kept),
+      "every unclustered vector must survive semantic dedup")
+    assert(kept.size == (all -- clustered).size + byCluster.size)
+  }
 }
