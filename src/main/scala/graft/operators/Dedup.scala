@@ -345,6 +345,16 @@ object Dedup {
     val setsT = s"graft_d18_sets_$suffix"
     val bandsT = s"graft_d18_bands_$suffix"
     if (!s.catalog.tableExists(setsT) || !s.catalog.tableExists(bandsT)) {
+      // the in-memory catalog dies with the JVM but the warehouse files do
+      // not; saveAsTable refuses to CREATE a table over a location left by
+      // a previous session, so clear any stale directory first
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      Seq(setsT, bandsT).foreach { t =>
+        if (!s.catalog.tableExists(t)) {
+          val p = new org.apache.hadoop.fs.Path(wh, t)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
       val corpus = docs(s, dir).filter(col("doc_id") % 10 =!= 7)
         .select(col("doc_id"), fpCol.as("fp"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), col("fp"), shinglesOf(col("w")).as("sh"))
