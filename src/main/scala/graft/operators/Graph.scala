@@ -32,6 +32,55 @@ object Graph {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Support-≥2 co-order edge list from a lineitem frame, checkpointed
+    * (g1 consumes it three times). Package-private so GraphSpec can probe
+    * the pipeline's stages (skew histograms) without re-deriving them. */
+  private[graft] def coOrderEdges(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set("pk").as("ps"))
+      .select(explode(expr(
+        "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("a", "b")
+      .localCheckpoint()
+
+  /** Degree table of an (a, b) edge list. */
+  private[graft] def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+
+  /** Edges oriented from the (degree, id)-smaller endpoint: (u, v, dv),
+    * checkpointed (wedge self-join + closure probe). Out-degree of every
+    * vertex is O(√m) — the property the skew pin measures. */
+  private[graft] def oriented(e: DataFrame): DataFrame = {
+    val deg = degrees(e)
+    val da = deg.select(col("v").as("a"), col("d").as("dda"))
+    val db = deg.select(col("v").as("b"), col("d").as("ddb"))
+    val aFirst = col("dda") < col("ddb") ||
+      (col("dda") === col("ddb") && col("a") < col("b"))
+    e.join(da, "a").join(db, "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("ddb")).otherwise(col("dda")).as("dv"))
+      .localCheckpoint()
+  }
+
+  /** Orientation-ordered wedges (x, y) from the oriented edges — the
+    * equi-join on the center vertex u that the skew probe measures. */
+  private[graft] def wedges(oe: DataFrame): DataFrame = {
+    val e1 = oe.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = oe.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    e1.join(e2, "u")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select("x", "y")
+  }
+
   val defs: Map[String, Q] = Map(
     // Global triangle census of the co-order graph: nodes, edges, wedges
     // (open or closed two-paths in orientation order), triangles, and the
@@ -50,36 +99,10 @@ object Graph {
       // one shuffle on the order key replaces distinct + self-join's three
       // (no change at sf0.1 where fixed overhead dominates; 32 s → 25 s at
       // the 100× ScaleSmoke, where the saved shuffles carry real volume)
-      val e = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .groupBy("ok").agg(collect_set("pk").as("ps"))
-        .select(explode(expr(
-          "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"))
-          .as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
-        .select("a", "b")
-        .localCheckpoint()
-      val deg = e.select(col("a").as("v"))
-        .unionAll(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
-      val da = deg.select(col("v").as("a"), col("d").as("dda"))
-      val db = deg.select(col("v").as("b"), col("d").as("ddb"))
-      val aFirst = col("dda") < col("ddb") ||
-        (col("dda") === col("ddb") && col("a") < col("b"))
-      val oe = e.join(da, "a").join(db, "b")
-        .select(
-          when(aFirst, col("a")).otherwise(col("b")).as("u"),
-          when(aFirst, col("b")).otherwise(col("a")).as("v"),
-          when(aFirst, col("ddb")).otherwise(col("dda")).as("dv"))
-        .localCheckpoint()
-      val e1 = oe.select(col("u"), col("v").as("x"), col("dv").as("dx"))
-      val e2 = oe.select(col("u"), col("v").as("y"), col("dv").as("dy"))
-      val wedge = e1.join(e2, "u")
-        .filter(col("dx") < col("dy") ||
-          (col("dx") === col("dy") && col("x") < col("y")))
-        .select("x", "y")
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val deg = degrees(e)
+      val oe = oriented(e)
+      val wedge = wedges(oe)
       val closed = wedge.join(oe,
         wedge("x") === oe("u") && wedge("y") === oe("v"), "left_semi")
       deg.agg(count(lit(1)).as("n_nodes"))

@@ -65,6 +65,82 @@ class GraphSpec extends AnyFunSuite {
       s"star must yield zero wedges: $r")
   }
 
+  test("power-law graph: orientation bounds out-degree at O(√m) and the wedge join's partition skew") {
+    // The divisor graph — edges (i, k·i) for k >= 2 — is a deterministic
+    // hub-heavy fixture: vertex v's degree is ~N/v + d(v), a power-law-ish
+    // tail where vertex 1 touches every other vertex. Exactly the input
+    // where a neighborhood² triangle count dies: without orientation the
+    // hub contributes C(N-1, 2) wedges. The pins: (1) the theoretical
+    // guarantee — after (degree, id) orientation every OUT-degree is
+    // <= sqrt(2m) (a vertex with out-degree d has d neighbors of degree
+    // >= its own >= d, and the sum of degrees is 2m); (2) the operational
+    // consequence — the wedge self-join on the center vertex spreads over
+    // the shuffle partitions instead of collapsing onto the hub's.
+    val n = 1000
+    val edges = for {
+      i <- 1 to n; k <- 2 to n / i
+    } yield (i.toLong, (k * i).toLong)
+    val d = Files.createTempDirectory("graft-powerlaw").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    // two orders per edge, each holding exactly that edge's two parts →
+    // co-order support exactly 2, no accidental extra edges
+    val rows = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(1000000L + 2 * i, 1000001L + 2 * i).flatMap(ok => Seq(Row(ok, a), Row(ok, b)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), schema)
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+
+    val e = Graph.coOrderEdges(spark.read.parquet(s"$d/lineitem.parquet"))
+    val m = e.count()
+    assert(m == edges.size, s"fixture edges must survive the support filter: $m")
+    val hubDeg = Graph.degrees(e).agg(org.apache.spark.sql.functions.max("d"))
+      .collect().head.getLong(0)
+    val oe = Graph.oriented(e)
+    val maxOut = oe.groupBy("u").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect().head.getLong(0)
+    assert(hubDeg > math.sqrt(2.0 * m) * 4,
+      s"test premise: the raw graph is hub-heavy (hub degree $hubDeg, m=$m)")
+    assert(maxOut <= math.sqrt(2.0 * m).toLong + 1,
+      s"orientation must bound out-degree at sqrt(2m)=${math.sqrt(2.0 * m).toInt}, got $maxOut")
+
+    // per-CENTER wedge counts — the partition-agnostic skew metric (a hot
+    // center key cannot be split across reducers, so this bounds what any
+    // partition of the wedge join can receive). The orientation guarantee
+    // caps it at C(maxOut, 2) regardless of the degree distribution.
+    val w = Graph.wedges(oe)
+    val total = w.count()
+    assert(total > 0, "test premise: the divisor graph has wedges")
+    val keyed = oe.select(org.apache.spark.sql.functions.col("u"))
+      .groupBy("u").count()
+      .selectExpr("max(count * (count - 1) div 2) AS mw")
+      .collect().head.getLong(0)
+    val cap = maxOut * (maxOut - 1) / 2
+    assert(keyed <= cap,
+      s"hottest center's wedges $keyed must respect the C(maxOut,2)=$cap cap")
+
+    // partition histogram with AQE coalescing off (24k rows locally would
+    // otherwise coalesce to ONE partition and measure nothing): the view a
+    // 1000-executor shuffle sees — bounded max share, no hub collapse
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val hist = Graph.wedges(Graph.oriented(e)).rdd
+        .mapPartitions(it => Iterator(it.size.toLong)).collect()
+      val ht = hist.sum
+      val maxShare = hist.max.toDouble / ht
+      // 2× the uniform share, floored by the hottest key's unavoidable
+      // share (a key is indivisible): measured 0.30 over 4 partitions
+      // (uniform 0.25) with the hot center at 0.29 of all wedges — healthy;
+      // a failed orientation puts ~all wedges on the hub's partition (→ ~1)
+      val bound = math.max(2.0 / hist.length, 2.0 * keyed / total)
+      assert(maxShare <= bound,
+        s"wedge join must not collapse onto one partition: max share $maxShare " +
+          s"(bound $bound) of $ht (histogram ${hist.sorted.reverse.take(8).mkString(",")})")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
   test("g1's graph-scale joins are equi-joins; only the single-row count merge is a cross") {
     val p = Graph.defs("g1_triangle_count")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
