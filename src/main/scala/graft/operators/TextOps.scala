@@ -457,19 +457,25 @@ object TextOps {
     // every SF).
     "w6_heavy_hitters" -> { (s, dir) =>
       val mg = udaf(new graft.functions.MisraGriesAgg(127))
-      // checkpointed: THREE consumers (sketch, total count, exact recount)
-      // would otherwise each rescan documents and re-run the tokenize
-      // pipeline (the d14 multi-consumer lesson)
       val toks = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
-        .localCheckpoint()
-      val candKeys = toks.agg(mg(col("word")).as("sk"))
-        .select(explode(map_keys(col("sk"))).as("word"))
-      val n = toks.agg(count(lit(1)).as("n"))
-      toks.join(broadcast(candKeys), Seq("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(n))
+      // ONE fused pass computes the sketch AND the total count, and its
+      // single row explodes into ONE broadcast carrying (candidate word, n)
+      // — a single consumer, so the pass runs once with no checkpoint and
+      // the whole query is two token passes (this one and the exact
+      // recount) inside ONE execution, where the broadcast subtree and the
+      // probe scan overlap. Measured against the alternatives at sf0.1:
+      // three lazy passes (r7) parallelize well but triple the corpus IO
+      // at scale; checkpointing the token STREAM pins a corpus-sized
+      // explode in storage memory; checkpointing the one-row aggregate
+      // serializes two jobs (+0.25 s locally). This shape is the minimum
+      // two passes AND the single-execution overlap.
+      val cand = toks
+        .agg(mg(col("word")).as("sk"), count(lit(1)).as("n"))
+        .select(explode(map_keys(col("sk"))).as("word"), col("n"))
+      toks.join(broadcast(cand), Seq("word"))
+        .groupBy("word", "n").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * 64 > col("n"))
         .select(col("word"), col("cnt"))
     }

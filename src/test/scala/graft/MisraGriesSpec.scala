@@ -80,13 +80,15 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("w6's final plan re-derives nothing from documents (one checkpointed tokenize)") {
-    // three consumers of the token stream (sketch, total count, recount)
-    // must all read the checkpointed projection, not rescan parquet
+  test("w6 plans exactly two token passes: fused sketch+count broadcast and the recount probe") {
+    // the sketch and the total count are ONE fused aggregate exploded into
+    // ONE broadcast (single consumer — no third pass for the threshold),
+    // so the plan holds exactly two parquet scans that overlap inside one
+    // execution
     val p = graft.operators.TextOps.defs("w6_heavy_hitters")(
       spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans == 0, s"w6 must derive all branches from the checkpointed tokens ($scans scans)\n$p")
+    assert(scans == 2, s"w6 must be exactly two token passes ($scans scans)\n$p")
   }
 }
