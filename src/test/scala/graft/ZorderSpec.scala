@@ -42,18 +42,22 @@ class ZorderSpec extends AnyFunSuite {
 
   test("z-range files prune a 2-D box probe that a linear sort cannot") {
     // the zone-map experiment: a full 1024x1024 uniform grid written as 16
-    // range-partitioned files, each file's (x, y) min/max box derived from
-    // its own rows — exactly the stats a parquet footer carries. Probe box
-    // [0,256)x[0,256) is 1/16 of the area: either linear sort prunes only
-    // its own dimension (1/4 -> 4 files), while the z-sort localizes the
-    // box to a single aligned z-range ([0, 65536) — one file, two if a
-    // sampled partition boundary lands inside it).
+    // equal key-range files, each file's (x, y) min/max box derived from
+    // its own rows — exactly the stats a parquet footer carries. The file
+    // id is derived from the sort key EXPLICITLY (k div keyspace/16 — what
+    // a table writer's range partitioner does when it knows the bounds)
+    // rather than via repartitionByRange, whose SAMPLED split points shift
+    // with suite execution order and turned this pin flaky. Probe box
+    // [0,256)x[0,256) is 1/16 of the area: a linear sort prunes only its
+    // own dimension (1/4 -> 4 files), while the z-sort localizes the box
+    // to exactly one aligned z-range ([0, 65536) -> file 0).
     val grid = spark.range(1L << 20)
       .select((col("id") % 1024).as("x"), (col("id") / 1024).cast("long").as("y"))
-    def filesTouched(df: DataFrame, sortCol: String): Int = {
+    def filesTouched(df: DataFrame, fileWidth: Long): Int = {
       val d = Files.createTempDirectory("graft-zorder").toString
-      df.repartitionByRange(16, col(sortCol)).sortWithinPartitions(sortCol)
-        .write.mode("overwrite").parquet(d)
+      df.withColumn("fid", expr(s"k div ${fileWidth}L"))
+        .repartition(16, col("fid")).sortWithinPartitions("k")
+        .write.mode("overwrite").partitionBy("fid").parquet(d)
       spark.read.parquet(d)
         .groupBy(input_file_name().as("f"))
         .agg(min("x").as("mnx"), max("x").as("mxx"),
@@ -62,18 +66,12 @@ class ZorderSpec extends AnyFunSuite {
         .count().toInt
     }
     val zFiles = filesTouched(
-      grid.withColumn("k", MortonCode.morton16(col("x"), col("y"))), "k")
-    val xFiles = filesTouched(grid.withColumn("k", col("x")), "k")
-    val yFiles = filesTouched(grid.withColumn("k", col("y")), "k")
-    // repartitionByRange SAMPLES split points (seeded by RDD id, which
-    // shifts with suite execution order), so the box's single aligned
-    // z-range can straddle a sampled boundary or two — allow 3 files; the
-    // load-bearing claim is strict dominance over both linear sorts below
-    assert(zFiles <= 3, s"the aligned box must be a few z-range files: $zFiles")
-    assert(xFiles >= 4 && yFiles >= 4,
+      grid.withColumn("k", MortonCode.morton16(col("x"), col("y"))), 1L << 16)
+    val xFiles = filesTouched(grid.withColumn("k", col("x")), 64L)
+    val yFiles = filesTouched(grid.withColumn("k", col("y")), 64L)
+    assert(zFiles == 1, s"the aligned box must be ONE z-range file: $zFiles")
+    assert(xFiles == 4 && yFiles == 4,
       s"a linear sort prunes only its own dimension: x=$xFiles y=$yFiles")
-    assert(zFiles < xFiles && zFiles < yFiles,
-      s"z must beat both linear sorts: z=$zFiles x=$xFiles y=$yFiles")
   }
 
   test("q38 is one scan, one equi-keyed exchange, morton16 inside codegen") {
