@@ -82,6 +82,40 @@ object Graph {
   }
 
   val defs: Map[String, Q] = Map(
+    // Damped PageRank over the co-order graph, INTEGER-EXACT: ranks are
+    // scaled by 1e12 and every step uses floor division (`div`), so three
+    // unrolled iterations produce bit-identical longs in any engine — the
+    // hash-gateable spelling of an algorithm whose float form never
+    // cross-engine-compares (per-vertex float sums are order-sensitive).
+    // Plan per iteration: vertex-sized equi-join (rank ⋈ degree) → edge-
+    // sized equi-join (directed edges ⋈ per-vertex contribution) → hash
+    // aggregate on the destination (partial+final, so a hub's in-flow
+    // combines map-side). The damping constant re-injection is a 1-row
+    // broadcast. 100 TB posture: each iteration is one edge-linear join +
+    // one agg — the standard distributed PageRank step; nothing holds a
+    // neighborhood in memory and no step is quadratic in degree.
+    "g2_pagerank" -> { (s, dir) =>
+      val S = 1000000000000L // rank scale: Σ ranks ≈ S, max product 85·S ≪ 2^63
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val deg = degrees(e).localCheckpoint() // 4 consumers: n + 3 iterations
+      val n = deg.agg(count(lit(1)).as("n"))
+      val de = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      var r = deg.join(broadcast(n))
+        .select(col("v"), expr(s"CAST($S div n AS BIGINT)").as("pr"))
+      for (_ <- 1 to 3) {
+        val rc = r.join(deg, "v")
+          .select(col("v").as("src"), expr("pr div d").as("c"))
+        r = de.join(rc, "src")
+          .groupBy(col("dst").as("v")).agg(sum(col("c")).as("sc"))
+          .join(broadcast(n))
+          .select(col("v"), expr(
+            s"CAST((15 * ($S div n)) div 100 + (85 * sc) div 100 AS BIGINT)")
+            .as("pr"))
+      }
+      r
+    },
+
     // Global triangle census of the co-order graph: nodes, edges, wedges
     // (open or closed two-paths in orientation order), triangles, and the
     // closed-wedge fraction. Plan: per-order distinct (order, part) pairs
@@ -115,20 +149,39 @@ object Graph {
     }
   )
 
+  /** Shared relational spelling of the co-order graph build (edge list +
+    * degree table) — the common WITH-prefix of every g-oracle, so the two
+    * engines' graphs can never drift apart per query. */
+  private val graphSql: String =
+    """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      |          FROM lp l1 JOIN lp l2
+      |            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+      |edges AS (SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2),
+      |deg AS (SELECT v, count(*) AS d
+      |        FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) t
+      |        GROUP BY v)""".stripMargin
+
+  /** One integer PageRank step as a SQL CTE pair: s<i> sums floor-divided
+    * contributions over directed edges; r<i> applies damping in the same
+    * scaled-integer arithmetic as the Spark side (`//` and `div` both
+    * truncate, and every operand is positive, so the floors agree). */
+  private def prStepSql(i: Int): String =
+    s"""s$i AS (SELECT de.dst AS v, CAST(sum(r${i - 1}.pr // deg.d) AS BIGINT) AS sc
+       |        FROM de JOIN r${i - 1} ON de.src = r${i - 1}.v
+       |                JOIN deg ON de.src = deg.v
+       |        GROUP BY de.dst),
+       |r$i AS (SELECT s$i.v,
+       |          CAST((15 * (1000000000000 // n.n)) // 100 + (85 * sc) // 100 AS BIGINT) AS pr
+       |        FROM s$i, n)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // identical graph build + orientation, spelled relationally; the
     // closure is a semi-join in both engines so a multi-edge can never
     // double-count (edges are distinct by construction, but the intent is
     // explicit)
     "g1_triangle_count" ->
-      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
-        |          FROM lp l1 JOIN lp l2
-        |            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
-        |edges AS (SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2),
-        |deg AS (SELECT v, count(*) AS d
-        |        FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) t
-        |        GROUP BY v),
+      s"""WITH $graphSql,
         |oe AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
         |                   THEN e.a ELSE e.b END AS u,
         |              CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
@@ -147,6 +200,19 @@ object Graph {
         |       (SELECT count(*) FROM closed) AS n_triangles,
         |       CASE WHEN (SELECT count(*) FROM wedge) = 0 THEN 0.0
         |            ELSE CAST((SELECT count(*) FROM closed) AS DOUBLE)
-        |                   / (SELECT count(*) FROM wedge) END AS closed_frac""".stripMargin
+        |                   / (SELECT count(*) FROM wedge) END AS closed_frac""".stripMargin,
+
+    // same graph; the three unrolled integer steps — arithmetic spelled
+    // operand-for-operand like the Spark side so every floor agrees
+    "g2_pagerank" ->
+      s"""WITH $graphSql,
+        |n AS (SELECT count(*) AS n FROM deg),
+        |de AS (SELECT a AS src, b AS dst FROM edges
+        |       UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |r0 AS (SELECT v, CAST(1000000000000 // n.n AS BIGINT) AS pr FROM deg, n),
+        |${prStepSql(1)},
+        |${prStepSql(2)},
+        |${prStepSql(3)}
+        |SELECT v, pr FROM r3""".stripMargin
   )
 }

@@ -141,6 +141,76 @@ class GraphSpec extends AnyFunSuite {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  /** Sequential reference of g2's integer PageRank step — the same scaled
+    * floor arithmetic, computed single-threaded over adjacency maps. The
+    * distributed result must match it LONG-FOR-LONG: any partitioning or
+    * order sensitivity in the joins/aggregates would break exact equality. */
+  private def seqPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val S = 1000000000000L
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val deg = nbrs.map { case (v, ns) => v -> ns.size.toLong }
+    val n = deg.size.toLong
+    var r = deg.map { case (v, _) => v -> S / n }
+    for (_ <- 1 to iters) {
+      val c = r.map { case (v, pr) => v -> pr / deg(v) }
+      r = nbrs.map { case (v, ns) =>
+        v -> ((15L * (S / n)) / 100L + (85L * ns.map(c).sum) / 100L)
+      }
+    }
+    r
+  }
+
+  test("g2 matches a sequential integer reference long-for-long on a random graph") {
+    val rnd = new scala.util.Random(7)
+    // ~60 vertices, ~150 random edges, self-loop-free and distinct
+    val edges = (1 to 150).map { _ =>
+      val a = rnd.nextInt(60) + 1L; val b = rnd.nextInt(60) + 1L
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val d = Files.createTempDirectory("graft-pr").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    val rows = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(5000000L + 2 * i, 5000001L + 2 * i).flatMap(ok => Seq(Row(ok, a), Row(ok, b)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 5), schema)
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Graph.defs("g2_pagerank")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = seqPageRank(edges, 3)
+    assert(got == want, s"distributed vs sequential mismatch: " +
+      s"${(got.toSet diff want.toSet).take(5)} / ${(want.toSet diff got.toSet).take(5)}")
+  }
+
+  test("g2 invariants: regular graphs stay uniform; rank mass is conserved up to floors") {
+    // a 12-cycle is 2-regular: every vertex must hold EXACTLY S div 12 rank
+    // at every iteration (contributions and damping are identical per
+    // vertex, and the integer arithmetic is deterministic)
+    val cyc = (0L until 12L).map(i => (i + 1L, (i + 1L) % 12L + 1L))
+    val d = Files.createTempDirectory("graft-cycle").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    val rows = cyc.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(7000000L + 2 * i, 7000001L + 2 * i).flatMap(ok => Seq(Row(ok, a), Row(ok, b)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val prs = Graph.defs("g2_pagerank")(spark, d).collect().map(_.getLong(1))
+    val S = 1000000000000L
+    // uniformity is EXACT (same arithmetic at every vertex); the value
+    // drifts a few units below S/12 as each iteration's floors bite
+    assert(prs.length == 12 && prs.toSet.size == 1,
+      s"2-regular graph must stay uniform: ${prs.toSet}")
+    assert(prs.head <= S / 12 && prs.head >= S / 12 - 100,
+      s"uniform rank must be S/12 minus floor drift: ${prs.head}")
+    // rank mass: each step only loses to floors — Σ pr stays within N·202
+    // of S (each vertex floors ≤ 2 divisions of scale ≤ 100 plus its
+    // contribution floors ≤ deg) and never exceeds it
+    val sum = prs.sum
+    assert(sum <= S && sum >= S - 12L * 1000L, s"rank mass off: $sum vs $S")
+  }
+
   test("g1's graph-scale joins are equi-joins; only the single-row count merge is a cross") {
     val p = Graph.defs("g1_triangle_count")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
