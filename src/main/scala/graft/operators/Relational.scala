@@ -661,6 +661,42 @@ object Relational {
         .select(col("event_id"),
           expr("variant_get(v, '$.k', 'bigint')").as("k"))
         .filter(col("k") > 50)
+    },
+
+    // First-touch conversion funnel with a 24 h attribution window per
+    // stage: per user, the first view, the first click strictly after that
+    // view (within 24 h), and the first purchase strictly after that click
+    // (within 24 h) — order-dependent chaining a plain conditional groupBy
+    // cannot express. Plan: ONE shuffle on user_id; the three dependent
+    // stage timestamps are whole-partition window minima sharing that
+    // partitioning (and the per-user collapse reuses it — no second
+    // exchange), then a single-row global rollup. All outputs are exact
+    // integers (counts + millisecond sums), so the row hash-gates
+    // cross-engine. At 100 TB: per-user state is three longs, the window
+    // frames are unbounded-but-agg-only (no sort-dependent frame), and the
+    // final rollup is a partial+final agg of one row per user.
+    "q42_funnel" -> { (s, dir) =>
+      val day = 86400000L
+      val w = Window.partitionBy("user_id")
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("ms"))).over(w))
+        .withColumn("fc",
+          min(when(col("event_type") === "click" && col("ms") > col("fv")
+            && col("ms") <= col("fv") + day, col("ms"))).over(w))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase" && col("ms") > col("fc")
+            && col("ms") <= col("fc") + day, col("ms"))).over(w))
+      e.groupBy("user_id")
+        .agg(max(col("fv")).as("fv"), max(col("fc")).as("fc"),
+          max(col("fp")).as("fp"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("fv")).as("n_view"),
+          count(col("fc")).as("n_view_click"),
+          count(col("fp")).as("n_full_funnel"),
+          coalesce(sum(col("fc") - col("fv")), lit(0L)).as("sum_v2c_ms"),
+          coalesce(sum(col("fp") - col("fc")), lit(0L)).as("sum_c2p_ms"))
     }
   )
 
@@ -1040,6 +1076,25 @@ object Relational {
 
     "q41_variant_extract" ->
       """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin
+        |FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin,
+
+    "q42_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |w1 AS (SELECT user_id, event_type, ms,
+        |         min(CASE WHEN event_type = 'view' THEN ms END)
+        |           OVER (PARTITION BY user_id) AS fv FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ms > fv
+        |                          AND ms <= fv + 86400000 THEN ms END)
+        |         OVER (PARTITION BY user_id) AS fc FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ms > fc
+        |                          AND ms <= fc + 86400000 THEN ms END)
+        |         OVER (PARTITION BY user_id) AS fp FROM w2),
+        |u AS (SELECT user_id, max(fv) AS fv, max(fc) AS fc, max(fp) AS fp
+        |      FROM w3 GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(fv) AS n_view,
+        |       count(fc) AS n_view_click, count(fp) AS n_full_funnel,
+        |       CAST(coalesce(sum(fc - fv), 0) AS BIGINT) AS sum_v2c_ms,
+        |       CAST(coalesce(sum(fp - fc), 0) AS BIGINT) AS sum_c2p_ms
+        |FROM u""".stripMargin
   )
 }

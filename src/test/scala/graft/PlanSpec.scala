@@ -103,6 +103,18 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q42's chained funnel windows and per-user collapse share ONE user_id exchange") {
+    val p = plan(Relational.defs("q42_funnel")(spark, dir))
+    // three dependent window minima + the per-user groupBy all run on the
+    // user_id partitioning; only the final single-row rollup adds its
+    // (single-partition) exchange — so: one hash-partitioned shuffle on
+    // user_id, one SinglePartition for the global agg, nothing else
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected user_id + single-partition exchanges only ($exchanges)\n$p")
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q39 executes as a recursive UnionLoop and terminates at the digit-tree depth") {
     val df = Relational.defs("q39_recursive_cte")(spark, dir)
     assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
