@@ -478,6 +478,33 @@ object TextOps {
         .groupBy("word", "n").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * 64 > col("n"))
         .select(col("word"), col("cnt"))
+    },
+
+    // w6's sketch-prune / exact-recount discipline PER GROUP: the dominant
+    // tokens of each language, without any per-language full-vocab shuffle.
+    // Pass 1 is ONE grouped ObjectHashAggregate — each (map partition,
+    // lang) holds <= 127 Misra-Gries counters plus the group's token count,
+    // so the shuffle carries a bounded sketch row per language, never the
+    // vocabulary; the per-group guarantee is unchanged (kept keys ⊇ every
+    // token above n_lang/128). Pass 2 broadcasts the <= 127·|langs|
+    // (lang, candidate, n_lang) rows back into the token scan and recounts
+    // exactly on the (lang, word) equi-key; the integer threshold
+    // cnt·64 > n_lang needs no division. The grouped form is the one a
+    // curation pipeline actually runs (per-language/per-source boilerplate
+    // lists); |langs| bounds the broadcast, so the shape holds wherever
+    // the group count is dashboard-sized.
+    "w7_lang_heavy_hitters" -> { (s, dir) =>
+      val mg = udaf(new graft.functions.MisraGriesAgg(127))
+      val toks = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val cand = toks.groupBy("lang")
+        .agg(mg(col("word")).as("sk"), count(lit(1)).as("n"))
+        .select(col("lang"), explode(map_keys(col("sk"))).as("word"), col("n"))
+      toks.join(broadcast(cand), Seq("lang", "word"))
+        .groupBy("lang", "word", "n").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 64 > col("n"))
+        .select(col("lang"), col("word"), col("cnt"))
     }
   )
 
@@ -705,6 +732,19 @@ object TextOps {
         |SELECT word, count(*) AS cnt
         |FROM tok CROSS JOIN n
         |GROUP BY word, n.n
+        |HAVING count(*) * 64 > n.n""".stripMargin,
+
+    // the sketch prunes, the recount is exact per (lang, word) — the
+    // oracle spells the per-group frequent-token query directly
+    "w7_lang_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT lang, w AS word
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> ''),
+        |n AS (SELECT lang, count(*) AS n FROM tok GROUP BY lang)
+        |SELECT tok.lang, word, count(*) AS cnt
+        |FROM tok JOIN n ON tok.lang = n.lang
+        |GROUP BY tok.lang, word, n.n
         |HAVING count(*) * 64 > n.n""".stripMargin
   )
 }

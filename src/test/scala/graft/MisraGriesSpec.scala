@@ -72,6 +72,23 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(got.nonEmpty, "test premise: the corpus has heavy tokens at n/64")
   }
 
+  test("w7's grouped sketch keeps the per-group guarantee: equals per-lang exact counts") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.TextOps.defs("w7_lang_heavy_hitters")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val totals = toks.groupBy("lang").agg(count(lit(1)).as("n"))
+    val want = toks.groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .join(totals, "lang")
+      .filter(col("cnt") * 64 > col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got == want)
+    assert(got.map(_._1).distinct.size > 1,
+      "test premise: heavy hitters found in more than one language")
+  }
+
   test("w6 plans the sketch on ObjectHashAggregate and broadcasts the candidates") {
     val p = graft.operators.TextOps.defs("w6_heavy_hitters")(
       spark, "/root/testdata/sf0.001")
