@@ -425,6 +425,30 @@ object TextOps {
           col("min_bigram_freq"))
     },
 
+    // Within-document repetition — the Gopher repetition signal at bigram
+    // granularity: how much of a document is the same phrase over and over
+    // (templated/boilerplate text scores high and gets filtered before
+    // training). Two chained equi-keyed hash aggregates — per (doc, bigram)
+    // occurrence counts, then the per-doc rollup (total, distinct, max) —
+    // both partial+final; a pathologically repetitive document costs its
+    // bigram count linearly, and the fractions are single divisions of two
+    // exact longs (bit-portable, g1's closed_frac discipline). w5 scores a
+    // doc's bigrams against the CORPUS distribution; this scores them
+    // against the document itself — the two axes curation needs.
+    "t15_repetition" -> { (s, dir) =>
+      bigramPairs(docs(s, dir))
+        .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast(LongType).as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max("c").cast(LongType).as("top_n"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_n"),
+          ((col("n_bigrams") - col("n_distinct")).cast(DoubleType) /
+            col("n_bigrams")).as("dup_frac"),
+          (col("top_n").cast(DoubleType) / col("n_bigrams")).as("top_frac"))
+    },
+
     // PII scrub — detection counts + redacted text, the compliance pass a
     // training pipeline runs before shipping a corpus. Zero shuffle; the
     // regex work is per-row inside the scan stage. The synthetic corpus
@@ -683,6 +707,21 @@ object TextOps {
          |        CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
          |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS nsp_chars
          |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t) u""".stripMargin,
+
+    "t15_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |                          i -> array_to_string(w[i:i+1], ' '))) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+        |  WHERE len(w) >= 2),
+        |g AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_n,
+        |  CAST(CAST(sum(c) AS BIGINT) - count(*) AS DOUBLE)
+        |    / CAST(sum(c) AS BIGINT) AS dup_frac,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_frac
+        |FROM g GROUP BY doc_id""".stripMargin,
 
     "t14_mixture_weights" ->
       """WITH g AS (
