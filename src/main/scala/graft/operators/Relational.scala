@@ -697,6 +697,30 @@ object Relational {
           count(col("fp")).as("n_full_funnel"),
           coalesce(sum(col("fc") - col("fv")), lit(0L)).as("sum_v2c_ms"),
           coalesce(sum(col("fp") - col("fc")), lit(0L)).as("sum_c2p_ms"))
+    },
+
+    // Weekly retention cohorts: users grouped by first-active week, counted
+    // in each subsequent week they return — the activation/retention matrix
+    // behind every growth dashboard. The (user, week) distinct pass bounds
+    // everything downstream at active-users × weeks (events collapse before
+    // any join); cohort assignment is a user-keyed equi-join back onto that
+    // collapsed table; both week columns are Monday-truncated so the
+    // day-difference is an exact multiple of 7 (integer div, no rounding
+    // ambiguity). Cohort sizes broadcast (weeks × users is dashboard-sized
+    // relative to the event stream). All outputs exact.
+    "q43_retention_cohorts" -> { (s, dir) =>
+      val uw = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val first = uw.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      uw.join(first, "user_id")
+        .select(col("cohort"),
+          expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").as("week_offset"))
+        .groupBy("cohort", "week_offset").agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_active"), col("cohort_size"))
     }
   )
 
@@ -1095,6 +1119,19 @@ object Relational {
         |       count(fc) AS n_view_click, count(fp) AS n_full_funnel,
         |       CAST(coalesce(sum(fc - fv), 0) AS BIGINT) AS sum_v2c_ms,
         |       CAST(coalesce(sum(fp - fc), 0) AS BIGINT) AS sum_c2p_ms
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    "q43_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY cohort),
+        |r AS (SELECT f.cohort,
+        |        CAST(date_diff('day', f.cohort, uw.wk) // 7 AS BIGINT) AS week_offset,
+        |        count(*) AS n_active
+        |      FROM uw JOIN f ON uw.user_id = f.user_id
+        |      GROUP BY f.cohort, 2)
+        |SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+        |       n_active, cohort_size
+        |FROM r JOIN sz ON r.cohort = sz.cohort""".stripMargin
   )
 }
