@@ -167,9 +167,9 @@ object Similarity {
       .select(col("query_id"), col("m"), col("cid"),
         dot(col("qsu"), col("cu")).as("pdot"))
 
-  /** ADC top-5 from (query_id, vec_id, m, pdot) rows: pivot to the four
+  /** ADC top-k from (query_id, vec_id, m, pdot) rows: pivot to the four
     * fixed-order subspace partials (never a float groupBy-sum), Σ_m, rank. */
-  private def adcTop5(scored: DataFrame): DataFrame = {
+  private def adcTopK(scored: DataFrame, k: Int): DataFrame = {
     val ps = (0 until pqSub).map(m =>
       max(when(col("m") === m, col("pdot"))).as(s"p$m"))
     val w = Window.partitionBy("query_id")
@@ -180,9 +180,11 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (col("p0") + col("p1") + col("p2") + col("p3")).as("approx_sim"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "approx_sim")
   }
+
+  private def adcTop5(scored: DataFrame): DataFrame = adcTopK(scored, 5)
 
   val defs: Map[String, Q] = Map(
     // Brute-force cosine top-10 for query vectors (vec_id < 5): the exact
@@ -418,6 +420,46 @@ object Similarity {
       adcTop5(
         cand.join(pqCodes(n, cent), Seq("vec_id"))
           .join(broadcast(pqLut(n, cent)), Seq("query_id", "m", "cid")))
+    },
+
+    // IVF+PQ shortlist → EXACT re-rank — the production ANN serving shape
+    // (FAISS-style): the coarse quantizer prunes lists, 4-byte ADC codes
+    // score the survivors, the top-20 shortlist alone is re-scored with
+    // the full-precision dot product, and the final top-5 ranks by the
+    // exact score. At 100 TB the full vectors are touched for 20 rows per
+    // query instead of the corpus — the re-rank join is a shortlist-sized
+    // equi-join back into the (checkpointed) normalized projection, so the
+    // compression error of s10/s12 is erased wherever the true neighbor
+    // made the shortlist, at ~zero extra scan cost. dot over the SHARED
+    // normalized vectors (= cosine, same fold both engines) keeps the
+    // score bit-portable.
+    "s14_ann_rerank" -> { (s, dir) =>
+      val n = normalized(s, dir)
+      val ccent = coarseCentroids(n)
+      val casg = coarseAssign(n, ccent)
+        .select(col("vec_id"), col("cid").as("ivf"))
+      val cprobes = coarseProbes(n, ccent, nprobe = 2)
+        .select(col("query_id"), col("cid").as("ivf"))
+      val cand = casg.join(broadcast(cprobes), Seq("ivf"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+      val cent = pqCentroids(n)
+      val short = adcTopK(
+        cand.join(pqCodes(n, cent), Seq("vec_id"))
+          .join(broadcast(pqLut(n, cent)), Seq("query_id", "m", "cid")), 20)
+        .select("query_id", "neighbor_id")
+      val q = n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      short
+        .join(n.select(col("vec_id").as("neighbor_id"), col("u")), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dot(col("qu"), col("u")).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "sim")
     },
 
     // IVF+PQ recall@5 — completes the evaluation square (s4 LSH, s7 IVF,
@@ -659,6 +701,23 @@ object Similarity {
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, approx_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY approx_sim DESC, neighbor_id) AS rnk FROM p) r
+         |WHERE rnk <= 5""".stripMargin,
+
+    // s14: the s11 CTEs produce the ADC scores; the shortlist re-ranks by
+    // the exact dot over the shared normalized vectors
+    "s14_ann_rerank" ->
+      s"""WITH $ivfPqCtes,
+         |sh AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY approx_sim DESC, neighbor_id) AS rnk FROM p) r
+         |       WHERE rnk <= 20),
+         |qn AS (SELECT vec_id AS query_id, u AS qu FROM n WHERE vec_id < 5),
+         |rr AS (SELECT sh.query_id, sh.neighbor_id, ${dSql("qn.qu", "nn.u")} AS sim
+         |       FROM sh JOIN n nn ON sh.neighbor_id = nn.vec_id
+         |               JOIN qn ON sh.query_id = qn.query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM rr) t
          |WHERE rnk <= 5""".stripMargin,
 
     "s12_ivfpq_recall" ->

@@ -119,6 +119,30 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(scans == 0, s"s11 must derive all branches from the checkpoint ($scans scans)\n$p")
   }
 
+  test("s14's exact re-rank dominates s11: recall@5 can only improve, sims are exact") {
+    // Structural guarantee: s11's top-5 is the ADC head of the SAME top-20
+    // shortlist s14 re-ranks, and any true top-5 neighbor inside the
+    // shortlist must win its exact-score rank (only the true top-4 can
+    // outscore it) — so recall(s14) >= recall(s11) on every corpus, not
+    // just this one.
+    val exact5 = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .filter(_.getLong(2) <= 5).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSim = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val s11 = Similarity.defs("s11_ivf_pq")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s14 = Similarity.defs("s14_ann_rerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert((exact5 intersect s14.map(t => (t._1, t._2)).toSet).size >=
+      (exact5 intersect s11).size,
+      "re-ranking the shortlist must never lose recall vs the ADC order")
+    // the re-ranked score is the EXACT cosine wherever s1 scored the pair
+    // (dot over shared normalized vectors = cosine, up to fold rounding)
+    s14.foreach { case (q, n, sim) =>
+      exactSim.get((q, n)).foreach(es => assert(math.abs(es - sim) < 1e-9))
+    }
+  }
+
   test("s13 keeps exactly one representative per s6 cluster plus every unclustered vector") {
     val dir = "/root/testdata/sf0.001"
     val all = spark.read.parquet(s"$dir/embeddings.parquet")
