@@ -184,6 +184,32 @@ object Dedup {
         }: _*)).as("band"))
   }
 
+  /** Content-defined chunk table (doc_id, chunk_id, n_tokens, cfp),
+    * checkpointed — d17's chunker, shared with d20's containment candidate
+    * generator so the boundary rule (md5(token) % 8 == 0 cuts) can never
+    * drift between them. Boundaries are a function of token CONTENT only,
+    * so the same span chunks identically anywhere it appears (the property
+    * d17 pins). */
+  private def cdcChunkTable(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = d
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("cut",
+        when(graft.functions.Md5Hash32.hash32(col("w")) % 8 === 0, 1L)
+          .otherwise(0L))
+    val preceding = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok
+      .withColumn("chunk_id", coalesce(sum("cut").over(preceding), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")))).as("cfp"))
+      .localCheckpoint()
+  }
+
   /** Sorted distinct 32-bit shingle-hash set per doc — the verify-side
     * representation (integer set ops instead of string compares, exactly as
     * a scale dedup pipeline stores them; the ~1e-6 per-doc collision odds
@@ -313,6 +339,26 @@ object Dedup {
       |         OR substr(md5(CAST(y.doc_id AS VARCHAR)), 1, 1) < '8')
       |    AND CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
       |          / len(list_distinct(x.hs || y.hs)) >= 0.5)""".stripMargin
+
+  /** Oracle twin of [[cdcChunkTable]] (d17/d20): tokenize with positions,
+    * content-defined cut points, running chunk ids, per-chunk fingerprints. */
+  private val chunkSqlCtes: String =
+    """tok AS (
+      |  SELECT doc_id, i AS pos, w[i] AS w,
+      |    CASE WHEN (instr('0123456789abcdef', substr(md5(w[i]), 8, 1)) - 1) % 8 = 0
+      |         THEN 1 ELSE 0 END AS cut
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+      |       LATERAL unnest(generate_series(1, len(w))) AS u(i)
+      |  WHERE w[i] <> ''),
+      |ch AS (
+      |  SELECT doc_id, pos, w,
+      |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      |  FROM tok),
+      |ck AS (
+      |  SELECT doc_id, chunk_id, count(*) AS n_tokens,
+      |    md5(string_agg(w, ' ' ORDER BY pos)) AS cfp
+      |  FROM ch GROUP BY doc_id, chunk_id)""".stripMargin
 
   /** Oracle-side sorted distinct hash-set CTE (verify-side of d4/d9). */
   private val hashSetSqlCte: String = {
@@ -734,23 +780,7 @@ object Dedup {
     // its occurrence count, never its square (d13's discipline at chunk
     // granularity).
     "d17_cdc_chunks" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val tok = docs(s, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .filter(col("w") =!= "")
-        .withColumn("cut",
-          when(graft.functions.Md5Hash32.hash32(col("w")) % 8 === 0, 1L)
-            .otherwise(0L))
-      val preceding = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ck = tok
-        .withColumn("chunk_id", coalesce(sum("cut").over(preceding), lit(0L)))
-        .groupBy("doc_id", "chunk_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          md5(concat_ws(" ",
-            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-              x => x.getField("w")))).as("cfp"))
-        .localCheckpoint()
+      val ck = cdcChunkTable(docs(s, dir))
       val df = ck.groupBy("cfp").agg(countDistinct("doc_id").as("cdf"))
       ck.join(df, "cfp")
         .groupBy("doc_id")
@@ -852,6 +882,55 @@ object Dedup {
             when(col("n_truth") > 0,
               col("n_caught").cast(DoubleType) / col("n_truth")).as("recall"))
       }.reduce(_ unionAll _)
+    },
+
+    // CONTAINMENT dedup — the asymmetric-overlap case Jaccard misses: a
+    // short document quoted whole inside a long one has low Jaccard (the
+    // union is the long doc) but containment |A∩B|/|A| ≈ 1. Candidates
+    // come from shared CDC chunks (d17's chunker): a contained span chunks
+    // identically wherever it appears, so any meaningful containment
+    // shares a chunk fingerprint — the content-defined analogue of the
+    // banding recall argument, with NO all-pairs scan. Chunk fingerprints
+    // with document frequency outside [2, 64] are dropped from BOTH join
+    // sides (df < 2 can't pair; df > 64 is boilerplate whose df² pair
+    // expansion is the quadratic a skewed corpus would hit — the cap is
+    // part of the query's semantics and mirrored in the oracle, unlike
+    // d9's never-firing guard, because sf0.01 really has a df-116 chunk).
+    // Verify is exact: shingle-hash-set intersection via the native
+    // merge-walk, both directional containments emitted, pairs kept at
+    // max(c1, c2) >= 0.5. Every join is equi-keyed; a viral chunk costs
+    // at most C(64, 2) pairs.
+    "d20_containment" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ck = cdcChunkTable(docs(s, dir))
+      val u = ck.select("cfp", "doc_id").distinct()
+      val keep = u
+        .withColumn("cdf", count(lit(1)).over(Window.partitionBy("cfp")))
+        .filter(col("cdf") >= 2 && col("cdf") <= 64)
+        .select("cfp", "doc_id")
+      val pairs = keep.as("x").join(keep.as("y"),
+          col("x.cfp") === col("y.cfp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared_chunks"))
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      pairs
+        .select(col("d1"), col("d2"), col("shared_chunks"), explode(array(
+          struct(lit(1).as("side"), col("d1").as("doc_id")),
+          struct(lit(2).as("side"), col("d2").as("doc_id")))).as("e"))
+        .select(col("d1"), col("d2"), col("shared_chunks"),
+          col("e.side").as("side"), col("e.doc_id").as("doc_id"))
+        .join(hs0, "doc_id")
+        .groupBy("d1", "d2", "shared_chunks")
+        .agg(max(when(col("side") === 1, col("hs"))).as("hs1"),
+          max(when(col("side") === 2, col("hs"))).as("hs2"))
+        .withColumn("ic", graft.functions.IntersectCountSorted
+          .intersectCount(col("hs1"), col("hs2")).cast(LongType))
+        .select(col("d1"), col("d2"), col("shared_chunks"), col("ic"),
+          size(col("hs1")).cast(LongType).as("n1"),
+          size(col("hs2")).cast(LongType).as("n2"),
+          (col("ic").cast(DoubleType) / size(col("hs1"))).as("c1"),
+          (col("ic").cast(DoubleType) / size(col("hs2"))).as("c2"))
+        .filter(greatest(col("c1"), col("c2")) >= 0.5)
     }
   )
 
@@ -1029,22 +1108,7 @@ object Dedup {
     // so the 32-bit hash mod 8 equals its LAST hex digit (digit 8) mod 8 —
     // one instr, not the 8-term chain.
     "d17_cdc_chunks" ->
-      """WITH tok AS (
-        |  SELECT doc_id, i AS pos, w[i] AS w,
-        |    CASE WHEN (instr('0123456789abcdef', substr(md5(w[i]), 8, 1)) - 1) % 8 = 0
-        |         THEN 1 ELSE 0 END AS cut
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
-        |       LATERAL unnest(generate_series(1, len(w))) AS u(i)
-        |  WHERE w[i] <> ''),
-        |ch AS (
-        |  SELECT doc_id, pos, w,
-        |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
-        |  FROM tok),
-        |ck AS (
-        |  SELECT doc_id, chunk_id, count(*) AS n_tokens,
-        |    md5(string_agg(w, ' ' ORDER BY pos)) AS cfp
-        |  FROM ch GROUP BY doc_id, chunk_id),
+      s"""WITH $chunkSqlCtes,
         |df AS (SELECT cfp, count(DISTINCT doc_id) AS cdf FROM ck GROUP BY cfp)
         |SELECT ck.doc_id, count(*) AS n_chunks,
         |  CAST(sum(CASE WHEN cdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
@@ -1135,6 +1199,30 @@ object Dedup {
          |${row(2)}
          |UNION ALL
          |${row(4)}""".stripMargin
-    }
+    },
+
+    // shared-chunk candidates (df window mirrored, the [2, 64] cap IS the
+    // semantics), exact shingle-set containment verify
+    "d20_containment" ->
+      s"""WITH $chunkSqlCtes,
+         |u AS (SELECT DISTINCT cfp, doc_id FROM ck),
+         |cdf AS (SELECT cfp, count(*) AS cdf FROM u GROUP BY cfp),
+         |keep AS (SELECT u.cfp, u.doc_id FROM u JOIN cdf USING (cfp)
+         |         WHERE cdf BETWEEN 2 AND 64),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_chunks
+         |          FROM keep a JOIN keep b
+         |            ON a.cfp = b.cfp AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |$hashSetSqlCte,
+         |v AS (SELECT d1, d2, shared_chunks,
+         |        CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS ic,
+         |        CAST(len(x.hs) AS BIGINT) AS n1,
+         |        CAST(len(y.hs) AS BIGINT) AS n2
+         |      FROM pairs JOIN sh x ON pairs.d1 = x.doc_id
+         |                 JOIN sh y ON pairs.d2 = y.doc_id)
+         |SELECT d1, d2, shared_chunks, ic, n1, n2,
+         |       CAST(ic AS DOUBLE) / n1 AS c1, CAST(ic AS DOUBLE) / n2 AS c2
+         |FROM v
+         |WHERE greatest(CAST(ic AS DOUBLE) / n1, CAST(ic AS DOUBLE) / n2) >= 0.5""".stripMargin
   )
 }

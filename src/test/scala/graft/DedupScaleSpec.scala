@@ -196,6 +196,38 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(r.getLong(1) == 1L, "the rare low-df pair must still be caught")
   }
 
+  test("d20 containment: a boilerplate chunk flood is df-capped out; true containment survives") {
+    // 200 docs sharing a boilerplate prefix (every shared chunk has df 200
+    // > 64) must contribute ZERO candidate pairs — without the cap the
+    // chunk self-join expands toward C(200,2). The unique token goes at
+    // the END of each flood doc: content-defined boundaries scan forward,
+    // so every boiler chunk is bit-identical across all 200 (df 200 →
+    // capped) and only the final chunk carries the unique tail (df 1 —
+    // can't pair). A genuine containment pair (short doc quoted whole
+    // inside a longer one, sharing their low-df chunks) must still be
+    // found with c1 ≈ 1 even though its Jaccard is low.
+    val d = Files.createTempDirectory("graft-contain").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val boiler = "subscribe to our newsletter for updates terms of service apply"
+    val short = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val long = short + " " + Seq.tabulate(60)(i => s"filler${i}token unique${i}span").mkString(" ")
+    val rows = (1 to 200).map(i =>
+        Row(i.toLong, boiler + s" doc${i}tail", "en", "s", 0L)) ++
+      Seq(Row(301L, short, "en", "s", 0L), Row(302L, long, "en", "s", 0L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.defs("d20_containment")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(6), r.getDouble(7)))
+    assert(got.forall { case (d1, d2, _, _) => Set(d1, d2) == Set(301L, 302L) },
+      s"flood pairs must be df-capped out of the candidates: ${got.take(5).mkString(",")}")
+    val Some((_, _, c1, c2)) = got.headOption
+    assert(c1 > 0.95, s"the contained doc's containment must be ~1: $c1")
+    assert(c2 < 0.5, s"the long doc's containment must be low: $c2")
+  }
+
   test("d17's final plan re-derives nothing from documents (one checkpointed scan)") {
     // the chunking pass (tokenize → window → chunk fingerprints) runs once
     // inside the localCheckpoint; both the df rollup and the join-back must
