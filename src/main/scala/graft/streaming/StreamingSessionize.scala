@@ -132,7 +132,9 @@ object StreamingSessionize {
   def runToCompletion(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame = sessions(_),
       outputMode: String = "complete",
-      sinkName: String = "default"): DataFrame = {
+      sinkName: String = "default",
+      sourceOptions: Map[String, String] = Map.empty,
+      sourceGlob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A streaming query fixes its state-store layout at start: with the
     // session's batch-oriented shuffle.partitions (32 on the driver) every
@@ -146,10 +148,15 @@ object StreamingSessionize {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val out = Sink.dirFor(sinkName)
     try {
-      val stream = spark.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      // sourceOptions lets tests drive MULTI-microbatch replays
+      // (maxFilesPerTrigger=1 over several time-ordered files) — the
+      // cross-batch state-merge path a one-file replay never exercises
+      val reader = sourceOptions.foldLeft(
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", sourceGlob)) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val stream = reader.parquet(dir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val transformed = transform(stream)
       val schema = transformed.schema

@@ -29,6 +29,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchKeyed, "session aggregate values diverge")
   }
 
+  /** Split events into `slices` contiguous event-time files, written in
+    * order with strictly increasing modtimes, so a maxFilesPerTrigger=1
+    * stream replays them as that many watermark-advancing microbatches. */
+  private def timeSlicedDir(slices: Int): String = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = java.nio.file.Files.createTempDirectory("graft-multibatch").toFile
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val n = raw.count()
+    val ranked = raw.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    for (i <- 0 until slices) {
+      val sd = new java.io.File(d, s"slice$i")
+      ranked.filter(col("rn") > i * n / slices && col("rn") <= (i + 1) * n / slices)
+        .drop("rn").coalesce(1)
+        .write.parquet(sd.getAbsolutePath)
+      val part = sd.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(d, s"events$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    d.getAbsolutePath
+  }
+
+  test("five time-ordered microbatches merge cross-batch session state to the one-batch result") {
+    // every other streaming gate replays ONE file as ONE microbatch — this
+    // is the only place a session whose events straddle a microbatch
+    // boundary must be stitched together by the state store across
+    // triggers. The slice boundaries are cut INSIDE four known multi-event
+    // sessions (1 ms after each session's first event), so cross-batch
+    // merging is exercised by construction, not by luck.
+    import org.apache.spark.sql.functions._
+    val batchRows = Relational.defs("q16_sessionize")(spark, dir).collect()
+    val batchKeyed = batchRows
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSet
+    val spanned = batchRows.filter(r => r.getLong(4) > r.getLong(3))
+      .sortBy(_.getLong(3))
+    assert(spanned.length >= 8, "test premise: enough multi-event sessions to cut")
+    val cutsMs = (1 to 4).map(i => spanned(i * spanned.length / 5).getLong(3) + 1L)
+      .distinct.sorted
+    val cutsNs = cutsMs.map(_ * 1000000L)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val d = java.nio.file.Files.createTempDirectory("graft-mb-sess").toFile
+    val ranges = (Long.MinValue +: cutsNs) :+ Long.MaxValue
+    for (i <- 0 until ranges.length - 1) {
+      val sd = new java.io.File(d, s"slice$i")
+      raw.filter(col("ts") >= ranges(i) && col("ts") < ranges(i + 1)).coalesce(1)
+        .write.parquet(sd.getAbsolutePath)
+      val part = sd.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(d, s"events$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val streamed = StreamingSessionize.runToCompletion(spark, d.getAbsolutePath,
+        StreamingSessionize.sessions(_), "complete", "multibatch",
+        Map("maxFilesPerTrigger" -> "1"), "events*.parquet")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    // the cut sessions really do straddle: start strictly below a cut, end at/above it
+    assert(batchKeyed.exists(s => cutsMs.exists(b => s._3 < b && b <= s._4)),
+      "test premise: some session must straddle a microbatch boundary")
+    assert(streamed == batchKeyed,
+      "multi-batch streamed sessions diverge from the batch result")
+  }
+
+  test("multi-batch stateful dedup emits exactly the batch-distinct key set") {
+    val mb = timeSlicedDir(4)
+    val streamed = StreamingSessionize.runToCompletion(spark, mb,
+        StreamingSessionize.streamDedup(_), "append", "multibatch-dedup",
+        Map("maxFilesPerTrigger" -> "1"), "events*.parquet")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(streamed.length == streamed.distinct.length,
+      "a key must be emitted by exactly one microbatch (state suppresses re-emission)")
+    assert(streamed.toSet == batch.toSet, "dedup key set diverges from batch DISTINCT")
+  }
+
   test("flatMapGroupsWithState sessions agree with batch (closed sessions)") {
     val gapMs = CustomStateSessionize.defaultGapMs
     // emitted: (user, n, start, end) + raw double sum
