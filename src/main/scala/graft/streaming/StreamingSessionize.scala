@@ -301,6 +301,13 @@ object StreamingSessionize {
           .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
             .as("w_start"), col("n_events"), col("sum_value")),
         outputMode = "append", sinkName = "x9")
+    },
+
+    // Streaming first-touch funnel (q42's attribution chaining as per-user
+    // custom state): the in-order fold reproduces the batch min-chaining,
+    // rows emitted on 6 h-inactivity timeout — see streaming/StreamFunnel.
+    "x11_stream_funnel" -> { (s, dir) =>
+      StreamFunnel.runToCompletion(s, dir)
     }
   )
 
@@ -423,6 +430,29 @@ object StreamingSessionize {
          |SELECT strftime(make_timestamp(slot * 600000000), '%Y-%m-%d %H:%M:%S') AS w_start,
          |  n_events, sum_value
          |FROM agg, wm
-         |WHERE slot * 600000 + 3600000 <= w""".stripMargin
+         |WHERE slot * 600000 + 3600000 <= w""".stripMargin,
+
+    // q42's stage chaining per user (same 24 h windows), emitted only for
+    // users the final watermark (max ts - 1 h) quiesced: timeout fires when
+    // last event + 6 h < watermark — x6's eviction rule with the funnel's
+    // horizon
+    "x11_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |w1 AS (SELECT user_id, event_type, ms,
+        |         min(CASE WHEN event_type = 'view' THEN ms END)
+        |           OVER (PARTITION BY user_id) AS fv FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ms > fv
+        |                          AND ms <= fv + 86400000 THEN ms END)
+        |         OVER (PARTITION BY user_id) AS fc FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ms > fc
+        |                          AND ms <= fc + 86400000 THEN ms END)
+        |         OVER (PARTITION BY user_id) AS fp FROM w2),
+        |u AS (SELECT user_id, max(fv) AS fv, max(fc) AS fc, max(fp) AS fp,
+        |        max(ms) AS last_ms
+        |      FROM w3 GROUP BY user_id),
+        |wm AS (SELECT max(ms) - 3600000 AS w FROM e)
+        |SELECT user_id, fv AS first_view_ms, fc AS first_click_ms,
+        |       fp AS first_purchase_ms
+        |FROM u, wm WHERE last_ms + 21600000 < w""".stripMargin
   )
 }

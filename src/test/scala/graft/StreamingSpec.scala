@@ -111,6 +111,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet, "dedup key set diverges from batch DISTINCT")
   }
 
+  test("funnel fold: batch-split composition equals one-shot fold on time-ordered slices") {
+    // state-carry correctness for x11: folding a user's events in two
+    // time-ordered microbatches must land in the same state as folding
+    // them at once — for every split point of random event sequences
+    import graft.streaming.StreamFunnel
+    import graft.streaming.StreamFunnel.{FEv, FState}
+    val rnd = new scala.util.Random(31)
+    val types = Vector("view", "click", "purchase", "signup", "error")
+    for (_ <- 1 to 50) {
+      val evs = (1 to 30).map { _ =>
+        FEv(1L, new java.sql.Timestamp(0L),
+          rnd.nextInt(3 * 86400000).toLong, types(rnd.nextInt(types.length)))
+      }.sortBy(_.ms)
+      val zero = FState(-1L, -1L, -1L, -1L)
+      val whole = StreamFunnel.fold(evs, zero)
+      for (cut <- 0 to evs.length by 7) {
+        val (a, b) = evs.splitAt(cut)
+        assert(StreamFunnel.fold(b, StreamFunnel.fold(a, zero)) == whole,
+          s"split at $cut diverges")
+      }
+    }
+  }
+
+  test("x11 emits one final row per quiesced user, matching q42's chaining") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.StreamFunnel.runToCompletion(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.length == got.length, "one row per user")
+    // chained stages: fp implies fc implies fv, each within its window
+    got.foreach { case (u, fv, fc, fp) =>
+      assert(fc.isEmpty || fv.nonEmpty, s"user $u: click without view")
+      assert(fp.isEmpty || fc.nonEmpty, s"user $u: purchase without click")
+      fc.foreach(c => assert(c > fv.get && c <= fv.get + 86400000L))
+      fp.foreach(p => assert(p > fc.get && p <= fc.get + 86400000L))
+    }
+  }
+
   test("flatMapGroupsWithState sessions agree with batch (closed sessions)") {
     val gapMs = CustomStateSessionize.defaultGapMs
     // emitted: (user, n, start, end) + raw double sum
