@@ -884,6 +884,41 @@ object Dedup {
       }.reduce(_ unionAll _)
     },
 
+    // Character-level near-dup verification — the OTHER classic verifier:
+    // exact edit distance on LSH candidates only (sketch-prune / exact-
+    // verify again, now with a verifier quadratic in DOCUMENT LENGTH, the
+    // reason it can never run all-pairs). The length-difference lower
+    // bound (lev >= |len1 - len2|) filters BEFORE the O(len²) dynamic
+    // program, so provably-far pairs never pay it; survivors emit the
+    // exact distance and a similarity from one division of exact ints.
+    // One text scan (melt-join: candidate pairs explode to sides, join
+    // the scan once, fold back per pair — d4's discipline; the shuffle
+    // carries only the ~|candidates| matched texts, never the corpus).
+    "d21_edit_distance" -> { (s, dir) =>
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      val cand = lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv"))))
+      val txt = docs(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      cand
+        .select(col("d1"), col("d2"), explode(array(
+          struct(lit(1).as("side"), col("d1").as("doc_id")),
+          struct(lit(2).as("side"), col("d2").as("doc_id")))).as("e"))
+        .select(col("d1"), col("d2"), col("e.side").as("side"),
+          col("e.doc_id").as("doc_id"))
+        .join(txt, "doc_id")
+        .groupBy("d1", "d2")
+        .agg(max(when(col("side") === 1, col("text"))).as("t1"),
+          max(when(col("side") === 2, col("text"))).as("t2"),
+          max(when(col("side") === 1, col("len"))).cast(LongType).as("len1"),
+          max(when(col("side") === 2, col("len"))).cast(LongType).as("len2"))
+        .filter(abs(col("len1") - col("len2")) * 5 <= greatest(col("len1"), col("len2")))
+        .withColumn("lev", levenshtein(col("t1"), col("t2")).cast(LongType))
+        .filter(col("lev") * 5 <= greatest(col("len1"), col("len2")))
+        .select(col("d1"), col("d2"), col("lev"), col("len1"), col("len2"),
+          (lit(1.0) - col("lev").cast(DoubleType) /
+            greatest(col("len1"), col("len2"))).as("sim"))
+    },
+
     // CONTAINMENT dedup — the asymmetric-overlap case Jaccard misses: a
     // short document quoted whole inside a long one has low Jaccard (the
     // union is the long doc) but containment |A∩B|/|A| ≈ 1. Candidates
@@ -1200,6 +1235,22 @@ object Dedup {
          |UNION ALL
          |${row(4)}""".stripMargin
     },
+
+    // LSH candidates (d3's cand CTE), length-bound prefilter, exact
+    // levenshtein — both engines implement the standard unit-cost DP
+    "d21_edit_distance" ->
+      s"""WITH $sigSqlCte,
+         |tx AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         |p AS (SELECT d1, d2, x.text AS t1, y.text AS t2,
+         |        CAST(x.len AS BIGINT) AS len1, CAST(y.len AS BIGINT) AS len2
+         |      FROM cand JOIN tx x ON cand.d1 = x.doc_id
+         |                 JOIN tx y ON cand.d2 = y.doc_id
+         |      WHERE abs(x.len - y.len) * 5 <= greatest(x.len, y.len)),
+         |v AS (SELECT d1, d2, CAST(levenshtein(t1, t2) AS BIGINT) AS lev,
+         |        len1, len2 FROM p)
+         |SELECT d1, d2, lev, len1, len2,
+         |       1.0 - CAST(lev AS DOUBLE) / greatest(len1, len2) AS sim
+         |FROM v WHERE lev * 5 <= greatest(len1, len2)""".stripMargin,
 
     // shared-chunk candidates (df window mirrored, the [2, 64] cap IS the
     // semantics), exact shingle-set containment verify
