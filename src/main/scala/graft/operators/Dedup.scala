@@ -895,7 +895,9 @@ object Dedup {
     // the scan once, fold back per pair — d4's discipline; the shuffle
     // carries only the ~|candidates| matched texts, never the corpus).
     "d21_edit_distance" -> { (s, dir) =>
-      val hs0 = hashSets(s, dir).localCheckpoint()
+      // no checkpoint: the hash sets feed ONLY the candidate pipeline here
+      // (verify reads text) — a single lazy consumer, the round-8 rule
+      val hs0 = hashSets(s, dir)
       val cand = lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv"))))
       val txt = docs(s, dir)
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
@@ -947,7 +949,8 @@ object Dedup {
           col("x.cfp") === col("y.cfp") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .agg(count(lit(1)).as("shared_chunks"))
-      val hs0 = hashSets(s, dir).localCheckpoint()
+      // no checkpoint: the melt-join consumes the hash sets exactly once
+      val hs0 = hashSets(s, dir)
       pairs
         .select(col("d1"), col("d2"), col("shared_chunks"), explode(array(
           struct(lit(1).as("side"), col("d1").as("doc_id")),
@@ -965,6 +968,11 @@ object Dedup {
           size(col("hs2")).cast(LongType).as("n2"),
           (col("ic").cast(DoubleType) / size(col("hs1"))).as("c1"),
           (col("ic").cast(DoubleType) / size(col("hs2"))).as("c2"))
+        // n > 0 on BOTH sides: containment of an empty shingle set (a
+        // sub-3-token doc) is undefined — and 0/0 is NULL in Spark but NaN
+        // in DuckDB (where NaN >= 0.5 is TRUE), so without this guard the
+        // two engines would disagree on exactly those rows
+        .filter(col("n1") > 0 && col("n2") > 0)
         .filter(greatest(col("c1"), col("c2")) >= 0.5)
     }
   )
@@ -1274,6 +1282,7 @@ object Dedup {
          |SELECT d1, d2, shared_chunks, ic, n1, n2,
          |       CAST(ic AS DOUBLE) / n1 AS c1, CAST(ic AS DOUBLE) / n2 AS c2
          |FROM v
-         |WHERE greatest(CAST(ic AS DOUBLE) / n1, CAST(ic AS DOUBLE) / n2) >= 0.5""".stripMargin
+         |WHERE n1 > 0 AND n2 > 0
+         |  AND greatest(CAST(ic AS DOUBLE) / n1, CAST(ic AS DOUBLE) / n2) >= 0.5""".stripMargin
   )
 }

@@ -724,6 +724,22 @@ object Relational {
     }
   )
 
+  /** The funnel stage-chaining CTEs (first view → first click within 24 h
+    * strictly after it → first purchase within 24 h strictly after that),
+    * shared between q42's oracle and the streaming x11 oracle
+    * (StreamingSessionize) so the attribution rule is spelled once. */
+  private[graft] val funnelChainSql: String =
+    """e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |w1 AS (SELECT user_id, event_type, ms,
+      |         min(CASE WHEN event_type = 'view' THEN ms END)
+      |           OVER (PARTITION BY user_id) AS fv FROM e),
+      |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ms > fv
+      |                          AND ms <= fv + 86400000 THEN ms END)
+      |         OVER (PARTITION BY user_id) AS fc FROM w1),
+      |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ms > fc
+      |                          AND ms <= fc + 86400000 THEN ms END)
+      |         OVER (PARTITION BY user_id) AS fp FROM w2)""".stripMargin
+
   /** Shared verbatim between spark.sql and the DuckDB oracle. */
   private val lateralTopkSql: String =
     """SELECT c_custkey, o.o_orderkey, o.o_totalprice
@@ -1103,16 +1119,7 @@ object Relational {
         |FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin,
 
     "q42_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
-        |w1 AS (SELECT user_id, event_type, ms,
-        |         min(CASE WHEN event_type = 'view' THEN ms END)
-        |           OVER (PARTITION BY user_id) AS fv FROM e),
-        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ms > fv
-        |                          AND ms <= fv + 86400000 THEN ms END)
-        |         OVER (PARTITION BY user_id) AS fc FROM w1),
-        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ms > fc
-        |                          AND ms <= fc + 86400000 THEN ms END)
-        |         OVER (PARTITION BY user_id) AS fp FROM w2),
+      s"""WITH $funnelChainSql,
         |u AS (SELECT user_id, max(fv) AS fv, max(fc) AS fc, max(fp) AS fp
         |      FROM w3 GROUP BY user_id)
         |SELECT count(*) AS n_users, count(fv) AS n_view,

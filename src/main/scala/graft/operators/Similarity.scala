@@ -167,6 +167,22 @@ object Similarity {
       .select(col("query_id"), col("m"), col("cid"),
         dot(col("qsu"), col("cu")).as("pdot"))
 
+  /** IVF candidate pairs (query_id, vec_id): every vector in a probed
+    * coarse list, self-pairs excluded — the Scala twin of the oracle's
+    * shared casg/cprobes/cand CTEs, factored so s11 and s14 can never
+    * drift apart (AnnIvfSpec's dominance pin assumes s14 re-ranks the
+    * head of s11's EXACT candidate set). */
+  private def ivfCandidates(n: DataFrame, nprobe: Int = 2): DataFrame = {
+    val ccent = coarseCentroids(n)
+    val casg = coarseAssign(n, ccent)
+      .select(col("vec_id"), col("cid").as("ivf"))
+    val cprobes = coarseProbes(n, ccent, nprobe)
+      .select(col("query_id"), col("cid").as("ivf"))
+    casg.join(broadcast(cprobes), Seq("ivf"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+  }
+
   /** ADC top-k from (query_id, vec_id, m, pdot) rows: pivot to the four
     * fixed-order subspace partials (never a float groupBy-sum), Σ_m, rank. */
   private def adcTopK(scored: DataFrame, k: Int): DataFrame = {
@@ -406,16 +422,10 @@ object Similarity {
     // re-scan parquet otherwise.
     "s11_ivf_pq" -> { (s, dir) =>
       val n = normalized(s, dir)
-      val ccent = coarseCentroids(n)
-      // candidates = probed lists only ("ivf" renames the coarse list id so
-      // it can't collide with the PQ code column, also named cid)
-      val casg = coarseAssign(n, ccent)
-        .select(col("vec_id"), col("cid").as("ivf"))
-      val cprobes = coarseProbes(n, ccent, nprobe = 2)
-        .select(col("query_id"), col("cid").as("ivf"))
-      val cand = casg.join(broadcast(cprobes), Seq("ivf"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select("query_id", "vec_id")
+      // candidates = probed lists only (shared with s14 via ivfCandidates;
+      // "ivf" renames the coarse list id so it can't collide with the PQ
+      // code column, also named cid)
+      val cand = ivfCandidates(n)
       val cent = pqCentroids(n)
       adcTop5(
         cand.join(pqCodes(n, cent), Seq("vec_id"))
@@ -435,14 +445,7 @@ object Similarity {
     // score bit-portable.
     "s14_ann_rerank" -> { (s, dir) =>
       val n = normalized(s, dir)
-      val ccent = coarseCentroids(n)
-      val casg = coarseAssign(n, ccent)
-        .select(col("vec_id"), col("cid").as("ivf"))
-      val cprobes = coarseProbes(n, ccent, nprobe = 2)
-        .select(col("query_id"), col("cid").as("ivf"))
-      val cand = casg.join(broadcast(cprobes), Seq("ivf"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select("query_id", "vec_id")
+      val cand = ivfCandidates(n)
       val cent = pqCentroids(n)
       val short = adcTopK(
         cand.join(pqCodes(n, cent), Seq("vec_id"))

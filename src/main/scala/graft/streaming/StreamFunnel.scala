@@ -29,9 +29,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Live-stream note: on an unbounded stream a user quiet for 6 h is
   * emitted and their state dropped, so a LATER return starts a fresh
   * funnel — one row per quiet period, the live semantics a funnel job
-  * wants. The batch oracle equivalence stated above is for a replay whose
-  * watermark passes no mid-stream timeout (the driver's single-file
-  * replay), which is why the gate holds exactly.
+  * wants. The batch oracle equivalence stated above holds for a replay
+  * whose watermark passes no mid-stream timeout AND whose microbatches
+  * arrive in event-time order (both true of the driver's single-file
+  * replay): a stage event skipped for lack of an anchor is never
+  * revisited, so an out-of-order-but-within-watermark view arriving in a
+  * LATER batch than a click would anchor fc differently than the batch
+  * min-chaining. StreamingSpec pins the fold's composition property over
+  * time-ordered splits — the scope of the guarantee, not beyond it.
   */
 object StreamFunnel {
 

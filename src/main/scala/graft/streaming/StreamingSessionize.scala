@@ -437,16 +437,7 @@ object StreamingSessionize {
     // last event + 6 h < watermark — x6's eviction rule with the funnel's
     // horizon
     "x11_stream_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
-        |w1 AS (SELECT user_id, event_type, ms,
-        |         min(CASE WHEN event_type = 'view' THEN ms END)
-        |           OVER (PARTITION BY user_id) AS fv FROM e),
-        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ms > fv
-        |                          AND ms <= fv + 86400000 THEN ms END)
-        |         OVER (PARTITION BY user_id) AS fc FROM w1),
-        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ms > fc
-        |                          AND ms <= fc + 86400000 THEN ms END)
-        |         OVER (PARTITION BY user_id) AS fp FROM w2),
+      s"""WITH ${graft.operators.Relational.funnelChainSql},
         |u AS (SELECT user_id, max(fv) AS fv, max(fc) AS fc, max(fp) AS fp,
         |        max(ms) AS last_ms
         |      FROM w3 GROUP BY user_id),

@@ -223,9 +223,30 @@ class DedupScaleSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(6), r.getDouble(7)))
     assert(got.forall { case (d1, d2, _, _) => Set(d1, d2) == Set(301L, 302L) },
       s"flood pairs must be df-capped out of the candidates: ${got.take(5).mkString(",")}")
-    val Some((_, _, c1, c2)) = got.headOption
+    assert(got.nonEmpty, "the true containment pair (301, 302) must be found")
+    val (_, _, c1, c2) = got.head
     assert(c1 > 0.95, s"the contained doc's containment must be ~1: $c1")
     assert(c2 < 0.5, s"the long doc's containment must be low: $c2")
+  }
+
+  test("d20 drops shingle-less candidate pairs (0/0 containment diverges cross-engine)") {
+    // two identical 2-token docs: they share a CDC chunk (df 2, in the
+    // cap window) so the pair reaches the verify stage, but a doc under 3
+    // tokens has NO shingles — containment would be 0/0, which is NULL in
+    // Spark and NaN in DuckDB (where NaN >= 0.5 is TRUE). The n > 0 guard
+    // must drop the pair in BOTH engines; without it this fixture is an
+    // oracle hash mismatch, not just a wrong row.
+    val d = Files.createTempDirectory("graft-tiny").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(Row(1L, "hello world", "en", "s", 11L),
+      Row(2L, "hello world", "en", "s", 11L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(Dedup.defs("d20_containment")(spark, d).collect().isEmpty,
+      "a shingle-less pair must be excluded, not emitted with NULL/NaN containment")
   }
 
   test("d17's final plan re-derives nothing from documents (one checkpointed scan)") {
