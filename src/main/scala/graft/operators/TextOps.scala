@@ -504,6 +504,38 @@ object TextOps {
         .select(col("word"), col("cnt"))
     },
 
+    // Source-distribution shift — which tokens a source over-represents
+    // relative to the corpus (rational lift, w4's discipline on the source
+    // axis): the mirror/scrape/SEO-farm diagnostic a curation pipeline
+    // runs before trusting a source's mixture weight (t14). ONE
+    // checkpointed (source, token) count table feeds the per-source
+    // totals, the per-token totals, the global total AND the join-back —
+    // the t8 share-the-expensive-projection pattern; the token-marginal
+    // join is equi-keyed (a corpus vocabulary is not broadcastable), the
+    // ~|sources| marginals broadcast. Lift is the same sequential
+    // double mult/div spelling as w4, bit-portable from exact longs.
+    "w8_source_shift" -> { (s, dir) =>
+      val sw = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
+        .localCheckpoint()
+      val ts = sw.groupBy("source").agg(sum("n_sw").cast(LongType).as("t_s"))
+      val nw = sw.groupBy("w").agg(sum("n_sw").cast(LongType).as("n_w"))
+      val t = sw.agg(sum("n_sw").cast(LongType).as("t"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("lift").desc, col("word"))
+      sw.filter(col("n_sw") >= 5)
+        .join(nw, "w")
+        .join(broadcast(ts), "source")
+        .crossJoin(broadcast(t))
+        .select(col("source"), col("w").as("word"), col("n_sw"),
+          (col("n_sw").cast(DoubleType) * col("t") / col("n_w") / col("t_s"))
+            .as("lift"))
+        .withColumn("rnk", row_number().over(win).cast(LongType))
+        .filter(col("rnk") <= 5)
+    },
+
     // w6's sketch-prune / exact-recount discipline PER GROUP: the dominant
     // tokens of each language, without any per-language full-vocab shuffle.
     // Pass 1 is ONE grouped ObjectHashAggregate — each (map partition,
@@ -772,6 +804,25 @@ object TextOps {
         |FROM tok CROSS JOIN n
         |GROUP BY word, n.n
         |HAVING count(*) * 64 > n.n""".stripMargin,
+
+    // same count table, marginals, and sequential-double lift spelling
+    "w8_source_shift" ->
+      """WITH tok AS (
+        |  SELECT source, w
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> ''),
+        |sw AS (SELECT source, w, count(*) AS n_sw FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS t_s FROM sw GROUP BY source),
+        |nw AS (SELECT w, CAST(sum(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY w),
+        |t AS (SELECT CAST(sum(n_sw) AS BIGINT) AS t FROM sw),
+        |l AS (SELECT sw.source, sw.w AS word, sw.n_sw,
+        |        CAST(sw.n_sw AS DOUBLE) * t.t / nw.n_w / ts.t_s AS lift
+        |      FROM sw JOIN nw USING (w) JOIN ts USING (source) CROSS JOIN t
+        |      WHERE sw.n_sw >= 5)
+        |SELECT source, word, n_sw, lift, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY lift DESC, word) AS rnk FROM l) r
+        |WHERE rnk <= 5""".stripMargin,
 
     // the sketch prunes, the recount is exact per (lang, word) — the
     // oracle spells the per-group frequent-token query directly
