@@ -367,6 +367,25 @@ object Similarity {
         .select(col("vec_id"), col("label"))
     },
 
+    // Per-cluster centroids — the representative vector a semantic-dedup /
+    // IVF-training pipeline materializes after clustering (s6): the
+    // elementwise mean per (cluster, dimension), computed as a DECIMAL sum
+    // divided by the member count so the doubles hash-gate cross-engine
+    // (float elementwise means are order-sensitive — davg is the whole
+    // trick). Plan: one posexplode (row → 64 (dim, x) rows, still narrow),
+    // one equi-join onto the cluster map, one partial+final hash agg on
+    // (cluster, dim). At 100 TB the shuffle carries (cluster, dim)
+    // decimal partials — dims × clusters rows, never vectors.
+    "s15_cluster_centroids" -> { (s, dir) =>
+      val cl = defs("s6_embed_clusters")(s, dir)
+      emb(s, dir)
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("dim"), col("x"))
+        .join(cl, "vec_id")
+        .groupBy("cluster_id", "dim")
+        .agg(count(lit(1)).as("n"), graft.Exprs.davg(col("x"), 6).as("centroid"))
+    },
+
     // Product-quantization ANN with asymmetric distance computation (ADC;
     // Jégou et al., "Product Quantization for Nearest Neighbor Search") —
     // the COMPRESSION scale path next to bucketing (s2) and coarse
@@ -571,44 +590,14 @@ object Similarity {
          |WHERE $dotU > 0.3""".stripMargin
     },
 
-    "s6_embed_clusters" -> {
-      val dotU = "list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2]))"
-      s"""WITH RECURSIVE
-         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
-         |      FROM (SELECT vec_id, label, v,
-         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
-         |edges AS (
-         |  SELECT a.vec_id AS d1, b.vec_id AS d2
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE $dotU > 0.3),
-         |und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
-         |reach(v, r) AS (
-         |  SELECT a, a FROM und
-         |  UNION
-         |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v)
-         |SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin
-    },
+    "s6_embed_clusters" ->
+      s"""WITH RECURSIVE $embClusterSqlCtes
+         |SELECT vec_id, cluster_id FROM cl""".stripMargin,
 
     // s13: s6's recursive-CTE clusters + the keep-best window + anti-join —
     // norm² spelled as the same sequential fold the normalize step uses.
-    "s13_semantic_dedup" -> {
-      val dotU = "list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2]))"
-      s"""WITH RECURSIVE
-         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
-         |      FROM (SELECT vec_id, label, v,
-         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
-         |edges AS (
-         |  SELECT a.vec_id AS d1, b.vec_id AS d2
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE $dotU > 0.3),
-         |und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
-         |reach(v, r) AS (
-         |  SELECT a, a FROM und
-         |  UNION
-         |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v),
-         |cl AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    "s13_semantic_dedup" ->
+      s"""WITH RECURSIVE $embClusterSqlCtes,
          |losers AS (
          |  SELECT vec_id FROM (
          |    SELECT cl.vec_id,
@@ -617,8 +606,18 @@ object Similarity {
          |    FROM cl JOIN e ON cl.vec_id = e.vec_id) t
          |  WHERE rk > 1)
          |SELECT vec_id, label FROM e
-         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin
-    },
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
+
+    // s15: the shared cluster CTEs + elementwise decimal mean per
+    // (cluster, dim) — davgSql is what makes the doubles hash-gateable
+    "s15_cluster_centroids" ->
+      s"""WITH RECURSIVE $embClusterSqlCtes,
+         |x AS (SELECT cl.cluster_id, CAST(u.i AS BIGINT) AS dim, e.v[u.i] AS x
+         |      FROM cl JOIN e ON cl.vec_id = e.vec_id,
+         |           LATERAL unnest(generate_series(1, len(e.v))) AS u(i))
+         |SELECT cluster_id, dim, count(*) AS n,
+         |       ${graft.Exprs.davgSql("x", 6)} AS centroid
+         |FROM x GROUP BY cluster_id, dim""".stripMargin,
 
     "s7_ivf_recall" -> {
       def d(a: String, b: String) =
@@ -742,6 +741,27 @@ object Similarity {
 
   private def dSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+
+  /** Shared oracle-side embedding cluster CTEs (s6/s13/s15): normalize →
+    * label-blocked cosine edges → undirected closure → recursive
+    * reachability → min-id cluster label. Requires WITH RECURSIVE. */
+  private lazy val embClusterSqlCtes: String = {
+    val dotU = "list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2]))"
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
+       |      FROM (SELECT vec_id, label, v,
+       |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+       |edges AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE $dotU > 0.3),
+       |und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
+       |reach(v, r) AS (
+       |  SELECT a, a FROM und
+       |  UNION
+       |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v),
+       |cl AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+  }
 
   private lazy val pCols = (0 until 4).map(m =>
     s"max(CASE WHEN codes.m = $m THEN pdot END) AS p$m").mkString(",\n        ")
