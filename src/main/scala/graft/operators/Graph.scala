@@ -116,6 +116,34 @@ object Graph {
       r
     },
 
+    // Link prediction by common-neighbor count — the classic structural
+    // baseline: which part pairs are NOT yet co-ordered but share many
+    // co-order neighbors (candidates for "bought together" suggestions).
+    // Exact common-neighbor counting is inherently Σ deg(center)² — the
+    // one graph primitive orientation CANNOT fix (a wedge must be counted
+    // at its center whatever the center's degree) — so centers above
+    // degree 64 are excluded from the center role, mirrored in the oracle
+    // (a hub that co-orders with everything carries no signal for link
+    // prediction, the d20 cap argument on the graph axis; the co-order
+    // graph's max degree is ~13, so the cap is headroom, not a filter).
+    // Per-center pair expansion is then ≤ C(64, 2); the wedge join is
+    // equi-keyed on the center; the final top-20 is TakeOrdered with a
+    // full (cn, a, b) tiebreak, never a global sort.
+    "g3_link_prediction" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val degc = degrees(e).select(col("v").as("u"), col("d"))
+      val ctr = und.join(degc, "u").filter(col("d") <= 64).select("u", "v")
+      val cn = ctr.as("x").join(ctr.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+        .agg(count(lit(1)).as("cn"))
+      cn.join(e, Seq("a", "b"), "left_anti")
+        .orderBy(col("cn").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
     // Global triangle census of the co-order graph: nodes, edges, wedges
     // (open or closed two-paths in orientation order), triangles, and the
     // closed-wedge fraction. Plan: per-order distinct (order, part) pairs
@@ -213,6 +241,22 @@ object Graph {
         |${prStepSql(1)},
         |${prStepSql(2)},
         |${prStepSql(3)}
-        |SELECT v, pr FROM r3""".stripMargin
+        |SELECT v, pr FROM r3""".stripMargin,
+
+    // same graph; the degree cap on the CENTER role is part of the
+    // semantics (mirrored), the top-20 tiebreak is total
+    "g3_link_prediction" ->
+      s"""WITH $graphSql,
+        |und AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |ctr AS (SELECT und.u, und.v FROM und JOIN deg ON und.u = deg.v
+        |        WHERE deg.d <= 64),
+        |cn AS (SELECT x.v AS a, y.v AS b, count(*) AS cn
+        |       FROM ctr x JOIN ctr y ON x.u = y.u AND x.v < y.v
+        |       GROUP BY 1, 2),
+        |ne AS (SELECT cn.a, cn.b, cn.cn FROM cn
+        |       WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                         WHERE e.a = cn.a AND e.b = cn.b))
+        |SELECT a, b, cn FROM ne ORDER BY cn DESC, a, b LIMIT 20""".stripMargin
   )
 }

@@ -211,6 +211,41 @@ class GraphSpec extends AnyFunSuite {
     assert(sum <= S && sum >= S - 12L * 1000L, s"rank mass off: $sum vs $S")
   }
 
+  /** Write a lineitem fixture whose support-≥2 co-order graph is exactly
+    * `edges` (two orders per edge, each holding only that edge's parts). */
+  private def edgeFixture(edges: Seq[(Long, Long)], tag: String): String = {
+    val d = Files.createTempDirectory(s"graft-$tag").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    val rows = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(9000000L + 2 * i, 9000001L + 2 * i).flatMap(ok => Seq(Row(ok, a), Row(ok, b)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("g3 predicts the missing K4 edge (cn=2) above path-distance pairs") {
+    // K4 minus the 3-4 edge: (3,4) shares neighbors {1,2} -> cn=2, the top
+    // prediction; every other non-edge pair has fewer common neighbors
+    val d = edgeFixture(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)), "lp")
+    val top = Graph.defs("g3_link_prediction")(spark, d).collect()
+    assert(top.nonEmpty)
+    assert((top.head.getLong(0), top.head.getLong(1), top.head.getLong(2)) ==
+      (3L, 4L, 2L), s"the missing K4 edge must rank first: ${top.head}")
+  }
+
+  test("g3's center cap excludes hub-mediated predictions entirely on a pure star") {
+    // star with 70 leaves: the hub's degree (70) exceeds the 64 center
+    // cap, so leaf pairs — whose ONLY common neighbor is the hub — get no
+    // score and the prediction set is empty: a co-orders-with-everything
+    // hub carries no link-prediction signal, and its deg² wedge expansion
+    // never happens
+    val d = edgeFixture((1L to 70L).map(l => (1000L, l)), "lpstar")
+    assert(Graph.defs("g3_link_prediction")(spark, d).collect().isEmpty,
+      "a super-cap hub must not mediate predictions")
+  }
+
   test("g1's graph-scale joins are equi-joins; only the single-row count merge is a cross") {
     val p = Graph.defs("g1_triangle_count")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
