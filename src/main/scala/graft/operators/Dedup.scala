@@ -430,14 +430,20 @@ object Dedup {
   /** Oracle-side near-dup cluster CTEs (shared by d11/d15): verified edges
     * → undirected closure → recursive reachability → min-id label per
     * clustered doc. Requires WITH RECURSIVE and sigs/sh CTEs in scope. */
-  private val clusterSqlCtes: String =
+  /** Oracle-side verified near-dup edge CTE (LSH candidates × exact
+    * Jaccard ≥ 0.5) — the relational twin of `neardupEdges`, shared by the
+    * cluster CTEs and d22. Requires cand/sh CTEs in scope. */
+  private val verifiedEdgesSqlCte: String =
     """edges AS (
       |  SELECT d1, d2 FROM (
       |    SELECT d1, d2,
       |      CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
       |        / len(list_distinct(x.hs || y.hs)) AS j
       |    FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id) t
-      |  WHERE j >= 0.5),
+      |  WHERE j >= 0.5)""".stripMargin
+
+  private val clusterSqlCtes: String =
+    s"""$verifiedEdgesSqlCte,
       |und AS (SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges),
       |reach(v, r) AS (
       |  SELECT a, a FROM und
@@ -974,6 +980,28 @@ object Dedup {
         // two engines would disagree on exactly those rows
         .filter(col("n1") > 0 && col("n2") > 0)
         .filter(greatest(col("c1"), col("c2")) >= 0.5)
+    },
+
+    // Cross-source duplication matrix — which source pairs share near-dup
+    // content (mirror sites, scrape-of-a-scrape, syndication): the
+    // provenance diagnostic a curation pipeline reads before setting
+    // mixture weights (t14), because two sources that heavily overlap
+    // should not BOTH get full weight. Reuses the verified near-dup edge
+    // pipeline (LSH candidates → exact Jaccard ≥ 0.5, every cap and
+    // pre-filter included); the only additions are two vertex-sized
+    // equi-joins to attach each endpoint's source and a hash aggregate on
+    // the normalized (least, greatest) source pair — edge-linear on top of
+    // the d4 path, nothing new shuffles the corpus.
+    "d22_cross_source_dups" -> { (s, dir) =>
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      neardupEdges(s, dir)
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+        .filter(col("s1") =!= col("s2"))
+        .groupBy(
+          least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
     }
   )
 
@@ -1283,6 +1311,20 @@ object Dedup {
          |       CAST(ic AS DOUBLE) / n1 AS c1, CAST(ic AS DOUBLE) / n2 AS c2
          |FROM v
          |WHERE n1 > 0 AND n2 > 0
-         |  AND greatest(CAST(ic AS DOUBLE) / n1, CAST(ic AS DOUBLE) / n2) >= 0.5""".stripMargin
+         |  AND greatest(CAST(ic AS DOUBLE) / n1, CAST(ic AS DOUBLE) / n2) >= 0.5""".stripMargin,
+
+    // same verified edge list; the pair key is order-normalized so each
+    // unordered source pair aggregates to one row
+    "d22_cross_source_dups" ->
+      s"""WITH $sigSqlCte,
+         |$hashSetSqlCte,
+         |$verifiedEdgesSqlCte,
+         |es AS (SELECT least(da.source, db.source) AS source_a,
+         |              greatest(da.source, db.source) AS source_b
+         |       FROM edges JOIN documents da ON edges.d1 = da.doc_id
+         |                  JOIN documents db ON edges.d2 = db.doc_id
+         |       WHERE da.source <> db.source)
+         |SELECT source_a, source_b, count(*) AS n_pairs
+         |FROM es GROUP BY 1, 2""".stripMargin
   )
 }

@@ -174,6 +174,41 @@ object Graph {
         .withColumn("closed_frac",
           when(col("n_wedges") === 0, lit(0.0))
             .otherwise(col("n_triangles").cast("double") / col("n_wedges")))
+    },
+
+    // Per-vertex local clustering coefficient — g1's global census refined
+    // to the vertex level: lcc(v) = 2·tri(v) / (d(v)·(d(v)−1)), the
+    // "how clique-like is this part's co-order neighborhood" score that
+    // separates parts bought in coherent bundles (lcc → 1) from parts that
+    // merely co-occur with everything (hub, lcc → 0). Same oriented
+    // triangle enumeration as g1 (out-degree O(√m), wedge join equi-keyed
+    // on the center, closure a semi-join) — the only addition is keeping
+    // the wedge's center so each found triangle explodes to its THREE
+    // corners before a per-vertex hash aggregate; credit assignment is
+    // 3 rows per triangle, never a neighborhood expansion. The coefficient
+    // is one division of two exact longs — bit-portable.
+    "g4_clustering_coeff" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val deg = degrees(e)
+      val oe = oriented(e)
+      val e1 = oe.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      val e2 = oe.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+      val wedge = e1.join(e2, "u")
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .select("u", "x", "y")
+      val tri = wedge.join(
+        oe.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+      val corners = tri
+        .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n_tri"))
+      deg.join(corners, Seq("v"), "left")
+        .select(col("v"), col("d"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("lcc",
+          when(col("d") < 2, lit(0.0))
+            .otherwise((col("n_tri") * 2).cast("double")
+              / (col("d") * (col("d") - lit(1)))))
     }
   )
 
@@ -257,6 +292,31 @@ object Graph {
         |ne AS (SELECT cn.a, cn.b, cn.cn FROM cn
         |       WHERE NOT EXISTS (SELECT 1 FROM edges e
         |                         WHERE e.a = cn.a AND e.b = cn.b))
-        |SELECT a, b, cn FROM ne ORDER BY cn DESC, a, b LIMIT 20""".stripMargin
+        |SELECT a, b, cn FROM ne ORDER BY cn DESC, a, b LIMIT 20""".stripMargin,
+
+    // same graph, same orientation; the wedge CTE keeps its center so the
+    // closed set explodes to per-corner credit
+    "g4_clustering_coeff" ->
+      s"""WITH $graphSql,
+        |oe AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |                   THEN e.a ELSE e.b END AS u,
+        |              CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |                   THEN e.b ELSE e.a END AS v,
+        |              CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |                   THEN db.d ELSE da.d END AS dv
+        |       FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+        |wedge AS (SELECT e1.u AS u, e1.v AS x, e2.v AS y
+        |          FROM oe e1 JOIN oe e2 ON e1.u = e2.u
+        |          WHERE (e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v)),
+        |tri AS (SELECT u, x, y FROM wedge
+        |        WHERE EXISTS (SELECT 1 FROM oe WHERE oe.u = wedge.x AND oe.v = wedge.y)),
+        |corners AS (SELECT v, count(*) AS n_tri FROM (
+        |              SELECT unnest([u, x, y]) AS v FROM tri) t GROUP BY v)
+        |SELECT deg.v, deg.d,
+        |  CAST(coalesce(corners.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN deg.d < 2 THEN 0.0
+        |       ELSE CAST(2 * coalesce(corners.n_tri, 0) AS DOUBLE)
+        |              / (deg.d * (deg.d - 1)) END AS lcc
+        |FROM deg LEFT JOIN corners ON deg.v = corners.v""".stripMargin
   )
 }

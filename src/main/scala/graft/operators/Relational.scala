@@ -721,6 +721,31 @@ object Relational {
         .join(broadcast(sizes), "cohort")
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
           col("week_offset"), col("n_active"), col("cohort_size"))
+    },
+
+    // Higher-order array functions — the nested-collection surface
+    // (transform / filter / aggregate / slice over an array column) on a
+    // per-order quantity basket. collect_list is ONLY deterministic once
+    // sorted, so array_sort runs before anything reads the array; every
+    // scalar out is an exact BIGINT (quantities are integral doubles,
+    // verified, cast before collection), so fold order can't matter and
+    // the lambda results hash-compare. Plan: one shuffle (the groupBy);
+    // the basket stays bounded by the order's line count (~4 — the g1
+    // collect_set argument), so the aggregation buffer is order-sized,
+    // never corpus-sized; all lambdas run inside the post-agg projection.
+    "q44_array_hof" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast(LongType).as("q"))
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(col("q"))).as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).cast(LongType).as("n_items"),
+          expr("aggregate(qs, 0L, (acc, x) -> acc + x)").as("total_qty"),
+          size(expr("filter(qs, x -> x >= 30)")).cast(LongType).as("n_big"),
+          expr("aggregate(slice(reverse(qs), 1, 3), 0L, (acc, x) -> acc + x)")
+            .as("top3_qty"),
+          element_at(col("qs"), -1).as("max_qty"),
+          element_at(col("qs"), 1).as("min_qty"))
     }
   )
 
@@ -1139,6 +1164,22 @@ object Relational {
         |      GROUP BY f.cohort, 2)
         |SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_week, week_offset,
         |       n_active, cohort_size
-        |FROM r JOIN sz ON r.cohort = sz.cohort""".stripMargin
+        |FROM r JOIN sz ON r.cohort = sz.cohort""".stripMargin,
+
+    // same sorted basket; DuckDB's list lambdas mirror Spark's HOFs
+    // one-for-one (list_filter/filter, list_aggregate 'sum'/aggregate,
+    // list_reverse + slice / reverse + slice)
+    "q44_array_hof" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(qs) AS BIGINT) AS n_items,
+        |  CAST(list_aggregate(qs, 'sum') AS BIGINT) AS total_qty,
+        |  CAST(len(list_filter(qs, x -> x >= 30)) AS BIGINT) AS n_big,
+        |  CAST(list_aggregate(list_reverse(qs)[1:3], 'sum') AS BIGINT) AS top3_qty,
+        |  qs[-1] AS max_qty,
+        |  qs[1] AS min_qty
+        |FROM a""".stripMargin
   )
 }

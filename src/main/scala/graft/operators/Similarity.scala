@@ -484,6 +484,34 @@ object Similarity {
         .select("query_id", "neighbor_id", "rnk", "sim")
     },
 
+    // kNN classification by majority vote over s14's shortlist-reranked
+    // top-5 — the label-propagation primitive a curation pipeline uses to
+    // extend a small labeled seed set over an unlabeled corpus (predict
+    // each item's class from its nearest labeled neighbors). Composes the
+    // 100 TB retrieval path end-to-end: IVF prunes lists, PQ codes score,
+    // exact dot re-ranks 20 rows/query, and the vote is a query-keyed hash
+    // aggregate over 5 rows — the classifier adds NOTHING that scales with
+    // the corpus. Tie-break is total (votes DESC, label ASC), so the
+    // prediction is deterministic and hash-gateable.
+    "s16_knn_classify" -> { (s, dir) =>
+      val lb = emb(s, dir).select(col("vec_id"), col("label"))
+      val votes = defs("s14_ann_rerank")(s, dir)
+        .select("query_id", "neighbor_id")
+        .join(lb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+        .join(lb.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          col("votes"),
+          when(col("true_label") === col("pred_label"), 1L).otherwise(0L)
+            .as("correct"))
+    },
+
     // IVF+PQ recall@5 — completes the evaluation square (s4 LSH, s7 IVF,
     // s10 PQ, s12 both): list-pruning loss and compression loss COMPOUND,
     // and this is the number that says whether the composition still
@@ -709,18 +737,32 @@ object Similarity {
     // the exact dot over the shared normalized vectors
     "s14_ann_rerank" ->
       s"""WITH $ivfPqCtes,
-         |sh AS (SELECT query_id, neighbor_id FROM (
-         |         SELECT *, row_number() OVER (PARTITION BY query_id
-         |           ORDER BY approx_sim DESC, neighbor_id) AS rnk FROM p) r
-         |       WHERE rnk <= 20),
-         |qn AS (SELECT vec_id AS query_id, u AS qu FROM n WHERE vec_id < 5),
-         |rr AS (SELECT sh.query_id, sh.neighbor_id, ${dSql("qn.qu", "nn.u")} AS sim
-         |       FROM sh JOIN n nn ON sh.neighbor_id = nn.vec_id
-         |               JOIN qn ON sh.query_id = qn.query_id)
+         |$rerankSqlCtes
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id) AS rnk FROM rr) t
          |WHERE rnk <= 5""".stripMargin,
+
+    // s16: s14's shortlist-rerank CTEs feed a per-query majority vote
+    "s16_knn_classify" ->
+      s"""WITH $ivfPqCtes,
+         |$rerankSqlCtes,
+         |t5 AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id) AS rnk FROM rr) t
+         |       WHERE rnk <= 5),
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |vt AS (SELECT t5.query_id, lb.label, count(*) AS votes
+         |       FROM t5 JOIN lb ON t5.neighbor_id = lb.vec_id GROUP BY 1, 2),
+         |pred AS (SELECT query_id, label AS pred_label,
+         |                CAST(votes AS BIGINT) AS votes FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY votes DESC, label) AS rk FROM vt) t
+         |         WHERE rk = 1)
+         |SELECT p.query_id, lb.label AS true_label, p.pred_label, p.votes,
+         |  CAST(CASE WHEN lb.label = p.pred_label THEN 1 ELSE 0 END AS BIGINT)
+         |    AS correct
+         |FROM pred p JOIN lb ON p.query_id = lb.vec_id""".stripMargin,
 
     "s12_ivfpq_recall" ->
       s"""WITH $ivfPqCtes,
@@ -741,6 +783,19 @@ object Similarity {
 
   private def dSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+
+  /** Oracle-side shortlist + exact-re-rank CTEs (s14/s16): ADC top-20 →
+    * exact dot over the shared normalized vectors. Requires the ivfPq
+    * CTEs (`p`, `n`) in scope. */
+  private lazy val rerankSqlCtes: String =
+    s"""sh AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_sim DESC, neighbor_id) AS rnk FROM p) r
+       |       WHERE rnk <= 20),
+       |qn AS (SELECT vec_id AS query_id, u AS qu FROM n WHERE vec_id < 5),
+       |rr AS (SELECT sh.query_id, sh.neighbor_id, ${dSql("qn.qu", "nn.u")} AS sim
+       |       FROM sh JOIN n nn ON sh.neighbor_id = nn.vec_id
+       |               JOIN qn ON sh.query_id = qn.query_id)""".stripMargin
 
   /** Shared oracle-side embedding cluster CTEs (s6/s13/s15): normalize →
     * label-blocked cosine edges → undirected closure → recursive

@@ -561,6 +561,33 @@ object TextOps {
         .groupBy("lang", "word", "n").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * 64 > col("n"))
         .select(col("lang"), col("word"), col("cnt"))
+    },
+
+    // Zipf rank-frequency audit — the corpus-health check a curation
+    // pipeline runs on its vocabulary: natural language follows
+    // rank × frequency ≈ const, so a flat product curve flags synthetic /
+    // boilerplate-flooded corpora and a spiked head flags template spam.
+    // Plan: one wordcount shuffle (w1's), then the top-100 head via
+    // TakeOrdered (`orderBy.limit` — a per-partition heap + driver-side
+    // 100-row merge, NEVER a global sort of the vocabulary), and the rank /
+    // head-max windows run on the 100-row result (the single-partition
+    // window is bounded by the LIMIT, not the data). zipf_product is an
+    // exact long·long; rel_freq is one division of two exact longs —
+    // bit-portable.
+    "w9_zipf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val top = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(100)
+      val ord = Window.orderBy(col("cnt").desc, col("word"))
+      top
+        .withColumn("rnk", row_number().over(ord).cast(LongType))
+        .withColumn("c1", max(col("cnt")).over(Window.partitionBy()))
+        .select(col("rnk"), col("word"), col("cnt"),
+          (col("rnk") * col("cnt")).as("zipf_product"),
+          (col("cnt").cast(DoubleType) / col("c1")).as("rel_freq"))
     }
   )
 
@@ -835,6 +862,19 @@ object TextOps {
         |SELECT tok.lang, word, count(*) AS cnt
         |FROM tok JOIN n ON tok.lang = n.lang
         |GROUP BY tok.lang, word, n.n
-        |HAVING count(*) * 64 > n.n""".stripMargin
+        |HAVING count(*) * 64 > n.n""".stripMargin,
+
+    // same wordcount, same (cnt DESC, word) head and rank order
+    "w9_zipf" ->
+      """WITH wc AS (
+        |  SELECT w AS word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> '' GROUP BY w),
+        |top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 100)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rnk,
+        |  word, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, word) * cnt AS BIGINT) AS zipf_product,
+        |  CAST(cnt AS DOUBLE) / max(cnt) OVER () AS rel_freq
+        |FROM top""".stripMargin
   )
 }
