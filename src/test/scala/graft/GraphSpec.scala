@@ -246,6 +246,25 @@ class GraphSpec extends AnyFunSuite {
       "a super-cap hub must not mediate predictions")
   }
 
+  test("g4 lcc on K4-minus-an-edge: the clique corners score 1.0, the rest 2/3") {
+    // same K4-minus-(3,4) graph: triangles {1,2,3} and {1,2,4}; vertices 1
+    // and 2 have d=3 with 2 triangles each (lcc 2·2/(3·2) = 2/3), vertices
+    // 3 and 4 have d=2 with 1 triangle each (lcc 2·1/(2·1) = 1.0)
+    val d = edgeFixture(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)), "lcc")
+    val m = Graph.defs("g4_clustering_coeff")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((3L, 2L, 2.0 / 3)) && m(2L) == ((3L, 2L, 2.0 / 3)), m.toString)
+    assert(m(3L) == ((2L, 1L, 1.0)) && m(4L) == ((2L, 1L, 1.0)), m.toString)
+  }
+
+  test("g4 lcc is 0.0 on a triangle-free star, including the d<2 leaves") {
+    val d = edgeFixture((1L to 70L).map(l => (1000L, l)), "lccstar")
+    val rows = Graph.defs("g4_clustering_coeff")(spark, d).collect()
+    assert(rows.length == 71)
+    assert(rows.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0),
+      "a star has no triangles and so no clustering anywhere")
+  }
+
   test("g1's graph-scale joins are equi-joins; only the single-row count merge is a cross") {
     val p = Graph.defs("g1_triangle_count")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

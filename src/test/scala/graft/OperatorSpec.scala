@@ -6,7 +6,9 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions.{col, sum}
+
+import graft.operators.{Dedup, Relational, Similarity, TextOps}
 
 /** Semantic unit tests for the dedup / similarity / text operators on crafted
   * fixtures with known answers (the DuckDB gate checks engine parity; these
@@ -165,6 +167,79 @@ class OperatorSpec extends AnyFunSuite {
       .flatMap(_.split(" ")).filter(_.nonEmpty)
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     assert(counts == expected)
+  }
+
+  test("d22 attributes the cross-source dup pair and never a within-source one") {
+    // doc 1 (srcA) == doc 2 (srcB) is the only verified near-dup edge that
+    // crosses sources; docs 3/4 are same-source so even a verified edge
+    // among them must not appear. Pair key is order-normalized.
+    val d = Files.createTempDirectory("graft-d22").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(
+      Row(1L, "the cat sat on the mat today", "en", "srcA", 28L),
+      Row(2L, "the cat sat on the mat today", "en", "srcB", 28L),
+      Row(3L, "completely different words entirely here now", "en", "srcA", 44L),
+      Row(4L, "completely different words entirely here now", "en", "srcA", 44L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.defs("d22_cross_source_dups")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("srcA", "srcB", 1L)), s"got ${out.toSeq}")
+  }
+
+  test("q44 HOF scalars are internally consistent and match a direct sum") {
+    val dir001 = "/root/testdata/sf0.001"
+    val rows = Relational.defs("q44_array_hof")(spark, dir001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, total, nBig, top3, mx, mn) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nBig <= n && mn <= mx && top3 <= total && total >= n * mn && total <= n * mx, r.toString)
+    }
+    // the lambda fold must equal a plain aggregation of the same column
+    val direct = spark.read.parquet(s"$dir001/lineitem.parquet")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("tq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) == direct(r.getLong(0)), r.toString))
+  }
+
+  test("w9 zipf head is contiguously ranked with consistent products and head share") {
+    val rows = TextOps.defs("w9_zipf")(spark, "/root/testdata/sf0.001")
+      .orderBy("rnk").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "head must be ordered by descending frequency")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(0) * r.getLong(2), r.toString)
+      assert(r.getDouble(4) == r.getLong(2).toDouble / cnts.head, r.toString)
+    }
+    assert(rows.head.getDouble(4) == 1.0)
+  }
+
+  test("s16 vote agrees with a hand recount over s14's top-5 and labels") {
+    val dir001 = "/root/testdata/sf0.001"
+    val labels = spark.read.parquet(s"$dir001/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val top5 = Similarity.defs("s14_ann_rerank")(spark, dir001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+    val got = Similarity.defs("s16_knn_classify")(spark, dir001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == top5.keySet, "one classification per query")
+    top5.foreach { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val (predLabel, predVotes) = votes.toSeq.minBy { case (l, v) => (-v, l) }
+      val (trueL, predL, v, correct) = got(q)
+      assert(predL == predLabel && v == predVotes, s"query $q: ${got(q)} vs $votes")
+      assert(trueL == labels(q) && correct == (if (trueL == predL) 1L else 0L))
+    }
   }
 
   test("m6 media dedup keeps one survivor per identical payload, lowest id on ties") {

@@ -55,7 +55,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no dedup/similarity query degenerates to a cartesian product") {
-    Seq("d3_lsh_pairs", "d4_jaccard_pairs", "d6_simhash_neardup").foreach { n =>
+    Seq("d3_lsh_pairs", "d4_jaccard_pairs", "d6_simhash_neardup",
+      "d22_cross_source_dups").foreach { n =>
       val p = plan(Dedup.defs(n)(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
@@ -113,6 +114,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected user_id + single-partition exchanges only ($exchanges)\n$p")
     assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
     assert(p.contains("Window"), p)
+  }
+
+  test("q44's basket build is the plan's only shuffle; every lambda runs post-agg") {
+    val p = plan(Relational.defs("q44_array_hof")(spark, dir))
+    // partial+final object hash agg around exactly one exchange; the HOF
+    // lambdas (aggregate/filter/slice) are projections over the grouped
+    // array and must add no further exchange, window, or join
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("w9's vocabulary head is a TakeOrdered heap, never a global vocabulary sort") {
+    val p = plan(TextOps.defs("w9_zipf")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the rank/head-max windows legitimately sort — but only the 100-row
+    // LIMIT result. Formatted-explain node ids are assigned bottom-up
+    // (scan lowest), so every Sort must carry a HIGHER id than the
+    // TakeOrdered head: a Sort with a lower id sits under the limit and
+    // means the whole vocabulary was sorted.
+    def ids(op: String): List[Int] =
+      s"(?m)^\\((\\d+)\\) $op".r.findAllMatchIn(p).map(_.group(1).toInt).toList
+    val takeId = ids("TakeOrderedAndProject").min
+    assert(ids("Sort").forall(_ > takeId),
+      s"a Sort below the head limit means the whole vocabulary was sorted\n$p")
   }
 
   test("q39 executes as a recursive UnionLoop and terminates at the digit-tree depth") {
