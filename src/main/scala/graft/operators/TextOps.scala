@@ -588,6 +588,41 @@ object TextOps {
         .select(col("rnk"), col("word"), col("cnt"),
           (col("rnk") * col("cnt")).as("zipf_product"),
           (col("cnt").cast(DoubleType) / col("c1")).as("rel_freq"))
+    },
+
+    // Mixture-weight EXECUTION — the resampled-corpus manifest that turns
+    // t14's learned per-language weights into an actual training mix:
+    // each document contributes floor(weight) whole copies plus one more
+    // iff its md5 residue falls under the fractional part (deterministic
+    // Bernoulli — t10's discipline, but at LEARNED rates, and covering
+    // UPSAMPLING, which a keep/drop filter cannot express). Every double
+    // is computed by the identical operand sequence in both engines
+    // (long-ratio weight, residue/2^32), so the copy counts hash-gate.
+    // Plan: weights come from ONE per-lang aggregate; the corpus total is
+    // an unpartitioned window over those |langs| rows (not a second corpus
+    // scan) — the corpus itself takes ONE broadcast join and a narrow
+    // filter, no shuffle, no per-row rand() (reproducible across retries
+    // and partitionings).
+    "t16_mixture_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = withQualityCols(docs(s, dir))
+      val g = d.groupBy("lang")
+        .agg(sum("n_tokens").cast(LongType).as("tokens"))
+      val all = Window.partitionBy()
+      val w = g.select(col("lang"),
+        (sum("tokens").over(all).cast(DoubleType) /
+          (count(lit(1)).over(all) * col("tokens"))).as("weight"))
+      val u = graft.functions.HexPrefixToLong
+        .hex8(md5(col("doc_id").cast(StringType)))
+      d.select(col("doc_id"), col("lang"))
+        .join(broadcast(w), "lang")
+        .withColumn("frac", u.cast(DoubleType) / lit(4294967296.0))
+        .withColumn("n_copies",
+          floor(col("weight")).cast(LongType) +
+            when(col("frac") < col("weight") - floor(col("weight")), 1L)
+              .otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("lang"), col("weight"), col("n_copies"))
     }
   )
 
@@ -875,6 +910,31 @@ object TextOps {
         |  word, cnt,
         |  CAST(row_number() OVER (ORDER BY cnt DESC, word) * cnt AS BIGINT) AS zipf_product,
         |  CAST(cnt AS DOUBLE) / max(cnt) OVER () AS rel_freq
-        |FROM top""".stripMargin
+        |FROM top""".stripMargin,
+
+    // t14's weight CTEs verbatim; the residue is t10's hex-to-long spelling
+    // over the same md5(doc_id); every double op mirrors the Spark order
+    "t16_mixture_sample" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT lang,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t, count(*) AS k FROM g),
+         |w AS (SELECT lang, CAST(t AS DOUBLE) / (k * tokens) AS weight FROM g, tot),
+         |u AS (SELECT doc_id, lang, ($hexToInt) AS uv
+         |      FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m
+         |            FROM documents) h)
+         |SELECT doc_id, u.lang, weight,
+         |  CAST(floor(weight) AS BIGINT) +
+         |    (CASE WHEN CAST(uv AS DOUBLE) / 4294967296.0 < weight - floor(weight)
+         |          THEN 1 ELSE 0 END) AS n_copies
+         |FROM u JOIN w ON u.lang = w.lang
+         |WHERE CAST(floor(weight) AS BIGINT) +
+         |    (CASE WHEN CAST(uv AS DOUBLE) / 4294967296.0 < weight - floor(weight)
+         |          THEN 1 ELSE 0 END) > 0""".stripMargin
+    }
   )
 }

@@ -242,6 +242,38 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("t16 copy counts hand-recount from md5 residues and per-lang weights") {
+    val dir001 = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir001/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tokens = docs.groupBy(_._2).view
+      .mapValues(_.map(_._3.split(" ", -1).length.toLong).sum).toMap
+    val t = tokens.values.sum
+    val k = tokens.size.toLong
+    val weight = tokens.map { case (l, tok) => l -> t.toDouble / (k * tok) }
+    def residue(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val expected = docs.flatMap { case (id, l, _) =>
+      val w = weight(l)
+      val n = math.floor(w).toLong +
+        (if (residue(id) < w - math.floor(w)) 1L else 0L)
+      if (n > 0) Some(id -> ((l, w, n))) else None
+    }.toMap
+    val got = TextOps.defs("t16_mixture_sample")(spark, dir001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == expected, s"${got.size} vs ${expected.size} manifest rows")
+    // the mix must actually resample: some doc upsampled (>=2 copies) and
+    // some doc dropped, else the query degenerates to a pass-through
+    assert(got.values.exists(_._3 >= 2L), "no upsampled language")
+    assert(got.size < docs.length, "no downsampled document")
+  }
+
   test("m6 media dedup keeps one survivor per identical payload, lowest id on ties") {
     // docs 1 and 2 are byte-identical payloads (identical size, so the
     // tie-break decides): doc 1 must survive, doc 2 must not; every other

@@ -141,6 +141,19 @@ class PlanSpec extends AnyFunSuite {
       s"a Sort below the head limit means the whole vocabulary was sorted\n$p")
   }
 
+  test("t16's corpus side never shuffles: broadcast weights, two scans, two exchanges") {
+    val p = plan(TextOps.defs("t16_mixture_sample")(spark, dir))
+    // the per-lang weight table is the only aggregated subtree (one
+    // lang-hash exchange + one single-partition window exchange over
+    // |langs| rows); the corpus stays in its scan partitioning and joins
+    // the broadcast weights — a corpus-side Exchange or a sort-merge join
+    // means the mixture manifest reshuffled 100 TB of doc ids
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2, p)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q39 executes as a recursive UnionLoop and terminates at the digit-tree depth") {
     val df = Relational.defs("q39_recursive_cte")(spark, dir)
     assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
