@@ -209,6 +209,33 @@ object Graph {
           when(col("d") < 2, lit(0.0))
             .otherwise((col("n_tri") * 2).cast("double")
               / (col("d") * (col("d") - lit(1)))))
+    },
+
+    // Connected components of the co-order graph — the "substitutable
+    // product families" view: every part labeled with the smallest part id
+    // reachable through support-≥2 co-order edges, plus its component
+    // size. Reuses the hook+contract pointer-doubling loop Dedup embeds
+    // for near-dup clusters (operators/Components.scala) — but in the
+    // OPPOSITE graph regime: d11's input is thousands of tiny clusters
+    // (diameter ~1-2); the co-order graph at some SFs is one giant
+    // component holding ~99% of the vertices (1,860 of 1,880 at sf0.01),
+    // so this query exercises the O(log diameter) convergence claim where
+    // it actually matters. 100 TB posture: each round is edge-linear
+    // equi-joins on a CONTRACTING graph (hook map re-join is on the
+    // shrinking vertex set, never the corpus), state is two checkpointed
+    // rounds max, and the only driver action is the is-empty convergence
+    // probe. Sizes come from a vertex-count aggregate over the final
+    // labels (|components| rows) broadcast back onto the label table —
+    // the labels themselves are checkpointed by the loop, so the two
+    // consumers trigger zero recomputation.
+    "g5_components" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val cl = Components.minLabel(e)
+        .select(col("v"), col("lbl").as("component_id"))
+      val sizes = cl.groupBy("component_id")
+        .agg(count(lit(1)).as("comp_size"))
+      cl.join(broadcast(sizes), "component_id")
+        .select(col("v"), col("component_id"), col("comp_size"))
     }
   )
 
@@ -317,6 +344,21 @@ object Graph {
         |  CASE WHEN deg.d < 2 THEN 0.0
         |       ELSE CAST(2 * coalesce(corners.n_tri, 0) AS DOUBLE)
         |              / (deg.d * (deg.d - 1)) END AS lcc
-        |FROM deg LEFT JOIN corners ON deg.v = corners.v""".stripMargin
+        |FROM deg LEFT JOIN corners ON deg.v = corners.v""".stripMargin,
+
+    // same graph; min-reachable-id labels via recursive reachability (the
+    // d11 closure pattern) — tractable because the closure is bounded by
+    // Σ comp_size², ~3.5M pairs at the giant-component SF
+    "g5_components" ->
+      s"""WITH RECURSIVE $graphSql,
+        |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.v),
+        |cl AS (SELECT v, min(r) AS component_id FROM reach GROUP BY v),
+        |sz AS (SELECT component_id, count(*) AS comp_size FROM cl GROUP BY component_id)
+        |SELECT cl.v, cl.component_id, sz.comp_size
+        |FROM cl JOIN sz USING (component_id)""".stripMargin
   )
 }

@@ -265,6 +265,22 @@ class GraphSpec extends AnyFunSuite {
       "a star has no triangles and so no clustering anywhere")
   }
 
+  test("g5 labels every component with its min id and exact size, across shapes") {
+    // four known components: a path (min 1, size 4), an edge (min 10,
+    // size 2), a triangle (min 20, size 3), and a 9-vertex path (min 30,
+    // size 9 — deep enough that hook+contract needs the doubling pass)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)) ++
+      (30L until 38L).map(v => (v, v + 1))
+    val d = edgeFixture(edges, "cc")
+    val got = Graph.defs("g5_components")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expected =
+      (1L to 4L).map(_ -> ((1L, 4L))) ++ Seq(10L -> ((10L, 2L)), 11L -> ((10L, 2L))) ++
+        (20L to 22L).map(_ -> ((20L, 3L))) ++ (30L to 38L).map(_ -> ((30L, 9L)))
+    assert(got == expected.toMap, got.toString)
+  }
+
   test("g1's graph-scale joins are equi-joins; only the single-row count merge is a cross") {
     val p = Graph.defs("g1_triangle_count")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
