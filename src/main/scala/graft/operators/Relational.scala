@@ -746,6 +746,32 @@ object Relational {
             .as("top3_qty"),
           element_at(col("qs"), -1).as("max_qty"),
           element_at(col("qs"), 1).as("min_qty"))
+    },
+
+    // Type-2 slowly-changing dimension build — the warehouse history table
+    // every CDC pipeline materializes: per user, each event_type CHANGE
+    // opens a new version row carrying [valid_from, valid_to) in exact
+    // epoch-ms longs, open-ended (NULL + is_current) on the latest. Two
+    // window passes over ONE user_id exchange (lag to collapse runs of the
+    // same status into their first row, then lead/row_number on the same
+    // partitioning for validity and version — the filter between them
+    // preserves partitioning AND sort order, so Catalyst plans a single
+    // Exchange and a single Sort, pinned). 100 TB posture: per-user state
+    // inside a window frame is one row (lag-1/lead-1); output is bounded
+    // by CHANGE rows, not events; everything downstream of the one shuffle
+    // is narrow. Deterministic under ts ties via the event_id tiebreak.
+    "q45_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("status"), unix_millis(col("ts")).as("ms"))
+        .withColumn("prev", lag(col("status"), 1).over(w))
+        .filter(col("prev").isNull || col("status") =!= col("prev"))
+        .select(col("user_id"), col("status"),
+          col("ms").as("valid_from_ms"),
+          lead(col("ms"), 1).over(w).as("valid_to_ms"),
+          row_number().over(w).cast(LongType).as("version"))
+        .withColumn("is_current", col("valid_to_ms").isNull)
     }
   )
 
@@ -1180,6 +1206,20 @@ object Relational {
         |  CAST(list_aggregate(list_reverse(qs)[1:3], 'sum') AS BIGINT) AS top3_qty,
         |  qs[-1] AS max_qty,
         |  qs[1] AS min_qty
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // identical window spellings; ms longs keep every boundary exact
+    "q45_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS status,
+        |                  epoch_ms(ts) AS ms FROM events),
+        |ch AS (SELECT *, lag(status) OVER
+        |         (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, event_id, status, ms FROM ch
+        |      WHERE prev IS NULL OR status <> prev)
+        |SELECT user_id, status, ms AS valid_from_ms,
+        |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS version,
+        |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL AS is_current
+        |FROM f""".stripMargin
   )
 }

@@ -207,6 +207,38 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) == direct(r.getLong(0)), r.toString))
   }
 
+  test("q45 SCD2 history matches a sequential per-user replay exactly") {
+    val dir001 = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.load(spark, dir001, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_millis(col("ts")).as("ms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // sequential replay: per user in (ms, event_id) order, a row opens
+    // whenever the status differs from the previous event's status
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val runs = es.sortBy(e => (e._4, e._2))
+        .foldLeft(Vector.empty[(String, Long)]) { case (acc, (_, _, st, ms)) =>
+          if (acc.nonEmpty && acc.last._1 == st) acc else acc :+ (st -> ms)
+        }
+      runs.zipWithIndex.map { case ((st, ms), i) =>
+        val to = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+        (u, i + 1L) -> ((st, ms, to, to.isEmpty))
+      }
+    }.toMap
+    val got = Relational.defs("q45_scd2")(spark, dir001).collect().map { r =>
+      (r.getLong(0), r.getLong(4)) ->
+        ((r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(5)))
+    }.toMap
+    assert(got == expected, s"${got.size} vs ${expected.size} version rows")
+    // history must actually compress: fewer version rows than events, and
+    // exactly one open (is_current) row per user
+    assert(got.size < ev.length, "no status run was collapsed")
+    val curr = got.toSeq.filter(_._2._4).groupBy(_._1._1).view.mapValues(_.size)
+    assert(ev.map(_._1).distinct.forall(u => curr.getOrElse(u, 0) == 1),
+      "every user needs exactly one current row")
+  }
+
   test("w9 zipf head is contiguously ranked with consistent products and head share") {
     val rows = TextOps.defs("w9_zipf")(spark, "/root/testdata/sf0.001")
       .orderBy("rnk").collect()

@@ -126,6 +126,17 @@ class PlanSpec extends AnyFunSuite {
     assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("q45's two window passes share one user_id exchange and one sort") {
+    val p = plan(Relational.defs("q45_scd2")(spark, dir))
+    // lag (change collapse) and lead/row_number (validity + version) use
+    // the same partitioning AND ordering; the filter between them keeps
+    // both, so a second Exchange or Sort means the SCD build reshuffled
+    // or re-sorted the event stream
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+    assert("(?m)^\\(\\d+\\) Sort".r.findAllIn(p).size == 1, p)
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("w9's vocabulary head is a TakeOrdered heap, never a global vocabulary sort") {
     val p = plan(TextOps.defs("w9_zipf")(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
