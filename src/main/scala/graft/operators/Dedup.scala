@@ -67,7 +67,7 @@ object Dedup {
     * when the doc has <3 tokens — matches DuckDB generate_series(1, n<1)=[]).
     * Takes the tokens as a bound column so `split` runs once per row, not
     * once per sub-expression. */
-  private def shinglesOf(w: Column): Column =
+  private[graft] def shinglesOf(w: Column): Column =
     when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ", slice(w, i, lit(3)))))
       .otherwise(array().cast(ArrayType(StringType)))
@@ -76,7 +76,7 @@ object Dedup {
     * shingle via the native codegen'd [[graft.functions.Md5Hash32]] — no
     * 32-char md5 hex string is materialized (the oracle keeps the two-step
     * `instr`-chain-over-`md5(x)` spelling; identical values). */
-  private def hvOf(sh: Column): Column =
+  private[graft] def hvOf(sh: Column): Column =
     transform(sh, x => graft.functions.Md5Hash32.hash32(x))
 
   /** b×r banding over `numHashes` signatures: `numBands` bands of `bandRows`
@@ -106,10 +106,16 @@ object Dedup {
     * so the sorted-distinct hash set (hashSets) is a valid hv source too
     * (d9 exploits this to derive signatures from one shared projection). */
   private def sigsFromHv(base: DataFrame): DataFrame =
-    base.select(col("doc_id") +: (0 until numHashes).map { j =>
-      expr(s"array_min(transform(hv, h -> (${hashA(j)} * h + ${hashB(j)}) % $P))")
+    base.select(col("doc_id") +: sigCols(col("hv")): _*)
+
+  /** The 16 affine signature columns over a bound hash-array column —
+    * exposed as reusable expressions so the streaming twin (x12) can carry
+    * extra columns (its hash set) through the signature projection. */
+  private[graft] def sigCols(hv: Column): Seq[Column] =
+    (0 until numHashes).map { j =>
+      array_min(transform(hv, h => (lit(hashA(j)) * h + lit(hashB(j))) % lit(P)))
         .as(s"s$j")
-    }: _*)
+    }
 
   /** doc_id → (doc_id, s0..s15 bigint) signature frame: a narrow per-doc
     * projection (no shuffle). The shingle array and the base-hash array are
@@ -124,18 +130,23 @@ object Dedup {
     * BIGINT join key — k·2^60 + s·2^30 + s' (each sig < P < 2^30, k < 8, so
     * the packed value stays under 2^63). */
   private def bandsFrom(sg: DataFrame): DataFrame =
-    sg.select(col("doc_id"),
-      explode(array((0 until numBands).map(k =>
-        (lit(k.toLong << 60) + col(s"s${bandRows * k}") * lit(1L << 30)
-          + col(s"s${bandRows * k + 1}")).cast(LongType)): _*)).as("band"))
+    sg.select(col("doc_id"), explode(bandKeys).as("band"))
       // docs with <3 tokens have NULL signatures; NULL must not form a
       // bucket (groupBy groups NULLs; the oracle's equi-join never matches
       // them — and semantically shingle-less docs have no LSH identity)
       .filter(col("band").isNotNull)
 
+  /** The 8 packed band keys over s0..s15 columns, as one array expression
+    * (null elements when the doc is shingle-less — callers filter or
+    * explode_outer per their null semantics). */
+  private[graft] def bandKeys: Column =
+    array((0 until numBands).map(k =>
+      (lit(k.toLong << 60) + col(s"s${bandRows * k}") * lit(1L << 30)
+        + col(s"s${bandRows * k + 1}")).cast(LongType)): _*)
+
   /** LSH buckets larger than this are dropped (textbook LSH hygiene: a viral
     * bucket generates O(k²) pairs and is useless as a dedup signal anyway). */
-  private val maxBucket = 100
+  private[graft] val maxBucket = 100
 
   /** Distinct candidate pairs (d1 < d2), generated within each band bucket.
     * The band-size filter runs BEFORE any id-list aggregation: a window
@@ -294,7 +305,7 @@ object Dedup {
 
   /** Shared SQL for the oracle-side signature table (DuckDB dialect),
     * mirroring the affine family and b×r band packing bit-for-bit. */
-  private val sigSqlCte: String = {
+  private[graft] val sigSqlCte: String = {
     val hexToInt = (0 until 8).map { i =>
       s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
     }.mkString(" + ")
@@ -361,7 +372,7 @@ object Dedup {
       |  FROM ch GROUP BY doc_id, chunk_id)""".stripMargin
 
   /** Oracle-side sorted distinct hash-set CTE (verify-side of d4/d9). */
-  private val hashSetSqlCte: String = {
+  private[graft] val hashSetSqlCte: String = {
     val hexToInt = (0 until 8).map { i =>
       s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
     }.mkString(" + ")
@@ -386,7 +397,7 @@ object Dedup {
     * back on every subsequent call (the suffix keys the table name to the
     * dir, so fixtures and SFs never collide); a production pipeline would
     * instead append/compact these tables as batches are admitted. */
-  private def corpusIndexTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def corpusIndexTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val suffix = (dir.hashCode.toLong & 0xffffffffL).toString
     val setsT = s"graft_d18_sets_$suffix"
     val bandsT = s"graft_d18_bands_$suffix"

@@ -134,7 +134,8 @@ object StreamingSessionize {
       outputMode: String = "complete",
       sinkName: String = "default",
       sourceOptions: Map[String, String] = Map.empty,
-      sourceGlob: String = "events.parquet"): DataFrame = {
+      sourceGlob: String = "events.parquet",
+      sourceSchema: StructType = rawSchema): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A streaming query fixes its state-store layout at start: with the
     // session's batch-oriented shuffle.partitions (32 on the driver) every
@@ -152,12 +153,17 @@ object StreamingSessionize {
       // (maxFilesPerTrigger=1 over several time-ordered files) — the
       // cross-batch state-merge path a one-file replay never exercises
       val reader = sourceOptions.foldLeft(
-        spark.readStream.schema(rawSchema)
+        spark.readStream.schema(sourceSchema)
           .option("pathGlobFilter", sourceGlob)) {
         case (r, (k, v)) => r.option(k, v)
       }
-      val stream = reader.parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = reader.parquet(dir)
+      // only the events source carries a nanos-long ts to rebuild; other
+      // sources (x12's documents stream) pass through untouched
+      val stream =
+        if (sourceSchema.fieldNames.contains("ts"))
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
       val transformed = transform(stream)
       val schema = transformed.schema
       val saveMode = if (outputMode == "complete") "overwrite" else "append"
@@ -308,8 +314,80 @@ object StreamingSessionize {
     // rows emitted on 6 h-inactivity timeout — see streaming/StreamFunnel.
     "x11_stream_funnel" -> { (s, dir) =>
       StreamFunnel.runToCompletion(s, dir)
+    },
+
+    // Streaming incremental dedup — d18's admission check as the online job
+    // it really is: new documents ARRIVE (the doc_id%10==7 slice read as a
+    // documents-schema file stream) and are classified against the STATIC
+    // corpus LSH index (d18's bucketed tables, joined + capped batch-side
+    // and checkpointed ONCE — microbatches re-scan nothing). Per arriving
+    // doc: signature → 8 band keys (explode_outer keeps shingle-less docs)
+    // → stream-static LEFT equi-join on the band index → per-row exact
+    // Jaccard (native merge-walk intersect) → ONE complete-mode aggregate
+    // (count band hits, max Jaccard). Streaming-legal by construction: the
+    // static joins are stateless, the single stateful op is the final agg —
+    // counting (band, candidate) HITS rather than distinct candidates is
+    // the honest one-stateful-op spelling (pair-distinct would chain a
+    // second stateful dedup, and the hit count is the ops metric a stream
+    // admission job alarms on anyway; the verdict comes from max_jaccard,
+    // which multiplicity cannot change). 100 TB posture: state is one row
+    // per in-flight doc; the band join partitions the stream by band key
+    // against a corpus index that lives as a table, never in memory.
+    "x12_stream_incremental_dedup" -> { (s, dir) =>
+      runToCompletion(s, dir, incrementalDedup(s, dir),
+        outputMode = "complete", sinkName = "x12",
+        sourceGlob = "documents.parquet", sourceSchema = docSchema)
     }
   )
+
+  /** x12's stream transform, factored so the multi-batch replay spec can
+    * drive it over a SLICED copy of the stream while the static corpus
+    * index still comes from `indexDir`. Builds the index once (batch-side,
+    * d18's bucketed tables, capped + joined + checkpointed) and returns
+    * the per-stream closure. */
+  private[graft] def incrementalDedup(
+      s: SparkSession, indexDir: String): DataFrame => DataFrame = {
+    import graft.operators.Dedup
+    val okb = Dedup.corpusIndexTables(s, indexDir) match {
+      case (cSets, cBands) =>
+        cBands
+          .withColumn("bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("band")))
+          .filter(col("bsz") <= Dedup.maxBucket)
+          .select(col("doc_id").as("d2"), col("band"))
+          .join(cSets.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
+          .select("band", "d2", "hs2")
+          .localCheckpoint()
+    }
+    stream => {
+      val withBands = stream.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), Dedup.shinglesOf(col("w")).as("sh"))
+        .select(col("doc_id"),
+          array_sort(array_distinct(Dedup.hvOf(col("sh")))).as("hv"))
+        .select(col("doc_id") +: col("hv").as("hs1") +:
+          Dedup.sigCols(col("hv")): _*)
+        .select(col("doc_id"), col("hs1"),
+          explode_outer(Dedup.bandKeys).as("band"))
+      withBands.join(okb, Seq("band"), "left")
+        .withColumn("ic", graft.functions.IntersectCountSorted
+          .intersectCount(col("hs1"), col("hs2")))
+        .withColumn("j", col("ic").cast(DoubleType) /
+          (size(col("hs1")) + size(col("hs2")) - col("ic")))
+        .groupBy("doc_id")
+        .agg(count(col("d2")).as("n_band_hits"),
+          coalesce(max(col("j")), lit(0.0)).as("max_jaccard"))
+        .select(col("doc_id"), col("n_band_hits"), col("max_jaccard"),
+          when(col("max_jaccard") >= 0.5, "near").otherwise("novel")
+            .as("verdict"))
+    }
+  }
+
+  /** documents.parquet raw schema (no timestamp rebuild needed). */
+  private[graft] val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
 
   /** Batch-SQL restatement of session_window semantics (brk on diff >= gap;
     * see the class doc for the strict-< merge convention). */
@@ -444,6 +522,34 @@ object StreamingSessionize {
         |wm AS (SELECT max(ms) - 3600000 AS w FROM e)
         |SELECT user_id, fv AS first_view_ms, fc AS first_click_ms,
         |       fp AS first_purchase_ms
-        |FROM u, wm WHERE last_ms + 21600000 < w""".stripMargin
+        |FROM u, wm WHERE last_ms + 21600000 < w""".stripMargin,
+
+    // d18's index build CTEs verbatim (sigs/bands/sh from Dedup); hits
+    // keep band multiplicity — the Spark side counts (band, candidate)
+    // matches, so the oracle must too
+    "x12_stream_incremental_dedup" ->
+      s"""WITH ${graft.operators.Dedup.sigSqlCte},
+         |${graft.operators.Dedup.hashSetSqlCte},
+         |bb AS (SELECT doc_id AS d1, band FROM bands WHERE doc_id % 10 = 7),
+         |cb0 AS (SELECT doc_id AS d2, band FROM bands WHERE doc_id % 10 <> 7),
+         |okc AS (SELECT band FROM cb0 GROUP BY band
+         |        HAVING count(*) <= ${graft.operators.Dedup.maxBucket}),
+         |hits AS (SELECT bb.d1, cb0.d2 FROM bb JOIN cb0 USING (band)
+         |         WHERE band IN (SELECT band FROM okc)),
+         |jac AS (SELECT d1, d2,
+         |          CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |            / len(list_distinct(x.hs || y.hs)) AS j
+         |        FROM hits JOIN sh x ON hits.d1 = x.doc_id
+         |                  JOIN sh y ON hits.d2 = y.doc_id),
+         |agg AS (SELECT d1 AS doc_id, count(*) AS n_band_hits,
+         |          max(j) AS max_jaccard
+         |        FROM jac GROUP BY d1)
+         |SELECT b.doc_id,
+         |  CAST(coalesce(agg.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+         |  coalesce(agg.max_jaccard, 0.0) AS max_jaccard,
+         |  CASE WHEN coalesce(agg.max_jaccard, 0.0) >= 0.5 THEN 'near'
+         |       ELSE 'novel' END AS verdict
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) b
+         |LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin
   )
 }

@@ -111,6 +111,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet, "dedup key set diverges from batch DISTINCT")
   }
 
+  test("x12 over three sliced microbatches equals the one-shot stream, verdicts non-degenerate") {
+    // documents sliced by doc_id into 3 files replayed one per trigger:
+    // each arriving doc's band rows land in one microbatch, and the
+    // complete-mode aggregate must merge batches into exactly the one-shot
+    // result (same static corpus index both ways)
+    val d = java.nio.file.Files.createTempDirectory("graft-x12-mb").toFile
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val ids = raw.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids((ids.length / 3).toInt), ids((2 * ids.length / 3).toInt))
+    for (i <- 0 until 3) {
+      val sd = new java.io.File(d, s"slice$i")
+      val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+      val hi = if (i == 2) Long.MaxValue else cuts(i)
+      raw.filter(raw("doc_id") >= lo && raw("doc_id") < hi)
+        .coalesce(1).write.parquet(sd.getAbsolutePath)
+      val part = sd.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(d, s"documents$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    def run(srcDir: String, sink: String, glob: String) =
+      StreamingSessionize.runToCompletion(spark, srcDir,
+          StreamingSessionize.incrementalDedup(spark, dir), "complete", sink,
+          if (glob.contains("*")) Map("maxFilesPerTrigger" -> "1") else Map.empty,
+          glob, StreamingSessionize.docSchema)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getString(3))))
+        .toMap
+    val multi = run(d.getAbsolutePath, "x12-multibatch", "documents*.parquet")
+    val oneShot = run(dir, "x12-oneshot", "documents.parquet")
+    assert(multi == oneShot, s"${multi.size} vs ${oneShot.size} admission rows")
+    val verdicts = multi.values.map(_._3).toSet
+    assert(verdicts == Set("near", "novel"),
+      s"admission stream must classify both ways at sf0.001: $verdicts")
+  }
+
   test("funnel fold: batch-split composition equals one-shot fold on time-ordered slices") {
     // state-carry correctness for x11: folding a user's events in two
     // time-ordered microbatches must land in the same state as folding
