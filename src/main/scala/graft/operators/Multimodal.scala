@@ -160,6 +160,44 @@ object Multimodal {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select("doc_id", "checksum", "n_bytes")
+    },
+
+    // Modality-quota manifest — t16's mixture-execution discipline on the
+    // MEDIA axis, with BYTES as the base measure (media quotas are
+    // storage/compute-bound, not token-bound): per modality (derived
+    // deterministically from payload content — first md5 hex char mod 3,
+    // standing in for the container-type sniff a real pipeline does), the
+    // uniform-byte-share weight total/(k·bytes_m); each item contributes
+    // floor(weight) copies plus one more iff its md5 residue falls under
+    // the fractional part. Same plan posture as t16: ONE per-modality
+    // byte aggregate, a 3-row single-partition window, weights BROADCAST
+    // into the media scan — the payload table itself never shuffles.
+    "m7_media_mixture" -> { (s, dir) =>
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val m = docs(s, dir)
+        .withColumn("payload", col("text").cast(BinaryType))
+        .select(col("doc_id"),
+          expr("CAST(octet_length(payload) AS BIGINT)").as("n_bytes"),
+          expr(s"CASE ${hexVal("substr(md5(text), 1, 1)")} % 3" +
+            " WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+            .as("media_type"))
+      val g = m.groupBy("media_type")
+        .agg(sum("n_bytes").cast(LongType).as("bytes"))
+      val w = g.select(col("media_type"),
+        (sum("bytes").over(all).cast(DoubleType) /
+          (count(lit(1)).over(all) * col("bytes"))).as("weight"))
+      val u = graft.functions.HexPrefixToLong
+        .hex8(md5(col("doc_id").cast(StringType)))
+      m.select(col("doc_id"), col("media_type"))
+        .join(broadcast(w), "media_type")
+        .withColumn("frac", u.cast(DoubleType) / lit(4294967296.0))
+        .withColumn("n_copies",
+          floor(col("weight")).cast(LongType) +
+            when(col("frac") < col("weight") - floor(col("weight")), 1L)
+              .otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("media_type"), col("weight"),
+          col("n_copies"))
     }
   )
 
@@ -217,6 +255,36 @@ object Multimodal {
         |    row_number() OVER (PARTITION BY md5(text)
         |      ORDER BY octet_length(text::BLOB) DESC, doc_id) AS rk
         |  FROM documents) t
-        |WHERE rk = 1""".stripMargin
+        |WHERE rk = 1""".stripMargin,
+
+    // t16's weight/residue spellings on the bytes axis; the modality CASE
+    // and every double op mirror the Spark operand order
+    "m7_media_mixture" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+         |    CASE (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 3
+         |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+         |  FROM documents),
+         |g AS (SELECT media_type, CAST(sum(n_bytes) AS BIGINT) AS bytes
+         |      FROM m GROUP BY media_type),
+         |tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS t, count(*) AS k FROM g),
+         |w AS (SELECT media_type, CAST(t AS DOUBLE) / (k * bytes) AS weight
+         |      FROM g, tot),
+         |u AS (SELECT doc_id, media_type, ($hexToInt) AS uv
+         |      FROM (SELECT doc_id, media_type,
+         |              md5(CAST(doc_id AS VARCHAR)) AS h FROM m) t0)
+         |SELECT doc_id, u.media_type, weight,
+         |  CAST(floor(weight) AS BIGINT) +
+         |    (CASE WHEN CAST(uv AS DOUBLE) / 4294967296.0 < weight - floor(weight)
+         |          THEN 1 ELSE 0 END) AS n_copies
+         |FROM u JOIN w ON u.media_type = w.media_type
+         |WHERE CAST(floor(weight) AS BIGINT) +
+         |    (CASE WHEN CAST(uv AS DOUBLE) / 4294967296.0 < weight - floor(weight)
+         |          THEN 1 ELSE 0 END) > 0""".stripMargin
+    }
   )
 }

@@ -306,6 +306,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.size < docs.length, "no downsampled document")
   }
 
+  test("m7 modality quotas hand-recount from byte shares and md5 residues") {
+    val dir001 = "/root/testdata/sf0.001"
+    def md5hex(s: Array[Byte]): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s).map("%02x".format(_)).mkString
+    val types = Array("image", "audio", "video")
+    val docs = spark.read.parquet(s"$dir001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val mt = types("0123456789abcdef".indexOf(md5hex(bytes).charAt(0)) % 3)
+        (r.getLong(0), mt, bytes.length.toLong)
+      }
+    val byType = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val t = byType.values.sum
+    val weight = byType.map { case (m, b) => m -> t.toDouble / (byType.size * b) }
+    val expected = docs.flatMap { case (id, mt, _) =>
+      val w = weight(mt)
+      val hex = md5hex(id.toString.getBytes("UTF-8")).take(8)
+      val frac = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      val n = math.floor(w).toLong + (if (frac < w - math.floor(w)) 1L else 0L)
+      if (n > 0) Some(id -> ((mt, w, n))) else None
+    }.toMap
+    val got = graft.operators.Multimodal.defs("m7_media_mixture")(spark, dir001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == expected, s"${got.size} vs ${expected.size} manifest rows")
+    assert(got.values.exists(_._3 >= 2L) && got.size < docs.length,
+      "the media mix must both upsample and downsample at sf0.001")
+  }
+
   test("m6 media dedup keeps one survivor per identical payload, lowest id on ties") {
     // docs 1 and 2 are byte-identical payloads (identical size, so the
     // tie-break decides): doc 1 must survive, doc 2 must not; every other
