@@ -17,16 +17,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-      // rejects; read it as raw nanos and rebuild a microsecond TimestampType.
-      // Integer `div` (not `/`) — epoch-nanos exceed double's exact range.
-      // The conf is ALSO set at every session builder (Verify/Bench/Main/
-      // tests); this set is a safety net for ad-hoc sessions and is
-      // idempotent, but a cached plan built before first load could observe
-      // the flip — prefer setting it at session construction.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (Spark's vectorized
+      // reader rejects it; the legacy conf reads it as raw nano-longs) and as
+      // plain no-tz TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize both
+      // to session-tz TimestampType by inspecting the scanned dtype — the
+      // session tz is pinned to UTC at every builder, so the NTZ→TZ cast
+      // preserves the instant exactly as the DuckDB oracle's naive-as-UTC
+      // `epoch_ms` does. Integer `div` (not `/`) on the nanos path —
+      // epoch-nanos exceed double's exact range.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so common-dialect SQL (shared verbatim

@@ -29,10 +29,11 @@ import graft.Exprs._
   */
 object StreamingSessionize {
 
-  /** events.parquet raw schema with ts as nanos-long (see Tables.load — the
-    * vectorized reader rejects TIMESTAMP(NANOS), so it is read as long). */
+  /** events.parquet raw schema: ts is no-tz TIMESTAMP(MICROS), declared
+    * TIMESTAMP_NTZ here and cast to session-tz TimestampType (UTC) after the
+    * scan (see Tables.load for the matching batch-side normalization). */
   private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -158,11 +159,12 @@ object StreamingSessionize {
         case (r, (k, v)) => r.option(k, v)
       }
       val raw = reader.parquet(dir)
-      // only the events source carries a nanos-long ts to rebuild; other
-      // sources (x12's documents stream) pass through untouched
+      // only the events source carries an NTZ ts to normalize (session tz is
+      // UTC, so the cast preserves the instant); other sources (x12's
+      // documents stream) pass through untouched
       val stream =
         if (sourceSchema.fieldNames.contains("ts"))
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
         else raw
       val transformed = transform(stream)
       val schema = transformed.schema

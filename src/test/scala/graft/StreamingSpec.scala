@@ -70,14 +70,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(spanned.length >= 8, "test premise: enough multi-event sessions to cut")
     val cutsMs = (1 to 4).map(i => spanned(i * spanned.length / 5).getLong(3) + 1L)
       .distinct.sorted
-    val cutsNs = cutsMs.map(_ * 1000000L)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // slice on epoch-ms of the NTZ ts (session tz is UTC) so the written
+    // files keep the source schema the streaming reader declares
     val raw = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ms", expr("unix_millis(CAST(ts AS TIMESTAMP))"))
     val d = java.nio.file.Files.createTempDirectory("graft-mb-sess").toFile
-    val ranges = (Long.MinValue +: cutsNs) :+ Long.MaxValue
+    val ranges = (Long.MinValue +: cutsMs) :+ Long.MaxValue
     for (i <- 0 until ranges.length - 1) {
       val sd = new java.io.File(d, s"slice$i")
-      raw.filter(col("ts") >= ranges(i) && col("ts") < ranges(i + 1)).coalesce(1)
+      raw.filter(col("ms") >= ranges(i) && col("ms") < ranges(i + 1))
+        .drop("ms").coalesce(1)
         .write.parquet(sd.getAbsolutePath)
       val part = sd.listFiles().find(_.getName.endsWith(".parquet")).get
       val dst = new java.io.File(d, s"events$i.parquet")
