@@ -623,6 +623,34 @@ object TextOps {
               .otherwise(0L))
         .filter(col("n_copies") > 0)
         .select(col("doc_id"), col("lang"), col("weight"), col("n_copies"))
+    },
+
+    // Per-document mean bigram likelihood under the corpus's own bigram
+    // model — the CCNet-style fluency signal (docs whose transitions are
+    // corpus-typical score high; rare-transition word salad scores low),
+    // graded where w5's novelty is binary. The per-pair probability
+    // c(w1,w2)/c(w1·) is kept as a ppm-scaled INTEGER (c_bg·10^6 div
+    // c_prefix) and the per-doc mean as an integer floor division — ln()
+    // and float sums are not bit-portable cross-engine (t8/w4 discipline).
+    // Plan: one bigram-pair pass builds the model (vocab²-bounded, far
+    // smaller than the corpus) and its prefix marginals; the probe re-joins
+    // pairs→model on (w1,w2) and →prefix on w1 — both shuffle equi-joins —
+    // then one partial+final per-doc aggregate. Nothing is quadratic; the
+    // documents scan runs twice (model + probe), the same trade w4 makes —
+    // at 100 TB, checkpoint the pair table to make it one.
+    "t17_lm_likelihood" -> { (s, dir) =>
+      val pairs = bigramPairs(docs(s, dir))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      val prefix = model.groupBy("w1")
+        .agg(sum("c_bg").cast(LongType).as("c_pre"))
+      pairs
+        .join(model, Seq("w1", "w2"))
+        .join(prefix, Seq("w1"))
+        .withColumn("p6", expr("(c_bg * 1000000) div c_pre"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(sum(p6) div count(1) AS BIGINT)").as("mean_p6"))
     }
   )
 
@@ -935,6 +963,21 @@ object TextOps {
          |WHERE CAST(floor(weight) AS BIGINT) +
          |    (CASE WHEN CAST(uv AS DOUBLE) / 4294967296.0 < weight - floor(weight)
          |          THEN 1 ELSE 0 END) > 0""".stripMargin
-    }
+    },
+
+    // w3's bigram extraction verbatim; probabilities and the mean stay in
+    // scaled-integer floor arithmetic so every value hash-gates
+    "t17_lm_likelihood" ->
+      """WITH b AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |       LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+        |  WHERE w[i] <> '' AND w[i+1] <> ''),
+        |m AS (SELECT w1, w2, count(*) AS c_bg FROM b GROUP BY 1, 2),
+        |pre AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_pre FROM m GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_pairs,
+        |  CAST(sum((m.c_bg * 1000000) // pre.c_pre) // count(*) AS BIGINT) AS mean_p6
+        |FROM b JOIN m USING (w1, w2) JOIN pre USING (w1)
+        |GROUP BY doc_id""".stripMargin
   )
 }

@@ -93,6 +93,30 @@ object StreamingSessionize {
         (unix_millis(col("c_ts")) - unix_millis(col("v_ts"))).as("ms_gap"))
   }
 
+  /** Stream-stream FULL OUTER interval join — x8 with the unmatched VIEWS
+    * also kept. Each side's null-extension has its own eviction clock: an
+    * unmatched click emits once the global watermark passes its timestamp
+    * (no future view can precede it — x8's rule); an unmatched view emits
+    * once the watermark passes `v_ts + 30 minutes` (no future click can
+    * land inside its forward match window). Both rules fall out of the
+    * join condition's bounds, and the oracle restates them verbatim. */
+  def clickViewFullJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    clicks.join(views,
+        expr("c_user = v_user AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"),
+        "full_outer")
+      .select(col("click_id"),
+        coalesce(col("c_user"), col("v_user")).as("user_id"), col("view_id"),
+        (unix_millis(col("c_ts")) - unix_millis(col("v_ts"))).as("ms_gap"))
+  }
+
   /** Streaming stateful dedup: first-seen (user_id, event_type) keys via
     * `dropDuplicates` — the streaming twin of exact dedup (d1). State is one
     * entry per DISTINCT KEY (bounded by the key domain, not the stream
@@ -232,6 +256,14 @@ object StreamingSessionize {
     "x8_stream_left_join" -> { (s, dir) =>
       runToCompletion(s, dir, clickViewLeftJoin, outputMode = "append",
         sinkName = "x8")
+    },
+
+    // Full-outer stream-stream join: BOTH sides' unmatched rows surface,
+    // each on its own watermark-driven eviction schedule (see
+    // clickViewFullJoin) — the remaining outer-join mode x3/x8 leave out.
+    "x13_stream_full_outer" -> { (s, dir) =>
+      runToCompletion(s, dir, clickViewFullJoin, outputMode = "append",
+        sinkName = "x13")
     },
 
     // Stream-static enrichment join — the stateless streaming pattern x1-x4
@@ -470,6 +502,30 @@ object StreamingSessionize {
         |   AND c.ts <= v.ts + INTERVAL '30 minutes')
         |SELECT click_id, user_id, view_id, ms_gap
         |FROM j, wm WHERE view_id IS NOT NULL OR c_ms < w""".stripMargin,
+
+    // x8's rule on the click side (c_ms < w) plus the view side's own
+    // eviction clock: an unmatched view emits once the watermark passes
+    // v_ts + 30 min (the forward bound of the join condition — no future
+    // click can still land in its window). Unmatched rows at/above their
+    // side's cutoff are still buffered when the replay ends.
+    "x13_stream_full_outer" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(epoch_ms(ts)) FROM v),
+        |                    (SELECT max(epoch_ms(ts)) FROM c)) - 3600000 AS w),
+        |j AS (
+        |  SELECT c.event_id AS click_id, c.user_id AS c_user, v.event_id AS view_id,
+        |    v.user_id AS v_user,
+        |    epoch_ms(c.ts) - epoch_ms(v.ts) AS ms_gap,
+        |    epoch_ms(c.ts) AS c_ms, epoch_ms(v.ts) AS v_ms
+        |  FROM c FULL OUTER JOIN v
+        |    ON c.user_id = v.user_id AND c.ts >= v.ts
+        |   AND c.ts <= v.ts + INTERVAL '30 minutes')
+        |SELECT click_id, coalesce(c_user, v_user) AS user_id, view_id, ms_gap
+        |FROM j, wm
+        |WHERE (click_id IS NOT NULL AND view_id IS NOT NULL)
+        |   OR (view_id IS NULL AND c_ms < w)
+        |   OR (click_id IS NULL AND v_ms + 1800000 < w)""".stripMargin,
 
     "x5_stream_static_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment, value

@@ -344,4 +344,27 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(survivors == Set(1L, 3L, 4L, 5L, 6L), s"got $survivors")
   }
+
+  test("t17 mean bigram likelihood hand-recounts in ppm floor arithmetic") {
+    // corpus model over all three docs: c(a,b)=3 c(b,a)=1 c(b,c)=1 c(c,a)=1,
+    // prefixes a·=3 b·=2 c·=1 → p6(a,b)=1000000, p6(b,a)=p6(b,c)=500000,
+    // p6(c,a)=1000000; the per-doc means are exact integer floors
+    val d = Files.createTempDirectory("graft-t17").toString
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(
+      Row(1L, "a b a b", "en", "src0", 7L),
+      Row(2L, "a b c", "en", "src0", 5L),
+      Row(3L, "c a", "en", "src0", 3L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), docsSchema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextOps.defs("t17_lm_likelihood")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 833333L)),   // (1000000+500000+1000000) div 3
+      2L -> ((2L, 750000L)),   // (1000000+500000) div 2
+      3L -> ((1L, 1000000L))), s"got $got")
+  }
 }

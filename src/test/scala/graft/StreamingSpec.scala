@@ -149,6 +149,24 @@ class StreamingSpec extends AnyFunSuite {
       s"admission stream must classify both ways at sf0.001: $verdicts")
   }
 
+  test("x13 full-outer join = x8's click side plus watermark-evicted unmatched views") {
+    // the click-side rows (matched + null-extended clicks) must be exactly
+    // x8's output — same join, same eviction rule; the only new rows are
+    // view-side null-extensions, all with null click_id and null ms_gap
+    def rows(name: String) = graft.streaming.StreamingSessionize
+      .defs(name)(spark, dir).collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)))).toSet
+    val full = rows("x13_stream_full_outer")
+    val left = rows("x8_stream_left_join")
+    val clickSide = full.filter(_._1.isDefined)
+    val viewOnly = full.filter(_._1.isEmpty)
+    assert(clickSide == left, "click-side emissions must equal x8")
+    assert(viewOnly.nonEmpty, "test premise: some view must go unmatched")
+    assert(viewOnly.forall(r => r._3.isDefined && r._4.isEmpty),
+      "view-only rows carry a view_id and a null ms_gap")
+  }
+
   test("funnel fold: batch-split composition equals one-shot fold on time-ordered slices") {
     // state-carry correctness for x11: folding a user's events in two
     // time-ordered microbatches must land in the same state as folding
