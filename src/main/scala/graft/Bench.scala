@@ -50,6 +50,20 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .collect { case (id, r) if !preexisting.contains(id) => r }
         .foreach(_.unpersist(blocking = true))
+    // Shared-JVM drift control (VERDICT r7 item 6): shuffle files and
+    // broadcast blocks are reclaimed by ContextCleaner only when their
+    // driver-side handles are GC'd, and the cleaner's own periodic GC runs
+    // every 30 min — longer than the whole bench — so a 132-query suite
+    // accumulates hundreds of dead shuffles' files and the later (mostly
+    // streaming) queries pay for them: measured 5x in-suite vs isolated on
+    // x3/x8/x10. One explicit gc per query (outside every timed region)
+    // keeps the cleanup roughly quiescent by the next query's warm-up;
+    // resetTerminated drops the StreamingQueryManager's unbounded
+    // terminated-query backlog the same way.
+    def drainDebris(): Unit = {
+      spark.streams.resetTerminated()
+      System.gc()
+    }
     // SPARK_GRAFT_ONLY=q17_json_extract,q15_events_hourly reruns a subset in
     // isolation — the way to tell a real regression from shared-JVM
     // accumulation (93 queries in one JVM: code cache, broadcast/temp-sink
@@ -72,6 +86,7 @@ object Bench {
           dt
         }.sorted
         timings(name) = ts(ts.length / 2)
+        drainDebris()
       } catch {
         case e: Throwable =>
           timings(name) = -1.0
