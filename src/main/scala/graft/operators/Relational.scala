@@ -772,6 +772,49 @@ object Relational {
           lead(col("ms"), 1).over(w).as("valid_to_ms"),
           row_number().over(w).cast(LongType).as("version"))
         .withColumn("is_current", col("valid_to_ms").isNull)
+    },
+
+    // Distributed sweep-line: max concurrent sessions per hour — the
+    // capacity-planning query over q16's sessions. The classic sweep
+    // (+1 at session start, −1 past its end, running sum) needs a GLOBAL
+    // prefix order, which a distributed engine must decompose: boundary
+    // events partition by HOUR (corpus-scale work rides a per-hour
+    // window, state = one running long per partition), while the
+    // cross-hour carry is a prefix sum over the |hours|-row per-hour
+    // delta rollup — a single-partition window over a TINY aggregate,
+    // the t16 |langs|-window discipline, never over the events. Tie rule
+    // (−1 before +1 at equal ms, delta ASC) makes max_concurrent
+    // deterministic: within equal (ms, delta) runs the running max is
+    // order-invariant (+1 runs peak at their end, −1 runs at their
+    // start). All integer, hash-gateable.
+    "q46_session_concurrency" -> { (s, dir) =>
+      val byTs = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val brk = when(lag(col("ms"), 1).over(byTs).isNull, 1L)
+        .otherwise(when(col("ms") - lag(col("ms"), 1).over(byTs) > 1800000L, 1L)
+          .otherwise(0L))
+      val sess = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("brk", brk)
+        .withColumn("session_id", sum(col("brk")).over(
+          byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+      val bounds = sess.select(col("start_ms").as("ms"), lit(1L).as("delta"))
+        .unionAll(sess.select((col("end_ms") + 1).as("ms"), lit(-1L).as("delta")))
+        .withColumn("h", expr("ms div 3600000"))
+      val hourly = bounds.groupBy("h").agg(sum(col("delta")).as("d"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1, 1L).otherwise(0L)).as("n_ends"))
+      val carry = hourly.withColumn("carry_in",
+        coalesce(sum(col("d")).over(Window.orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val inHour = Window.partitionBy("h").orderBy(col("ms"), col("delta"))
+      val mx = bounds.withColumn("rd", sum(col("delta")).over(
+          inHour.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("h").agg(max(col("rd")).as("mx"))
+      carry.join(mx, "h")
+        .select(col("h"), col("carry_in"), col("n_starts"), col("n_ends"),
+          (col("carry_in") + col("mx")).as("max_concurrent"))
     }
   )
 
@@ -1220,6 +1263,40 @@ object Relational {
         |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS version,
         |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL AS is_current
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // q16's session CTEs, then the same hour-decomposed sweep: per-hour
+    // running sums + a prefix carry over the per-hour rollup; the −1
+    // before +1 tie rule is the same ORDER BY ms, delta
+    "q46_session_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |b AS (SELECT user_id, event_id, ms,
+        |        CASE WHEN lag(ms) OVER w IS NULL THEN 1
+        |             WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sn AS (SELECT user_id, ms,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |       FROM b),
+        |sess AS (SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms
+        |         FROM sn GROUP BY 1, 2),
+        |bounds AS (SELECT start_ms AS ms, 1 AS delta FROM sess
+        |           UNION ALL SELECT end_ms + 1, -1 FROM sess),
+        |hb AS (SELECT ms, delta, ms // 3600000 AS h FROM bounds),
+        |hourly AS (SELECT h, sum(delta) AS d,
+        |             sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts,
+        |             sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS n_ends
+        |           FROM hb GROUP BY h),
+        |carry AS (SELECT h, n_starts, n_ends,
+        |            coalesce(sum(d) OVER (ORDER BY h
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry_in
+        |          FROM hourly),
+        |run AS (SELECT h, sum(delta) OVER (PARTITION BY h ORDER BY ms, delta
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rd FROM hb),
+        |mx AS (SELECT h, max(rd) AS mx FROM run GROUP BY h)
+        |SELECT carry.h, CAST(carry_in AS BIGINT) AS carry_in,
+        |  CAST(n_starts AS BIGINT) AS n_starts, CAST(n_ends AS BIGINT) AS n_ends,
+        |  CAST(carry_in + mx AS BIGINT) AS max_concurrent
+        |FROM carry JOIN mx USING (h)""".stripMargin
   )
 }

@@ -239,6 +239,43 @@ class OperatorSpec extends AnyFunSuite {
       "every user needs exactly one current row")
   }
 
+  test("q46 hourly concurrency matches a sequential global sweep-line exactly") {
+    val dir001 = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.load(spark, dir001, "events")
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_millis(col("ts")).as("ms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sequential sessions (q16's gap rule), then ONE global sweep with the
+    // −1-before-+1 tie order — no hour decomposition, the semantics alone
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(_._3)
+      sorted.tail.foldLeft(Vector((sorted.head, sorted.head))) { (acc, ms) =>
+        if (ms - acc.last._2 > 1800000L) acc :+ (ms -> ms)
+        else acc.init :+ (acc.last._1 -> ms)
+      }
+    }
+    val bounds = sessions.flatMap { case (s0, e0) => Seq((s0, 1L), (e0 + 1, -1L)) }
+      .sortBy { case (ms, d) => (ms, d) }
+    var run = 0L
+    val perHour = scala.collection.mutable.LinkedHashMap[Long, (Long, Long, Long, Long)]()
+    bounds.foreach { case (ms, d) =>
+      val h = ms / 3600000
+      val (ci, ns, ne, mx) = perHour.getOrElseUpdate(h, (run, 0L, 0L, Long.MinValue))
+      run += d
+      perHour(h) = (ci, ns + (if (d > 0) 1 else 0), ne + (if (d < 0) 1 else 0),
+        math.max(mx, run))
+    }
+    val expected = perHour.map { case (h, (ci, ns, ne, mx)) => h -> ((ci, ns, ne, mx)) }.toMap
+    val got = Relational.defs("q46_session_concurrency")(spark, dir001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size} hour rows")
+    // the sweep must exercise real overlap: some hour holds >1 concurrent
+    // session, and some hour carries sessions in from a previous hour
+    assert(got.values.exists(_._4 > 1), "no concurrent sessions at sf0.001")
+    assert(got.values.exists(_._1 > 0), "no hour inherits open sessions")
+  }
+
   test("w9 zipf head is contiguously ranked with consistent products and head share") {
     val rows = TextOps.defs("w9_zipf")(spark, "/root/testdata/sf0.001")
       .orderBy("rnk").collect()
