@@ -90,6 +90,22 @@ object ScaleSmoke {
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     }
+    // events (the behavioral queries' source), volume-pure: re-keying
+    // user_id and event_id makes the replicated stream N disjoint user
+    // populations over the SAME time axis — per-user session structure is
+    // the original's, the hour histogram keeps its shape at N× the rows,
+    // and per-hour concurrency scales ×N (exactly the hot-hour stress a
+    // sweep-line must absorb). Valid for user-keyed event-time queries
+    // (q16/q42/q43/q45/q46); value/props-analytics keep their meaning too.
+    val needsEvents = names.exists(_.startsWith("q"))
+    if (needsEvents) {
+      val ev = graft.sources.Tables.load(spark, base, "events")
+      (0 until factor).map { i =>
+        ev.withColumn("user_id", col("user_id") * factor + i)
+          .withColumn("event_id", col("event_id") * factor + i)
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
 
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, dir)
