@@ -625,6 +625,37 @@ object TextOps {
         .select(col("doc_id"), col("lang"), col("weight"), col("n_copies"))
     },
 
+    // Per-source out-of-vocabulary rate against the corpus's own top-K
+    // vocabulary head — the coverage diagnostic run before committing a
+    // tokenizer/vocab budget: a source whose tokens fall outside the head
+    // (noise, other-script, boilerplate IDs) inflates OOV and deserves a
+    // look before t14 weighs it. The head is top-K by (cnt DESC, word) —
+    // the total tiebreak makes the vocabulary itself deterministic. K is
+    // the vocabulary budget (a real deployment sets ~50k; 16 here sits
+    // inside the synthetic corpus's ~31-word vocabulary so the OOV
+    // boundary is actually exercised — top-1000 would cover everything
+    // and gate nothing). Plan: one wordcount agg → TakeOrdered K-row
+    // head → BROADCAST
+    // left join marks membership inside the token scan's stage → one
+    // per-source partial+final agg. The corpus tokens never shuffle on
+    // the join; oov_ppm is an integer floor (w4/t17 discipline).
+    "w10_oov_rate" -> { (s, dir) =>
+      val head = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(16)
+        .select(col("word"), lit(1L).as("in_vocab"))
+      docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .join(broadcast(head), Seq("word"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
+    },
+
     // Per-document mean bigram likelihood under the corpus's own bigram
     // model — the CCNet-style fluency signal (docs whose transitions are
     // corpus-typical score high; rare-transition word salad scores low),
@@ -964,6 +995,22 @@ object TextOps {
          |    (CASE WHEN CAST(uv AS DOUBLE) / 4294967296.0 < weight - floor(weight)
          |          THEN 1 ELSE 0 END) > 0""".stripMargin
     },
+
+    // head = top-16 by (cnt DESC, word) — the same total tiebreak; the
+    // per-source rates are exact longs + one integer ppm floor
+    "w10_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |t AS (SELECT source, word FROM tok WHERE word <> ''),
+        |head AS (SELECT word FROM (
+        |  SELECT word, count(*) AS cnt FROM t GROUP BY word
+        |  ORDER BY cnt DESC, word LIMIT 16)),
+        |m AS (SELECT t.source, t.word, head.word IS NOT NULL AS iv
+        |      FROM t LEFT JOIN head ON t.word = head.word)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  CAST((sum(CASE WHEN iv THEN 0 ELSE 1 END) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+        |FROM m GROUP BY source""".stripMargin,
 
     // w3's bigram extraction verbatim; probabilities and the mean stay in
     // scaled-integer floor arithmetic so every value hash-gates

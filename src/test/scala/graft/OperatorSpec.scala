@@ -276,6 +276,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.values.exists(_._1 > 0), "no hour inherits open sessions")
   }
 
+  test("w10 oov rates hand-recount from the deterministic top-16 head") {
+    val dir001 = "/root/testdata/sf0.001"
+    val toks = spark.read.parquet(s"$dir001/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val head = toks.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(16).map(_._1).toSet
+    val expected = toks.groupBy(_._1).map { case (src, ts) =>
+      val n = ts.length.toLong
+      val oov = ts.count(t => !head(t._2)).toLong
+      src -> ((n, oov, oov * 1000000L / n))
+    }
+    val got = TextOps.defs("w10_oov_rate")(spark, dir001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected, s"${got.size} vs ${expected.size} sources")
+    // the budget must bite: real OOV mass, but not everything OOV
+    assert(got.values.forall(v => v._2 > 0 && v._2 < v._1))
+  }
+
   test("w9 zipf head is contiguously ranked with consistent products and head share") {
     val rows = TextOps.defs("w9_zipf")(spark, "/root/testdata/sf0.001")
       .orderBy("rnk").collect()
