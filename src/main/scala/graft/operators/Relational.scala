@@ -815,6 +815,49 @@ object Relational {
       carry.join(mx, "h")
         .select(col("h"), col("carry_in"), col("n_starts"), col("n_ends"),
           (col("carry_in") + col("mx")).as("max_concurrent"))
+    },
+
+    // Incremental view maintenance — the nightly-ETL posture on the
+    // relational axis (d18/x12's persisted-index discipline): a per-user
+    // stats view (count, exact decimal sum, last-seen) is maintained as a
+    // PERSISTED user_id-bucketed table built from the historical 80% of
+    // events ONCE per (session, dir), and each refresh merges only the
+    // 20% delta — one delta aggregate, one full-outer merge join against
+    // the bucketed base (no Exchange on the base side), and ZERO rescans
+    // of historical events (pinned). Mergeability is by construction:
+    // counts add, DECIMAL(18,6) partial sums add exactly (cast to double
+    // only after the merge — the dsum discipline split across batches),
+    // last-seen is a null-skipping greatest. The oracle recomputes the
+    // view from scratch over ALL events — equality proves the merge
+    // reconstructs the full aggregate exactly.
+    "q47_incremental_agg" -> { (s, dir) =>
+      val baseT = s"graft_q47_base_${dir.hashCode.toLong & 0xffffffffL}"
+      if (!s.catalog.tableExists(baseT)) {
+        // the in-memory catalog dies with the JVM but the warehouse files
+        // do not; clear any stale directory before CREATE (d18's guard)
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(wh, baseT)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = t(s, dir, "events").filter(col("event_id") % 10 < 8)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).as("sum_dec"),
+            max(unix_millis(col("ts"))).as("last_ms"))
+        graft.sources.Bucketing.writeBucketed(base, baseT, "user_id", 8)
+      }
+      val delta = t(s, dir, "events").filter(col("event_id") % 10 >= 8)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("dn"),
+          sum(col("value").cast(DecimalType(18, 6))).as("dsum"),
+          max(unix_millis(col("ts"))).as("dlast"))
+      s.table(baseT).join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n_events"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("sum_dec"), lit(BigDecimal(0)).cast(DecimalType(18, 6)))
+            + coalesce(col("dsum"), lit(BigDecimal(0)).cast(DecimalType(18, 6))))
+            .cast(DoubleType).as("sum_value"),
+          greatest(col("last_ms"), col("dlast")).as("last_ms"))
     }
   )
 
@@ -1297,6 +1340,14 @@ object Relational {
         |SELECT carry.h, CAST(carry_in AS BIGINT) AS carry_in,
         |  CAST(n_starts AS BIGINT) AS n_starts, CAST(n_ends AS BIGINT) AS n_ends,
         |  CAST(carry_in + mx AS BIGINT) AS max_concurrent
-        |FROM carry JOIN mx USING (h)""".stripMargin
+        |FROM carry JOIN mx USING (h)""".stripMargin,
+
+    // from-scratch recompute over ALL events: equality proves the
+    // base+delta merge reconstructs the full view exactly
+    "q47_incremental_agg" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  ${graft.Exprs.dsumSql("value", 6)} AS sum_value,
+         |  max(epoch_ms(ts)) AS last_ms
+         |FROM events GROUP BY user_id""".stripMargin
   )
 }

@@ -165,6 +165,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q47's refresh path scans events once: the base view reads from the bucketed table") {
+    // first call builds + persists the base table; the SECOND call is the
+    // refresh a pipeline actually reruns — its plan must contain exactly
+    // two parquet scans (the events delta + the bucketed base view) and no
+    // second events scan. "events" appears in the scan's location, the
+    // base table's location carries the graft_q47 prefix instead.
+    Relational.defs("q47_incremental_agg")(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val p = plan(Relational.defs("q47_incremental_agg")(spark, dir))
+    val scans = "(?m)^\\(\\d+\\) Scan parquet.*$".r.findAllIn(p).toList
+    assert(scans.size == 2, s"expected delta + base-table scans only:\n$p")
+    assert(scans.count(_.contains("graft_q47_base")) == 1,
+      s"one scan must read the persisted base view:\n$p")
+  }
+
   test("q39 executes as a recursive UnionLoop and terminates at the digit-tree depth") {
     val df = Relational.defs("q39_recursive_cte")(spark, dir)
     assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
