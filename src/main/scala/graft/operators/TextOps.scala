@@ -664,15 +664,20 @@ object TextOps {
     // c_prefix) and the per-doc mean as an integer floor division — ln()
     // and float sums are not bit-portable cross-engine (t8/w4 discipline).
     // Plan: one bigram-pair pass builds the model (vocab²-bounded, far
-    // smaller than the corpus) and its prefix marginals; the probe re-joins
+    // smaller than the corpus), CHECKPOINTED because two consumers read it
+    // (its own prefix marginals and the probe join — uncheckpointed, both
+    // would re-run the corpus-scale aggregation); the probe re-joins
     // pairs→model on (w1,w2) and →prefix on w1 — both shuffle equi-joins —
     // then one partial+final per-doc aggregate. Nothing is quadratic; the
-    // documents scan runs twice (model + probe), the same trade w4 makes —
-    // at 100 TB, checkpoint the pair table to make it one.
+    // corpus is scanned once to build the model and once to probe it.
     "t17_lm_likelihood" -> { (s, dir) =>
       val pairs = bigramPairs(docs(s, dir))
         .filter(col("w1") =!= "" && col("w2") =!= "")
+      // checkpointed: the model feeds its own prefix marginals AND the
+      // probe join — without it both consumers re-run the corpus-scale
+      // bigram aggregation (3 scans instead of 2, pinned in PlanSpec)
       val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+        .localCheckpoint()
       val prefix = model.groupBy("w1")
         .agg(sum("c_bg").cast(LongType).as("c_pre"))
       pairs

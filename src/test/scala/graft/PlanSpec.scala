@@ -165,6 +165,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("t17's probe is equi-joined against the checkpointed model — two scans, no cartesian") {
+    val p = plan(TextOps.defs("t17_lm_likelihood")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"only the probe rescans documents; the model is checkpointed:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"both model consumers must read the checkpointed aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("w10's head is a TakeOrdered heap broadcast into the token scan") {
+    val p = plan(TextOps.defs("w10_oov_rate")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocab head must be a per-partition heap, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"membership must broadcast the K-row head, never shuffle tokens:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q46's only single-partition exchange carries the per-hour rollup, not the events") {
+    val p = plan(Relational.defs("q46_session_concurrency")(spark, dir))
+    // the carry prefix is the ONE place a total order is allowed — over
+    // the |hours|-row aggregate; a second SinglePartition exchange means
+    // corpus-scale rows were globally ordered
+    assert("SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q47's refresh path scans events once: the base view reads from the bucketed table") {
     // first call builds + persists the base table; the SECOND call is the
     // refresh a pipeline actually reruns — its plan must contain exactly
