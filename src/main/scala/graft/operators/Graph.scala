@@ -236,8 +236,46 @@ object Graph {
         .agg(count(lit(1)).as("comp_size"))
       cl.join(broadcast(sizes), "component_id")
         .select(col("v"), col("component_id"), col("comp_size"))
+    },
+
+    // 3-core of the co-order graph by iterative peeling — the standard
+    // "dense substructure" preprocessing (drop parts that don't sit in a
+    // mutually-dense co-purchase neighborhood before mining it). Peeling
+    // is anti-monotone (removing a vertex can doom its neighbors), so it
+    // cannot be a recursive CTE; the g2 discipline applies instead: a
+    // FIXED unrolled round count (12), spelled operand-for-operand in the
+    // oracle, with the fixpoint-by-round-12 claim pinned in GraphSpec at
+    // the gate SFs (round 11 == round 12; sf0.01 needs 10) rather than
+    // assumed — at sf0.1 the peel provably EMPTIES the graph (no 3-core
+    // survives the support-2 edge floor), itself a corpus-density
+    // readout the oracle confirms with zero rows. Each round
+    // is one degree aggregate + two semi-joins against the survivor set —
+    // edge-linear on a CONTRACTING graph, never a neighborhood expansion;
+    // rounds checkpoint so the lineage stays flat (Components discipline).
+    "g6_kcore" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      kcorePeel(e, k = 3, rounds = 12)
+        .groupBy(col("u").as("v")).agg(count(lit(1)).as("residual_deg"))
     }
   )
+
+  /** `rounds` peeling rounds toward the k-core: directed edge list after
+    * repeatedly dropping vertices of degree < k. Package-private so
+    * GraphSpec can pin the fixpoint claim (round N == round N+1). */
+  private[graft] def kcorePeel(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var und = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = und.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("u")
+      und = und.join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+    }
+    und
+  }
 
   /** Shared relational spelling of the co-order graph build (edge list +
     * degree table) — the common WITH-prefix of every g-oracle, so the two
@@ -265,7 +303,32 @@ object Graph {
        |          CAST((15 * (1000000000000 // n.n)) // 100 + (85 * sc) // 100 AS BIGINT) AS pr
        |        FROM s$i, n)""".stripMargin
 
+  /** One peeling round as SQL CTEs: k<i> is the surviving vertex set of
+    * round i (degree >= 3 in u<i-1>), u<i> the edges both of whose
+    * endpoints survive — operand-for-operand the Spark round. */
+  private def peelStepSql(i: Int): String =
+    // MATERIALIZED: each round references its predecessor three times
+    // (the edge list + both survivor-set probes) — inlined, the 12-round
+    // unroll expands to 3^12 scans of lineitem and DuckDB runs out of
+    // file handles; materialized, each round is computed once
+    s"""k$i AS MATERIALIZED (
+       |  SELECT u FROM (SELECT u, count(*) AS d FROM u${i - 1} GROUP BY u) t
+       |  WHERE d >= 3),
+       |u$i AS MATERIALIZED (
+       |  SELECT u${i - 1}.u, u${i - 1}.v FROM u${i - 1}
+       |  JOIN k$i x ON u${i - 1}.u = x.u
+       |  JOIN k$i y ON u${i - 1}.v = y.u)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // same graph; twelve unrolled peeling rounds (fixpoint by round 12
+    // is pinned in GraphSpec, not assumed)
+    "g6_kcore" ->
+      s"""WITH $graphSql,
+        |u0 AS (SELECT a AS u, b AS v FROM edges
+        |       UNION ALL SELECT b AS u, a AS v FROM edges),
+        |${(1 to 12).map(peelStepSql).mkString(",\n")}
+        |SELECT u AS v, count(*) AS residual_deg FROM u12 GROUP BY u""".stripMargin,
+
     // identical graph build + orientation, spelled relationally; the
     // closure is a semi-join in both engines so a multi-edge can never
     // double-count (edges are distinct by construction, but the intent is

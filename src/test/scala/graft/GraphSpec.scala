@@ -141,6 +141,25 @@ class GraphSpec extends AnyFunSuite {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  test("g6 3-core of K4+star is exactly the K4, and peeling reaches fixpoint by round 12") {
+    // K4 vertices all have degree 3 → survive; star leaves (degree 1) die
+    // in round 1 and doom the hub in round 2
+    val core = Graph.defs("g6_kcore")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core")
+
+    // the unrolled-12 claim, pinned where it bites: sf0.01 needs 10 peel
+    // rounds to stabilize — round 11 and round 12 must agree edge-for-edge
+    val e = Graph.coOrderEdges(graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.01", "lineitem"))
+    def edges(rounds: Int) = Graph.kcorePeel(e, 3, rounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r11 = edges(11)
+    val r12 = edges(12)
+    assert(r11.nonEmpty && r11 == r12,
+      s"peeling must be at fixpoint by round 11/12: ${r11.size} vs ${r12.size}")
+  }
+
   /** Sequential reference of g2's integer PageRank step — the same scaled
     * floor arithmetic, computed single-threaded over adjacency maps. The
     * distributed result must match it LONG-FOR-LONG: any partitioning or
