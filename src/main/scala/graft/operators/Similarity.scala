@@ -203,6 +203,26 @@ object Similarity {
   private def adcTop5(scored: DataFrame): DataFrame = adcTopK(scored, 5)
 
   val defs: Map[String, Q] = Map(
+    // One spherical k-means (Lloyd) step from the deterministic seed
+    // codebook — the TRAINING side of the IVF family: s5/s11 consume a
+    // coarse quantizer, this is the iteration that builds one. Assignment
+    // is s5's exact argmax-cosine against the 8 broadcast seeds (bit-exact
+    // sequential-fold dots, total (csim, cid) tiebreak); the update is
+    // s15's per-(cluster, dim) decimal-mean shape over the normalized
+    // coordinates. Everything downstream of the broadcast is one
+    // posexplode projection + one partial+final hash aggregate — the
+    // standard distributed k-means step (no driver round-trip; a full
+    // trainer unrolls this g2-style or foldLeft-checkpoints per round).
+    "s17_kmeans_step" -> { (s, dir) =>
+      val n = normalized(s, dir)
+      val asg = coarseAssign(n, coarseCentroids(n))
+      asg.select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
+        .select(col("cid").as("cluster_id"),
+          (col("pos") + 1).cast(LongType).as("dim"), col("x"))
+        .groupBy("cluster_id", "dim")
+        .agg(count(lit(1)).as("n"), graft.Exprs.davg(col("x"), 6).as("centroid"))
+    },
+
     // Brute-force cosine top-10 for query vectors (vec_id < 5): the exact
     // baseline every ANN variant is measured against.
     "s1_knn_brute" -> { (s, dir) =>
@@ -528,6 +548,25 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // s7's normalize/seed/assign CTEs; the update is s15's per-(cluster,
+    // dim) decimal mean over the normalized coordinates
+    "s17_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |cent AS (SELECT vec_id - 100 AS cid, u AS cu FROM n WHERE vec_id BETWEEN 100 AND 107),
+         |asg AS (SELECT vec_id, u, cid FROM (
+         |    SELECT n.vec_id, n.u, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${dSql("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent) t WHERE crk = 1),
+         |x AS (SELECT asg.cid, CAST(g.i AS BIGINT) AS dim, asg.u[g.i] AS x
+         |      FROM asg, LATERAL unnest(generate_series(1, len(asg.u))) AS g(i))
+         |SELECT cid AS cluster_id, dim, count(*) AS n,
+         |  ${graft.Exprs.davgSql("x", 6)} AS centroid
+         |FROM x GROUP BY cid, dim""".stripMargin,
+
     "s1_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -143,6 +143,23 @@ class AnnIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("s17's Lloyd step partitions the corpus and emits a full unit-bounded codebook") {
+    val rows = Similarity.defs("s17_kmeans_step")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byCluster = rows.groupBy(_._1)
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // every cluster that won vectors reports all 64 dims with ONE shared n
+    byCluster.foreach { case (cid, rs) =>
+      assert(rs.map(_._2).toSet == (1L to 64L).toSet, s"cluster $cid dims")
+      assert(rs.map(_._3).toSet.size == 1, s"cluster $cid has inconsistent n")
+    }
+    // the assignment is a partition: per-cluster counts sum to the corpus
+    assert(byCluster.values.map(_.head._3).sum == total)
+    assert(byCluster.size >= 2, "a useful step spreads vectors over seeds")
+    // means of unit-normalized coordinates stay in [-1, 1]
+    assert(rows.forall(r => r._4 >= -1.0 && r._4 <= 1.0))
+  }
+
   test("s13 keeps exactly one representative per s6 cluster plus every unclustered vector") {
     val dir = "/root/testdata/sf0.001"
     val all = spark.read.parquet(s"$dir/embeddings.parquet")
