@@ -1013,6 +1013,63 @@ object Dedup {
           least(col("s1"), col("s2")).as("source_a"),
           greatest(col("s1"), col("s2")).as("source_b"))
         .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // Winnowing fingerprint dedup (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    // the MOSS algorithm): over the POSITIONAL 3-gram shingle hash stream,
+    // slide a window of w=4 hashes and select each window's minimum (ties to
+    // the RIGHTMOST position — the standard winnowing tie rule, encoded by
+    // minimizing (hash+1)·2^24 − pos so equal hashes order by descending
+    // position). Guarantees: any shared token run of length ≥ w+k−1 = 6
+    // yields a shared fingerprint (every length-6 run contains a full
+    // window, and both docs select the same relative minimum in it), and
+    // expected density is 2/(w+1) of the shingle count — the bounded-index
+    // property that makes winnowing THE substring-dedup selection at scale
+    // (d13 indexes every shingle; this indexes ~40%). Selection is a narrow
+    // in-row projection (zero shuffles); candidates then follow the d20
+    // discipline: distinct (fingerprint, doc) postings, df-capped [2, 64] so
+    // a viral boilerplate fingerprint costs C(64,2) pairs max (mirrored in
+    // the oracle as part of the semantics), equi-self-join, per-pair shared
+    // count ≥ 2, overlap scored against the smaller fingerprint set.
+    "d23_winnowing" -> { (s, dir) =>
+      val w = 4
+      val m = 24 // pos bits: key = (hash+1)·2^24 − pos, recover hash = key >> 24
+      // checkpointed: the windowed selection references the hash array once
+      // per window position — left as a lazy projection, CollapseProject
+      // inlines the whole split→shingle→md5 pipeline into each lambda
+      // element and the per-doc cost goes CUBIC in token count (measured:
+      // a 500-doc corpus ran minutes in the interpreted HOF path). With hv
+      // materialized, the in-row selection is O(shingles · w) longs.
+      val hvd = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
+        .select(col("doc_id"), hvOf(col("sh")).as("hv"))
+        .localCheckpoint()
+      val fps = hvd
+        .withColumn("ks", transform(sequence(lit(1), size(col("hv"))),
+          p => (element_at(col("hv"), p) + 1) * lit(1L << m) - p.cast(LongType)))
+        .withColumn("fps",
+          when(size(col("ks")) >= w,
+            array_distinct(transform(sequence(lit(1), size(col("ks")) - (w - 1)),
+              i => shiftright(array_min(slice(col("ks"), i, lit(w))), m))))
+            .otherwise(array().cast(ArrayType(LongType))))
+        .select(col("doc_id"), col("fps"))
+      val post = fps.select(col("doc_id"), explode(col("fps")).as("f"))
+      val keep = post
+        .withColumn("fdf", count(lit(1)).over(Window.partitionBy("f")))
+        .filter(col("fdf").between(2, 64))
+        .select("f", "doc_id")
+      val nf = fps.select(col("doc_id"), size(col("fps")).cast(LongType).as("nf"))
+      keep.as("x").join(keep.as("y"),
+          col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .join(nf.select(col("doc_id").as("d1"), col("nf").as("n1")), "d1")
+        .join(nf.select(col("doc_id").as("d2"), col("nf").as("n2")), "d2")
+        .select(col("d1"), col("d2"), col("n_shared"), col("n1"), col("n2"),
+          (col("n_shared").cast(DoubleType) / least(col("n1"), col("n2")))
+            .as("overlap"))
     }
   )
 
@@ -1336,6 +1393,43 @@ object Dedup {
          |                  JOIN documents db ON edges.d2 = db.doc_id
          |       WHERE da.source <> db.source)
          |SELECT source_a, source_b, count(*) AS n_pairs
-         |FROM es GROUP BY 1, 2""".stripMargin
+         |FROM es GROUP BY 1, 2""".stripMargin,
+
+    "d23_winnowing" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH hv AS (
+         |  SELECT doc_id,
+         |    list_transform(list_transform(list_transform(generate_series(1, len(w)-2),
+         |                   i -> array_to_string(w[i:i+2], ' ')),
+         |                   x -> md5(x)),
+         |                   m -> $hexToInt) AS hv
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+         |ks AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, len(hv)),
+         |                   p -> (hv[p] + 1) * ${1L << 24} - p) AS ks
+         |  FROM hv),
+         |fps AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(ks)-3),
+         |                   i -> list_min(ks[i:i+3]) >> 24)) AS fps
+         |  FROM ks WHERE len(ks) >= 4),
+         |post AS (SELECT doc_id, unnest(fps) AS f FROM fps),
+         |keep AS (
+         |  SELECT f, doc_id FROM (
+         |    SELECT f, doc_id, count(*) OVER (PARTITION BY f) AS fdf FROM post) t
+         |  WHERE fdf BETWEEN 2 AND 64),
+         |nf AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf FROM fps),
+         |pairs AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_shared
+         |  FROM keep x JOIN keep y ON x.f = y.f AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT d1, d2, n_shared, a.nf AS n1, b.nf AS n2,
+         |  CAST(n_shared AS DOUBLE) / least(a.nf, b.nf) AS overlap
+         |FROM pairs JOIN nf a ON pairs.d1 = a.doc_id
+         |           JOIN nf b ON pairs.d2 = b.doc_id""".stripMargin
+    }
   )
 }

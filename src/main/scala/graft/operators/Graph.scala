@@ -256,6 +256,38 @@ object Graph {
       val e = coOrderEdges(t(s, dir, "lineitem"))
       kcorePeel(e, k = 3, rounds = 12)
         .groupBy(col("u").as("v")).agg(count(lit(1)).as("residual_deg"))
+    },
+
+    // Neighborhood-Jaccard link prediction — g3's common-neighbor scores
+    // normalized by the neighborhood union: jac = cn / (d(a)+d(b)−cn), so a
+    // shared neighbor between two low-degree parts outranks the same count
+    // between two hubs (the grader a recommender actually ships; raw cn
+    // just finds popular parts). Same capped-center wedge pipeline as g3
+    // (common neighbors counted through centers with degree ≤ 64 — the
+    // hub-safety cap, making cn a LOWER bound and jac conservative on
+    // boilerplate-hub paths); the normalization adds two vertex-sized
+    // degree equi-joins on top, nothing graph-scale. The division is two
+    // exact longs (g4's lcc discipline) and the top-20 is total-ordered
+    // (jac desc, a, b) so the result hash-gates.
+    "g7_neighborhood_jaccard" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val degc = degrees(e).select(col("v").as("u"), col("d"))
+      val ctr = und.join(degc, "u").filter(col("d") <= 64).select("u", "v")
+      val cn = ctr.as("x").join(ctr.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+        .agg(count(lit(1)).as("cn"))
+      val deg = degrees(e)
+      cn.join(e, Seq("a", "b"), "left_anti")
+        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+        .withColumn("jac",
+          col("cn").cast("double") / (col("da") + col("db") - col("cn")))
+        .select(col("a"), col("b"), col("cn"), col("da"), col("db"), col("jac"))
+        .orderBy(col("jac").desc, col("a"), col("b"))
+        .limit(20)
     }
   )
 
@@ -422,6 +454,25 @@ object Graph {
         |cl AS (SELECT v, min(r) AS component_id FROM reach GROUP BY v),
         |sz AS (SELECT component_id, count(*) AS comp_size FROM cl GROUP BY component_id)
         |SELECT cl.v, cl.component_id, sz.comp_size
-        |FROM cl JOIN sz USING (component_id)""".stripMargin
+        |FROM cl JOIN sz USING (component_id)""".stripMargin,
+
+    // g3's capped-center common-neighbor CTEs verbatim, plus the two
+    // degree joins and the union normalization
+    "g7_neighborhood_jaccard" ->
+      s"""WITH $graphSql,
+        |und AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |ctr AS (SELECT und.u, und.v FROM und JOIN deg ON und.u = deg.v
+        |        WHERE deg.d <= 64),
+        |cn AS (SELECT x.v AS a, y.v AS b, count(*) AS cn
+        |       FROM ctr x JOIN ctr y ON x.u = y.u AND x.v < y.v
+        |       GROUP BY 1, 2),
+        |ne AS (SELECT cn.a, cn.b, cn.cn FROM cn
+        |       WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                         WHERE e.a = cn.a AND e.b = cn.b))
+        |SELECT ne.a, ne.b, ne.cn, da.d AS da, db.d AS db,
+        |  CAST(ne.cn AS DOUBLE) / (da.d + db.d - ne.cn) AS jac
+        |FROM ne JOIN deg da ON ne.a = da.v JOIN deg db ON ne.b = db.v
+        |ORDER BY jac DESC, ne.a, ne.b LIMIT 20""".stripMargin
   )
 }

@@ -858,6 +858,34 @@ object Relational {
             + coalesce(col("dsum"), lit(BigDecimal(0)).cast(DecimalType(18, 6))))
             .cast(DoubleType).as("sum_value"),
           greatest(col("last_ms"), col("dlast")).as("last_ms"))
+    },
+
+    // Trailing-7-day distinct active users per day (rolling MAU's little
+    // sibling) — the sliding-window COUNT DISTINCT that naive SQL writes as
+    // a correlated range join (each day re-scanning a week of events) and
+    // that cannot be window-framed because distinct does not decompose over
+    // frames. The scalable spelling is interval-cover decomposition: each
+    // user's distinct active day COVERS the 7 report days it contributes
+    // to, so (user, day) distinct → explode 7 cover days → distinct again →
+    // per-day count. Three hash shuffles, all equi-keyed; the 7× expansion
+    // applies to the (user, day) collapse (already tiny vs raw events),
+    // never to the event stream itself. Report days are restricted to days
+    // that actually had activity (the observed-day join, broadcast-sized).
+    "q48_rolling_active" -> { (s, dir) =>
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val cover = ud
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"),
+          col("d"))
+        .select(col("user_id"), date_add(col("d"), col("i")).as("cd"))
+        .distinct()
+      val obs = ud.select(col("d")).distinct()
+      cover.join(broadcast(obs), cover("cd") === obs("d"))
+        .groupBy(col("d").as("day"))
+        .agg(count(lit(1)).as("active_users_7d"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("active_users_7d"))
     }
   )
 
@@ -1348,6 +1376,15 @@ object Relational {
       s"""SELECT user_id, count(*) AS n_events,
          |  ${graft.Exprs.dsumSql("value", 6)} AS sum_value,
          |  max(epoch_ms(ts)) AS last_ms
-         |FROM events GROUP BY user_id""".stripMargin
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q48_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cov AS (SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS cd
+        |        FROM ud, LATERAL unnest(generate_series(0, 6)) AS u(i)),
+        |obs AS (SELECT DISTINCT d FROM ud)
+        |SELECT strftime(obs.d, '%Y-%m-%d') AS day, count(*) AS active_users_7d
+        |FROM cov JOIN obs ON cov.cd = obs.d
+        |GROUP BY 1""".stripMargin
   )
 }

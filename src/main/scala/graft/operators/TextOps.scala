@@ -656,6 +656,46 @@ object TextOps {
         .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
     },
 
+    // Per-source vocabulary growth curve — the Heaps'-law audit next to w9's
+    // Zipf audit: how fast each source's distinct-token vocabulary grows as
+    // the corpus is ingested in doc_id order. Healthy natural text keeps
+    // discovering vocabulary (V ~ n^0.7); a templated or synthetic source
+    // plateaus (its later quartiles add almost no new types) — a corpus
+    // signal curation reads before weighting a source. The growth axis is
+    // the GLOBAL doc_id range split into 4 ingestion quartiles — a
+    // broadcast 1-row bounds aggregate and a narrow per-row division, NO
+    // per-source row_number (a per-source rank window would sort the whole
+    // corpus inside each source partition; the id-range split costs
+    // nothing). Cumulative vocabulary without re-counting prefixes: each
+    // (source, token)'s FIRST quartile via one hash agg, then new-type
+    // counts per quartile and a running sum over the 4·|sources|-row
+    // rollup — the corpus shuffles (source, token) pairs once, never a
+    // prefix re-scan per quartile.
+    "w11_heaps" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val bounds = d.agg(min("doc_id").as("lo"), (max(col("doc_id")) + 1).as("hi"))
+      val dq = d.join(broadcast(bounds))
+        .withColumn("q", expr("((doc_id - lo) * 4) div (hi - lo) + 1"))
+        .select(col("source"), col("q"), split(col("text"), " ").as("w"))
+      val tokq = dq.select(col("source"), col("q"), explode(col("w")).as("word"))
+        .filter(col("word") =!= "")
+      val base = dq.groupBy("source", "q").agg(count(lit(1)).as("n_docs"))
+        .join(tokq.groupBy("source", "q").agg(count(lit(1)).as("n_tokens")),
+          Seq("source", "q"))
+      val nv = tokq.groupBy("source", "word").agg(min("q").as("q"))
+        .groupBy("source", "q").agg(count(lit(1)).as("new_vocab"))
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("source").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.join(nv, Seq("source", "q"), "left")
+        .na.fill(0L, Seq("new_vocab"))
+        .select(col("source"), col("q"),
+          sum("n_docs").over(win).as("docs_cum"),
+          sum("n_tokens").over(win).as("tokens_cum"),
+          sum("new_vocab").over(win).as("vocab_cum"))
+        .withColumn("ttr_ppm", expr("(vocab_cum * 1000000) div tokens_cum"))
+    },
+
     // Per-document mean bigram likelihood under the corpus's own bigram
     // model — the CCNet-style fluency signal (docs whose transitions are
     // corpus-typical score high; rare-transition word salad scores low),
@@ -1016,6 +1056,33 @@ object TextOps {
         |  CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
         |  CAST((sum(CASE WHEN iv THEN 0 ELSE 1 END) * 1000000) // count(*) AS BIGINT) AS oov_ppm
         |FROM m GROUP BY source""".stripMargin,
+
+    "w11_heaps" ->
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) + 1 AS hi FROM documents),
+        |dq AS (
+        |  SELECT source, ((doc_id - lo) * 4) // (hi - lo) + 1 AS q,
+        |         string_split(text, ' ') AS w
+        |  FROM documents, b),
+        |tokf AS (
+        |  SELECT source, q, word FROM
+        |    (SELECT source, q, unnest(w) AS word FROM dq) t
+        |  WHERE word <> ''),
+        |base AS (SELECT source, q, count(*) AS n_docs FROM dq GROUP BY 1, 2),
+        |tq AS (SELECT source, q, count(*) AS n_tokens FROM tokf GROUP BY 1, 2),
+        |nv AS (SELECT source, q, count(*) AS new_vocab FROM
+        |         (SELECT source, word, min(q) AS q FROM tokf GROUP BY 1, 2) f
+        |       GROUP BY 1, 2),
+        |j AS (SELECT base.source, base.q, n_docs, n_tokens,
+        |             coalesce(new_vocab, 0) AS new_vocab
+        |      FROM base JOIN tq USING (source, q) LEFT JOIN nv USING (source, q))
+        |SELECT source, q,
+        |  CAST(sum(n_docs) OVER w AS BIGINT) AS docs_cum,
+        |  CAST(sum(n_tokens) OVER w AS BIGINT) AS tokens_cum,
+        |  CAST(sum(new_vocab) OVER w AS BIGINT) AS vocab_cum,
+        |  CAST((sum(new_vocab) OVER w * 1000000) // (sum(n_tokens) OVER w) AS BIGINT) AS ttr_ppm
+        |FROM j
+        |WINDOW w AS (PARTITION BY source ORDER BY q
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // w3's bigram extraction verbatim; probabilities and the mean stay in
     // scaled-integer floor arithmetic so every value hash-gates

@@ -371,8 +371,37 @@ object StreamingSessionize {
       runToCompletion(s, dir, incrementalDedup(s, dir),
         outputMode = "complete", sinkName = "x12",
         sourceGlob = "documents.parquet", sourceSchema = docSchema)
+    },
+
+    // The reference's entire pipeline — WordCount (SURVEY §2.1 #3-#10) — as
+    // an INCREMENTAL streaming job: documents arrive as files, the running
+    // (word, cnt) state merges per microbatch (partial-agg map-side, state
+    // keyed by word — the same shuffle key as the batch job), and complete
+    // mode emits the current full vocabulary each trigger. This is the
+    // canonical "batch job that never finishes ingesting": where the
+    // reference re-runs from scratch per corpus drop, the streaming twin
+    // pays only the new files' tokens per trigger. Oracle = w1's batch
+    // wordcount (the final watermarkless state IS the batch answer);
+    // StreamingSpec replays a 3-slice copy to pin that cross-batch state
+    // merge == one-shot. State at 100 TB: one long per vocabulary word,
+    // hash-partitioned — the vocab (~millions) is state-store-sized, and a
+    // production job would emit update mode to a keyed sink instead of
+    // complete-mode rewrites.
+    "x14_stream_wordcount" -> { (s, dir) =>
+      runToCompletion(s, dir, streamWordcount, outputMode = "complete",
+        sinkName = "x14", sourceGlob = "documents.parquet",
+        sourceSchema = docSchema)
     }
   )
+
+  /** x14's transform, factored for the multi-batch replay spec: w1's exact
+    * tokenize → count over a streaming source. */
+  private[graft] def streamWordcount(stream: DataFrame): DataFrame =
+    stream
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
 
   /** x12's stream transform, factored so the multi-batch replay spec can
     * drive it over a SLICED copy of the stream while the static corpus
@@ -608,6 +637,12 @@ object StreamingSessionize {
          |  CASE WHEN coalesce(agg.max_jaccard, 0.0) >= 0.5 THEN 'near'
          |       ELSE 'novel' END AS verdict
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) b
-         |LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin
+         |LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin,
+
+    // the final complete-mode state == the batch wordcount (w1's oracle)
+    "x14_stream_wordcount" ->
+      """SELECT w AS word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |WHERE w <> '' GROUP BY w""".stripMargin
   )
 }

@@ -393,4 +393,56 @@ class DedupScaleSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges == 1, s"chunking must shuffle exactly once, got $exchanges\n$p")
   }
+
+  /** d23 winnowing fixture: a 200-doc boilerplate flood (every fingerprint's
+    * df = 200 > the 64 cap → contributes ZERO pairs), a planted pair sharing
+    * a 12-token run embedded at DIFFERENT offsets (the shift-invariance of
+    * window-relative selection: both docs select identical hashes inside the
+    * aligned windows), and unique-noise docs whose fingerprints never reach
+    * df 2. */
+  private lazy val winnowDir: String = {
+    val d = Files.createTempDirectory("graft-winnow").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val boiler = "terms of service apply to all content on this site all rights reserved by the operator"
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val a = s"apple pear plum $run fig date"                       // run at offset 3
+    val b = s"red green blue cyan magenta yellow black $run"       // run at offset 7
+    val dup = "november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu again"
+    val rows = (1 to 200).map(i => Row(i.toLong, boiler, "en", "s", boiler.length.toLong)) ++
+      Seq(Row(900L, a, "en", "s", a.length.toLong),
+        Row(901L, b, "en", "s", b.length.toLong),
+        Row(950L, "one unique sentence nothing here repeats anywhere at all", "en", "s", 56L),
+        Row(951L, "another fully distinct document with zero shared spans present", "en", "s", 62L),
+        Row(960L, dup, "en", "s", dup.length.toLong),              // exact-dup pair:
+        Row(961L, dup, "en", "s", dup.length.toLong))              // identical selection
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("d23: a winnowing-fingerprint flood is df-capped out; a shifted 12-token run still pairs") {
+    val rows = Dedup.defs("d23_winnowing")(spark, winnowDir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 12-token run spans 10 shingles → 7 aligned windows in both docs →
+    // ≥ ⌈7/4⌉ = 2 distinct shared fingerprints survives the n_shared ≥ 2
+    // floor; every flood fingerprint has df 200 > 64 and is dropped whole
+    assert(pairs == Set((900L, 901L), (960L, 961L)),
+      s"expected the planted run pair + the exact-dup pair, got ${pairs.take(5)}")
+    // exact dups select IDENTICAL fingerprints: shared == both sides == 1.0
+    val e = rows.find(r => r.getLong(0) == 960L).get
+    assert(e.getLong(2) == e.getLong(3) && e.getLong(3) == e.getLong(4) &&
+      e.getDouble(5) == 1.0, s"exact-dup pair must fully overlap: $e")
+    val r = rows.find(r => r.getLong(0) == 900L).get
+    // density bounds through the output's fingerprint counts: doc 900 has
+    // 17 tokens → 15 shingles → 12 windows → n1 ∈ [⌈12/4⌉, 12]; doc 901 has
+    // 19 tokens → 17 shingles → 14 windows
+    assert(r.getLong(3) >= 3 && r.getLong(3) <= 12, s"n1 out of winnowing density bounds: $r")
+    assert(r.getLong(4) >= 4 && r.getLong(4) <= 14, s"n2 out of winnowing density bounds: $r")
+    assert(r.getLong(2) >= 2 && r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)),
+      s"shared fingerprints must be ≥2 and bounded by either side's set: $r")
+  }
+
 }

@@ -265,6 +265,27 @@ class GraphSpec extends AnyFunSuite {
       "a super-cap hub must not mediate predictions")
   }
 
+  test("g7 jaccard ranks the tight pair above the hub-diluted pair") {
+    // K4-minus-(3,4) ∪ an extra leaf 5 on vertex 1: pair (3,4) has cn=2,
+    // d=2 each → jac 2/(2+2−2) = 1.0; pair (2,5) shares only vertex 1
+    // (cn=1, d(2)=3, d(5)=1 → jac 1/3); (3,5)/(4,5) score 0.5. The
+    // normalization is the point: hub-mediated pairs score by how much of
+    // their combined neighborhood the overlap covers, not raw popularity
+    val d = edgeFixture(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (1L, 5L)), "njac")
+    val rows = Graph.defs("g7_neighborhood_jaccard")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows((3L, 4L)) == ((2L, 2L, 2L, 1.0)), s"${rows.get((3L, 4L))}")
+    assert(rows((2L, 5L)) == ((1L, 3L, 1L, 1.0 / 3)), rows.toString)
+    assert(rows((3L, 5L)) == ((1L, 2L, 1L, 0.5)) &&
+      rows((4L, 5L)) == ((1L, 2L, 1L, 0.5)), rows.toString)
+    // every jaccard is cn/(da+db−cn) exactly
+    rows.foreach { case (_, (cn, da, db, jac)) =>
+      assert(jac == cn.toDouble / (da + db - cn))
+    }
+  }
+
   test("g4 lcc on K4-minus-an-edge: the clique corners score 1.0, the rest 2/3") {
     // same K4-minus-(3,4) graph: triangles {1,2,3} and {1,2,4}; vertices 1
     // and 2 have d=3 with 2 triangles each (lcc 2·2/(3·2) = 2/3), vertices

@@ -425,4 +425,55 @@ class OperatorSpec extends AnyFunSuite {
       2L -> ((2L, 750000L)),   // (1000000+500000) div 2
       3L -> ((1L, 1000000L))), s"got $got")
   }
+
+  test("w11 growth curves: final vocab equals per-source distinct tokens, cums monotone") {
+    val dir001 = "/root/testdata/sf0.001"
+    val rows = TextOps.defs("w11_heaps")(spark, dir001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val bySource = rows.groupBy(_._1._1)
+    // ground truth straight off the parquet, independent of quartiles
+    val truth = spark.read.parquet(s"$dir001/documents.parquet")
+      .select(col("source"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    bySource.foreach { case (src, qs) =>
+      assert(qs.keySet.map(_._2) == Set(1L, 2L, 3L, 4L),
+        s"$src must report all 4 quartiles: ${qs.keySet}")
+      val ord = (1L to 4L).map(q => qs((src, q)))
+      // cumulative counts never decrease, and each quartile adds docs
+      assert(ord.sliding(2).forall { case Seq(a, b) =>
+        b._1 > a._1 && b._2 >= a._2 && b._3 >= a._3 },
+        s"$src cums must be monotone: $ord")
+      val toks = truth.filter(_._1 == src)
+      assert(ord.last._2 == toks.length, s"$src final tokens_cum")
+      assert(ord.last._3 == toks.map(_._2).distinct.length,
+        s"$src final vocab_cum must equal the source's distinct token count")
+    }
+  }
+
+  test("q48 trailing-7-day actives match a per-day sequential recount") {
+    val dir001 = "/root/testdata/sf0.001"
+    val ud = graft.sources.Tables.load(spark, dir001, "events")
+      .select(col("user_id"), org.apache.spark.sql.functions.to_date(col("ts")).as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    val expected = days.map { d =>
+      d.toString -> ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && ad.isAfter(d.minusDays(7))
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    val got = Relational.defs("q48_rolling_active")(spark, dir001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size} day rows")
+    // the window must actually widen the daily count somewhere
+    val daily = days.map { d =>
+      d.toString -> ud.filter(_._2 == d).map(_._1).distinct.length.toLong
+    }.toMap
+    assert(days.exists(d => got(d.toString) > daily(d.toString)),
+      "trailing window never exceeded the single-day count — fixture too degenerate")
+  }
 }
