@@ -872,9 +872,13 @@ object Relational {
     // never to the event stream itself. Report days are restricted to days
     // that actually had activity (the observed-day join, broadcast-sized).
     "q48_rolling_active" -> { (s, dir) =>
+      // checkpointed: the (user, day) collapse feeds both the cover
+      // explosion and the observed-day probe — uncheckpointed, each
+      // consumer re-scans and re-distincts the event stream
       val ud = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("d"))
         .distinct()
+        .localCheckpoint()
       val cover = ud
         .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"),
           col("d"))

@@ -677,12 +677,19 @@ object TextOps {
       val dq = d.join(broadcast(bounds))
         .withColumn("q", expr("((doc_id - lo) * 4) div (hi - lo) + 1"))
         .select(col("source"), col("q"), split(col("text"), " ").as("w"))
-      val tokq = dq.select(col("source"), col("q"), explode(col("w")).as("word"))
+      // ONE tokenize pass (w8's share-the-expensive-projection): the
+      // (source, quartile, word) count table is vocabulary-sized, and both
+      // marginals — per-quartile token totals and per-word first quartile —
+      // fold from it; uncheckpointed, each marginal would re-explode the
+      // corpus
+      val cnt = dq.select(col("source"), col("q"), explode(col("w")).as("word"))
         .filter(col("word") =!= "")
+        .groupBy("source", "q", "word").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val base = dq.groupBy("source", "q").agg(count(lit(1)).as("n_docs"))
-        .join(tokq.groupBy("source", "q").agg(count(lit(1)).as("n_tokens")),
+        .join(cnt.groupBy("source", "q").agg(sum("c").cast(LongType).as("n_tokens")),
           Seq("source", "q"))
-      val nv = tokq.groupBy("source", "word").agg(min("q").as("q"))
+      val nv = cnt.groupBy("source", "word").agg(min("q").as("q"))
         .groupBy("source", "q").agg(count(lit(1)).as("new_vocab"))
       import org.apache.spark.sql.expressions.Window
       val win = Window.partitionBy("source").orderBy("q")

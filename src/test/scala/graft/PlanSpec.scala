@@ -208,6 +208,35 @@ class PlanSpec extends AnyFunSuite {
       s"one scan must read the persisted base view:\n$p")
   }
 
+  test("w11 tokenizes once: both marginals fold the checkpointed count table") {
+    val p = plan(TextOps.defs("w11_heaps")(spark, dir))
+    // two narrow documents scans remain (the 1-row bounds aggregate and
+    // the per-quartile doc counts); the token explosion must appear ONCE —
+    // a second Generate means a marginal re-exploded the corpus
+    assert("(?m)^\\(\\d+\\) Generate".r.findAllIn(p).size <= 1,
+      s"token explosion must run once:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"marginals must read the checkpointed count table:\n$p")
+    assert(!p.contains("CartesianProduct") && p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q48's cover explosion and day probe read one checkpointed (user, day) collapse") {
+    val p = plan(Relational.defs("q48_rolling_active")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"both consumers must read the checkpoint, not re-scan events:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the observed-day probe is broadcast-sized:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d23's winnowing selection is in-row over the checkpointed hash arrays") {
+    val p = plan(Dedup.defs("d23_winnowing")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"selection, postings, and sizes all derive from the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate pairs must come from the fingerprint equi-join:\n$p")
+  }
+
   test("q39 executes as a recursive UnionLoop and terminates at the digit-tree depth") {
     val df = Relational.defs("q39_recursive_cte")(spark, dir)
     assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
