@@ -1034,32 +1034,43 @@ object Dedup {
     "d23_winnowing" -> { (s, dir) =>
       val w = 4
       val m = 24 // pos bits: key = (hash+1)·2^24 − pos, recover hash = key >> 24
-      // checkpointed: the windowed selection references the hash array once
-      // per window position — left as a lazy projection, CollapseProject
-      // inlines the whole split→shingle→md5 pipeline into each lambda
-      // element and the per-doc cost goes CUBIC in token count (measured:
-      // a 500-doc corpus ran minutes in the interpreted HOF path). With hv
-      // materialized, the in-row selection is O(shingles · w) longs.
+      // checkpointed: with the hash array left lazy, every downstream
+      // reference re-evaluates the split→shingle→md5 pipeline (measured:
+      // CUBIC per-doc cost through the interpreted HOF path on the first
+      // in-row spelling; minutes on a 500-doc corpus). Materialized, the
+      // key projection below reads a stored array.
       val hvd = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
         .select(col("doc_id"), hvOf(col("sh")).as("hv"))
         .localCheckpoint()
-      val fps = hvd
-        .withColumn("ks", transform(sequence(lit(1), size(col("hv"))),
-          p => (element_at(col("hv"), p) + 1) * lit(1L << m) - p.cast(LongType)))
-        .withColumn("fps",
-          when(size(col("ks")) >= w,
-            array_distinct(transform(sequence(lit(1), size(col("ks")) - (w - 1)),
-              i => shiftright(array_min(slice(col("ks"), i, lit(w))), m))))
-            .otherwise(array().cast(ArrayType(LongType))))
-        .select(col("doc_id"), col("fps"))
-      val post = fps.select(col("doc_id"), explode(col("fps")).as("f"))
+      // selection as d17's running-window shape (posexplode + frame min),
+      // NOT an in-row slice-per-window fold: slice(ks, i, w) re-evaluates
+      // the key array per window in the interpreted HOF path (measured 7.1 s
+      // at sf0.1 vs 1.4 s for this spelling) and is quadratic in document
+      // length; the window form is native codegen'd, strictly linear, and
+      // spill-safe for arbitrarily long documents at one doc_id exchange.
+      val keys = hvd
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("hv"))),
+            p => (element_at(col("hv"), p) + 1) * lit(1L << m) - p.cast(LongType)))
+            .as(Seq("p0", "key")))
+      val selW = Window.partitionBy("doc_id").orderBy("p0").rowsBetween(0, w - 1)
+      val nW = Window.partitionBy("doc_id")
+      val post = keys
+        .withColumn("mk", min("key").over(selW))
+        .withColumn("n", count(lit(1)).over(nW))
+        .filter(col("p0") <= col("n") - w)
+        .select(col("doc_id"), shiftright(col("mk"), m).as("f"))
+        .distinct()
+        // two consumers (df-capped postings + per-doc sizes): checkpoint the
+        // two-long rows rather than re-run the selection window per branch
+        .localCheckpoint()
       val keep = post
         .withColumn("fdf", count(lit(1)).over(Window.partitionBy("f")))
         .filter(col("fdf").between(2, 64))
         .select("f", "doc_id")
-      val nf = fps.select(col("doc_id"), size(col("fps")).cast(LongType).as("nf"))
+      val nf = post.groupBy("doc_id").agg(count(lit(1)).as("nf"))
       keep.as("x").join(keep.as("y"),
           col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
