@@ -223,6 +223,42 @@ object Similarity {
         .agg(count(lit(1)).as("n"), graft.Exprs.davg(col("x"), 6).as("centroid"))
     },
 
+    // Full spherical k-means training: THREE unrolled assignment→update
+    // iterations (the g2/g6 fixed-unroll discipline — data-dependent
+    // convergence loops don't hash-gate; a fixed round count, spelled
+    // operand-for-operand in the oracle, does). Each round is s17's exact
+    // step plus the spherical re-normalization: per-(cluster, dim) DECIMAL
+    // means (order-free, hash-gateable) rebuilt into an array, divided by
+    // the array's own norm (sqrt and the sequential-fold dot are both
+    // IEEE-deterministic cross-engine). Per round the corpus pays one
+    // broadcast-centroid argmax scan and one (cluster, dim) hash agg —
+    // nothing is ever vector×vector; the 8-row codebook checkpoints each
+    // round so the unrolled lineage stays flat. Output: the trained
+    // codebook (cluster, dim, centroid) with round-3 membership counts —
+    // exactly the artifact s5/s11's IVF would load as its quantizer.
+    "s18_kmeans_train" -> { (s, dir) =>
+      val n = normalized(s, dir)
+      var cent = coarseCentroids(n).localCheckpoint()
+      var asg: DataFrame = null
+      for (_ <- 1 to 3) {
+        asg = coarseAssign(n, cent)
+        val mean = asg.select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), (col("pos") + 1).as("dim"))
+          .agg(graft.Exprs.davg(col("x"), 6).as("c"))
+        cent = mean.groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+            x => x.getField("c")).as("cl"))
+          .withColumn("nrm", sqrt(dot(col("cl"), col("cl"))))
+          .select(col("cid"), transform(col("cl"), x => x / col("nrm")).as("cu"))
+          .localCheckpoint()
+      }
+      val sizes = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      cent.join(sizes, "cid")
+        .select(col("cid"), col("n_members"), posexplode(col("cu")).as(Seq("pos", "c")))
+        .select(col("cid").as("cluster_id"), col("n_members"),
+          (col("pos") + 1).cast(LongType).as("dim"), col("c").as("centroid"))
+    },
+
     // Brute-force cosine top-10 for query vectors (vec_id < 5): the exact
     // baseline every ANN variant is measured against.
     "s1_knn_brute" -> { (s, dir) =>
@@ -566,6 +602,43 @@ object Similarity {
          |SELECT cid AS cluster_id, dim, count(*) AS n,
          |  ${graft.Exprs.davgSql("x", 6)} AS centroid
          |FROM x GROUP BY cid, dim""".stripMargin,
+
+    // s17's round, unrolled 3× with spherical re-normalization between
+    // rounds; every operand (decimal means, list rebuild order, fold-order
+    // dots, sqrt) restated exactly
+    "s18_kmeans_train" -> {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      def round(i: Int): String = {
+        val prev = if (i == 1) "c0" else s"c${i - 1}"
+        s"""a$i AS (SELECT vec_id, u, cid FROM (
+           |    SELECT n.vec_id, n.u, $prev.cid,
+           |      row_number() OVER (PARTITION BY n.vec_id
+           |        ORDER BY ${d("n.u", s"$prev.cu")} DESC, $prev.cid) AS crk
+           |    FROM n CROSS JOIN $prev) t WHERE crk = 1),
+           |m$i AS (SELECT cid, CAST(g.i AS BIGINT) AS dim,
+           |          ${graft.Exprs.davgSql("u[g.i]", 6)} AS c
+           |        FROM a$i, LATERAL unnest(generate_series(1, len(u))) AS g(i)
+           |        GROUP BY cid, dim),
+           |r$i AS (SELECT cid, list(c ORDER BY dim) AS cl FROM m$i GROUP BY cid),
+           |c$i AS (SELECT cid,
+           |          list_transform(cl, x -> x / sqrt(${d("cl", "cl")})) AS cu
+           |        FROM r$i)""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |c0 AS (SELECT vec_id - 100 AS cid, u AS cu FROM n WHERE vec_id BETWEEN 100 AND 107),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |sz AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY cid)
+         |SELECT c3.cid AS cluster_id, sz.n_members, CAST(g.i AS BIGINT) AS dim,
+         |  c3.cu[g.i] AS centroid
+         |FROM c3 JOIN sz USING (cid),
+         |     LATERAL unnest(generate_series(1, len(c3.cu))) AS g(i)""".stripMargin
+    },
 
     "s1_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

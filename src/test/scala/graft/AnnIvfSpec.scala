@@ -179,4 +179,29 @@ class AnnIvfSpec extends AnyFunSuite {
       "every unclustered vector must survive semantic dedup")
     assert(kept.size == (all -- clustered).size + byCluster.size)
   }
+
+  test("s18 trains a complete unit-norm codebook; memberships partition the corpus") {
+    val rows = Similarity.defs("s18_kmeans_train")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byCluster = rows.groupBy(_._1)
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // every surviving cluster reports all 64 dims exactly once
+    byCluster.foreach { case (cid, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to 64L), s"cluster $cid dims")
+      assert(rs.map(_._2).distinct.length == 1, s"cluster $cid inconsistent size")
+      // spherical: the trained centroid is unit-norm (sequential-fold sum
+      // of squares of the emitted values)
+      val norm2 = rs.sortBy(_._3).map(_._4).foldLeft(0.0)((a, x) => a + x * x)
+      assert(math.abs(norm2 - 1.0) < 1e-9, s"cluster $cid norm² = $norm2")
+    }
+    // round-3 assignment partitions the corpus: sizes sum to |embeddings|
+    assert(byCluster.values.map(_.head._2).sum == nVecs,
+      s"membership must partition the ${nVecs}-vector corpus")
+    // training must actually move the codebook off the raw seed vectors
+    val seeds = Similarity.defs("s17_kmeans_step")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(rows.exists { case (cid, _, dim, c) =>
+      seeds.get((cid, dim)).exists(s0 => math.abs(s0 - c) > 1e-9)
+    }, "three rounds left every centroid identical to the one-step means")
+  }
 }
