@@ -258,6 +258,26 @@ object Graph {
         .groupBy(col("u").as("v")).agg(count(lit(1)).as("residual_deg"))
     },
 
+    // Degree-distribution audit — the graph-health readout (w9's Zipf
+    // audit on the graph axis): how many vertices carry each degree, the
+    // cumulative coverage, and each degree class's ppm share. The shape a
+    // skew review reads before trusting the wedge-join pins: a power-law
+    // tail here is the early warning for g1/g7's orientation bound. One
+    // vertex-keyed degree aggregate, one |distinct degrees|-row histogram —
+    // everything windowed is histogram-sized, never graph-sized.
+    "g8_degree_histogram" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = degrees(coOrderEdges(t(s, dir, "lineitem")))
+        .groupBy("d").agg(count(lit(1)).as("n_vertices"))
+      val cum = Window.partitionBy().orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.select(col("d"), col("n_vertices"),
+          sum("n_vertices").over(cum).as("cum_vertices"),
+          sum("n_vertices").over(Window.partitionBy()).as("total"))
+        .withColumn("share_ppm", expr("(n_vertices * 1000000) div total"))
+        .drop("total")
+    },
+
     // Neighborhood-Jaccard link prediction — g3's common-neighbor scores
     // normalized by the neighborhood union: jac = cn / (d(a)+d(b)−cn), so a
     // shared neighbor between two low-degree parts outranks the same count
@@ -455,6 +475,15 @@ object Graph {
         |sz AS (SELECT component_id, count(*) AS comp_size FROM cl GROUP BY component_id)
         |SELECT cl.v, cl.component_id, sz.comp_size
         |FROM cl JOIN sz USING (component_id)""".stripMargin,
+
+    "g8_degree_histogram" ->
+      s"""WITH $graphSql,
+        |h AS (SELECT d, count(*) AS n_vertices FROM deg GROUP BY d)
+        |SELECT d, n_vertices,
+        |  CAST(sum(n_vertices) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vertices,
+        |  CAST((n_vertices * 1000000) // (sum(n_vertices) OVER ()) AS BIGINT) AS share_ppm
+        |FROM h""".stripMargin,
 
     // g3's capped-center common-neighbor CTEs verbatim, plus the two
     // degree joins and the union normalization

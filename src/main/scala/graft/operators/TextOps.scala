@@ -604,25 +604,8 @@ object TextOps {
     // filter, no shuffle, no per-row rand() (reproducible across retries
     // and partitionings).
     "t16_mixture_sample" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val d = withQualityCols(docs(s, dir))
-      val g = d.groupBy("lang")
-        .agg(sum("n_tokens").cast(LongType).as("tokens"))
-      val all = Window.partitionBy()
-      val w = g.select(col("lang"),
-        (sum("tokens").over(all).cast(DoubleType) /
-          (count(lit(1)).over(all) * col("tokens"))).as("weight"))
-      val u = graft.functions.HexPrefixToLong
-        .hex8(md5(col("doc_id").cast(StringType)))
-      d.select(col("doc_id"), col("lang"))
-        .join(broadcast(w), "lang")
-        .withColumn("frac", u.cast(DoubleType) / lit(4294967296.0))
-        .withColumn("n_copies",
-          floor(col("weight")).cast(LongType) +
-            when(col("frac") < col("weight") - floor(col("weight")), 1L)
-              .otherwise(0L))
-        .filter(col("n_copies") > 0)
-        .select(col("doc_id"), col("lang"), col("weight"), col("n_copies"))
+      mixtureManifest(docs(s, dir).select(col("doc_id"), col("lang")),
+        mixtureWeights(docs(s, dir)))
     },
 
     // Per-source out-of-vocabulary rate against the corpus's own top-K
@@ -717,25 +700,87 @@ object TextOps {
     // pairs→model on (w1,w2) and →prefix on w1 — both shuffle equi-joins —
     // then one partial+final per-doc aggregate. Nothing is quadratic; the
     // corpus is scanned once to build the model and once to probe it.
-    "t17_lm_likelihood" -> { (s, dir) =>
-      val pairs = bigramPairs(docs(s, dir))
-        .filter(col("w1") =!= "" && col("w2") =!= "")
-      // checkpointed: the model feeds its own prefix marginals AND the
-      // probe join — without it both consumers re-run the corpus-scale
-      // bigram aggregation (3 scans instead of 2, pinned in PlanSpec)
-      val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
-        .localCheckpoint()
-      val prefix = model.groupBy("w1")
-        .agg(sum("c_bg").cast(LongType).as("c_pre"))
-      pairs
-        .join(model, Seq("w1", "w2"))
-        .join(prefix, Seq("w1"))
-        .withColumn("p6", expr("(c_bg * 1000000) div c_pre"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_pairs"),
-          expr("CAST(sum(p6) div count(1) AS BIGINT)").as("mean_p6"))
+    "t17_lm_likelihood" -> { (s, dir) => lmDocScores(s, dir) },
+
+    // CCNet's perplexity partition on top of t17's scores: cut the corpus
+    // into head / middle / tail thirds by mean bigram likelihood (head =
+    // most corpus-typical) and report each bucket's volume and average
+    // score — the table a curation run reads before keeping head+middle
+    // and re-examining the tail. The two tertile cuts come from ONE 1-row
+    // exact-percentile aggregate (t11's threshold-from-the-distribution
+    // discipline) broadcast into the scored scan; bucket assignment is two
+    // integer comparisons, so the partition is deterministic and the
+    // rollup is 3 rows. At 100 TB swap the exact percentile for q23's
+    // sketch at identical plan shape (t11's documented trade).
+    "t18_ppl_buckets" -> { (s, dir) =>
+      val scored = lmDocScores(s, dir).localCheckpoint()
+      val thr = scored.agg(
+        expr("percentile(mean_p6, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))")
+          .as("t"))
+        .select(col("t").getItem(0).as("t1"), col("t").getItem(1).as("t2"))
+      scored.crossJoin(broadcast(thr))
+        .withColumn("bucket",
+          when(col("mean_p6").cast(DoubleType) > col("t2"), "head")
+            .when(col("mean_p6").cast(DoubleType) > col("t1"), "middle")
+            .otherwise("tail"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          graft.Exprs.lsum(col("n_pairs")).as("n_pairs"),
+          graft.Exprs.davg(col("mean_p6"), 6).as("avg_p6"))
     }
   )
+
+  /** t14's learned inverse-frequency weights per lang (lang, weight),
+    * factored so the streaming admission twin (x15) loads the same
+    * weight table the batch manifest uses. */
+  private[graft] def mixtureWeights(d0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = withQualityCols(d0)
+    val g = d.groupBy("lang")
+      .agg(sum("n_tokens").cast(LongType).as("tokens"))
+    val all = Window.partitionBy()
+    g.select(col("lang"),
+      (sum("tokens").over(all).cast(DoubleType) /
+        (count(lit(1)).over(all) * col("tokens"))).as("weight"))
+  }
+
+  /** The deterministic md5-Bernoulli copy-count projection over a
+    * (doc_id, lang) frame joined to broadcast weights — t16's manifest,
+    * shared with x15's per-microbatch admission. */
+  private[graft] def mixtureManifest(ids: DataFrame, w: DataFrame): DataFrame = {
+    val u = graft.functions.HexPrefixToLong
+      .hex8(md5(col("doc_id").cast(StringType)))
+    ids
+      .join(broadcast(w), "lang")
+      .withColumn("frac", u.cast(DoubleType) / lit(4294967296.0))
+      .withColumn("n_copies",
+        floor(col("weight")).cast(LongType) +
+          when(col("frac") < col("weight") - floor(col("weight")), 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("weight"), col("n_copies"))
+  }
+
+  /** t17's per-document mean bigram likelihood (doc_id, n_pairs, mean_p6),
+    * factored so t18's bucket partition consumes the same scores. */
+  private def lmDocScores(s: SparkSession, dir: String): DataFrame = {
+    val pairs = bigramPairs(docs(s, dir))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    // checkpointed: the model feeds its own prefix marginals AND the
+    // probe join — without it both consumers re-run the corpus-scale
+    // bigram aggregation (3 scans instead of 2, pinned in PlanSpec)
+    val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      .localCheckpoint()
+    val prefix = model.groupBy("w1")
+      .agg(sum("c_bg").cast(LongType).as("c_pre"))
+    pairs
+      .join(model, Seq("w1", "w2"))
+      .join(prefix, Seq("w1"))
+      .withColumn("p6", expr("(c_bg * 1000000) div c_pre"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(p6) div count(1) AS BIGINT)").as("mean_p6"))
+  }
 
   val oracles: Map[String, String] = Map(
     "w1_wordcount" ->
@@ -1094,16 +1139,37 @@ object TextOps {
     // w3's bigram extraction verbatim; probabilities and the mean stay in
     // scaled-integer floor arithmetic so every value hash-gates
     "t17_lm_likelihood" ->
-      """WITH b AS (
-        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
-        |       LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
-        |  WHERE w[i] <> '' AND w[i+1] <> ''),
-        |m AS (SELECT w1, w2, count(*) AS c_bg FROM b GROUP BY 1, 2),
-        |pre AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_pre FROM m GROUP BY 1)
-        |SELECT doc_id, count(*) AS n_pairs,
-        |  CAST(sum((m.c_bg * 1000000) // pre.c_pre) // count(*) AS BIGINT) AS mean_p6
-        |FROM b JOIN m USING (w1, w2) JOIN pre USING (w1)
-        |GROUP BY doc_id""".stripMargin
+      s"""WITH $lmScoreSqlCtes
+         |SELECT doc_id, n_pairs, mean_p6 FROM sc""".stripMargin,
+
+    "t18_ppl_buckets" ->
+      s"""WITH $lmScoreSqlCtes,
+         |thr AS (SELECT quantile_cont(mean_p6, 1.0/3) AS t1,
+         |               quantile_cont(mean_p6, 2.0/3) AS t2 FROM sc)
+         |SELECT CASE WHEN mean_p6 > t2 THEN 'head'
+         |            WHEN mean_p6 > t1 THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+         |  ${graft.Exprs.davgSql("mean_p6", 6)} AS avg_p6
+         |FROM sc, thr GROUP BY 1""".stripMargin
   )
+
+  /** t17's score CTEs (bigram model, prefix marginals, per-doc mean in
+    * integer ppm), shared with t18's bucket rollup. A def, not a val: the
+    * oracles map above initializes first and a val here would still be
+    * null when it builds. */
+  private def lmScoreSqlCtes: String =
+    """b AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+      |       LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+      |  WHERE w[i] <> '' AND w[i+1] <> ''),
+      |m AS (SELECT w1, w2, count(*) AS c_bg FROM b GROUP BY 1, 2),
+      |pre AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_pre FROM m GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_pairs,
+      |    CAST(sum((m.c_bg * 1000000) // pre.c_pre) // count(*) AS BIGINT) AS mean_p6
+      |  FROM b JOIN m USING (w1, w2) JOIN pre USING (w1)
+      |  GROUP BY doc_id)""".stripMargin
 }

@@ -391,8 +391,35 @@ object StreamingSessionize {
       runToCompletion(s, dir, streamWordcount, outputMode = "complete",
         sinkName = "x14", sourceGlob = "documents.parquet",
         sourceSchema = docSchema)
+    },
+
+    // t16's mixture resampling as the online admission job: the weight
+    // table is learned batch-side from the static corpus (one aggregate,
+    // checkpointed), and each arriving microbatch maps through the same
+    // broadcast join + md5-Bernoulli copy-count projection — completely
+    // STATELESS streaming (append mode, no watermark, no state store), so
+    // the manifest rows a doc gets are identical whether it arrives in one
+    // batch or fifty (determinism by construction: copy counts depend only
+    // on doc_id and the static weights — the reproducibility-across-retries
+    // property t16 exists for, now load-bearing across triggers too).
+    "x15_stream_mixture" -> { (s, dir) =>
+      runToCompletion(s, dir, streamMixture(s, dir), outputMode = "append",
+        sinkName = "x15", sourceGlob = "documents.parquet",
+        sourceSchema = docSchema)
     }
   )
+
+  /** x15's transform: batch-learned weights (checkpointed — the stream must
+    * not re-aggregate the corpus per microbatch), per-batch stateless
+    * manifest projection. */
+  private[graft] def streamMixture(
+      s: SparkSession, indexDir: String): DataFrame => DataFrame = {
+    import graft.operators.TextOps
+    val w = TextOps.mixtureWeights(
+      graft.sources.Tables.load(s, indexDir, "documents")).localCheckpoint()
+    stream => TextOps.mixtureManifest(
+      stream.select(col("doc_id"), col("lang")), w)
+  }
 
   /** x14's transform, factored for the multi-batch replay spec: w1's exact
     * tokenize → count over a streaming source. */
@@ -643,6 +670,11 @@ object StreamingSessionize {
     "x14_stream_wordcount" ->
       """SELECT w AS word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-        |WHERE w <> '' GROUP BY w""".stripMargin
+        |WHERE w <> '' GROUP BY w""".stripMargin,
+
+    // stateless per-batch projection over static weights: the streamed
+    // manifest is row-for-row the batch manifest (t16's oracle verbatim)
+    "x15_stream_mixture" ->
+      graft.operators.TextOps.oracles("t16_mixture_sample")
   )
 }

@@ -265,6 +265,16 @@ class GraphSpec extends AnyFunSuite {
       "a super-cap hub must not mediate predictions")
   }
 
+  test("g8 histogram on K4+star: degrees {1×6, 3×4, 6×1}, cumulative and ppm exact") {
+    val rows = Graph.defs("g8_degree_histogram")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 6 leaves (d=1), 4 K4 corners (d=3), 1 hub (d=6); 11 vertices total
+    assert(rows == Map(
+      1L -> ((6L, 6L, 545454L)),
+      3L -> ((4L, 10L, 363636L)),
+      6L -> ((1L, 11L, 90909L))), rows.toString)
+  }
+
   test("g7 jaccard ranks the tight pair above the hub-diluted pair") {
     // K4-minus-(3,4) ∪ an extra leaf 5 on vertex 1: pair (3,4) has cn=2,
     // d=2 each → jac 2/(2+2−2) = 1.0; pair (2,5) shares only vertex 1

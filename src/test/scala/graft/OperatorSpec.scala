@@ -454,6 +454,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("t18 tertile buckets partition the corpus with ordered average scores") {
+    val dir001 = "/root/testdata/sf0.001"
+    val rows = TextOps.defs("t18_ppl_buckets")(spark, dir001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("head", "middle", "tail"),
+      s"all three buckets must be populated at sf0.001: ${rows.keySet}")
+    val nDocs = TextOps.defs("t17_lm_likelihood")(spark, dir001).count()
+    assert(rows.values.map(_._1).sum == nDocs, "buckets must partition the scored docs")
+    // tertile cuts: head is the most corpus-typical third
+    assert(rows("head")._3 > rows("middle")._3 &&
+      rows("middle")._3 > rows("tail")._3,
+      s"average score must order head > middle > tail: $rows")
+    // a tertile partition puts roughly a third in each bucket (exact
+    // thirds need not hold with tied integer scores)
+    rows.values.foreach { case (n, _, _) =>
+      assert(n >= nDocs / 6 && n <= nDocs / 2 + 1, s"degenerate bucket: $rows")
+    }
+  }
+
   test("q48 trailing-7-day actives match a per-day sequential recount") {
     val dir001 = "/root/testdata/sf0.001"
     val ud = graft.sources.Tables.load(spark, dir001, "events")
