@@ -890,6 +890,42 @@ object Relational {
         .agg(count(lit(1)).as("active_users_7d"))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("active_users_7d"))
+    },
+
+    // q48's sketch twin: trailing-7-day distinct users from MERGEABLE
+    // per-day KMV sketches (q36's deterministic md5 bottom-64 as the
+    // mergeable unit). Where q48's exact form explodes the (user, day)
+    // collapse 7×, the sketch form explodes 64 longs per day 7× — the
+    // window merge is O(k) per day REGARDLESS of daily actives, the
+    // rolling-distinct recipe that survives billion-user days. The merge
+    // is exact sketch math: bottom-k of the deduplicated union of per-day
+    // bottom-ks IS the window's bottom-k (any hash in the window's true
+    // bottom-64 is within its own day's bottom-64), so the estimate is
+    // identical to sketching the window directly — and deterministic, so
+    // it hash-gates where HLL (q23) cannot. Windows with < k distinct
+    // hashes report exactly.
+    "q49_rolling_kmv" -> { (s, dir) =>
+      val k = 64
+      val bottomK = udaf(new graft.functions.BottomKAgg(k))
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+        .select(col("d"), graft.functions.HexPrefixToLong
+          .hex8(md5(col("user_id").cast(StringType))).as("hv"))
+        .groupBy("d").agg(bottomK(col("hv")).as("bot"))
+        .localCheckpoint()
+      val cover = daily
+        .select(col("d"), explode(sequence(lit(0), lit(6))).as("i"), col("bot"))
+        .select(date_add(col("d"), col("i")).as("day"), explode(col("bot")).as("hv"))
+        .distinct()
+      val obs = daily.select(col("d").as("day"))
+      cover.join(broadcast(obs), Seq("day"))
+        .groupBy("day").agg(bottomK(col("hv")).as("bot"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          when(size(col("bot")) === k,
+            lit((k - 1).toDouble * 4294967296.0) /
+              element_at(col("bot"), k).cast(DoubleType))
+            .otherwise(size(col("bot")).cast(DoubleType)).as("est_users_7d"))
     }
   )
 
@@ -1389,6 +1425,32 @@ object Relational {
         |obs AS (SELECT DISTINCT d FROM ud)
         |SELECT strftime(obs.d, '%Y-%m-%d') AS day, count(*) AS active_users_7d
         |FROM cov JOIN obs ON cov.cd = obs.d
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // q49: q36's rank-k spelling per day, deduplicated union across the
+    // 7-day cover, rank-k again — deterministic, so the sketch itself gates
+    "q49_rolling_kmv" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |h AS (SELECT d, $hexToInt AS hv
+         |      FROM (SELECT d, md5(CAST(user_id AS VARCHAR)) AS m FROM ud) t),
+         |daily AS (SELECT d, hv FROM (
+         |    SELECT d, hv, row_number() OVER (PARTITION BY d ORDER BY hv) AS rn
+         |    FROM h) r WHERE rn <= 64),
+         |cov AS (SELECT DISTINCT d + CAST(i AS INTEGER) AS day, hv
+         |        FROM daily, LATERAL unnest(generate_series(0, 6)) AS u(i)),
+         |obs AS (SELECT DISTINCT d AS day FROM ud),
+         |m AS (SELECT day, hv FROM (
+         |    SELECT cov.day, cov.hv,
+         |      row_number() OVER (PARTITION BY cov.day ORDER BY cov.hv) AS rn
+         |    FROM cov JOIN obs USING (day)) r WHERE rn <= 64)
+         |SELECT strftime(day, '%Y-%m-%d') AS day,
+         |  CASE WHEN count(*) = 64
+         |       THEN 63.0 * 4294967296.0 / CAST(max(hv) AS DOUBLE)
+         |       ELSE CAST(count(*) AS DOUBLE) END AS est_users_7d
+         |FROM m GROUP BY 1""".stripMargin
+    }
   )
 }

@@ -62,4 +62,27 @@ class ApproxSpec extends AnyFunSuite {
         s"$et: KMV est $est vs exact $nExact")
     }
   }
+
+  test("q49 rolling KMV tracks q48's exact trailing-7-day counts within sketch error") {
+    // sf0.01 so some windows saturate the 64-value sketch (sf0.001's
+    // windows hold < 64 users and only exercise the exact path)
+    val sf = "/root/testdata/sf0.01"
+    val exact = Relational.defs("q48_rolling_active")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Relational.defs("q49_rolling_kmv")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est.keySet == exact.keySet, "sketch and exact must cover the same days")
+    val relErrs = exact.map { case (day, n) =>
+      val e = est(day)
+      if (n < 64) assert(e == n.toDouble,
+        s"$day: an unsaturated sketch holds every hash — estimate must be exact ($e vs $n)")
+      math.abs(e - n) / n
+    }
+    // k=64 → ~12.7% relative standard error; bound each window at 4σ and
+    // the mean across windows well inside 1σ
+    assert(relErrs.max <= 0.5, s"worst day off by ${relErrs.max}")
+    assert(relErrs.sum / relErrs.size <= 0.12,
+      s"mean relative error ${relErrs.sum / relErrs.size}")
+    assert(exact.values.exists(_ >= 64), "test premise: some window saturates at sf0.01")
+  }
 }
