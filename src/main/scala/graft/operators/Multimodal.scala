@@ -49,6 +49,47 @@ object Multimodal {
     * (identical-boilerplate payloads; same policy as Dedup's LSH buckets). */
   private val maxCodeBucket = 100
 
+  /** m5's candidate pipeline (stub features → integer-exact two-threshold
+    * quantizer → 16-bit codes → viral-code drop → hamming-1 probe
+    * equi-join), factored so m8's corpus dedup consumes the same pairs.
+    * TWO bits per feature — f ≥ mean (bit 2i) and f ≥ mean/2 (bit 2i+1),
+    * both exact integer cross-multiplications — because a code space must
+    * OUTSCALE the corpus for hamming-1 clustering to mean anything: 8
+    * one-bit thresholds gave 256 codes, and at 500 docs every code was
+    * occupied, the hamming-1 graph percolated, and the "near-dup" closure
+    * swallowed the whole corpus (measured: m8 kept 1 of 500). At 16 bits
+    * the space is 65k codes; identical payloads still collide exactly and
+    * random items almost never sit within hamming 1. */
+  private def mediaNeardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val f = docs(s, dir).select(
+      col("doc_id") +:
+        (0 until numFeatures).map(i => expr(featureSql(i)).as(s"f$i")): _*)
+    val stats = f.agg(count(lit(1)).as("n"),
+      (0 until numFeatures).map(i => sum(col(s"f$i")).as(s"t$i")): _*)
+    val coded = f.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (0 until numFeatures).flatMap(i => Seq(
+          when(col(s"f$i") * col("n") >= col(s"t$i"), lit(1L << (2 * i)))
+            .otherwise(lit(0L)),
+          when(col(s"f$i") * col("n") * 2 >= col(s"t$i"), lit(1L << (2 * i + 1)))
+            .otherwise(lit(0L))))
+          .reduce(_ + _).cast(LongType).as("code"))
+    val okc = coded
+      .withColumn("bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("code")))
+      .filter(col("bsz") <= maxCodeBucket)
+      .drop("bsz")
+    val probes = okc.select(col("doc_id").as("d1"), col("code").as("c1"),
+      explode(array(col("code") +:
+        (0 until 2 * numFeatures).map(i =>
+          col("code").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
+    probes.join(okc.select(col("doc_id").as("d2"), col("code").as("c2")),
+        col("probe") === col("c2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        expr("bit_count(c1 ^ c2)").cast(LongType).as("hamming"))
+      .distinct()
+  }
+
   val defs: Map[String, Q] = Map(
     // Typed metadata over an opaque binary payload: size, checksum, header.
     "m1_media_meta" -> { (s, dir) =>
@@ -84,43 +125,42 @@ object Multimodal {
     },
 
     // Media near-dup — the multimodal twin of d6: quantize each payload's
-    // feature vector to a compact binary code, then find pairs within
+    // feature vector to a compact 16-bit code (two integer-exact threshold
+    // bits per feature — f ≥ mean and f ≥ mean/2, both spelled as exact
+    // cross-multiplications because FP means don't cross-engine-compare)
+    // from a ONE-ROW broadcast aggregate (the "train the quantizer" step:
+    // at 100 TB it runs on a sample, same plan), then find pairs within
     // hamming distance 1 by EQUI-join (s2's multi-probe pattern), never
-    // all-pairs. The quantizer is the 1-bit-ITQ stand-in: bit i says
-    // feature i is at/above its corpus mean, computed as the integer-exact
-    // f_i·n >= Σf_i (no FP mean — avg() rounding is not cross-engine
-    // portable) from a ONE-ROW broadcast aggregate (the "train the
-    // quantizer" step: at 100 TB it runs on a sample, same plan). Viral
-    // codes (> 100 members — identical boilerplate payloads) are dropped
-    // whole by a spillable window count, d3's bucket hygiene. With the md5
-    // stub features only exact payload dups collide; a real decoder swaps
-    // in behind the same columns and near payloads cluster.
-    "m5_media_neardup" -> { (s, dir) =>
-      val f = docs(s, dir).select(
-        col("doc_id") +:
-          (0 until numFeatures).map(i => expr(featureSql(i)).as(s"f$i")): _*)
-      val stats = f.agg(count(lit(1)).as("n"),
-        (0 until numFeatures).map(i => sum(col(s"f$i")).as(s"t$i")): _*)
-      val coded = f.crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          (0 until numFeatures)
-            .map(i => when(col(s"f$i") * col("n") >= col(s"t$i"), lit(1L << i))
-              .otherwise(lit(0L)))
-            .reduce(_ + _).cast(LongType).as("code"))
-      val okc = coded
-        .withColumn("bsz",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("code")))
-        .filter(col("bsz") <= maxCodeBucket)
-        .drop("bsz")
-      val probes = okc.select(col("doc_id").as("d1"), col("code").as("c1"),
-        explode(array(col("code") +:
-          (0 until numFeatures).map(i =>
-            col("code").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
-      probes.join(okc.select(col("doc_id").as("d2"), col("code").as("c2")),
-          col("probe") === col("c2") && col("d1") < col("d2"))
-        .select(col("d1"), col("d2"),
-          expr("bit_count(c1 ^ c2)").cast(LongType).as("hamming"))
-        .distinct()
+    // all-pairs. Viral codes (> 100 members — identical boilerplate
+    // payloads) are dropped whole by a spillable window count, d3's bucket
+    // hygiene. With the md5 stub features mostly exact payload dups
+    // collide; a real decoder swaps in behind the same columns and near
+    // payloads cluster. See mediaNeardupPairs for why 16 bits, not 8.
+    "m5_media_neardup" -> { (s, dir) => mediaNeardupPairs(s, dir) },
+
+    // The near-dup-deduped MEDIA corpus — d15's deliverable on the media
+    // axis, closing the media dedup family (m6 = exact payloads, this =
+    // perceptual near-dups): m5's hamming-≤1 pairs → the shared
+    // hook+contract connected components → keep the best item per cluster
+    // (most bytes, ties to lowest id — m6's keep rule) → anti-join the
+    // losers out of the payload table. The keep-best window runs over
+    // CLUSTERED items only; payload-bearing rows move exactly once,
+    // through the final doc_id anti-join (the d15 posture).
+    "m8_media_neardup_corpus" -> { (s, dir) =>
+      val m = docs(s, dir)
+        .withColumn("payload", col("text").cast(BinaryType))
+        .select(col("doc_id"), md5(col("payload")).as("checksum"),
+          expr("CAST(octet_length(payload) AS BIGINT)").as("n_bytes"))
+      val cl = graft.operators.Components
+        .minLabel(mediaNeardupPairs(s, dir).select("d1", "d2"))
+        .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("n_bytes").desc, col("doc_id"))
+      val losers = cl.join(m.select("doc_id", "n_bytes"), "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1)
+        .select("doc_id")
+      m.join(losers, Seq("doc_id"), "left_anti")
     },
 
     // STUB resize: the remaining media verb. Source dims are stub-decoded
@@ -220,7 +260,8 @@ object Multimodal {
 
     "m5_media_neardup" -> {
       val bits = (0 until numFeatures)
-        .map(i => s"CASE WHEN f$i * n >= t$i THEN ${1L << i} ELSE 0 END")
+        .map(i => s"CASE WHEN f$i * n >= t$i THEN ${1L << (2 * i)} ELSE 0 END" +
+          s" + CASE WHEN f$i * n * 2 >= t$i THEN ${1L << (2 * i + 1)} ELSE 0 END")
         .mkString(" + ")
       s"""WITH f AS (
          |  SELECT doc_id, ${(0 until numFeatures).map(i => s"${featureSql(i)} AS f$i").mkString(", ")}
@@ -235,6 +276,44 @@ object Multimodal {
          |  CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming
          |FROM cc a JOIN cc b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.code, b.code)) <= 1""".stripMargin
+    },
+
+    // m5's pair CTEs + d15's recursive-reach closure and keep-best spelling
+    "m8_media_neardup_corpus" -> {
+      val bits = (0 until numFeatures)
+        .map(i => s"CASE WHEN f$i * n >= t$i THEN ${1L << (2 * i)} ELSE 0 END" +
+          s" + CASE WHEN f$i * n * 2 >= t$i THEN ${1L << (2 * i + 1)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE f AS (
+         |  SELECT doc_id, ${(0 until numFeatures).map(i => s"${featureSql(i)} AS f$i").mkString(", ")}
+         |  FROM documents),
+         |st AS (SELECT count(*) AS n,
+         |         ${(0 until numFeatures).map(i => s"CAST(sum(f$i) AS BIGINT) AS t$i").mkString(", ")}
+         |       FROM f),
+         |c AS (SELECT doc_id, CAST($bits AS BIGINT) AS code FROM f, st),
+         |ok AS (SELECT code FROM c GROUP BY code HAVING count(*) <= $maxCodeBucket),
+         |cc AS (SELECT doc_id, code FROM c WHERE code IN (SELECT code FROM ok)),
+         |e AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |      FROM cc a JOIN cc b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.code, b.code)) <= 1),
+         |und AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM und
+         |  UNION
+         |  SELECT u2.a, r.r FROM und u2 JOIN reach r ON u2.b = r.v),
+         |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |mt AS (SELECT doc_id, md5(text) AS checksum,
+         |         CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes
+         |       FROM documents),
+         |losers AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c2.doc_id,
+         |      row_number() OVER (PARTITION BY c2.cluster_id
+         |                         ORDER BY m2.n_bytes DESC, c2.doc_id) AS rk
+         |    FROM cl c2 JOIN mt m2 ON c2.doc_id = m2.doc_id) t
+         |  WHERE rk > 1)
+         |SELECT doc_id, checksum, n_bytes FROM mt
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
     },
 
     "m4_resize_stub" ->

@@ -49,6 +49,33 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(row.payload.length == row.metaWidth) // n_chars == byte length (ascii)
   }
 
+  test("m8 media dedup: identical payloads land in one cluster and keep one survivor") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val d = java.nio.file.Files.createTempDirectory("graft-m8").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dup = "identical media payload bytes repeated verbatim"
+    val rows = Seq(
+      Row(1L, dup, "en", "s", dup.length.toLong),
+      Row(2L, dup, "en", "s", dup.length.toLong),
+      Row(3L, "a different payload with other bytes", "en", "s", 36L),
+      Row(4L, "yet another distinct binary blob content", "en", "s", 40L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val kept = graft.operators.Multimodal.defs("m8_media_neardup_corpus")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // identical payloads share a code at hamming 0: exactly one survives,
+    // and no two survivors carry the same checksum
+    assert(!(kept.exists(_._1 == 1L) && kept.exists(_._1 == 2L)),
+      s"both exact payload dups survived: ${kept.toSeq}")
+    assert(kept.map(_._2).distinct.length == kept.length,
+      s"survivors must have distinct checksums: ${kept.toSeq}")
+    assert(kept.nonEmpty && kept.length < 4, s"nothing deduped: ${kept.toSeq}")
+  }
+
   test("locality config parses and folds node ids like hw4.cc:94") {
     val f = java.nio.file.Files.createTempFile("loc", ".cfg")
     java.nio.file.Files.writeString(f, "0 3\n1 7\n\n2 1\n")
