@@ -237,6 +237,23 @@ class PlanSpec extends AnyFunSuite {
       s"candidate pairs must come from the fingerprint equi-join:\n$p")
   }
 
+  test("q49's window merge reads one checkpointed daily-sketch table, no events rescan") {
+    val p = plan(Relational.defs("q49_rolling_kmv")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"cover and observed-day probe must both read the daily checkpoint:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ObjectHashAggregate"),
+      s"the window merge must re-aggregate through the mergeable bottom-k:\n$p")
+  }
+
+  test("s18's trained codebook derives from checkpoints; corpus never re-scans parquet") {
+    val p = plan(Similarity.defs("s18_kmeans_train")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"round-3 membership and the final codebook read checkpointed state:\n$p")
+    // the only nested-loop is the 8-row broadcast codebook cross (by design)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q39 executes as a recursive UnionLoop and terminates at the digit-tree depth") {
     val df = Relational.defs("q39_recursive_cte")(spark, dir)
     assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
