@@ -278,6 +278,38 @@ object Graph {
         .drop("total")
     },
 
+    // Degree assortativity — the second graph-health scalar next to g8's
+    // histogram: the Pearson correlation of endpoint degrees over the
+    // symmetrized edge list. Positive = parts co-occur with similarly
+    // connected parts (mesh-like), negative = hub-and-spoke (the regime
+    // where the orientation bound earns its keep). Over the symmetrized
+    // list both marginals coincide, so the denominator's sqrt cancels
+    // exactly and r is ONE division of two exactly-computed integers —
+    // bit-portable where a textbook float Pearson never is. Sums are
+    // edge-linear aggregates; the cross-products run in DECIMAL(38,0)
+    // (m2·Σxy overflows a long at the 100× smoke's edge volume; decimal
+    // products are exact, and DuckDB's HUGEINT mirrors them).
+    "g9_assortativity" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = degrees(e)
+      val xy = und
+        .join(deg.select(col("v").as("u"), col("d").as("dx")), "u")
+        .join(deg.select(col("v"), col("d").as("dy")), "v")
+      def dec(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      xy.agg(count(lit(1)).as("m2"),
+          sum("dx").cast("long").as("sx"),
+          sum(col("dx") * col("dy")).cast("long").as("sxy"),
+          sum(col("dx") * col("dx")).cast("long").as("sx2"))
+        .withColumn("assortativity",
+          (dec(col("m2")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sx")))
+            .cast("double") /
+            (dec(col("m2")) * dec(col("sx2")) - dec(col("sx")) * dec(col("sx")))
+              .cast("double"))
+    },
+
     // Neighborhood-Jaccard link prediction — g3's common-neighbor scores
     // normalized by the neighborhood union: jac = cn / (d(a)+d(b)−cn), so a
     // shared neighbor between two low-degree parts outranks the same count
@@ -475,6 +507,25 @@ object Graph {
         |sz AS (SELECT component_id, count(*) AS comp_size FROM cl GROUP BY component_id)
         |SELECT cl.v, cl.component_id, sz.comp_size
         |FROM cl JOIN sz USING (component_id)""".stripMargin,
+
+    // symmetrized marginals coincide → the sqrt cancels; HUGEINT products
+    // mirror the Spark side's DECIMAL(38,0) exactly
+    "g9_assortativity" ->
+      s"""WITH $graphSql,
+        |und AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |xy AS (SELECT dx.d AS dx, dy.d AS dy
+        |       FROM und JOIN deg dx ON und.u = dx.v JOIN deg dy ON und.v = dy.v),
+        |sums AS (SELECT count(*) AS m2,
+        |           CAST(sum(dx) AS BIGINT) AS sx,
+        |           CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |           CAST(sum(dx * dx) AS BIGINT) AS sx2
+        |         FROM xy)
+        |SELECT m2, sx, sxy, sx2,
+        |  CAST(CAST(m2 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |    / CAST(CAST(m2 AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |    AS assortativity
+        |FROM sums""".stripMargin,
 
     "g8_degree_histogram" ->
       s"""WITH $graphSql,

@@ -380,6 +380,54 @@ object Similarity {
         .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
     },
 
+    // The nprobe tuning curve — d19's parameter-sweep discipline on the
+    // ANN axis: candidate volume and recall@5 at nprobe ∈ {1, 2, 4} from
+    // ONE list join. The probe table is ranked once at the WIDEST budget
+    // (crk ≤ 4) and the assignment⋈probe join — the corpus-scale stage —
+    // runs once; each candidate then fans out to exactly the configs whose
+    // budget admits its probe rank (np ≥ crk), so tightening nprobe is a
+    // filter, never a re-join (re-running s5 per config would triple the
+    // list join). The number that sizes the recall/latency trade before
+    // committing an nprobe at scale; s7 is the single-point special case.
+    "s19_nprobe_sweep" -> { (s, dir) =>
+      val n = normalized(s, dir)
+      val cent = coarseCentroids(n)
+      val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
+      val probes4 = n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"))
+        .crossJoin(broadcast(cent))
+        .select(col("query_id"), col("qu"), col("cid"),
+          dot(col("qu"), col("cu")).as("csim"))
+        .withColumn("crk", row_number().over(wp))
+        .filter(col("crk") <= 4)
+        .select("query_id", "qu", "cid", "crk")
+      val cand = coarseAssign(n, cent)
+        .join(broadcast(probes4), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("crk"),
+          dot(col("qu"), col("u")).as("sim"))
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          explode(expr("filter(array(1, 2, 4), np -> np >= crk)")).as("nprobe"))
+      val wTop = Window.partitionBy("nprobe", "query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      val top5 = cand
+        .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 5)
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+          lit(1).as("hit"))
+      val nCand = cand.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+      val e5c = defs("s1_knn_brute")(s, dir)
+        .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+      e5c.join(top5, Seq("nprobe", "query_id", "neighbor_id"), "left")
+        .groupBy("nprobe")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast(DoubleType) /
+          count(lit(1))).as("recall_at_5"))
+        .join(nCand, "nprobe")
+        .select(col("nprobe").cast(LongType).as("nprobe"),
+          col("n_candidates"), col("recall_at_5"))
+    },
+
     // Threshold-sweep curve — how many near-dup pairs survive at each
     // candidate cosine threshold, from ONE pass over the s3 pair sims (the
     // number you look at before committing a dedup threshold; re-running
@@ -758,6 +806,52 @@ object Similarity {
          |SELECT cluster_id, dim, count(*) AS n,
          |       ${graft.Exprs.davgSql("x", 6)} AS centroid
          |FROM x GROUP BY cluster_id, dim""".stripMargin,
+
+    // s7's CTEs at the widest probe budget, candidates fanned to the
+    // configs admitting their probe rank, rank-5 + recall per config
+    "s19_nprobe_sweep" -> {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q1 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |p1 AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |       FROM e CROSS JOIN q1 WHERE vec_id <> query_id),
+         |e5 AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |         FROM p1) r WHERE rnk <= 5),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |cent AS (SELECT vec_id - 100 AS cid, u AS cu FROM n WHERE vec_id BETWEEN 100 AND 107),
+         |asg AS (SELECT vec_id, u, cid FROM (
+         |    SELECT n.vec_id, n.u, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent) t WHERE crk = 1),
+         |probes AS (SELECT query_id, qu, cid, crk FROM (
+         |    SELECT n.vec_id AS query_id, n.u AS qu, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent WHERE n.vec_id < 5) t WHERE crk <= 4),
+         |cand AS (SELECT probes.query_id, asg.vec_id AS neighbor_id,
+         |           ${d("qu", "asg.u")} AS sim, u2.np AS nprobe
+         |         FROM asg JOIN probes ON asg.cid = probes.cid,
+         |              LATERAL unnest([1, 2, 4]) AS u2(np)
+         |         WHERE asg.vec_id <> probes.query_id AND u2.np >= probes.crk),
+         |top5 AS (SELECT nprobe, query_id, neighbor_id, 1 AS hit FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rnk FROM cand) r WHERE rnk <= 5),
+         |nc AS (SELECT nprobe, count(*) AS n_candidates FROM cand GROUP BY nprobe),
+         |e5c AS (SELECT query_id, neighbor_id, u2.np AS nprobe
+         |        FROM e5, LATERAL unnest([1, 2, 4]) AS u2(np))
+         |SELECT CAST(e5c.nprobe AS BIGINT) AS nprobe, nc.n_candidates,
+         |  CAST(sum(coalesce(t.hit, 0)) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM e5c LEFT JOIN top5 t
+         |  ON e5c.nprobe = t.nprobe AND e5c.query_id = t.query_id
+         | AND e5c.neighbor_id = t.neighbor_id
+         |JOIN nc ON nc.nprobe = e5c.nprobe
+         |GROUP BY e5c.nprobe, nc.n_candidates""".stripMargin
+    },
 
     "s7_ivf_recall" -> {
       def d(a: String, b: String) =

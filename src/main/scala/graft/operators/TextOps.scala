@@ -761,25 +761,39 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("weight"), col("n_copies"))
   }
 
-  /** t17's per-document mean bigram likelihood (doc_id, n_pairs, mean_p6),
-    * factored so t18's bucket partition consumes the same scores. */
-  private def lmDocScores(s: SparkSession, dir: String): DataFrame = {
-    val pairs = bigramPairs(docs(s, dir))
+  /** The corpus bigram model and its prefix marginals (both checkpointed —
+    * the model feeds its own marginals AND the probe join; uncheckpointed,
+    * every consumer re-runs the corpus-scale bigram aggregation). Factored
+    * so the streaming scorer (x16) probes the same static model. */
+  private[graft] def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val model = bigramPairs(docs(s, dir))
       .filter(col("w1") =!= "" && col("w2") =!= "")
-    // checkpointed: the model feeds its own prefix marginals AND the
-    // probe join — without it both consumers re-run the corpus-scale
-    // bigram aggregation (3 scans instead of 2, pinned in PlanSpec)
-    val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
       .localCheckpoint()
     val prefix = model.groupBy("w1")
       .agg(sum("c_bg").cast(LongType).as("c_pre"))
-    pairs
+    (model, prefix)
+  }
+
+  /** The per-document probe over a bound (model, prefix) pair: bigram pairs
+    * → two equi-joins → integer-ppm per-doc mean. Shared verbatim by the
+    * batch scorer and the streaming twin. */
+  private[graft] def lmScoreProbe(
+      d: DataFrame, model: DataFrame, prefix: DataFrame): DataFrame =
+    bigramPairs(d)
+      .filter(col("w1") =!= "" && col("w2") =!= "")
       .join(model, Seq("w1", "w2"))
       .join(prefix, Seq("w1"))
       .withColumn("p6", expr("(c_bg * 1000000) div c_pre"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pairs"),
         expr("CAST(sum(p6) div count(1) AS BIGINT)").as("mean_p6"))
+
+  /** t17's per-document mean bigram likelihood (doc_id, n_pairs, mean_p6),
+    * factored so t18's bucket partition consumes the same scores. */
+  private def lmDocScores(s: SparkSession, dir: String): DataFrame = {
+    val (model, prefix) = lmModel(s, dir)
+    lmScoreProbe(docs(s, dir), model, prefix)
   }
 
   val oracles: Map[String, String] = Map(

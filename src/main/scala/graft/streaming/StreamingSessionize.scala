@@ -406,8 +406,33 @@ object StreamingSessionize {
       runToCompletion(s, dir, streamMixture(s, dir), outputMode = "append",
         sinkName = "x15", sourceGlob = "documents.parquet",
         sourceSchema = docSchema)
+    },
+
+    // t17's LM fluency scoring as the online admission scorer: the bigram
+    // model + prefix marginals are trained batch-side from the static
+    // corpus (checkpointed — the stream must never re-aggregate them), and
+    // each arriving doc's bigram pairs probe the model through TWO
+    // stream-static equi-joins — corpus-scale static tables joined on the
+    // shuffle key, NOT broadcast literals (a vocab² model outgrows any
+    // broadcast) — before the single stateful per-doc mean aggregate
+    // (complete mode, one row per scored doc). The scores are x14's
+    // wordcount discipline applied to model INFERENCE: integer-ppm floor
+    // arithmetic, so the streamed state merges to exactly the batch t17
+    // row set.
+    "x16_stream_lm_score" -> { (s, dir) =>
+      runToCompletion(s, dir, streamLmScore(s, dir), outputMode = "complete",
+        sinkName = "x16", sourceGlob = "documents.parquet",
+        sourceSchema = docSchema)
     }
   )
+
+  /** x16's transform: static (model, prefix) built once batch-side; the
+    * per-batch probe is t17's, verbatim (TextOps.lmScoreProbe). */
+  private[graft] def streamLmScore(
+      s: SparkSession, indexDir: String): DataFrame => DataFrame = {
+    val (model, prefix) = graft.operators.TextOps.lmModel(s, indexDir)
+    stream => graft.operators.TextOps.lmScoreProbe(stream, model, prefix)
+  }
 
   /** x15's transform: batch-learned weights (checkpointed — the stream must
     * not re-aggregate the corpus per microbatch), per-batch stateless
@@ -675,6 +700,11 @@ object StreamingSessionize {
     // stateless per-batch projection over static weights: the streamed
     // manifest is row-for-row the batch manifest (t16's oracle verbatim)
     "x15_stream_mixture" ->
-      graft.operators.TextOps.oracles("t16_mixture_sample")
+      graft.operators.TextOps.oracles("t16_mixture_sample"),
+
+    // the final complete-mode state == batch t17 (its oracle verbatim:
+    // same model, same probe, same floor arithmetic)
+    "x16_stream_lm_score" ->
+      graft.operators.TextOps.oracles("t17_lm_likelihood")
   )
 }

@@ -180,6 +180,23 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(kept.size == (all -- clustered).size + byCluster.size)
   }
 
+  test("s19 sweep: volume and recall monotone in nprobe; np=2 point equals s7") {
+    val rows = Similarity.defs("s19_nprobe_sweep")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L), rows.toString)
+    // widening the probe budget can only add candidates, and recall over a
+    // superset of candidates can only rise
+    assert(rows(1L)._1 < rows(2L)._1 && rows(2L)._1 < rows(4L)._1,
+      s"candidate volume must grow with nprobe: $rows")
+    assert(rows(1L)._2 <= rows(2L)._2 && rows(2L)._2 <= rows(4L)._2,
+      s"recall must be monotone in nprobe: $rows")
+    // the sweep's np=2 point must reproduce s7's single-point measurement
+    val s7 = Similarity.defs("s7_ivf_recall")(spark, dir).collect()
+      .map(_.getDouble(1))
+    assert(math.abs(rows(2L)._2 - s7.sum / s7.length) < 1e-12,
+      s"np=2 sweep point ${rows(2L)._2} vs s7 mean ${s7.sum / s7.length}")
+  }
+
   test("s18 trains a complete unit-norm codebook; memberships partition the corpus") {
     val rows = Similarity.defs("s18_kmeans_train")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -275,6 +275,33 @@ class GraphSpec extends AnyFunSuite {
       6L -> ((1L, 11L, 90909L))), rows.toString)
   }
 
+  test("g9 assortativity is exactly −1 on a star and hand-recounts on a bridged mesh") {
+    // star: every edge joins degree-L to degree-1 → perfect disassortativity,
+    // and the integer-exact spelling must land on -1.0 EXACTLY
+    val star = edgeFixture((1L to 6L).map(l => (100L, l)), "assortstar")
+    val rs = Graph.defs("g9_assortativity")(spark, star).collect().head
+    assert(rs.getDouble(4) == -1.0, s"star must score exactly -1: $rs")
+    // two K4s joined by one bridge: most edges join equal-degree vertices
+    val mesh = edgeFixture(Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L), (12L, 14L), (13L, 14L),
+      (4L, 14L)), "assortmesh")
+    val rm = Graph.defs("g9_assortativity")(spark, mesh).collect().head
+    // recompute sequentially: exact integer sums, one double division
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L), (12L, 14L), (13L, 14L),
+      (4L, 14L))
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+    val sym = edges.flatMap { case (a, b) => Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val m2 = sym.size.toLong
+    val sx = sym.map(_._1.toLong).sum
+    val sxy = sym.map(p => p._1.toLong * p._2).sum
+    val sx2 = sym.map(p => p._1.toLong * p._1).sum
+    val expected = (m2 * sxy - sx * sx).toDouble / (m2 * sx2 - sx * sx)
+    assert(rm.getDouble(4) == expected, s"got ${rm.getDouble(4)}, expected $expected")
+  }
+
   test("g7 jaccard ranks the tight pair above the hub-diluted pair") {
     // K4-minus-(3,4) ∪ an extra leaf 5 on vertex 1: pair (3,4) has cn=2,
     // d=2 each → jac 2/(2+2−2) = 1.0; pair (2,5) shares only vertex 1
