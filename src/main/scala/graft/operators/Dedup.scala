@@ -226,10 +226,33 @@ object Dedup {
     * a scale dedup pipeline stores them; the ~1e-6 per-doc collision odds
     * are noise next to the LSH candidate error). */
   private def hashSets(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    hashSetsOf(docs(s, dir))
+
+  /** The (doc_id, hs) sorted-distinct shingle-hash projection over ANY
+    * documents-schema frame — factored so x17's streaming probe computes
+    * exactly the hash sets d12's batch gate does (the x16/t17 factored-twin
+    * discipline: shared spelling, zero drift). */
+  private[graft] def hashSetsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
       .select(col("doc_id"), array_sort(array_distinct(hvOf(col("sh")))).as("hs"))
+
+  /** d12's benchmark shingle-hash index (docs 0-9), built batch-side. */
+  private[graft] def benchIndex(s: SparkSession, dir: String): DataFrame =
+    hashSetsOf(docs(s, dir).filter(col("doc_id") < 10))
+      .select(explode(col("hs")).as("h")).distinct()
+
+  /** d12's per-doc contamination probe against a (broadcast) benchmark
+    * index, factored for the x17 streaming twin: count of benchmark-hit
+    * shingle hashes per doc over the exploded hash sets. */
+  private[graft] def contaminationCounts(hsDf: DataFrame, bench: DataFrame): DataFrame =
+    hsDf.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_contaminated"))
+      .withColumn("ratio",
+        col("n_contaminated").cast(DoubleType) / col("n_shingles"))
 
   /** d9/d19 truth-side scale guards (the "evaluation, not production"
     * posture, as code): prefix postings whose document frequency exceeds
@@ -636,18 +659,58 @@ object Dedup {
     // one aggregate. Corpus rows never shuffle; only (doc_id, counts) do.
     "d12_contamination" -> { (s, dir) =>
       // one checkpointed shingle pass feeds both sides (without it the
-      // md5 pipeline runs twice — once per filter branch)
+      // md5 pipeline runs twice — once per filter branch); the probe
+      // itself is the factored contaminationCounts x17 replays per
+      // microbatch
       val hs0 = hashSets(s, dir).localCheckpoint()
       val bench = hs0.filter(col("doc_id") < 10)
         .select(explode(col("hs")).as("h")).distinct()
-      hs0.filter(col("doc_id") >= 10)
-        .select(col("doc_id"), explode(col("hs")).as("h"))
-        .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_contaminated"))
-        .withColumn("ratio",
-          col("n_contaminated").cast(DoubleType) / col("n_shingles"))
+      contaminationCounts(hs0.filter(col("doc_id") >= 10), bench)
+    },
+
+    // Bloom-filter dedup admission — q37's runtime-semi-join discipline on
+    // the dedup axis: is each batch doc's fingerprint already in the
+    // corpus? The corpus fp set folds into ONE mergeable 64 Kbit BloomAgg
+    // bitset (1024 longs — a compact summary where the fp set itself is
+    // corpus-sized and unbroadcastable), the single-row bitset broadcasts
+    // into the batch scan, and k=3 double-hashed probes filter BELOW the
+    // join — only matching-or-FP batch rows ever reach the fp equi-join,
+    // whose exact residual erases false positives, so the verdict is EXACT
+    // and the oracle is the plain semi-join. No false negatives (BloomSpec
+    // pins the superset guarantee), so a `false` here never needs
+    // re-checking — the property an admission gate actually relies on. At
+    // 100 TB: the bloom is the only state that must fit in memory; batch
+    // cost is the batch's own scan plus the (pruned) residual probe. The
+    // bloom hash is xxhash64 (never reaches the result — fastest codegen'd
+    // path, q37's argument); the fingerprint itself stays the oracle-shared
+    // md5 spelling.
+    "d24_bloom_dedup" -> { (s, dir) =>
+      val bits = 1 << 16
+      val k = 3
+      val bloomAgg = udaf(new graft.functions.BloomAgg(bits, k))
+      val d = docs(s, dir).select(col("doc_id"), fpCol.as("fp"))
+      // two consumers (bitset build + residual join) of one corpus scan
+      val corpus = d.filter(col("doc_id") % 10 =!= 7).localCheckpoint()
+      val batch = d.filter(col("doc_id") % 10 === 7)
+      val bloom = corpus
+        .select(xxhash64(col("fp")).as("pk"))
+        .agg(bloomAgg(col("pk")).as("bf"))
+      val probeCond = (0 until k).map { i =>
+        expr(s"""(shiftright(element_at(bf,
+                 |    CAST(((ph1 + $i * ph2) % $bits) div 64 AS INT) + 1),
+                 |  CAST(((ph1 + $i * ph2) % $bits) % 64 AS INT)) & 1) = 1"""
+          .stripMargin)
+      }.reduce(_ && _)
+      val hits = batch.crossJoin(broadcast(bloom))
+        .withColumn("ph1", shiftrightunsigned(xxhash64(col("fp")), 32))
+        .withColumn("ph2", xxhash64(col("fp")).bitwiseAND(lit(0xffffffffL)))
+        .filter(probeCond)
+        .join(corpus.select("fp").distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(true).as("hit"))
+      batch.select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hit"), lit(false)).as("exact_dup"))
     },
 
     // Near-dup CLUSTERS — connected components over the verified near-dup
@@ -1178,6 +1241,18 @@ object Dedup {
          |    / count(*) AS ratio
          |FROM corpus c LEFT JOIN bench b ON c.h = b.h
          |GROUP BY c.doc_id""".stripMargin,
+
+    // the bloom filter + residual join is exactly the semi-join; the
+    // oracle spells the semantics, the Spark side the pruned plan
+    "d24_bloom_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |c AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 <> 7)
+        |SELECT b.doc_id, (c.fp IS NOT NULL) AS exact_dup
+        |FROM d b LEFT JOIN c ON b.fp = c.fp
+        |WHERE b.doc_id % 10 = 7""".stripMargin,
 
     "d11_neardup_clusters" ->
       s"""WITH RECURSIVE $sigSqlCte,

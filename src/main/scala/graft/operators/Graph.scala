@@ -340,6 +340,34 @@ object Graph {
         .select(col("a"), col("b"), col("cn"), col("da"), col("db"), col("jac"))
         .orderBy(col("jac").desc, col("a"), col("b"))
         .limit(20)
+    },
+
+    // Resource-allocation link prediction — the third grader in the g3/g7
+    // family, and the one that needs CENTER-weighted credit: each common
+    // neighbor z contributes 1/d(z), so a rare shared neighbor outweighs a
+    // promiscuous one (Zhou-Lü-Zhang's RA index, the empirically strongest
+    // of the degree-penalized family). The weight is carried on the wedge
+    // leg as integer ppm (1000000 div d — one floor both engines spell
+    // identically), so the per-pair score is an exact long sum where the
+    // textbook Σ 1/d(z) float sum is partition-order-sensitive and never
+    // hash-gates. Same capped-center pipeline as g3 (centers d ≤ 64 — the
+    // hub-safety cap that bounds per-center pair expansion at C(64,2));
+    // the weight join is vertex-sized; top-20 totally ordered.
+    "g10_resource_allocation" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val degc = degrees(e).select(col("v").as("u"), col("d"))
+      val ctr = und.join(degc, "u").filter(col("d") <= 64)
+        .select(col("u"), col("v"), expr("1000000 div d").as("w"))
+      val ra = ctr.as("x").join(ctr.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+        .agg(count(lit(1)).as("cn"),
+          sum(col("x.w")).cast("long").as("ra_ppm"))
+      ra.join(e, Seq("a", "b"), "left_anti")
+        .orderBy(col("ra_ppm").desc, col("a"), col("b"))
+        .limit(20)
     }
   )
 
@@ -535,6 +563,25 @@ object Graph {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vertices,
         |  CAST((n_vertices * 1000000) // (sum(n_vertices) OVER ()) AS BIGINT) AS share_ppm
         |FROM h""".stripMargin,
+
+    // g3's capped-center CTEs with the ppm weight attached on the wedge
+    // leg; `//` and `div` both floor positive operands identically
+    "g10_resource_allocation" ->
+      s"""WITH $graphSql,
+        |und AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |ctr AS (SELECT und.u, und.v, 1000000 // deg.d AS w
+        |        FROM und JOIN deg ON und.u = deg.v
+        |        WHERE deg.d <= 64),
+        |ra AS (SELECT x.v AS a, y.v AS b, count(*) AS cn,
+        |         CAST(sum(x.w) AS BIGINT) AS ra_ppm
+        |       FROM ctr x JOIN ctr y ON x.u = y.u AND x.v < y.v
+        |       GROUP BY 1, 2),
+        |ne AS (SELECT ra.a, ra.b, ra.cn, ra.ra_ppm FROM ra
+        |       WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                         WHERE e.a = ra.a AND e.b = ra.b))
+        |SELECT a, b, cn, ra_ppm FROM ne
+        |ORDER BY ra_ppm DESC, a, b LIMIT 20""".stripMargin,
 
     // g3's capped-center common-neighbor CTEs verbatim, plus the two
     // degree joins and the union normalization

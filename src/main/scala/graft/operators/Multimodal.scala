@@ -49,6 +49,16 @@ object Multimodal {
     * (identical-boilerplate payloads; same policy as Dedup's LSH buckets). */
   private val maxCodeBucket = 100
 
+  /** The payload sliced into fixed 32-byte frames (m3's sampler, factored
+    * so m9's overlap join consumes the same frames). The empty-payload
+    * guard matters: Spark sequence(1, 0) is the DESCENDING [1, 0], not
+    * empty like DuckDB generate_series(1, 0). */
+  private val frameArraySql: String =
+    "CASE WHEN n_chars > 0 THEN " +
+      "transform(sequence(1, CAST((n_chars + 31) DIV 32 AS INT)), " +
+      "i -> substr(text, (i-1)*32 + 1, 32)) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+
   /** m5's candidate pipeline (stub features → integer-exact two-threshold
     * quantizer → 16-bit codes → viral-code drop → hamming-1 probe
     * equi-join), factored so m8's corpus dedup consumes the same pairs.
@@ -115,13 +125,48 @@ object Multimodal {
     // DESCENDING [1, 0], not empty like DuckDB generate_series(1, 0).
     "m3_frame_sample" -> { (s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), posexplode(expr(
-          "CASE WHEN n_chars > 0 THEN " +
-            "transform(sequence(1, CAST((n_chars + 31) DIV 32 AS INT)), " +
-            "i -> substr(text, (i-1)*32 + 1, 32)) " +
-            "ELSE CAST(array() AS ARRAY<STRING>) END")))
+        .select(col("doc_id"), posexplode(expr(frameArraySql)))
         .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("frame_no"),
           md5(col("col")).as("frame_md5"))
+    },
+
+    // Frame-overlap near-dup — the VIDEO twin of d20's containment dedup:
+    // two media items are near-dups when they share many frame
+    // fingerprints (a re-encode, a clip, a re-upload with an intro spliced
+    // on — payload checksums (m6) and whole-item codes (m5) both miss
+    // partial overlap; shared frames catch it). Candidates come from an
+    // equi-self-join on the frame fingerprint — never all-pairs — with
+    // d20's df cap on BOTH sides ([2, 64]: a frame in one item can't pair,
+    // a boilerplate frame in thousands of items — color bars, silence —
+    // is dropped whole, bounding any frame's pair contribution at
+    // C(64, 2)). Containment = shared / min(frame counts), one double
+    // division of exact longs, so a clip CONTAINED in a longer item still
+    // scores 1.0. ONE frame pass (checkpointed) feeds the df cap, the
+    // pair join, and the per-item frame counts; the payload table itself
+    // never shuffles — only (item, 32-byte-frame-md5) rows do.
+    "m9_frame_overlap" -> { (s, dir) =>
+      val fr = docs(s, dir)
+        .select(col("doc_id"), explode(expr(frameArraySql)).as("frame"))
+        .select(col("doc_id"), md5(col("frame")).as("fm"))
+        .distinct()
+        .localCheckpoint()
+      val nf = fr.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val ok = fr
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fm")))
+        .filter(col("df").between(2, 64))
+        .select("doc_id", "fm")
+      val pairs = ok.as("x").join(ok.as("y"),
+          col("x.fm") === col("y.fm") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+      pairs
+        .join(nf.select(col("doc_id").as("d1"), col("nf").as("n1")), "d1")
+        .join(nf.select(col("doc_id").as("d2"), col("nf").as("n2")), "d2")
+        .withColumn("containment",
+          col("shared").cast(DoubleType) / least(col("n1"), col("n2")))
+        .select("d1", "d2", "shared", "n1", "n2", "containment")
     },
 
     // Media near-dup — the multimodal twin of d6: quantize each payload's
@@ -257,6 +302,25 @@ object Multimodal {
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(1, CAST((n_chars + 31) // 32 AS INT))) AS i
         |      FROM documents) t""".stripMargin,
+
+    // m3's frame CTE + d20's df-capped equi-self-join spelling
+    "m9_frame_overlap" ->
+      """WITH fr AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(substr(text, (CAST(i AS INT)-1)*32 + 1, 32)) AS fm
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, CAST((n_chars + 31) // 32 AS INT))) AS i
+        |        FROM documents) t),
+        |nf AS (SELECT doc_id, count(*) AS nf FROM fr GROUP BY doc_id),
+        |ok AS (SELECT doc_id, fm FROM fr
+        |       WHERE fm IN (SELECT fm FROM fr GROUP BY fm
+        |                    HAVING count(*) BETWEEN 2 AND 64)),
+        |p AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS shared
+        |      FROM ok x JOIN ok y ON x.fm = y.fm AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT d1, d2, shared, n1.nf AS n1, n2.nf AS n2,
+        |  CAST(shared AS DOUBLE) / least(n1.nf, n2.nf) AS containment
+        |FROM p JOIN nf n1 ON p.d1 = n1.doc_id JOIN nf n2 ON p.d2 = n2.doc_id""".stripMargin,
 
     "m5_media_neardup" -> {
       val bits = (0 until numFeatures)

@@ -617,6 +617,43 @@ object Relational {
           min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
     },
 
+    // Referential-integrity audit — the data-quality sweep a warehouse
+    // runs before trusting a snapshot: for every foreign-key edge of the
+    // star schema, how many child rows point at a missing parent (orphans),
+    // plus the reverse childless-parent probe on the fact spine. Each check
+    // is ONE key-only anti-join aggregated to a single row — the join
+    // carries just the key column (ReadSchema prunes the rest), dims
+    // broadcast, fact-fact pairs sort-merge on the key — and the 7-row
+    // union is trivially cheap. At 100 TB each check is the minimal
+    // shuffle that can answer it; checks share nothing by design so a
+    // scheduler can run them as independent jobs. All-zero counts on a
+    // consistent snapshot are the expected (and asserted) result — the
+    // operator's value is the guarantee, not the rows.
+    "q50_orphan_audit" -> { (s, dir) =>
+      def chk(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck))
+          .join(parent.select(col(pk).as(ck)), Seq(ck), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("chk"), col("n_violations"))
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      Seq(
+        chk("lineitem_orphan_order", li, "l_orderkey", o, "o_orderkey"),
+        chk("lineitem_orphan_part", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        chk("lineitem_orphan_supplier", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        chk("orders_orphan_customer", o, "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        chk("orders_childless", o, "o_orderkey", li, "l_orderkey"),
+        chk("customer_orphan_nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        chk("nation_orphan_region", t(s, dir, "nation"), "n_regionkey",
+          t(s, dir, "region"), "r_regionkey")
+      ).reduce(_ unionAll _)
+    },
+
     // Recursive CTE (Spark ≥ 4.0, executed as UnionLoopExec) — iterative
     // queries INSIDE the SQL surface, where pre-4.0 engines needed driver
     // loops (the Components.scala pattern remains the 100 TB path for
@@ -1314,6 +1351,30 @@ object Relational {
          |        ${graft.functions.MortonCode.mortonSql("l_partkey", "l_suppkey")} AS zk
          |      FROM lineitem) t
          |GROUP BY 1""".stripMargin,
+
+    // each check spelled as NOT EXISTS — the anti-join's semantics
+    "q50_orphan_audit" ->
+      """SELECT 'lineitem_orphan_order' AS chk, count(*) AS n_violations
+        |FROM lineitem WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_orphan_part', count(*) FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        |UNION ALL
+        |SELECT 'lineitem_orphan_supplier', count(*) FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+        |UNION ALL
+        |SELECT 'orders_orphan_customer', count(*) FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |UNION ALL
+        |SELECT 'orders_childless', count(*) FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |UNION ALL
+        |SELECT 'customer_orphan_nation', count(*) FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+        |UNION ALL
+        |SELECT 'nation_orphan_region', count(*) FROM nation
+        |WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)""".stripMargin,
 
     "q39_recursive_cte" -> recursiveWalkSql,
 

@@ -259,6 +259,43 @@ object Similarity {
           (col("pos") + 1).cast(LongType).as("dim"), col("c").as("centroid"))
     },
 
+    // Farthest-first (Gonzalez k-center) seeding — the PRINCIPLED seed
+    // selection s17/s18 punt on (their codebook is "vectors 100..107", fine
+    // for pinning the training math, useless as a quantizer policy):
+    // greedily pick the vector LEAST similar to everything chosen so far,
+    // giving the 2-approximation to the k-center objective and the spread
+    // k-means++ wants — also exactly MMR diversity selection at λ=1, the
+    // "pick maximally diverse exemplars" curation op. Deterministic by
+    // construction where sampling-based ++ seeding is not: start from the
+    // min vec_id, then each round argmin over the corpus of max-cosine to
+    // the chosen set ((ms ASC, vec_id) total order), so the seed set
+    // hash-gates cross-engine (per-pair dots are sequential folds; max and
+    // argmin are order-free). Plan per round: the checkpointed normalized
+    // corpus × a ≤ k-row BROADCAST of chosen vectors → per-vector max →
+    // TakeOrdered(1) — k−1 corpus-linear scans with nothing ever
+    // vector×vector; at 100 TB each round is one broadcast-probe scan, the
+    // same shape as s5's assignment (and the chosen row rides back via a
+    // 1-row broadcast join, never a collect).
+    "s20_kcenter_seed" -> { (s, dir) =>
+      val nv = normalized(s, dir)
+      val k = 4
+      var chosen = nv.orderBy("vec_id").limit(1)
+        .select(lit(1L).as("seed_rank"), col("vec_id"),
+          lit(null).cast(DoubleType).as("max_sim"), col("u"))
+        .localCheckpoint()
+      for (r <- 2 to k) {
+        val ms = nv.crossJoin(broadcast(chosen.select(col("u").as("cu"))))
+          .select(col("vec_id"), dot(col("u"), col("cu")).as("d"))
+          .groupBy("vec_id").agg(max(col("d")).as("ms"))
+        val next = ms.orderBy(col("ms").asc, col("vec_id")).limit(1)
+        val nx = nv.join(broadcast(next), "vec_id")
+          .select(lit(r.toLong).as("seed_rank"), col("vec_id"),
+            col("ms").as("max_sim"), col("u"))
+        chosen = chosen.unionAll(nx).localCheckpoint()
+      }
+      chosen.select("seed_rank", "vec_id", "max_sim")
+    },
+
     // Brute-force cosine top-10 for query vectors (vec_id < 5): the exact
     // baseline every ANN variant is measured against.
     "s1_knn_brute" -> { (s, dir) =>
@@ -632,6 +669,33 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // the greedy rounds as nested CTEs: each ch<r> accumulates the chosen
+    // set, each p<r> is the totally-ordered argmin of the per-vector max
+    "s20_kcenter_seed" -> {
+      val base =
+        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+          |      FROM (SELECT vec_id, v,
+          |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+          |c1 AS (SELECT vec_id, u FROM n ORDER BY vec_id LIMIT 1),
+          |ch1 AS (SELECT vec_id, u FROM c1)""".stripMargin
+      val rounds = (2 to 4).map { r =>
+        s"""m$r AS (SELECT n.vec_id, max(${dSql("n.u", "c.u")}) AS ms
+           |       FROM n CROSS JOIN ch${r - 1} c GROUP BY n.vec_id),
+           |p$r AS (SELECT vec_id, ms FROM m$r ORDER BY ms ASC, vec_id LIMIT 1),
+           |ch$r AS (SELECT vec_id, u FROM ch${r - 1}
+           |         UNION ALL SELECT n.vec_id, n.u FROM n JOIN p$r USING (vec_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $base,
+         |$rounds
+         |SELECT CAST(1 AS BIGINT) AS seed_rank, vec_id,
+         |  CAST(NULL AS DOUBLE) AS max_sim FROM c1
+         |UNION ALL SELECT 2, vec_id, ms FROM p2
+         |UNION ALL SELECT 3, vec_id, ms FROM p3
+         |UNION ALL SELECT 4, vec_id, ms FROM p4""".stripMargin
+    },
+
     // s7's normalize/seed/assign CTEs; the update is s15's per-(cluster,
     // dim) decimal mean over the normalized coordinates
     "s17_kmeans_step" ->

@@ -536,6 +536,45 @@ object TextOps {
         .filter(col("rnk") <= 5)
     },
 
+    // Per-source distribution divergence — the single-number companion to
+    // w8's per-token lifts: the total-variation distance between each
+    // source's unigram distribution and the corpus distribution, the
+    // scalar a mixture dashboard tracks per source per snapshot (KL/JS
+    // need logs, whose libm-vs-JVM drift never hash-gates; TV is the
+    // f-divergence with an EXACT-integer spelling). Decomposition: over
+    // the common denominator t_s·t,
+    //   Σ_t |p_s − p| = [Σ_{t∈s} |n_sw·t − n_w·t_s| + t_s·(t − Σ_{t∈s} n_w)]
+    //                     / (t_s·t)
+    // — the second term is the mass of tokens the source never emits, folded
+    // into one subtraction, so NO (source × vocabulary) expansion ever
+    // happens: the only corpus-scale work is w8's same (source, token)
+    // count table (shared spelling), one vocabulary-keyed marginal join,
+    // and a per-source aggregate of exact longs. One double division per
+    // source at the end (deterministic: same integer operands, same IEEE
+    // ops, both engines).
+    "w12_source_divergence" -> { (s, dir) =>
+      val sw = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
+        .localCheckpoint()
+      val ts = sw.groupBy("source").agg(sum("n_sw").cast(LongType).as("t_s"))
+      val nw = sw.groupBy("w").agg(sum("n_sw").cast(LongType).as("n_w"))
+      val t = sw.agg(sum("n_sw").cast(LongType).as("t"))
+      sw.join(nw, "w")
+        .join(broadcast(ts), "source")
+        .crossJoin(broadcast(t))
+        .groupBy(col("source"), col("t_s"), col("t"))
+        .agg(
+          sum(abs(col("n_sw") * col("t") - col("n_w") * col("t_s")))
+            .cast(LongType).as("a"),
+          sum(col("n_w")).cast(LongType).as("b"))
+        .select(col("source"), col("t_s").as("n_tokens"),
+          ((col("a") + col("t_s") * (col("t") - col("b"))).cast(DoubleType)
+            / (col("t_s").cast(DoubleType) * lit(2.0) * col("t")))
+            .as("tv_distance"))
+    },
+
     // w6's sketch-prune / exact-recount discipline PER GROUP: the dominant
     // tokens of each language, without any per-language full-vocab shuffle.
     // Pass 1 is ONE grouped ObjectHashAggregate — each (map partition,
@@ -1055,6 +1094,27 @@ object TextOps {
         |  SELECT *, row_number() OVER (PARTITION BY source
         |    ORDER BY lift DESC, word) AS rnk FROM l) r
         |WHERE rnk <= 5""".stripMargin,
+
+    // w8's count-table CTEs verbatim; the absent-token mass is the folded
+    // t_s·(t − b) term, never a (source × vocabulary) expansion
+    "w12_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, w
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> ''),
+        |sw AS (SELECT source, w, count(*) AS n_sw FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS t_s FROM sw GROUP BY source),
+        |nw AS (SELECT w, CAST(sum(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY w),
+        |t AS (SELECT CAST(sum(n_sw) AS BIGINT) AS t FROM sw),
+        |agg AS (SELECT sw.source, ts.t_s, t.t,
+        |          CAST(sum(abs(sw.n_sw * t.t - nw.n_w * ts.t_s)) AS BIGINT) AS a,
+        |          CAST(sum(nw.n_w) AS BIGINT) AS b
+        |        FROM sw JOIN nw USING (w) JOIN ts USING (source) CROSS JOIN t
+        |        GROUP BY 1, 2, 3)
+        |SELECT source, t_s AS n_tokens,
+        |  CAST(a + t_s * (t - b) AS DOUBLE)
+        |    / (CAST(t_s AS DOUBLE) * 2.0 * t) AS tv_distance
+        |FROM agg""".stripMargin,
 
     // the sketch prunes, the recount is exact per (lang, word) — the
     // oracle spells the per-group frequent-token query directly

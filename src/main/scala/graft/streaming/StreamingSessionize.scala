@@ -423,6 +423,25 @@ object StreamingSessionize {
       runToCompletion(s, dir, streamLmScore(s, dir), outputMode = "complete",
         sinkName = "x16", sourceGlob = "documents.parquet",
         sourceSchema = docSchema)
+    },
+
+    // d12's decontamination check as the ONLINE admission probe — the gate
+    // that runs where contamination actually enters: at ingest, before a
+    // scraped doc reaches the training corpus. The benchmark shingle-hash
+    // index is built batch-side from the static held-out docs (tiny —
+    // BROADCAST into every microbatch, never re-aggregated), each arriving
+    // doc explodes to its distinct shingle hashes (the factored
+    // Dedup.hashSetsOf — x17 and d12 share one spelling, so the streamed
+    // verdicts merge to exactly the batch rows), and the only stateful
+    // operator is the per-doc hit-count aggregate (complete mode, one row
+    // per scored doc; a doc's shingles arrive inside its own row, so
+    // per-doc state is two longs). At 100 TB-stream: benchmark indexes are
+    // |benchmarks|-bounded (always broadcastable); per-batch cost is the
+    // batch's own shingle pass.
+    "x17_stream_decontam" -> { (s, dir) =>
+      runToCompletion(s, dir, streamDecontam(s, dir), outputMode = "complete",
+        sinkName = "x17", sourceGlob = "documents.parquet",
+        sourceSchema = docSchema)
     }
   )
 
@@ -432,6 +451,17 @@ object StreamingSessionize {
       s: SparkSession, indexDir: String): DataFrame => DataFrame = {
     val (model, prefix) = graft.operators.TextOps.lmModel(s, indexDir)
     stream => graft.operators.TextOps.lmScoreProbe(stream, model, prefix)
+  }
+
+  /** x17's transform: the static benchmark index built once batch-side
+    * (checkpointed), the per-batch probe d12's, verbatim
+    * (Dedup.contaminationCounts over Dedup.hashSetsOf). */
+  private[graft] def streamDecontam(
+      s: SparkSession, indexDir: String): DataFrame => DataFrame = {
+    import graft.operators.Dedup
+    val bench = Dedup.benchIndex(s, indexDir).localCheckpoint()
+    stream => Dedup.contaminationCounts(
+      Dedup.hashSetsOf(stream.filter(col("doc_id") >= 10)), bench)
   }
 
   /** x15's transform: batch-learned weights (checkpointed — the stream must
@@ -532,6 +562,19 @@ object StreamingSessionize {
       |   OR end_ms + 1800000 < (SELECT max(ms) - 3600000 FROM e)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d12's oracle verbatim — the streamed state must merge to exactly the
+    // batch verdicts (shared probe spelling makes it so by construction)
+    "x17_stream_decontam" ->
+      s"""WITH ${graft.operators.Dedup.hashSetSqlCte},
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 10),
+         |corpus AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 10)
+         |SELECT c.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS ratio
+         |FROM corpus c LEFT JOIN bench b ON c.h = b.h
+         |GROUP BY c.doc_id""".stripMargin,
+
     "x1_stream_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events

@@ -47,6 +47,19 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 1.0, s"closed_frac: $r")
   }
 
+  test("g10 RA weights credit common neighbors by 1/degree, exactly") {
+    // K4 pairs are all adjacent (anti-joined away); each star leaf pair's
+    // only common neighbor is the hub (d=6), so all C(6,2)=15 pairs score
+    // exactly 1000000 div 6 = 166666 ppm with cn=1
+    val rows = Graph.defs("g10_resource_allocation")(spark, dir).collect()
+    assert(rows.length == 15, s"expected 15 leaf pairs, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(2) == 1L), "cn must be 1 everywhere")
+    assert(rows.forall(r => r.getLong(3) == 166666L),
+      s"ra_ppm must be 1000000 div 6: ${rows.mkString(";")}")
+    // total order: (ra_ppm desc, a, b) — first row is the smallest leaf pair
+    assert(rows.head.getLong(0) == 20L && rows.head.getLong(1) == 21L)
+  }
+
   test("g1's star wedges vanish under orientation even when the hub dominates") {
     // a pure star (no K4): any wedge would mean the hub enumerated two
     // neighbors — orientation must make the count zero, not O(deg²)

@@ -495,4 +495,105 @@ class OperatorSpec extends AnyFunSuite {
     assert(days.exists(d => got(d.toString) > daily(d.toString)),
       "trailing window never exceeded the single-day count — fixture too degenerate")
   }
+
+  private val docsSchemaFx = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val d = Files.createTempDirectory("graft-docs-fx").toString
+    val rr = rows.map { case (id, t, src) => Row(id, t, "en", src, t.length.toLong) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rr, 2), docsSchemaFx)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("w12 TV distance hand-computes on a two-source corpus (1/3 each)") {
+    // src A tokens {a,a,b}, src B {b,c,c}: p_A=(2/3,1/3,0), p=(1/3,1/3,1/3)
+    // → TV = ½(1/3 + 0 + 1/3) = 1/3 for both sources, absent-token mass
+    // exercised on both sides (A lacks c, B lacks a)
+    val d = writeDocs(Seq((1L, "a a b", "A"), (2L, "b c c", "B")))
+    val got = TextOps.defs("w12_source_divergence")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("A" -> ((3L, 12.0 / 36.0)), "B" -> ((3L, 12.0 / 36.0))),
+      s"got $got")
+  }
+
+  test("q50 orphan audit counts each planted violation exactly once") {
+    val d = Files.createTempDirectory("graft-ri-fx").toString
+    def w(name: String, schema: StructType, rows: Seq[Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("overwrite").parquet(s"$d/$name.parquet")
+    def s1(n: String) = StructType(Seq(StructField(n, LongType)))
+    def s2(a: String, b: String) =
+      StructType(Seq(StructField(a, LongType), StructField(b, LongType)))
+    def s3(a: String, b: String, c: String) = StructType(Seq(
+      StructField(a, LongType), StructField(b, LongType), StructField(c, LongType)))
+    w("region", s1("r_regionkey"), Seq(Row(0L)))
+    w("nation", s2("n_nationkey", "n_regionkey"), Seq(Row(0L, 0L), Row(1L, 5L)))
+    w("customer", s2("c_custkey", "c_nationkey"), Seq(Row(10L, 0L), Row(11L, 9L)))
+    w("supplier", s1("s_suppkey"), Seq(Row(20L)))
+    w("part", s1("p_partkey"), Seq(Row(30L)))
+    w("orders", s2("o_orderkey", "o_custkey"),
+      Seq(Row(100L, 10L), Row(101L, 10L), Row(102L, 99L)))
+    w("lineitem", s3("l_orderkey", "l_partkey", "l_suppkey"),
+      Seq(Row(100L, 30L, 20L), Row(103L, 30L, 20L)))
+    val got = Relational.defs("q50_orphan_audit")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "lineitem_orphan_order" -> 1L, "lineitem_orphan_part" -> 0L,
+      "lineitem_orphan_supplier" -> 0L, "orders_orphan_customer" -> 1L,
+      "orders_childless" -> 2L, "customer_orphan_nation" -> 1L,
+      "nation_orphan_region" -> 1L), s"got $got")
+  }
+
+  test("m9 frame overlap finds the contained clip and drops the boilerplate flood") {
+    val f1 = "x" * 32; val f2 = "y" * 32; val f3 = "z" * 32; val f4 = "w" * 32
+    val b1 = "b" * 32; val b2 = "c" * 32
+    val flood = (100L until 171L).map(i => (i, b1 + b2, "s")) // df=71 > 64: dropped
+    val d = writeDocs(Seq(
+      (1L, f1 + f2, "s"),             // the clip: frames F1 F2
+      (2L, f1 + f2 + f3 + f4, "s"),   // the full item containing it
+      (3L, "q" * 32, "s")) ++ flood)
+    val got = graft.operators.Multimodal.defs("m9_frame_overlap")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 2L, 4L, 1.0)),
+      s"expected exactly the contained clip at containment 1.0; got ${got.mkString(";")}")
+  }
+
+  test("s20 farthest-first seeding picks orthogonal axes and never a duplicate") {
+    val d = Files.createTempDirectory("graft-s20-fx").toString
+    def vec(i: Int): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f; a.toSeq
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val rows = Seq(Row(0L, vec(0), 0), Row(1L, vec(1), 0), Row(2L, vec(2), 0),
+      Row(3L, vec(3), 0), Row(4L, vec(0), 0)) // 4 duplicates seed 0
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.defs("s20_kcenter_seed")(spark, d).collect()
+      .sortBy(_.getLong(0))
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L),
+      s"seed ids: ${got.mkString(";")}") // the vec 0 duplicate (ms=1.0) loses
+    assert(got.head.isNullAt(2), "first seed has no max_sim")
+    assert(got.tail.forall(_.getDouble(2) == 0.0),
+      "orthogonal picks must report max_sim 0.0")
+  }
+
+  test("d24 bloom admission verdicts are exact, with whitespace-normalized fps") {
+    val d = writeDocs(Seq(
+      (1L, "hello world today", "s"), (2L, "another one", "s"),
+      (3L, "something else", "s"),
+      (7L, "HELLO  world   today", "s"),  // dup of 1 after normalization
+      (17L, "unique novel content", "s"), // novel
+      (27L, "another one", "s")))         // exact dup of 2
+    val got = Dedup.defs("d24_bloom_dedup")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(7L -> true, 17L -> false, 27L -> true), s"got $got")
+  }
 }

@@ -235,6 +235,38 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed scores (${multi.size}) must equal batch t17 (${batch.size})")
   }
 
+  test("x17 streamed contamination verdicts over 3 slices equal batch d12") {
+    // the benchmark index is static (built from `dir`); each doc's shingles
+    // arrive inside its own row, so slicing the arrivals must merge to the
+    // batch verdict set exactly (shared hashSetsOf/contaminationCounts
+    // spelling — parity by construction, pinned here end-to-end)
+    val d = java.nio.file.Files.createTempDirectory("graft-x17-mb").toFile
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val ids = raw.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    for (i <- 0 until 3) {
+      val sd = new java.io.File(d, s"slice$i")
+      val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+      val hi = if (i == 2) Long.MaxValue else cuts(i)
+      raw.filter(raw("doc_id") >= lo && raw("doc_id") < hi)
+        .coalesce(1).write.parquet(sd.getAbsolutePath)
+      val part = sd.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(d, s"documents$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val multi = StreamingSessionize.runToCompletion(spark, d.getAbsolutePath,
+        StreamingSessionize.streamDecontam(spark, dir), "complete", "x17-multibatch",
+        Map("maxFilesPerTrigger" -> "1"), "documents*.parquet",
+        StreamingSessionize.docSchema)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.operators.Dedup.defs("d12_contamination")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(multi == batch,
+      s"streamed verdicts (${multi.size}) must equal batch d12 (${batch.size})")
+    assert(multi.nonEmpty)
+  }
+
   test("x13 full-outer join = x8's click side plus watermark-evicted unmatched views") {
     // the click-side rows (matched + null-extended clicks) must be exactly
     // x8's output — same join, same eviction rule; the only new rows are
