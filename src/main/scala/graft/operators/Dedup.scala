@@ -242,6 +242,54 @@ object Dedup {
     hashSetsOf(docs(s, dir).filter(col("doc_id") < 10))
       .select(explode(col("hs")).as("h")).distinct()
 
+  /** d24's bloom geometry: 64 Kbit bitset, k=3 double-hashed probes. The
+    * bloom hash is xxhash64 — it never reaches a result (the residual join
+    * erases FPs), so it takes the fastest codegen'd path (q37's argument);
+    * the fingerprint itself stays the oracle-shared md5 spelling. */
+  private val bloomBits = 1 << 16
+  private val bloomK = 3
+
+  /** The corpus fingerprint set folded into ONE mergeable bitset row. */
+  private[graft] def bloomBitset(corpus: DataFrame): DataFrame = {
+    val bloomAgg = udaf(new graft.functions.BloomAgg(bloomBits, bloomK))
+    corpus.select(xxhash64(col("fp")).as("pk")).agg(bloomAgg(col("pk")).as("bf"))
+  }
+
+  /** d24's verdict pipeline over a (doc_id, fp) batch, factored so x18
+    * replays it per microbatch: the single-row bitset broadcasts into the
+    * batch, k probes split the batch into a possibly-dup branch (which
+    * alone joins the corpus fp set — the exact residual that erases FPs)
+    * and a definitely-novel branch (verdict false with NO join) — a
+    * stream-legal spelling too, since both branches are stateless and the
+    * union replaces the batch-side verdict join-back. */
+  private[graft] def bloomVerdicts(batch: DataFrame, bloom: DataFrame,
+      corpusFp: DataFrame): DataFrame = {
+    val probeCond = (0 until bloomK).map { i =>
+      expr(s"""(shiftright(element_at(bf,
+               |    CAST(((ph1 + $i * ph2) % $bloomBits) div 64 AS INT) + 1),
+               |  CAST(((ph1 + $i * ph2) % $bloomBits) % 64 AS INT)) & 1) = 1"""
+        .stripMargin)
+    }.reduce(_ && _)
+    // the single-row attach is an equi-join on a constant key, not a
+    // crossJoin: same broadcast plan batch-side, and the spelling a
+    // stream-static join accepts (x18 runs this per microbatch)
+    val probed = batch.withColumn("_k", lit(1))
+      .join(broadcast(bloom.withColumn("_k", lit(1))), "_k").drop("_k")
+      .withColumn("ph1", shiftrightunsigned(xxhash64(col("fp")), 32))
+      .withColumn("ph2", xxhash64(col("fp")).bitwiseAND(lit(0xffffffffL)))
+    val pos = probed.filter(probeCond)
+      .join(corpusFp.withColumn("hit", lit(1)), Seq("fp"), "left")
+      .select(col("doc_id"), col("hit").isNotNull.as("exact_dup"))
+    val neg = probed.filter(!probeCond)
+      .select(col("doc_id"), lit(false).as("exact_dup"))
+    pos.unionAll(neg)
+  }
+
+  /** The (doc_id, fp) fingerprint projection over any documents-schema
+    * frame — shared by d24 and x18's streaming twin. */
+  private[graft] def fpOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), fpCol.as("fp"))
+
   /** d12's per-doc contamination probe against a (broadcast) benchmark
     * index, factored for the x17 streaming twin: count of benchmark-hit
     * shingle hashes per doc over the exploded hash sets. */
@@ -685,32 +733,33 @@ object Dedup {
     // path, q37's argument); the fingerprint itself stays the oracle-shared
     // md5 spelling.
     "d24_bloom_dedup" -> { (s, dir) =>
-      val bits = 1 << 16
-      val k = 3
-      val bloomAgg = udaf(new graft.functions.BloomAgg(bits, k))
-      val d = docs(s, dir).select(col("doc_id"), fpCol.as("fp"))
-      // two consumers (bitset build + residual join) of one corpus scan
+      val d = fpOf(docs(s, dir))
+      // two consumers each (bitset build + residual join; probe branches)
+      // of one corpus / one batch scan
       val corpus = d.filter(col("doc_id") % 10 =!= 7).localCheckpoint()
-      val batch = d.filter(col("doc_id") % 10 === 7)
-      val bloom = corpus
-        .select(xxhash64(col("fp")).as("pk"))
-        .agg(bloomAgg(col("pk")).as("bf"))
-      val probeCond = (0 until k).map { i =>
-        expr(s"""(shiftright(element_at(bf,
-                 |    CAST(((ph1 + $i * ph2) % $bits) div 64 AS INT) + 1),
-                 |  CAST(((ph1 + $i * ph2) % $bits) % 64 AS INT)) & 1) = 1"""
-          .stripMargin)
-      }.reduce(_ && _)
-      val hits = batch.crossJoin(broadcast(bloom))
-        .withColumn("ph1", shiftrightunsigned(xxhash64(col("fp")), 32))
-        .withColumn("ph2", xxhash64(col("fp")).bitwiseAND(lit(0xffffffffL)))
-        .filter(probeCond)
-        .join(corpus.select("fp").distinct(), Seq("fp"), "left_semi")
-        .select(col("doc_id"), lit(true).as("hit"))
-      batch.select("doc_id")
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("hit"), lit(false)).as("exact_dup"))
+      val batch = d.filter(col("doc_id") % 10 === 7).localCheckpoint()
+      bloomVerdicts(batch,
+        bloomBitset(corpus), corpus.select("fp").distinct())
+    },
+
+    // Soft dedup — duplicate-aware DOWN-WEIGHTING instead of dropping:
+    // every doc survives, carrying its exact-dup multiplicity and the
+    // 1/multiplicity sampling weight (integer ppm — one floor both
+    // engines spell identically), so a doc duplicated 40× contributes the
+    // same expected training mass as a unique one. The alternative d8's
+    // hard dedup can't express: hard dropping loses the (often useful)
+    // signal that popular boilerplate existed at all, and upweighting
+    // survivors is impossible once the copies are gone — soft weights
+    // keep the corpus intact and push the choice to the sampler (compose
+    // with t16's manifest executor to materialize it). One fingerprint
+    // window over the (doc_id, fp) projection — the shuffle carries two
+    // columns, never text; the near-dup analogue falls out of d11's
+    // cluster sizes the same way.
+    "d25_soft_dedup" -> { (s, dir) =>
+      val w = Window.partitionBy("fp")
+      fpOf(docs(s, dir))
+        .withColumn("n_copies", count(lit(1)).over(w).cast(LongType))
+        .withColumn("weight_ppm", expr("1000000 div n_copies"))
     },
 
     // Near-dup CLUSTERS — connected components over the verified near-dup
@@ -1253,6 +1302,16 @@ object Dedup {
         |SELECT b.doc_id, (c.fp IS NOT NULL) AS exact_dup
         |FROM d b LEFT JOIN c ON b.fp = c.fp
         |WHERE b.doc_id % 10 = 7""".stripMargin,
+
+    "d25_soft_dedup" ->
+      """SELECT doc_id, fp, CAST(n_copies AS BIGINT) AS n_copies,
+        |  1000000 // n_copies AS weight_ppm
+        |FROM (SELECT doc_id,
+        |        md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp,
+        |        count(*) OVER (PARTITION BY
+        |          md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))))
+        |        ) AS n_copies
+        |      FROM documents) t""".stripMargin,
 
     "d11_neardup_clusters" ->
       s"""WITH RECURSIVE $sigSqlCte,

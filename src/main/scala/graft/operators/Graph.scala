@@ -47,6 +47,20 @@ object Graph {
       .select("a", "b")
       .localCheckpoint()
 
+  /** Weighted co-order edge list: (a, b, c) with c = co-order count
+    * (support ≥ 2 kept as the weight g11 splits rank flow by). Same
+    * single-shuffle in-row pair expansion as [[coOrderEdges]]. */
+  private[graft] def coOrderEdgesW(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set("pk").as("ps"))
+      .select(explode(expr(
+        "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .localCheckpoint()
+
   /** Degree table of an (a, b) edge list. */
   private[graft] def degrees(e: DataFrame): DataFrame =
     e.select(col("a").as("v"))
@@ -108,6 +122,43 @@ object Graph {
           .select(col("v").as("src"), expr("pr div d").as("c"))
         r = de.join(rc, "src")
           .groupBy(col("dst").as("v")).agg(sum(col("c")).as("sc"))
+          .join(broadcast(n))
+          .select(col("v"), expr(
+            s"CAST((15 * ($S div n)) div 100 + (85 * sc) div 100 AS BIGINT)")
+            .as("pr"))
+      }
+      r
+    },
+
+    // Weighted damped PageRank — g2 on the weighted co-order graph, the
+    // realistic regime (edges carry co-order counts, and a pair ordered
+    // together 30× should pull 30× the rank flow of a pair at the support
+    // floor). Each vertex splits its rank proportionally to edge weight:
+    // contribution over edge (u→v) = (pr_u · c_uv) div wdeg_u, with
+    // wdeg_u = Σ c over u's edges — still integer-exact (floors agree in
+    // both engines; max product ~pr·c ≪ 2^63), so three unrolled rounds
+    // hash-gate like g2's. Note the floor now LOSES up to wdeg_u − 1
+    // units per vertex per round (g2 loses deg_u − 1), conserved ranks up
+    // to floors pinned the same way. Plan per iteration is g2's exactly:
+    // vertex-sized rank⋈wdeg equi-join → edge-linear weighted-edge⋈
+    // contribution equi-join → partial+final agg on the destination.
+    "g11_weighted_pagerank" -> { (s, dir) =>
+      val S = 1000000000000L
+      val e = coOrderEdgesW(t(s, dir, "lineitem"))
+      val de = e.select(col("a").as("src"), col("b").as("dst"), col("c"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("c")))
+      val wdeg = de.groupBy(col("src").as("v"))
+        .agg(sum("c").cast("long").as("wd"))
+        .localCheckpoint() // 4 consumers: n + 3 iterations
+      val n = wdeg.agg(count(lit(1)).as("n"))
+      var r = wdeg.join(broadcast(n))
+        .select(col("v"), expr(s"CAST($S div n AS BIGINT)").as("pr"))
+      for (_ <- 1 to 3) {
+        val rc = r.join(wdeg, "v")
+          .select(col("v").as("src"), col("pr"), col("wd"))
+        r = de.join(rc, "src")
+          .select(col("dst"), expr("(pr * c) div wd").as("ct"))
+          .groupBy(col("dst").as("v")).agg(sum(col("ct")).as("sc"))
           .join(broadcast(n))
           .select(col("v"), expr(
             s"CAST((15 * ($S div n)) div 100 + (85 * sc) div 100 AS BIGINT)")
@@ -415,6 +466,18 @@ object Graph {
        |          CAST((15 * (1000000000000 // n.n)) // 100 + (85 * sc) // 100 AS BIGINT) AS pr
        |        FROM s$i, n)""".stripMargin
 
+  /** One WEIGHTED integer PageRank step (g11): contributions split
+    * proportionally to edge weight, floor-divided by the weighted degree —
+    * operand-for-operand the Spark side. */
+  private def wprStepSql(i: Int): String =
+    s"""s$i AS (SELECT de.dst AS v, CAST(sum((r${i - 1}.pr * de.c) // wdeg.wd) AS BIGINT) AS sc
+       |        FROM de JOIN r${i - 1} ON de.src = r${i - 1}.v
+       |                JOIN wdeg ON de.src = wdeg.v
+       |        GROUP BY de.dst),
+       |r$i AS (SELECT s$i.v,
+       |          CAST((15 * (1000000000000 // n.n)) // 100 + (85 * sc) // 100 AS BIGINT) AS pr
+       |        FROM s$i, n)""".stripMargin
+
   /** One peeling round as SQL CTEs: k<i> is the surviving vertex set of
     * round i (degree >= 3 in u<i-1>), u<i> the edges both of whose
     * endpoints survive — operand-for-operand the Spark round. */
@@ -466,6 +529,23 @@ object Graph {
         |       CASE WHEN (SELECT count(*) FROM wedge) = 0 THEN 0.0
         |            ELSE CAST((SELECT count(*) FROM closed) AS DOUBLE)
         |                   / (SELECT count(*) FROM wedge) END AS closed_frac""".stripMargin,
+
+    // the weighted graph keeps its co-order counts; same damping, same
+    // floors, contributions split by (pr · c) // wdeg
+    "g11_weighted_pagerank" ->
+      s"""WITH $graphSql,
+        |ew AS (SELECT a, b, count(*) AS c FROM pairs GROUP BY a, b
+        |       HAVING count(*) >= 2),
+        |de AS (SELECT a AS src, b AS dst, c FROM ew
+        |       UNION ALL SELECT b AS src, a AS dst, c FROM ew),
+        |wdeg AS (SELECT src AS v, CAST(sum(c) AS BIGINT) AS wd
+        |         FROM de GROUP BY src),
+        |n AS (SELECT count(*) AS n FROM wdeg),
+        |r0 AS (SELECT v, CAST(1000000000000 // n.n AS BIGINT) AS pr FROM wdeg, n),
+        |${wprStepSql(1)},
+        |${wprStepSql(2)},
+        |${wprStepSql(3)}
+        |SELECT v, pr FROM r3""".stripMargin,
 
     // same graph; the three unrolled integer steps — arithmetic spelled
     // operand-for-operand like the Spark side so every floor agrees

@@ -373,6 +373,36 @@ object Similarity {
         .select("query_id", "neighbor_id", "rnk", "sim")
     },
 
+    // Range search — the OTHER retrieval mode next to top-k (s5): all
+    // corpus vectors within a similarity radius (sim ≥ 0.3) of each query,
+    // rolled up per query (match count + best sim; a query with an empty
+    // ball still reports, via the left join against the query set). Radius
+    // queries are what dedup-ish retrieval actually wants — "everything
+    // this similar", not "the 5 nearest whatever their distance" — and
+    // k-bounded windows can't express them. Same IVF pruning as s5
+    // (broadcast codebook, nprobe=2 probed lists, exact dots only within
+    // probed lists), so the scan shrinks identically; the rollup is a
+    // per-query partial+final agg (count + max, both order-free) instead
+    // of a rank window — nothing result-sized is ever sorted. Recall
+    // caveat inherited from IVF: a ball member in an unprobed list is
+    // missed (s7 measures that loss for the same probes).
+    "s21_range_search" -> { (s, dir) =>
+      val n = normalized(s, dir)
+      val cent = coarseCentroids(n)
+      val cand = coarseAssign(n, cent)
+        .join(broadcast(coarseProbes(n, cent, nprobe = 2)), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          dot(col("qu"), col("u")).as("sim"))
+        .filter(col("sim") >= 0.3)
+      val qs = n.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"))
+      qs.join(cand.groupBy("query_id")
+          .agg(count(lit(1)).as("n_matches"), max("sim").as("max_sim")),
+        Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"), col("max_sim"))
+    },
+
     // Embedding near-dup: label-blocked pair cosine above threshold — the
     // blocking key keeps the pair join off the cartesian path. Vectors are
     // unit-normalized BEFORE the join (O(N) norms instead of O(pairs)), so
@@ -828,6 +858,36 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p) r
          |WHERE rnk <= 5""".stripMargin
+    },
+
+    // s5's normalize/seed/assign/probe CTEs with the rank window replaced
+    // by the radius filter + per-query rollup
+    "s21_range_search" -> {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |cent AS (SELECT vec_id - 100 AS cid, u AS cu FROM n WHERE vec_id BETWEEN 100 AND 107),
+         |asg AS (SELECT vec_id, u, cid FROM (
+         |    SELECT n.vec_id, n.u, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent) t WHERE crk = 1),
+         |probes AS (SELECT query_id, qu, cid FROM (
+         |    SELECT n.vec_id AS query_id, n.u AS qu, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent WHERE n.vec_id < 5) t WHERE crk <= 2),
+         |p AS (SELECT query_id, asg.vec_id AS neighbor_id, ${d("qu", "asg.u")} AS sim
+         |      FROM asg JOIN probes ON asg.cid = probes.cid
+         |      WHERE asg.vec_id <> probes.query_id),
+         |agg AS (SELECT query_id, count(*) AS n_matches, max(sim) AS max_sim
+         |        FROM p WHERE sim >= 0.3 GROUP BY query_id)
+         |SELECT q.query_id, CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches, max_sim
+         |FROM (SELECT DISTINCT query_id FROM probes) q LEFT JOIN agg USING (query_id)"""
+        .stripMargin
     },
 
     "s3_embed_neardup" -> {

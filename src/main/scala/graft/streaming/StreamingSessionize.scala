@@ -442,6 +442,23 @@ object StreamingSessionize {
       runToCompletion(s, dir, streamDecontam(s, dir), outputMode = "complete",
         sinkName = "x17", sourceGlob = "documents.parquet",
         sourceSchema = docSchema)
+    },
+
+    // d24's bloom admission as the online gate it's designed to be — and
+    // the pack's ZERO-state streaming dedup: the corpus bitset and fp set
+    // are built batch-side (checkpointed), each microbatch's fingerprints
+    // probe the broadcast bitset, and only possibly-dup rows take the
+    // stream-static residual equi-join (the definitely-novel branch skips
+    // every join — at a real ingest rate that is almost all of the
+    // stream). Verdicts are per-row pure functions of (fp, static state),
+    // so arrival slicing can't change them (append mode, no watermark, no
+    // state store — x15's determinism-by-construction argument with a
+    // JOIN in the pipeline). The factored Dedup.bloomVerdicts is shared
+    // with batch d24 — one spelling, replay-pinned.
+    "x18_stream_bloom_admission" -> { (s, dir) =>
+      runToCompletion(s, dir, streamBloomAdmission(s, dir), outputMode = "append",
+        sinkName = "x18", sourceGlob = "documents.parquet",
+        sourceSchema = docSchema)
     }
   )
 
@@ -462,6 +479,22 @@ object StreamingSessionize {
     val bench = Dedup.benchIndex(s, indexDir).localCheckpoint()
     stream => Dedup.contaminationCounts(
       Dedup.hashSetsOf(stream.filter(col("doc_id") >= 10)), bench)
+  }
+
+  /** x18's transform: the corpus bitset + fp set built once batch-side
+    * (checkpointed), the per-batch verdict pipeline d24's, verbatim
+    * (Dedup.bloomVerdicts over Dedup.fpOf). */
+  private[graft] def streamBloomAdmission(
+      s: SparkSession, indexDir: String): DataFrame => DataFrame = {
+    import graft.operators.Dedup
+    val corpus = Dedup.fpOf(
+        graft.sources.Tables.load(s, indexDir, "documents")
+          .filter(col("doc_id") % 10 =!= 7))
+      .localCheckpoint()
+    val bloom = Dedup.bloomBitset(corpus).localCheckpoint()
+    val corpusFp = corpus.select("fp").distinct().localCheckpoint()
+    stream => Dedup.bloomVerdicts(
+      Dedup.fpOf(stream.filter(col("doc_id") % 10 === 7)), bloom, corpusFp)
   }
 
   /** x15's transform: batch-learned weights (checkpointed — the stream must
@@ -562,6 +595,18 @@ object StreamingSessionize {
       |   OR end_ms + 1800000 < (SELECT max(ms) - 3600000 FROM e)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d24's oracle verbatim — per-row verdicts are pure functions of the
+    // static corpus state, so the streamed rows ARE the batch rows
+    "x18_stream_bloom_admission" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |c AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 <> 7)
+        |SELECT b.doc_id, (c.fp IS NOT NULL) AS exact_dup
+        |FROM d b LEFT JOIN c ON b.fp = c.fp
+        |WHERE b.doc_id % 10 = 7""".stripMargin,
+
     // d12's oracle verbatim — the streamed state must merge to exactly the
     // batch verdicts (shared probe spelling makes it so by construction)
     "x17_stream_decontam" ->

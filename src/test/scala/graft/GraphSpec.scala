@@ -193,6 +193,58 @@ class GraphSpec extends AnyFunSuite {
     r
   }
 
+  /** g11's arithmetic, sequentially: contributions split by edge weight,
+    * every division floored. */
+  private def seqWeightedPageRank(edges: Seq[(Long, Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val S = 1000000000000L
+    val dirE = edges.flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+    val out = dirE.groupBy(_._1)
+    val wdeg = out.map { case (v, es) => v -> es.map(_._3).sum }
+    val n = wdeg.size.toLong
+    var r = wdeg.map { case (v, _) => v -> S / n }
+    for (_ <- 1 to iters) {
+      val in = dirE.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, c) => (r(u) * c) / wdeg(u) }.sum
+      }
+      r = wdeg.map { case (v, _) =>
+        v -> ((15L * (S / n)) / 100L + (85L * in(v)) / 100L)
+      }
+    }
+    r
+  }
+
+  test("g11 weighted pagerank: sequential parity on weighted; == g2 on equal weights") {
+    // weighted graph: ~40 vertices, random edges with co-order counts 2-6
+    // (the fixture materializes weight w as w orders holding the pair)
+    val rnd = new scala.util.Random(11)
+    val wedges = (1 to 80).map { _ =>
+      val a = rnd.nextInt(40) + 1L; val b = rnd.nextInt(40) + 1L
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+      .map { case (a, b) => (a, b, (rnd.nextInt(5) + 2).toLong) }
+    val d = Files.createTempDirectory("graft-wpr").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    val rows = wedges.zipWithIndex.flatMap { case ((a, b, w), i) =>
+      (0L until w).flatMap(j =>
+        Seq(Row(9000000L + 10 * i + j, a), Row(9000000L + 10 * i + j, b)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 5), schema)
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Graph.defs("g11_weighted_pagerank")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = seqWeightedPageRank(wedges, 3)
+    assert(got == want, s"weighted mismatch: ${(got.toSet diff want.toSet).take(5)}")
+    // equal weights (every edge c=2): floor(2p/2d) = floor(p/d), so the
+    // weighted walk must reproduce g2 exactly on the standard fixture
+    val g2r = Graph.defs("g2_pagerank")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g11r = Graph.defs("g11_weighted_pagerank")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g11r == g2r, "on an equal-weight graph g11 must equal g2")
+  }
+
   test("g2 matches a sequential integer reference long-for-long on a random graph") {
     val rnd = new scala.util.Random(7)
     // ~60 vertices, ~150 random edges, self-loop-free and distinct

@@ -585,6 +585,39 @@ class OperatorSpec extends AnyFunSuite {
       "orthogonal picks must report max_sim 0.0")
   }
 
+  test("d25 soft-dedup weights are exactly 1e6 div multiplicity, corpus intact") {
+    // docTexts fixture: docs 1/2 are exact dups (multiplicity 2), the rest
+    // unique — every doc must survive with its group's weight
+    val got = Dedup.defs("d25_soft_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), s"every doc survives: $got")
+    assert(got(1L) == ((2L, 500000L)) && got(2L) == ((2L, 500000L)), s"$got")
+    Seq(3L, 4L, 5L, 6L).foreach(id => assert(got(id) == ((1L, 1000000L)), s"$got"))
+  }
+
+  test("s21 range rollup is consistent with s5's ranking over the same candidates") {
+    val dir001 = "/root/testdata/sf0.001"
+    val s5 = Similarity.defs("s5_ann_ivf")(spark, dir001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val range = Similarity.defs("s21_range_search")(spark, dir001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(range.size == 5)
+    range.foreach { case (q, (nMatches, maxSim)) =>
+      val top = s5.filter(_._1 == q).sortBy(_._2)
+      val topAbove = top.count(_._3 >= 0.3)
+      // matches are exactly the sims >= threshold over the SAME candidate
+      // set, so the top-5's above-threshold count must agree (capped at 5)
+      if (nMatches <= 5) assert(topAbove == nMatches, s"q=$q: $topAbove vs $nMatches")
+      else assert(topAbove == 5, s"q=$q")
+      maxSim.foreach { ms =>
+        assert(top.nonEmpty && ms == top.head._3,
+          s"q=$q max_sim must equal the rank-1 sim: $ms vs ${top.headOption}")
+      }
+      if (maxSim.isEmpty) assert(topAbove == 0, s"q=$q")
+    }
+  }
+
   test("d24 bloom admission verdicts are exact, with whitespace-normalized fps") {
     val d = writeDocs(Seq(
       (1L, "hello world today", "s"), (2L, "another one", "s"),

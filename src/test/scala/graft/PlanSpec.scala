@@ -254,6 +254,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("m9's df cap, pair join, and frame counts all read one checkpointed frame pass") {
+    val p = plan(Multimodal.defs("m9_frame_overlap")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"three consumers must read the frame checkpoint, not re-explode payloads:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate pairs must come from the frame-fingerprint equi-join:\n$p")
+  }
+
+  test("w12's marginals and join-back all fold one checkpointed count table") {
+    val p = plan(TextOps.defs("w12_source_divergence")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"every branch must read the (source, token) checkpoint, not re-tokenize:\n$p")
+    // the only nested loop is the 1-row global-total broadcast (by design)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d24's bloom probe filters below the residual join; both scans checkpointed") {
+    val p = plan(Dedup.defs("d24_bloom_dedup")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"bitset + residual and probe + verdict must read the two checkpoints:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the bitset must build through the mergeable BloomAgg:\n$p")
+    // the probe's bit-test must be a Filter, not a join condition: it prunes
+    // BEFORE any shuffle toward the residual join
+    assert("Filter.*shiftright".r.findFirstIn(p.replaceAll("\n", " ")).isDefined
+      || p.contains("shiftright"), s"probe bit-test missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q50's audit joins are key-only: every scan reads at most two columns") {
+    val p = plan(Relational.defs("q50_orphan_audit")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach(l => assert(l.split(",").length <= 2,
+      s"audit scan reads more than its key column(s): $l"))
+  }
+
+  test("s20's seeding rounds read the normalized checkpoint, never parquet") {
+    val p = plan(Similarity.defs("s20_kcenter_seed")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).isEmpty,
+      s"every round's probe scan must read the checkpointed projection:\n$p")
+    // the <= k-row chosen-set broadcast cross is the intended plan; a
+    // CartesianProduct (non-broadcast) would mean the hint was lost
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q39 executes as a recursive UnionLoop and terminates at the digit-tree depth") {
     val df = Relational.defs("q39_recursive_cte")(spark, dir)
     assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),

@@ -267,6 +267,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
   }
 
+  test("x18 streamed bloom verdicts over 3 slices equal batch d24 (zero state)") {
+    // per-row verdicts are pure functions of (fp, static corpus state) —
+    // arrival slicing must change nothing, with no state store involved
+    val d = java.nio.file.Files.createTempDirectory("graft-x18-mb").toFile
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val ids = raw.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    for (i <- 0 until 3) {
+      val sd = new java.io.File(d, s"slice$i")
+      val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+      val hi = if (i == 2) Long.MaxValue else cuts(i)
+      raw.filter(raw("doc_id") >= lo && raw("doc_id") < hi)
+        .coalesce(1).write.parquet(sd.getAbsolutePath)
+      val part = sd.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(d, s"documents$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val multi = StreamingSessionize.runToCompletion(spark, d.getAbsolutePath,
+        StreamingSessionize.streamBloomAdmission(spark, dir), "append", "x18-multibatch",
+        Map("maxFilesPerTrigger" -> "1"), "documents*.parquet",
+        StreamingSessionize.docSchema)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = graft.operators.Dedup.defs("d24_bloom_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(multi == batch,
+      s"streamed verdicts (${multi.size}) must equal batch d24 (${batch.size})")
+    assert(multi.nonEmpty)
+  }
+
   test("x13 full-outer join = x8's click side plus watermark-evicted unmatched views") {
     // the click-side rows (matched + null-extended clicks) must be exactly
     // x8's output — same join, same eviction rule; the only new rows are
