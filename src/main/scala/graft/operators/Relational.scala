@@ -617,6 +617,65 @@ object Relational {
           min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
     },
 
+    // KMV sketch SET ALGEBRA — the reason mergeable sketches beat exact
+    // distinct at scale is not the single count (q36) but the algebra:
+    // union/intersection cardinalities between every audience pair
+    // (which event types share users?) from k-sized sketches, where the
+    // exact answer joins complete user sets per pair. Union sketch =
+    // bottom-k of the deduplicated union of the two bottom-ks (exactly
+    // the window-merge identity q49 relies on); intersection via the
+    // KMV Jaccard estimator — any union-bottom-k element belonging to A
+    // is necessarily in A's bottom-k, so membership tests run on the
+    // SKETCHES, never the corpus. Deterministic md5 ranks make every
+    // estimate itself hash-gate (q36's property), and the exact
+    // counterparts ride along so the gate verifies the estimator AND the
+    // caller sees its error. Corpus-scale work: ONE distinct collapse +
+    // one per-type sketch agg + one user-keyed pair join for the exact
+    // intersections; everything pairwise runs on |types|² sketch rows.
+    "q51_sketch_setops" -> { (s, dir) =>
+      val k = 64
+      val bottomK = udaf(new graft.functions.BottomKAgg(k))
+      val du = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"), col("user_id"),
+          graft.functions.HexPrefixToLong
+            .hex8(md5(col("user_id").cast(StringType))).as("hv"))
+        .localCheckpoint() // consumers: sketches, per-type counts, pair join
+      val sk = du.select(col("event_type"), col("hv")).distinct()
+        .groupBy("event_type").agg(bottomK(col("hv")).as("bot"))
+      val nT = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val ei = du.as("x").join(du.as("y"),
+          col("x.user_id") === col("y.user_id")
+            && col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("ei"))
+      val pairs = sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.bot").as("ba"), col("b.bot").as("bb"))
+        .withColumn("usk",
+          expr(s"slice(array_sort(array_distinct(concat(ba, bb))), 1, $k)"))
+        .withColumn("usz", size(col("usk")))
+        .withColumn("est_union",
+          when(col("usz") === k,
+            lit((k - 1).toDouble * 4294967296.0) /
+              element_at(col("usk"), k).cast(DoubleType))
+            .otherwise(col("usz").cast(DoubleType)))
+        .withColumn("cnt_both",
+          size(expr("array_intersect(array_intersect(usk, ba), bb)")))
+        .withColumn("est_inter",
+          (col("cnt_both").cast(DoubleType) / col("usz")) * col("est_union"))
+      pairs
+        .join(nT.select(col("event_type").as("type_a"), col("n").as("na")), "type_a")
+        .join(nT.select(col("event_type").as("type_b"), col("n").as("nb")), "type_b")
+        .join(ei, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          (col("na") + col("nb") - coalesce(col("ei"), lit(0L)))
+            .cast(LongType).as("exact_union"),
+          coalesce(col("ei"), lit(0L)).cast(LongType).as("exact_inter"),
+          col("est_union"), col("est_inter"))
+    },
+
     // Referential-integrity audit — the data-quality sweep a warehouse
     // runs before trusting a snapshot: for every foreign-key edge of the
     // star schema, how many child rows point at a missing parent (orphans),
@@ -1351,6 +1410,62 @@ object Relational {
          |        ${graft.functions.MortonCode.mortonSql("l_partkey", "l_suppkey")} AS zk
          |      FROM lineitem) t
          |GROUP BY 1""".stripMargin,
+
+    // the union sketch is the distinct-merge rank window; membership runs
+    // against each type's bottom-64 rows; every double op mirrors the
+    // Spark operand order
+    "q51_sketch_setops" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT DISTINCT event_type, $hexToInt AS hv
+         |      FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS m FROM d) t),
+         |rk AS (SELECT event_type, hv,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+         |       FROM h),
+         |bot AS (SELECT event_type, hv FROM rk WHERE rn <= 64),
+         |ty AS (SELECT DISTINCT event_type FROM d),
+         |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         |       FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         |ub AS (SELECT pr.type_a, pr.type_b, bot.hv
+         |       FROM pr JOIN bot ON bot.event_type IN (pr.type_a, pr.type_b)
+         |       GROUP BY 1, 2, 3),
+         |ur AS (SELECT type_a, type_b, hv,
+         |         row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+         |       FROM ub),
+         |usk AS (SELECT ur.type_a, ur.type_b, ur.hv, ur.rn,
+         |          (ia.hv IS NOT NULL AND ib.hv IS NOT NULL) AS in_both
+         |        FROM ur
+         |        LEFT JOIN bot ia ON ia.event_type = ur.type_a AND ia.hv = ur.hv
+         |        LEFT JOIN bot ib ON ib.event_type = ur.type_b AND ib.hv = ur.hv
+         |        WHERE ur.rn <= 64),
+         |um AS (SELECT type_a, type_b, count(*) AS usz,
+         |         max(CASE WHEN rn = 64 THEN hv END) AS uk,
+         |         CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS cnt_both
+         |       FROM usk GROUP BY 1, 2),
+         |est AS (SELECT type_a, type_b,
+         |          CASE WHEN usz = 64
+         |               THEN 63.0 * 4294967296.0 / CAST(uk AS DOUBLE)
+         |               ELSE CAST(usz AS DOUBLE) END AS est_union, usz, cnt_both
+         |        FROM um),
+         |na AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
+         |ei AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+         |         count(*) AS ei
+         |       FROM d x JOIN d y ON x.user_id = y.user_id
+         |                        AND x.event_type < y.event_type
+         |       GROUP BY 1, 2)
+         |SELECT est.type_a, est.type_b,
+         |  CAST(a.n + b.n - coalesce(ei.ei, 0) AS BIGINT) AS exact_union,
+         |  CAST(coalesce(ei.ei, 0) AS BIGINT) AS exact_inter,
+         |  est.est_union,
+         |  (CAST(cnt_both AS DOUBLE) / usz) * est_union AS est_inter
+         |FROM est
+         |JOIN na a ON a.event_type = est.type_a
+         |JOIN na b ON b.event_type = est.type_b
+         |LEFT JOIN ei ON ei.type_a = est.type_a AND ei.type_b = est.type_b"""
+        .stripMargin
+    },
 
     // each check spelled as NOT EXISTS — the anti-join's semantics
     "q50_orphan_audit" ->

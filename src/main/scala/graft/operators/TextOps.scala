@@ -575,6 +575,59 @@ object TextOps {
             .as("tv_distance"))
     },
 
+    // BPE merge-pair statistics — the first step of tokenizer TRAINING
+    // (the one data product every LLM pipeline derives besides the corpus
+    // itself): the most frequent adjacent character pairs, weighted by
+    // word frequency — exactly the count a byte-pair encoder maximizes to
+    // pick its first merge. The scale trick IS the plan: pair expansion
+    // runs over the VOCABULARY (one wordcount shuffle first), so a
+    // billion-token corpus pays corpus cost once in w1's aggregate and
+    // the character-level explode touches |vocab| × word-length rows —
+    // training a tokenizer never re-reads the corpus per merge. In-row
+    // overlapping pairs ("aaa" → aa, aa), exact long counts, total
+    // (count DESC, pair) top-20 order.
+    "t19_bpe_pairs" -> { (s, dir) =>
+      val wc = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      wc.filter(length(col("word")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"))
+          .as("pair"))
+        .groupBy("pair")
+        .agg(sum("cnt").cast(LongType).as("n_occurrences"),
+          count(lit(1)).as("n_contexts"))
+        .orderBy(col("n_occurrences").desc, col("pair"))
+        .limit(20)
+    },
+
+    // Sequence packing — the concatenate-and-chunk layout a pretraining
+    // loader materializes (docs concatenated in a deterministic order,
+    // sliced into fixed 512-token training sequences): each doc's
+    // sequence id and intra-sequence offset from ONE running-sum window.
+    // Packing is inherently a serial fold, so the parallel unit is the
+    // PARTITION KEY — per source here (per (source, shard) at 100 TB,
+    // where a shard key bounds every partition; the window never sees
+    // more than one shard). Everything is exact integer arithmetic off
+    // the token counts; no text moves — the manifest is (doc, seq,
+    // offset), the loader does the byte shuffling.
+    "t20_seq_packing" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT)")
+            .as("n_tokens"))
+        .withColumn("cum_before",
+          sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("cum_before div 512").as("seq_id"),
+          expr("cum_before % 512").as("seq_offset"))
+    },
+
     // w6's sketch-prune / exact-recount discipline PER GROUP: the dominant
     // tokens of each language, without any per-language full-vocab shuffle.
     // Pass 1 is ONE grouped ObjectHashAggregate — each (map partition,
@@ -1115,6 +1168,34 @@ object TextOps {
         |  CAST(a + t_s * (t - b) AS DOUBLE)
         |    / (CAST(t_s AS DOUBLE) * 2.0 * t) AS tv_distance
         |FROM agg""".stripMargin,
+
+    // pair expansion over the vocabulary CTE, never the corpus
+    "t19_bpe_pairs" ->
+      """WITH wc AS (
+        |  SELECT w AS word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> '' GROUP BY w),
+        |p AS (SELECT cnt, substr(word, CAST(i AS INT), 2) AS pair
+        |      FROM (SELECT word, cnt,
+        |              unnest(generate_series(1, length(word) - 1)) AS i
+        |            FROM wc WHERE length(word) >= 2) t)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+        |  count(*) AS n_contexts
+        |FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
+
+    // the same running sum, the same floors
+    "t20_seq_packing" ->
+      """SELECT doc_id, source, n_tokens,
+        |  cum_before // 512 AS seq_id, cum_before % 512 AS seq_offset
+        |FROM (SELECT doc_id, source, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_tokens AS BIGINT) AS cum_before
+        |      FROM (SELECT doc_id, source,
+        |              CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |                AS BIGINT) AS n_tokens
+        |            FROM documents) t) t2""".stripMargin,
 
     // the sketch prunes, the recount is exact per (lang, word) — the
     // oracle spells the per-group frequent-token query directly

@@ -85,4 +85,29 @@ class ApproxSpec extends AnyFunSuite {
       s"mean relative error ${relErrs.sum / relErrs.size}")
     assert(exact.values.exists(_ >= 64), "test premise: some window saturates at sf0.01")
   }
+
+  test("q51 union/intersection estimates land within KMV error of the exact values") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Relational.defs("q51_sketch_setops")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, exU, exI, estU, estI) =>
+      // k=64 → ~12.7% RSE on the union; bound at 4σ
+      assert(math.abs(estU - exU) / exU <= 0.5,
+        s"($a,$b): union est $estU vs exact $exU")
+      // the intersection inherits the union's scale error plus Jaccard
+      // sampling noise (binomial over k) — bound absolutely vs the union
+      assert(math.abs(estI - exI) <= 0.5 * exU + 4.0 * exU / 8.0,
+        s"($a,$b): intersection est $estI vs exact $exI (union $exU)")
+    }
+    // estimator must actually discriminate: pair ordering by estimated
+    // intersection should broadly track the exact ordering (rank corr > 0)
+    val byEst = rows.sortBy(_._6).map(r => (r._1, r._2))
+    val byExact = rows.sortBy(_._4.toDouble).map(r => (r._1, r._2))
+    val pos = byExact.zipWithIndex.toMap
+    val disc = byEst.zipWithIndex.count { case (p, i) => math.abs(pos(p) - i) > rows.length / 2 }
+    assert(disc <= rows.length / 2,
+      s"estimated intersection ordering is uncorrelated with exact: $rows")
+  }
 }

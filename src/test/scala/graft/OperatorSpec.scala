@@ -618,6 +618,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("t19 BPE pair counts hand-compute, including overlapping pairs") {
+    // vocab: ab(cnt 2), cd(1), aaa(1) → pairs: "ab"→(2 occ, 1 ctx),
+    // "cd"→(1, 1), "aa"→(2, 2: positions 1 and 2 of aaa)
+    val d = writeDocs(Seq((1L, "ab ab cd", "s"), (2L, "aaa", "s")))
+    val got = TextOps.defs("t19_bpe_pairs")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("ab" -> ((2L, 1L)), "aa" -> ((2L, 2L)), "cd" -> ((1L, 1L))),
+      s"got $got")
+  }
+
+  test("t20 packing replays as a sequential per-source fold") {
+    val dir001 = "/root/testdata/sf0.001"
+    val got = TextOps.defs("t20_seq_packing")(spark, dir001).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, seqId, off) =>
+        assert(seqId == cum / 512 && off == cum % 512,
+          s"doc at cum=$cum: got ($seqId, $off)")
+        cum += n
+      }
+    }
+    // the budget must actually split somewhere (premise: sources exceed 2048 tokens)
+    assert(got.exists(_._4 > 0), "no source ever filled a sequence")
+  }
+
   test("d24 bloom admission verdicts are exact, with whitespace-normalized fps") {
     val d = writeDocs(Seq(
       (1L, "hello world today", "s"), (2L, "another one", "s"),
