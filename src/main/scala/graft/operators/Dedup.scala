@@ -48,8 +48,9 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Whitespace-normalized lowercase md5 fingerprint (shared with TextOps.t4). */
-  private val fpCol: Column =
+  /** Whitespace-normalized lowercase md5 fingerprint (shared with TextOps.t4
+    * and t21's dup-weighted sampling). */
+  private[graft] val fpCol: Column =
     md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " "))))
 
   /** The keep-best policy in ONE place (d7/d8/d10): within each exact-dup

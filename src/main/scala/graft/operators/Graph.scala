@@ -393,6 +393,26 @@ object Graph {
         .limit(20)
     },
 
+    // Strong-tie product families — g5's components restricted to edges
+    // with co-order count ≥ 3: the support-2 graph dissolves into one
+    // giant component (g5 measures exactly that), so the FAMILY view a
+    // merchandiser can act on needs the weak ties cut first — classic
+    // strength-thresholded community extraction, and the graph twin of
+    // d11's verified-edges-then-components discipline (never cluster on
+    // unverified candidates). Same hook+contract loop; the threshold is
+    // part of the semantics and mirrored in the oracle. Family sizes ride
+    // a broadcast back onto the checkpointed labels (g5's shape).
+    "g12_product_families" -> { (s, dir) =>
+      val strong = coOrderEdgesW(t(s, dir, "lineitem"))
+        .filter(col("c") >= 3).select("a", "b")
+      val cl = Components.minLabel(strong)
+        .select(col("v"), col("lbl").as("family_id"))
+      val sizes = cl.groupBy("family_id")
+        .agg(count(lit(1)).as("family_size"))
+      cl.join(broadcast(sizes), "family_id")
+        .select(col("v"), col("family_id"), col("family_size"))
+    },
+
     // Resource-allocation link prediction — the third grader in the g3/g7
     // family, and the one that needs CENTER-weighted credit: each common
     // neighbor z contributes 1/d(z), so a rare shared neighbor outweighs a
@@ -600,6 +620,22 @@ object Graph {
         |       ELSE CAST(2 * coalesce(corners.n_tri, 0) AS DOUBLE)
         |              / (deg.d * (deg.d - 1)) END AS lcc
         |FROM deg LEFT JOIN corners ON deg.v = corners.v""".stripMargin,
+
+    // the strength threshold cuts before the closure; the reachability
+    // spelling is g5's
+    "g12_product_families" ->
+      s"""WITH RECURSIVE $graphSql,
+        |ew AS (SELECT a, b, count(*) AS c FROM pairs GROUP BY a, b
+        |       HAVING count(*) >= 3),
+        |und AS (SELECT a, b FROM ew UNION ALL SELECT b, a FROM ew),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.v),
+        |cl AS (SELECT v, min(r) AS family_id FROM reach GROUP BY v),
+        |sz AS (SELECT family_id, count(*) AS family_size FROM cl GROUP BY family_id)
+        |SELECT cl.v, cl.family_id, sz.family_size
+        |FROM cl JOIN sz USING (family_id)""".stripMargin,
 
     // same graph; min-reachable-id labels via recursive reachability (the
     // d11 closure pattern) — tractable because the closure is bounded by

@@ -130,6 +130,37 @@ object Multimodal {
           md5(col("col")).as("frame_md5"))
     },
 
+    // Scene-run analysis — the temporal structure readout over m3's
+    // frames: consecutive identical frames collapse into runs (static
+    // scenes, freeze frames, silence in an audio stream), and per item we
+    // report frame count, run count, and the longest run — the
+    // static-content detector that decides whether a "video" is really a
+    // slideshow (and the m-axis twin of t15's repetition scoring). One
+    // ordered window per item (lag + running sum — frame_no is the order,
+    // so the state is one previous-frame digest), then two aggregates
+    // riding the same doc_id partitioning. Nothing crosses items; payload
+    // bytes never shuffle — only 32-byte frame digests.
+    "m10_scene_runs" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_no")
+      val cum = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(expr(frameArraySql)))
+        .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("frame_no"),
+          md5(col("col")).as("fm"))
+        .withColumn("new_run",
+          when(lag("fm", 1).over(w).isNull
+            || col("fm") =!= lag("fm", 1).over(w), 1L).otherwise(0L))
+        .withColumn("run_id", sum("new_run").over(cum))
+        .groupBy("doc_id", "run_id").agg(count(lit(1)).as("run_len"))
+        .groupBy("doc_id")
+        .agg(sum("run_len").cast(LongType).as("n_frames"),
+          count(lit(1)).as("n_runs"),
+          max("run_len").cast(LongType).as("max_run"))
+    },
+
     // Frame-overlap near-dup — the VIDEO twin of d20's containment dedup:
     // two media items are near-dups when they share many frame
     // fingerprints (a re-encode, a clip, a re-upload with an intro spliced
@@ -302,6 +333,27 @@ object Multimodal {
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(1, CAST((n_chars + 31) // 32 AS INT))) AS i
         |      FROM documents) t""".stripMargin,
+
+    // m3's frame CTE + the same lag/running-sum windows
+    "m10_scene_runs" ->
+      """WITH fr AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    md5(substr(text, (CAST(i AS INT)-1)*32 + 1, 32)) AS fm
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, CAST((n_chars + 31) // 32 AS INT))) AS i
+        |        FROM documents) t),
+        |b AS (SELECT doc_id, frame_no,
+        |        CASE WHEN lag(fm) OVER w IS NULL OR fm <> lag(fm) OVER w
+        |             THEN 1 ELSE 0 END AS new_run
+        |      FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+        |r AS (SELECT doc_id,
+        |        sum(new_run) OVER (PARTITION BY doc_id ORDER BY frame_no
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |      FROM b),
+        |rl AS (SELECT doc_id, run_id, count(*) AS run_len FROM r GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_frames,
+        |  count(*) AS n_runs, CAST(max(run_len) AS BIGINT) AS max_run
+        |FROM rl GROUP BY doc_id""".stripMargin,
 
     // m3's frame CTE + d20's df-capped equi-self-join spelling
     "m9_frame_overlap" ->

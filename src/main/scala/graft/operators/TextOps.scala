@@ -602,6 +602,37 @@ object TextOps {
         .limit(20)
     },
 
+    // Dedup-weighted mixture sampling — t16's manifest executor COMPOSED
+    // with d25's soft-dedup weights, the way a production sampler actually
+    // draws: expected copies = lang_weight / dup_multiplicity, so a
+    // 40×-duplicated doc in an upweighted language nets the same training
+    // mass as its language peers instead of 40× it (running t16 after a
+    // hard dedup loses upsampling composability; running it without dedup
+    // double-counts boilerplate — the composition is the fix). Same
+    // deterministic md5-residue Bernoulli on the fractional part, so the
+    // realized manifest is reproducible across retries and partitionings.
+    // Plan: ONE fp window (two columns) + the broadcast |langs| weight
+    // join — the corpus text never shuffles.
+    "t21_dedup_weighted_sample" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val w = mixtureWeights(d)
+      val fpw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val u = graft.functions.HexPrefixToLong
+        .hex8(md5(col("doc_id").cast(StringType)))
+      d.select(col("doc_id"), col("lang"),
+          graft.operators.Dedup.fpCol.as("fp"))
+        .withColumn("n_copies_dup", count(lit(1)).over(fpw).cast(LongType))
+        .join(broadcast(w), "lang")
+        .withColumn("eff", col("weight") / col("n_copies_dup"))
+        .withColumn("frac", u.cast(DoubleType) / lit(4294967296.0))
+        .withColumn("n_copies",
+          floor(col("eff")).cast(LongType) +
+            when(col("frac") < col("eff") - floor(col("eff")), 1L).otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("lang"), col("n_copies_dup"),
+          col("eff").as("eff_weight"), col("n_copies"))
+    },
+
     // Sequence packing — the concatenate-and-chunk layout a pretraining
     // loader materializes (docs concatenated in a deterministic order,
     // sliced into fixed 512-token training sequences): each doc's
@@ -1168,6 +1199,39 @@ object TextOps {
         |  CAST(a + t_s * (t - b) AS DOUBLE)
         |    / (CAST(t_s AS DOUBLE) * 2.0 * t) AS tv_distance
         |FROM agg""".stripMargin,
+
+    // t16's weight CTEs × d25's fp window; every double op in the Spark
+    // operand order
+    "t21_dedup_weighted_sample" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT lang,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t, count(*) AS k FROM g),
+         |w AS (SELECT lang, CAST(t AS DOUBLE) / (k * tokens) AS weight FROM g, tot),
+         |f AS (SELECT doc_id, lang,
+         |        count(*) OVER (PARTITION BY
+         |          md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))))
+         |        ) AS nc
+         |      FROM documents),
+         |u AS (SELECT doc_id, ($hexToInt) AS uv
+         |      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m
+         |            FROM documents) h)
+         |SELECT f.doc_id, f.lang, CAST(nc AS BIGINT) AS n_copies_dup,
+         |  weight / nc AS eff_weight,
+         |  CAST(floor(weight / nc) AS BIGINT) +
+         |    (CASE WHEN CAST(uv AS DOUBLE) / 4294967296.0
+         |               < weight / nc - floor(weight / nc)
+         |          THEN 1 ELSE 0 END) AS n_copies
+         |FROM f JOIN w ON f.lang = w.lang JOIN u ON u.doc_id = f.doc_id
+         |WHERE CAST(floor(weight / nc) AS BIGINT) +
+         |    (CASE WHEN CAST(uv AS DOUBLE) / 4294967296.0
+         |               < weight / nc - floor(weight / nc)
+         |          THEN 1 ELSE 0 END) > 0""".stripMargin
+    },
 
     // pair expansion over the vocabulary CTE, never the corpus
     "t19_bpe_pairs" ->

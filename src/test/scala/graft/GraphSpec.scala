@@ -193,6 +193,26 @@ class GraphSpec extends AnyFunSuite {
     r
   }
 
+  test("g12 families form only over strong ties (c >= 3); weak-tie parts vanish") {
+    // weighted fixture: triangle 1-2-3 at c=3, pair 10-11 at c=4,
+    // pair 20-21 at c=2 (below threshold — excluded entirely)
+    val wedges = Seq((1L, 2L, 3L), (2L, 3L, 3L), (1L, 3L, 3L),
+      (10L, 11L, 4L), (20L, 21L, 2L))
+    val d = Files.createTempDirectory("graft-fam").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    val rows = wedges.zipWithIndex.flatMap { case ((a, b, w), i) =>
+      (0L until w).flatMap(j =>
+        Seq(Row(8000000L + 10 * i + j, a), Row(8000000L + 10 * i + j, b)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Graph.defs("g12_product_families")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 2L)), 11L -> ((10L, 2L))), s"got $got")
+  }
+
   /** g11's arithmetic, sequentially: contributions split by edge weight,
     * every division floored. */
   private def seqWeightedPageRank(edges: Seq[(Long, Long, Long)],

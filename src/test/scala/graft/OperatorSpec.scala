@@ -644,6 +644,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0), "no source ever filled a sequence")
   }
 
+  test("t21 composes lang weights with dup down-weights, Bernoulli by residue") {
+    // docTexts fixture: one lang (weight exactly 1.0), docs 1/2 exact dups
+    // (eff 0.5 → Bernoulli by each doc's md5 residue), docs 3-6 unique
+    // (eff 1.0 → exactly one copy, no randomness)
+    val got = TextOps.defs("t21_dedup_weighted_sample")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    Seq(3L, 4L, 5L, 6L).foreach { id =>
+      assert(got(id) == ((1L, 1.0, 1L)), s"unique doc $id: ${got.get(id)}")
+    }
+    def residue(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+    }
+    Seq(1L, 2L).foreach { id =>
+      val expectCopies = if (residue(id) < 0.5) 1L else 0L
+      if (expectCopies == 0L)
+        assert(!got.contains(id), s"doc $id residue ${residue(id)} must drop")
+      else
+        assert(got(id) == ((2L, 0.5, 1L)), s"doc $id: ${got.get(id)}")
+    }
+  }
+
+  test("m10 scene runs collapse consecutive identical frames only") {
+    val a = "a" * 32; val b = "b" * 32; val c = "c" * 32
+    val d = writeDocs(Seq(
+      (1L, a + a + b, "s"),      // frames A A B → 2 runs, max 2
+      (2L, a + b + c, "s"),      // all distinct → 3 runs, max 1
+      (3L, b + b + b + b, "s"))) // one long static scene → 1 run, max 4
+    val got = graft.operators.Multimodal.defs("m10_scene_runs")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(1L -> ((3L, 2L, 2L)), 2L -> ((3L, 3L, 1L)),
+      3L -> ((4L, 1L, 4L))), s"got $got")
+  }
+
   test("d24 bloom admission verdicts are exact, with whitespace-normalized fps") {
     val d = writeDocs(Seq(
       (1L, "hello world today", "s"), (2L, "another one", "s"),
