@@ -403,6 +403,29 @@ object Similarity {
           coalesce(col("n_matches"), lit(0L)).as("n_matches"), col("max_sim"))
     },
 
+    // Per-list quantization error — the IVF training diagnostic read
+    // BEFORE trusting a codebook (s18 trains one; this grades it): each
+    // vector's cosine distance to its assigned centroid, rolled up per
+    // list (member count, decimal-exact mean error, max error). A list
+    // with high mean error needs splitting (more centroids); one with a
+    // high max holds outliers that will miss under any nprobe — the two
+    // numbers that size k and nprobe before a corpus commits. Plan:
+    // coarseAssign's broadcast-argmax scan + one |clusters|-sized
+    // partial+final agg — corpus-linear, nothing pairwise. The mean is a
+    // DECIMAL(18,6) sum over exact-deterministic per-row doubles (t8's
+    // discipline), so it hash-gates.
+    "s22_quantization_error" -> { (s, dir) =>
+      val n = normalized(s, dir)
+      val cent = coarseCentroids(n)
+      coarseAssign(n, cent)
+        .join(broadcast(cent), "cid")
+        .select(col("cid"), (lit(1.0) - dot(col("u"), col("cu"))).as("err"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          graft.Exprs.davg(col("err"), 6).as("mean_err"),
+          max("err").as("max_err"))
+    },
+
     // Embedding near-dup: label-blocked pair cosine above threshold — the
     // blocking key keeps the pair join off the cartesian path. Vectors are
     // unit-normalized BEFORE the join (O(N) norms instead of O(pairs)), so
@@ -858,6 +881,28 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p) r
          |WHERE rnk <= 5""".stripMargin
+    },
+
+    // s5's normalize/seed/assign CTEs; the davg spelling is Exprs'
+    "s22_quantization_error" -> {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |cent AS (SELECT vec_id - 100 AS cid, u AS cu FROM n WHERE vec_id BETWEEN 100 AND 107),
+         |asg AS (SELECT vec_id, u, cid FROM (
+         |    SELECT n.vec_id, n.u, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent) t WHERE crk = 1),
+         |er AS (SELECT asg.cid, 1.0 - ${d("asg.u", "cent.cu")} AS err
+         |       FROM asg JOIN cent ON asg.cid = cent.cid)
+         |SELECT cid, count(*) AS n_members,
+         |  ${graft.Exprs.davgSql("err", 6)} AS mean_err,
+         |  max(err) AS max_err
+         |FROM er GROUP BY cid""".stripMargin
     },
 
     // s5's normalize/seed/assign/probe CTEs with the rank window replaced

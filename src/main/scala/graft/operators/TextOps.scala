@@ -602,6 +602,52 @@ object TextOps {
         .limit(20)
     },
 
+    // Vocabulary-coverage sweep — the number that SIZES a vocab budget
+    // (w10 measures OOV for one fixed K; this measures the curve): what
+    // fraction of corpus tokens the top-100 / top-1000 / top-10000 head
+    // covers. d19's sweep discipline on the vocabulary axis: ONE
+    // wordcount pass (checkpointed — total + head consumers), the head
+    // via TakeOrdered (per-partition heaps, never a vocabulary sort —
+    // w9's pin), and all three cutoffs are filters over the LIMIT-bounded
+    // head. Exact longs; one ppm floor per row.
+    "w13_vocab_coverage" -> { (s, dir) =>
+      val wc = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val tot = wc.agg(sum("cnt").cast(LongType).as("total"))
+      val hw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("word"))
+      val head = wc.orderBy(col("cnt").desc, col("word")).limit(10000)
+        .withColumn("rnk", row_number().over(hw).cast(LongType))
+        .localCheckpoint()
+      Seq(100L, 1000L, 10000L).map { k =>
+        head.filter(col("rnk") <= k)
+          .agg(count(lit(1)).as("k_eff"), sum("cnt").cast(LongType).as("covered"))
+          .select(lit(k).as("k"), col("k_eff"), col("covered"))
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("k_eff"), col("covered"), col("total"),
+          expr("(covered * 1000000) div total").as("coverage_ppm"))
+    },
+
+    // LangID evaluation — the confusion matrix over t3's heuristic
+    // prediction vs the labeled lang column: per (truth, predicted) pair,
+    // count and within-truth ppm share. Evaluators are first-class in
+    // this pack (d9/s4/s7/s10/s12 on the retrieval axis); this is the
+    // classifier twin — the table read before trusting t3's gate in a
+    // mixture pipeline. One narrow prediction scan, one tiny hash agg,
+    // windows over the |langs|² matrix only.
+    "t22_langid_eval" -> { (s, dir) =>
+      val perLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      defs("t3_langid")(s, dir)
+        .select(col("lang"), col("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("n_lang", sum("n").over(perLang).cast(LongType))
+        .withColumn("share_ppm", expr("(n * 1000000) div n_lang"))
+    },
+
     // Dedup-weighted mixture sampling — t16's manifest executor COMPOSED
     // with d25's soft-dedup weights, the way a production sampler actually
     // draws: expected copies = lang_weight / dup_multiplicity, so a
@@ -1199,6 +1245,40 @@ object TextOps {
         |  CAST(a + t_s * (t - b) AS DOUBLE)
         |    / (CAST(t_s AS DOUBLE) * 2.0 * t) AS tv_distance
         |FROM agg""".stripMargin,
+
+    // w8's wordcount CTE; the head is the same (cnt DESC, word) total
+    // order; integer ppm floors
+    "w13_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT w AS word
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> ''),
+        |wc AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wc),
+        |head AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+        |         FROM wc ORDER BY cnt DESC, word LIMIT 10000),
+        |ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+        |SELECT CAST(ks.k AS BIGINT) AS k, count(*) AS k_eff,
+        |  CAST(sum(h.cnt) AS BIGINT) AS covered, tot.total,
+        |  CAST((CAST(sum(h.cnt) AS BIGINT) * 1000000) // tot.total AS BIGINT)
+        |    AS coverage_ppm
+        |FROM ks JOIN head h ON h.rnk <= ks.k CROSS JOIN tot
+        |GROUP BY ks.k, tot.total""".stripMargin,
+
+    // t3's prediction CTE; windows over the |langs|^2 matrix
+    "t22_langid_eval" ->
+      s"""WITH p AS (
+         |  SELECT lang, CASE WHEN n_hits >= 2 THEN 'en' ELSE 'und' END AS lang_pred
+         |  FROM (SELECT lang,
+         |          CAST(len(list_filter(string_split(text, ' '),
+         |            x -> x IN ($stopSqlList))) AS BIGINT) AS n_hits
+         |        FROM documents) t),
+         |c AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+         |  CAST((n * 1000000) // (sum(n) OVER (PARTITION BY lang)) AS BIGINT)
+         |    AS share_ppm
+         |FROM c""".stripMargin,
 
     // t16's weight CTEs × d25's fp window; every double op in the Spark
     // operand order

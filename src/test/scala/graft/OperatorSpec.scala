@@ -644,6 +644,61 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0), "no source ever filled a sequence")
   }
 
+  test("w13 coverage curve recounts from a direct wordcount and is monotone") {
+    val dir001 = "/root/testdata/sf0.001"
+    val wc = graft.sources.Tables.load(spark, dir001, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = wc.map(_._2).sum
+    val sorted = wc.sortBy { case (w, c) => (-c, w) }
+    val got = TextOps.defs("w13_vocab_coverage")(spark, dir001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    Seq(100, 1000, 10000).foreach { k =>
+      val headK = sorted.take(k)
+      val (kEff, covered, tot, ppm) = got(k.toLong)
+      assert(kEff == headK.length && covered == headK.map(_._2).sum && tot == total,
+        s"k=$k: ${got(k.toLong)}")
+      assert(ppm == covered * 1000000L / total)
+    }
+    assert(got(100L)._2 <= got(1000L)._2 && got(1000L)._2 <= got(10000L)._2)
+  }
+
+  test("t22 confusion matrix separates stopword-bearing docs from the rest") {
+    val d = Files.createTempDirectory("graft-t22").toString
+    val rows = Seq(
+      Row(1L, "the cat and the dog", "en", "s", 19L),   // >=2 stopword hits → en
+      Row(2L, "zzz qqq www", "en", "s", 11L),            // no hits → und
+      Row(3L, "foo bar baz", "xx", "s", 11L))            // no hits → und
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), docsSchemaFx)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextOps.defs("t22_langid_eval")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("en", "en") -> ((1L, 2L, 500000L)),
+      ("en", "und") -> ((1L, 2L, 500000L)),
+      ("xx", "und") -> ((1L, 1L, 1000000L))), s"got $got")
+  }
+
+  test("s22 per-list errors are consistent with s17's membership counts") {
+    val dir001 = "/root/testdata/sf0.001"
+    val s17n = Similarity.defs("s17_kmeans_step")(spark, dir001).collect()
+      .filter(_.getLong(1) == 1L) // dim = 1 row per cluster
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Similarity.defs("s22_quantization_error")(spark, dir001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == s17n.keySet, s"${got.keySet} vs ${s17n.keySet}")
+    got.foreach { case (cid, (n, mean, mx)) =>
+      assert(n == s17n(cid), s"cluster $cid member count")
+      assert(mean >= 0.0 && mean <= 2.0 && mx >= mean - 1e-6,
+        s"cluster $cid: mean=$mean max=$mx")
+    }
+  }
+
   test("t21 composes lang weights with dup down-weights, Bernoulli by residue") {
     // docTexts fixture: one lang (weight exactly 1.0), docs 1/2 exact dups
     // (eff 0.5 → Bernoulli by each doc's md5 residue), docs 3-6 unique
