@@ -617,6 +617,26 @@ object Relational {
           min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
     },
 
+    // Equi-width value histogram — the distribution readout behind every
+    // monitoring dashboard: 10 bins over the global [min, max] value
+    // range, counted per event type. The range comes from a ONE-ROW
+    // aggregate broadcast back into the scan (t11's
+    // threshold-from-the-distribution shape), binning is a narrow
+    // projection inside the scan stage, and the count is one partial+
+    // final hash agg on (type, bin) — |types|·10 rows out whatever the
+    // corpus. The bin arithmetic is float but DETERMINISTIC (identical
+    // IEEE ops both engines, same operand order), and the max value
+    // clamps into bin 9 so the histogram partitions exactly.
+    "q52_value_histogram" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val mm = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      ev.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(floor((col("value") - col("lo")) * 10.0 / (col("hi") - col("lo"))),
+            lit(9.0)).cast(LongType))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+    },
+
     // KMV sketch SET ALGEBRA — the reason mergeable sketches beat exact
     // distinct at scale is not the single count (q36) but the algebra:
     // union/intersection cardinalities between every audience pair
@@ -1410,6 +1430,16 @@ object Relational {
          |        ${graft.functions.MortonCode.mortonSql("l_partkey", "l_suppkey")} AS zk
          |      FROM lineitem) t
          |GROUP BY 1""".stripMargin,
+
+    // same one-row range, same clamped float binning (operand order
+    // mirrored)
+    "q52_value_histogram" ->
+      """WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT event_type,
+        |  CAST(least(floor((value - lo) * 10.0 / (hi - lo)), 9.0) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM events, mm
+        |GROUP BY 1, 2""".stripMargin,
 
     // the union sketch is the distinct-merge rank window; membership runs
     // against each type's bottom-64 rows; every double op mirrors the

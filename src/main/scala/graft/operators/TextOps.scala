@@ -602,6 +602,32 @@ object TextOps {
         .limit(20)
     },
 
+    // Token burstiness — the keyword-stuffing / template detector next to
+    // t15 (which is per-DOC; this is per-TOKEN): for every token in ≥ 10
+    // documents, how its heaviest single-document count compares to its
+    // mean per-document count. A natural-language token spreads (burst ≈
+    // 1×–3× the mean); a stuffed or boilerplate token spikes. The ratio
+    // max/(total/df) is carried as the exact integer floor
+    // (max·df·10⁶ div total — one ppm division of exact longs, no float
+    // mean), and the top-20 is totally ordered. Two chained equi-keyed
+    // aggregates — (doc, token) then token — both partial+final; nothing
+    // vocabulary-sized is ever sorted except the LIMIT head.
+    "w14_token_burstiness" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("df"), sum("c").cast(LongType).as("total"),
+          max("c").cast(LongType).as("max_in_doc"))
+        .filter(col("df") >= 10)
+        .withColumn("burst_ppm",
+          expr("(max_in_doc * df * 1000000) div total"))
+        .select("word", "df", "total", "max_in_doc", "burst_ppm")
+        .orderBy(col("burst_ppm").desc, col("word"))
+        .limit(20)
+    },
+
     // Vocabulary-coverage sweep — the number that SIZES a vocab budget
     // (w10 measures OOV for one fixed K; this measures the curve): what
     // fraction of corpus tokens the top-100 / top-1000 / top-10000 head
@@ -1245,6 +1271,19 @@ object TextOps {
         |  CAST(a + t_s * (t - b) AS DOUBLE)
         |    / (CAST(t_s AS DOUBLE) * 2.0 * t) AS tv_distance
         |FROM agg""".stripMargin,
+
+    // two chained aggregates; the ppm ratio is the same single floor
+    "w14_token_burstiness" ->
+      """WITH dtc AS (
+        |  SELECT doc_id, w AS word, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> '' GROUP BY 1, 2),
+        |b AS (SELECT word, count(*) AS df, CAST(sum(c) AS BIGINT) AS total,
+        |        CAST(max(c) AS BIGINT) AS max_in_doc
+        |      FROM dtc GROUP BY word HAVING count(*) >= 10)
+        |SELECT word, df, total, max_in_doc,
+        |  CAST((max_in_doc * df * 1000000) // total AS BIGINT) AS burst_ppm
+        |FROM b ORDER BY burst_ppm DESC, word LIMIT 20""".stripMargin,
 
     // w8's wordcount CTE; the head is the same (cnt DESC, word) total
     // order; integer ppm floors

@@ -644,6 +644,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0), "no source ever filled a sequence")
   }
 
+  test("w14 burstiness separates a stuffed token from an evenly spread one") {
+    // "spam" appears 30x in one doc and once in 9 others (df 10, total 39,
+    // max 30 → burst 30·10·1e6/39 = 7692307); "norm" spreads 1x across the
+    // same 10 docs (burst exactly 1e6)
+    val docs = (1L to 10L).map { i =>
+      val spam = if (i == 1) Seq.fill(30)("spam") else Seq("spam")
+      (i, (spam ++ Seq("norm")).mkString(" "), "s")
+    }
+    val d = writeDocs(docs)
+    val got = TextOps.defs("w14_token_burstiness")(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "spam" -> ((10L, 39L, 30L, 7692307L)),
+      "norm" -> ((10L, 10L, 1L, 1000000L))), s"got $got")
+  }
+
+  test("q52 histogram partitions every event exactly once into bins 0-9") {
+    val dir001 = "/root/testdata/sf0.001"
+    val got = Relational.defs("q52_value_histogram")(spark, dir001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keys.forall { case (_, b) => b >= 0 && b <= 9 })
+    // per-type totals must equal the raw event counts (no row lost to
+    // boundary arithmetic, max value included via the clamp)
+    val raw = graft.sources.Tables.load(spark, dir001, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perType = got.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+    assert(perType == raw, s"$perType vs $raw")
+  }
+
   test("w13 coverage curve recounts from a direct wordcount and is monotone") {
     val dir001 = "/root/testdata/sf0.001"
     val wc = graft.sources.Tables.load(spark, dir001, "documents")
