@@ -637,6 +637,61 @@ object Relational {
         .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
     },
 
+    // TPC-H Q10-shaped returned-item customer ranking — the canonical
+    // "who cost us money last quarter" multi-join: returned lineitems ⋈
+    // half-year orders ⋈ customer ⋈ nation, revenue-ranked top 20. The
+    // plan to want at 100 TB: both fact filters (returnflag, date range)
+    // sit ON the scans so only the qualifying slice shuffles, nation is
+    // broadcast, and the top-20 is TakeOrderedAndProject — per-partition
+    // heaps of 20 rows to the driver, never a global sort. The rank
+    // tie-breaks on custkey so the cut at 20 is deterministic across
+    // engines (revenue ties would otherwise make the boundary row
+    // engine-dependent).
+    "q53_customer_returns" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("1997-07-01").cast(TimestampType))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // Robust outlier detection via median absolute deviation — the
+    // monitoring-grade alternative to mean±3σ (which outliers themselves
+    // corrupt): per event type, med = exact p50, MAD = exact p50 of
+    // |value − med|, outlier ⇔ |value − med| > 3·MAD. Two grouped
+    // percentile passes (q33's one-buffer-per-group machinery) with the
+    // per-type medians BROADCAST back into the scan between them — the
+    // group count is dashboard-sized, so the second pass is a narrow
+    // projection + hash agg, never a re-shuffle of the fact. All derived
+    // arithmetic is IEEE-identical in both engines (subtraction, abs,
+    // compare — no reordered float sums), so the counts hash-gate.
+    "q54_mad_outliers" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+
     // KMV sketch SET ALGEBRA — the reason mergeable sketches beat exact
     // distinct at scale is not the single count (q36) but the algebra:
     // union/intersection cardinalities between every audience pair
@@ -1440,6 +1495,39 @@ object Relational {
         |  count(*) AS n
         |FROM events, mm
         |GROUP BY 1, 2""".stripMargin,
+
+    // same joins, same dsum revenue; the ORDER BY tie-breaks on custkey
+    // so the 20-row cut is the same set in both engines
+    "q53_customer_returns" ->
+      s"""SELECT c.c_custkey, c.c_name, n.n_name,
+         |  ${dsumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c.c_custkey
+         |LIMIT 20""".stripMargin,
+
+    // exact medians via quantile_cont (q33-verified equal to Spark's
+    // percentile); |v − med| and the 3·MAD compare are single IEEE ops
+    "q54_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        |        FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n_events,
+        |  max(d.med) AS med, max(x.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > 3.0 * x.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad x ON d.event_type = x.event_type
+        |GROUP BY d.event_type""".stripMargin,
 
     // the union sketch is the distinct-merge rank window; membership runs
     // against each type's bottom-64 rows; every double op mirrors the

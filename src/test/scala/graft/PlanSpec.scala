@@ -315,4 +315,22 @@ class PlanSpec extends AnyFunSuite {
       assert(r.getLong(1) == 1L && r.getLong(2) == 3L)
     }
   }
+
+  test("q53: returnflag filter is pushed, nation broadcasts, top-20 is a heap") {
+    val p = plan(Relational.defs("q53_customer_returns")(spark, dir))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1997-01-01"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // top-k must never materialize a global Sort of the aggregate
+    assert(!"(?m)^\\(\\d+\\) Sort ".r.findAllIn(p).hasNext, p)
+  }
+
+  test("q54: both percentile passes re-enter the fact via broadcast, not shuffle") {
+    val p = plan(Relational.defs("q54_mad_outliers")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the dashboard-sized median/MAD tables must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
