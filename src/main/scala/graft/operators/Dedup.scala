@@ -763,6 +763,43 @@ object Dedup {
         .withColumn("weight_ppm", expr("1000000 div n_copies"))
     },
 
+    // IDF-WEIGHTED Jaccard over the LSH candidates — d4's verifier with the
+    // weighting production near-dup uses when corpora carry boilerplate: a
+    // shared RARE shingle is evidence, a shared ubiquitous one is noise, so
+    // each shingle hash counts 1000000 div df (integer ppm, the g10
+    // discipline — an ln(N/df) float weight is engine-divergent and never
+    // hash-gates) and wjac = Σ_{A∩B} w / Σ_{A∪B} w with the union sum as
+    // ΣA + ΣB − Σ∩ (no union materialization). Computed via df-keyed
+    // POSTINGS joins, not in-row set walks: the weight table is
+    // vocabulary-sized (never broadcast/collected), every join is
+    // equi-keyed on the shingle hash or the doc id, and the per-pair cost
+    // is |A∩B| posting matches — output keeps candidates with ≥ 1 shared
+    // shingle (both engines drop sig-collision-only pairs identically).
+    "d26_weighted_jaccard" -> { (s, dir) =>
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      val cand = lshPairsFrom(
+        sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv"))))
+      val post = hs0.select(col("doc_id"), explode(col("hs")).as("h"))
+        .localCheckpoint() // consumers: df, per-doc totals, both pair sides
+      val wt = post.groupBy("h").agg(count(lit(1)).as("df"))
+        .select(col("h"), expr("1000000 div df").as("w"))
+      val pw = post.join(wt, "h")
+        .groupBy("doc_id").agg(sum("w").cast(LongType).as("tw"))
+      val inter = cand
+        .join(post.select(col("doc_id").as("d1"), col("h")), "d1")
+        .join(post.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
+        .join(wt, "h")
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("inter_n"), sum("w").cast(LongType).as("inter_w"))
+      inter
+        .join(pw.select(col("doc_id").as("d1"), col("tw").as("tw1")), "d1")
+        .join(pw.select(col("doc_id").as("d2"), col("tw").as("tw2")), "d2")
+        .select(col("d1"), col("d2"), col("inter_n"), col("inter_w"),
+          (col("tw1") + col("tw2") - col("inter_w")).as("union_w"),
+          (col("inter_w").cast(DoubleType)
+            / (col("tw1") + col("tw2") - col("inter_w"))).as("wjac"))
+    },
+
     // Near-dup CLUSTERS — connected components over the verified near-dup
     // pair graph (LSH candidates with exact Jaccard >= 0.5), the step a
     // dedup pipeline needs after pair generation: pairs (a,b),(b,c) must
@@ -1218,6 +1255,27 @@ object Dedup {
          |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
          |    / len(list_distinct(x.hs || y.hs)) AS jaccard
          |FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id""".stripMargin,
+
+    // same candidates, same integer-ppm weights, same Σ∩ / (ΣA+ΣB−Σ∩)
+    "d26_weighted_jaccard" ->
+      s"""WITH $sigSqlCte,
+         |$hashSetSqlCte,
+         |post AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |wt AS (SELECT h, 1000000 // count(*) AS w FROM post GROUP BY h),
+         |pw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw
+         |       FROM post JOIN wt USING (h) GROUP BY doc_id),
+         |inter AS (SELECT cand.d1, cand.d2, count(*) AS inter_n,
+         |            CAST(sum(wt.w) AS BIGINT) AS inter_w
+         |          FROM cand
+         |          JOIN post pa ON cand.d1 = pa.doc_id
+         |          JOIN post pb ON cand.d2 = pb.doc_id AND pa.h = pb.h
+         |          JOIN wt ON pa.h = wt.h
+         |          GROUP BY 1, 2)
+         |SELECT i.d1, i.d2, i.inter_n, i.inter_w,
+         |  a.tw + b.tw - i.inter_w AS union_w,
+         |  CAST(i.inter_w AS DOUBLE) / (a.tw + b.tw - i.inter_w) AS wjac
+         |FROM inter i JOIN pw a ON i.d1 = a.doc_id
+         |             JOIN pw b ON i.d2 = b.doc_id""".stripMargin,
 
     "d7_dedup_keep_best" ->
       """SELECT fp, doc_id AS keeper_doc_id, n_chars AS keeper_n_chars FROM (

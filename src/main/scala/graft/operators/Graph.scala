@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 
@@ -439,6 +440,37 @@ object Graph {
       ra.join(e, Seq("a", "b"), "left_anti")
         .orderBy(col("ra_ppm").desc, col("a"), col("b"))
         .limit(20)
+    },
+
+    // One synchronous label-propagation round with ATTRIBUTE seeds — the
+    // community-detection primitive g5/g12 (structural components) can't
+    // express: every part starts from its brand, then adopts the most
+    // frequent label among its co-order neighbors (ties broken by label
+    // order, the deterministic spelling of classic LPA's random
+    // tie-break). Output is the brand→brand transition matrix — which
+    // seed communities the graph structure blends — so the result stays
+    // |brands|² whatever the corpus. One vote shuffle (directed edges ⋈
+    // part labels on the neighbor key), one (vertex, label) partial+final
+    // count, and a per-vertex argmax window bounded by the vertex's
+    // distinct neighbor labels; at 100 TB every step is an equi-join on
+    // the vertex key — LPA's per-round cost is one pass over the edges,
+    // which is why it's the scalable community baseline.
+    "g13_label_prop" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val lbl = t(s, dir, "part")
+        .select(col("p_partkey").as("v"), col("p_brand").as("lbl"))
+      val votes = und.join(lbl, "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("u")
+        .orderBy(col("c").desc, col("lbl"))
+      val newLbl = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("u"), col("lbl").as("new_lbl"))
+      newLbl.join(lbl.select(col("v").as("u"), col("lbl").as("old_lbl")), "u")
+        .groupBy("old_lbl", "new_lbl")
+        .agg(count(lit(1)).as("n_parts"))
     }
   )
 
@@ -716,6 +748,22 @@ object Graph {
         |SELECT ne.a, ne.b, ne.cn, da.d AS da, db.d AS db,
         |  CAST(ne.cn AS DOUBLE) / (da.d + db.d - ne.cn) AS jac
         |FROM ne JOIN deg da ON ne.a = da.v JOIN deg db ON ne.b = db.v
-        |ORDER BY jac DESC, ne.a, ne.b LIMIT 20""".stripMargin
+        |ORDER BY jac DESC, ne.a, ne.b LIMIT 20""".stripMargin,
+
+    // same graph, same vote count, same (count DESC, label) argmax
+    "g13_label_prop" ->
+      s"""WITH $graphSql,
+        |und AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |votes AS (SELECT und.u, p.p_brand AS lbl, count(*) AS c
+        |          FROM und JOIN part p ON und.v = p.p_partkey
+        |          GROUP BY und.u, p.p_brand),
+        |win AS (SELECT u, lbl,
+        |          row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rk
+        |        FROM votes),
+        |nl AS (SELECT u, lbl AS new_lbl FROM win WHERE rk = 1)
+        |SELECT p.p_brand AS old_lbl, nl.new_lbl, count(*) AS n_parts
+        |FROM nl JOIN part p ON nl.u = p.p_partkey
+        |GROUP BY 1, 2""".stripMargin
   )
 }

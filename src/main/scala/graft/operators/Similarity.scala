@@ -426,6 +426,50 @@ object Similarity {
           max("err").as("max_err"))
     },
 
+    // Simplified (centroid) silhouette per cluster — the clustering-quality
+    // grader the s6/s15 family lacks: for each clustered vector,
+    // a = cosine distance to its OWN centroid, b = the nearest OTHER
+    // centroid, sil = (b − a) / max(a, b) ∈ [−1, 1] (negative ⇒ the vector
+    // sits closer to a foreign centroid — a mis-clustering readout). The
+    // centroid form is the O(N·K) silhouette — the classic all-pairs
+    // definition is O(N²) and dead at corpus scale — and K
+    // dashboard-sized centroids BROADCAST into one pass over the members.
+    // Centroids are davg-exact per dimension (s15's decimal discipline)
+    // assembled in dim order, every per-vector fold is the sequential
+    // native DotProduct, and a/b come out of order-independent
+    // conditional MINs — so the doubles hash-gate cross-engine.
+    "s23_silhouette" -> { (s, dir) =>
+      val cl = defs("s6_embed_clusters")(s, dir)
+      val member = cl
+        .join(emb(s, dir).select(col("vec_id"), col("v")), "vec_id")
+        .localCheckpoint() // consumers: centroid build + scoring pass
+      val cent = member
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos")
+        .agg(graft.Exprs.davg(col("x"), 6).as("c"))
+        .groupBy("cluster_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)")
+          .as("cv"))
+      val sil = member
+        .crossJoin(broadcast(cent.select(col("cluster_id").as("cid"), col("cv"))))
+        .select(col("vec_id"), col("cluster_id"), col("cid"),
+          (lit(1.0) - cosine(col("v"), col("cv"))).as("dist"))
+        .groupBy("vec_id", "cluster_id")
+        .agg(min(when(col("cid") === col("cluster_id"), col("dist"))).as("a"),
+          min(when(col("cid") =!= col("cluster_id"), col("dist"))).as("b"))
+        .withColumn("sil",
+          // b is NULL only when the whole corpus is ONE cluster (no other
+          // centroid exists) — silhouette is undefined there; pin 0 in both
+          // engines (greatest-with-NULL also differs between them)
+          when(col("b").isNull || greatest(col("a"), col("b")) <= lit(0.0),
+            lit(0.0))
+            .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      sil.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          graft.Exprs.davg(col("sil"), 6).as("mean_sil"),
+          min("sil").as("min_sil"))
+    },
+
     // Embedding near-dup: label-blocked pair cosine above threshold — the
     // blocking key keeps the pair join off the cartesian path. Vectors are
     // unit-normalized BEFORE the join (O(N) norms instead of O(pairs)), so
@@ -903,6 +947,38 @@ object Similarity {
          |  ${graft.Exprs.davgSql("err", 6)} AS mean_err,
          |  max(err) AS max_err
          |FROM er GROUP BY cid""".stripMargin
+    },
+
+    // s6's cluster CTEs + davg-exact centroids in dim order; a/b are the
+    // same conditional MINs, sil the same guarded division
+    "s23_silhouette" -> {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      s"""WITH RECURSIVE $embClusterSqlCtes,
+         |mem AS (SELECT cl.cluster_id, e.vec_id, e.v
+         |        FROM cl JOIN e ON cl.vec_id = e.vec_id),
+         |cx AS (SELECT cluster_id, CAST(u.i AS BIGINT) AS pos, v[u.i] AS x
+         |       FROM mem, LATERAL unnest(generate_series(1, len(v))) AS u(i)),
+         |cd AS (SELECT cluster_id, pos, ${graft.Exprs.davgSql("x", 6)} AS c
+         |       FROM cx GROUP BY cluster_id, pos),
+         |cent AS (SELECT cluster_id, list(c ORDER BY pos) AS cv
+         |         FROM cd GROUP BY cluster_id),
+         |sc AS (SELECT m.vec_id, m.cluster_id, ct.cluster_id AS cid,
+         |         1.0 - (${d("m.v", "ct.cv")} /
+         |           (sqrt(${d("m.v", "m.v")}) * sqrt(${d("ct.cv", "ct.cv")}))) AS dist
+         |       FROM mem m CROSS JOIN cent ct),
+         |ab AS (SELECT vec_id, cluster_id,
+         |         min(CASE WHEN cid = cluster_id THEN dist END) AS a,
+         |         min(CASE WHEN cid <> cluster_id THEN dist END) AS b
+         |       FROM sc GROUP BY vec_id, cluster_id),
+         |sil AS (SELECT cluster_id,
+         |          CASE WHEN b IS NULL OR greatest(a, b) <= 0.0 THEN 0.0
+         |               ELSE (b - a) / greatest(a, b) END AS sil
+         |        FROM ab)
+         |SELECT cluster_id, count(*) AS n_members,
+         |  ${graft.Exprs.davgSql("sil", 6)} AS mean_sil,
+         |  min(sil) AS min_sil
+         |FROM sil GROUP BY cluster_id""".stripMargin
     },
 
     // s5's normalize/seed/assign/probe CTEs with the rank window replaced

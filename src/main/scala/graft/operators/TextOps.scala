@@ -705,6 +705,33 @@ object TextOps {
           col("eff").as("eff_weight"), col("n_copies"))
     },
 
+    // Deterministic train/val/test split manifest — the eval-hygiene
+    // primitive every training pipeline needs before any model sees data:
+    // each doc's split is a pure function of md5(doc_id) (first byte:
+    // 0-12 test ≈ 5%, 13-25 val ≈ 5%, rest train), so membership is
+    // STABLE under corpus growth — adding documents never moves an
+    // existing doc across the test boundary, the property a random or
+    // modulo-on-row-number split lacks (and the reason benchmark
+    // contamination audits like d12 stay valid across snapshots). The
+    // audit emits per (source, split) doc/char counts and the integer-ppm
+    // share so per-source skew in the assignment is a readout, not a
+    // surprise. One narrow projection + hash agg; the share window runs
+    // over the |sources|·3 aggregate, never the corpus.
+    "t23_split_manifest" -> { (s, dir) =>
+      val hx = "instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), %d, 1)) - 1"
+      val r = expr(s"(${hx.format(1)}) * 16 + (${hx.format(2)})")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      docs(s, dir)
+        .withColumn("split",
+          when(r < 13, "test").when(r < 26, "val").otherwise("train"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          graft.Exprs.lsum(col("n_chars")).as("n_chars"))
+        .withColumn("src_docs", sum("n_docs").over(w))
+        .select(col("source"), col("split"), col("n_docs"), col("n_chars"),
+          expr("n_docs * 1000000 div src_docs").as("share_ppm"))
+    },
+
     // Sequence packing — the concatenate-and-chunk layout a pretraining
     // loader materializes (docs concatenated in a deterministic order,
     // sliced into fixed 512-token training sequences): each doc's
@@ -1379,6 +1406,22 @@ object TextOps {
         |              CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
         |                AS BIGINT) AS n_tokens
         |            FROM documents) t) t2""".stripMargin,
+
+    // same md5-byte residue, same 13/26 boundaries, same integer ppm
+    "t23_split_manifest" ->
+      """WITH h AS (SELECT source, n_chars,
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS r
+        |  FROM documents),
+        |a AS (SELECT source,
+        |        CASE WHEN r < 13 THEN 'test'
+        |             WHEN r < 26 THEN 'val' ELSE 'train' END AS split,
+        |        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |      FROM h GROUP BY 1, 2)
+        |SELECT source, split, n_docs, n_chars,
+        |  CAST(n_docs * 1000000
+        |    // (sum(n_docs) OVER (PARTITION BY source)) AS BIGINT) AS share_ppm
+        |FROM a""".stripMargin,
 
     // the sketch prunes, the recount is exact per (lang, word) — the
     // oracle spells the per-group frequent-token query directly

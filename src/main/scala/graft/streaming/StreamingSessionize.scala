@@ -160,7 +160,8 @@ object StreamingSessionize {
       sinkName: String = "default",
       sourceOptions: Map[String, String] = Map.empty,
       sourceGlob: String = "events.parquet",
-      sourceSchema: StructType = rawSchema): DataFrame = {
+      sourceSchema: StructType = rawSchema,
+      sinkTransform: DataFrame => DataFrame = identity): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A streaming query fixes its state-store layout at start: with the
     // session's batch-oriented shuffle.partitions (32 on the driver) every
@@ -191,12 +192,20 @@ object StreamingSessionize {
           raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
         else raw
       val transformed = transform(stream)
-      val schema = transformed.schema
+      // sinkTransform runs per-microbatch INSIDE foreachBatch — the place a
+      // streaming job applies batch-only projections (window rank, joins
+      // against the full delivered state) the streaming planner rejects.
+      // With complete mode + overwrite, the sink always holds the
+      // projection of the CURRENT full state — a maintained materialized
+      // view. Its schema comes from an empty analysis-only frame so the
+      // read-back below is typed even when zero microbatches fire.
+      val schema = sinkTransform(spark.createDataFrame(
+        new java.util.ArrayList[Row](), transformed.schema)).schema
       val saveMode = if (outputMode == "complete") "overwrite" else "append"
       val q = transformed.writeStream
         .outputMode(outputMode)
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
-          batch.write.mode(saveMode).parquet(out.getAbsolutePath)
+          sinkTransform(batch).write.mode(saveMode).parquet(out.getAbsolutePath)
         }
         .start()
       try q.processAllAvailable()
@@ -322,6 +331,31 @@ object StreamingSessionize {
           .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
             .as("hour_ts"), col("n_users")),
         outputMode = "append", sinkName = "x7")
+    },
+
+    // Streaming top-k per window — the trending-now materialized view: the
+    // stream maintains per-(hour, user) counts incrementally (complete-mode
+    // state, x7's key space), and the top-3-per-hour RANK runs in
+    // foreachBatch over each delivered state snapshot — window functions
+    // are batch-only, so the sink-side projection is exactly where a
+    // production job puts them (the sink always holds the current top-k,
+    // overwritten per trigger). On a finite replay the last snapshot equals
+    // the batch rank, which is the oracle. At scale the state is bounded by
+    // the (window, user) key domain and the rank runs on the aggregate,
+    // never the event stream.
+    "x19_stream_topk" -> { (s, dir) =>
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy("hour_ts").orderBy(col("n_events").desc, col("user_id"))
+      runToCompletion(s, dir, ev =>
+        ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_ts"), col("user_id"), col("n_events")),
+        sinkName = "x19",
+        sinkTransform = st => st
+          .withColumn("rk", row_number().over(rankW).cast(LongType))
+          .filter(col("rk") <= 3))
     },
 
     // Sliding-window aggregate — the overlapping-window form x2's tumbling
@@ -641,6 +675,18 @@ object StreamingSessionize {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
          |  event_type, count(*) AS n_events, ${dsumSql("value", 6)} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the final complete-mode snapshot equals the batch rank
+    "x19_stream_topk" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |    user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_ts, user_id, n_events, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY hour_ts
+        |    ORDER BY n_events DESC, user_id) AS BIGINT) AS rk
+        |  FROM c) r
+        |WHERE rk <= 3""".stripMargin,
 
     "x3_stream_interval_join" ->
       """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
