@@ -800,6 +800,34 @@ object Dedup {
             / (col("tw1") + col("tw2") - col("inter_w"))).as("wjac"))
     },
 
+    // Near-dup cluster PURITY — the provenance audit over d11's clusters:
+    // per cluster, how many sources its members span and what fraction
+    // (integer ppm) the majority source holds. Pure clusters are ordinary
+    // within-crawl duplication; impure ones are cross-source mirrors /
+    // syndication — the rows a curation pipeline routes to d22's
+    // cross-source matrix for licensing review. One narrow join (cluster
+    // map ⋈ (doc_id, source)), a (cluster, source) count, and a
+    // per-cluster argmax window bounded by the cluster's distinct
+    // sources; the majority tie-breaks on source name so the readout is
+    // deterministic. Nothing here touches text.
+    "d27_cluster_purity" -> { (s, dir) =>
+      val cl = Components.minLabel(neardupEdges(s, dir))
+        .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      val cs = cl.join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        .groupBy("cluster_id", "source").agg(count(lit(1)).as("ns"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("ns").desc, col("source"))
+      cs.withColumn("rk", row_number().over(w))
+        .withColumn("n_members",
+          sum("ns").over(Window.partitionBy("cluster_id")).cast(LongType))
+        .withColumn("n_sources",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("n_members"), col("n_sources"),
+          col("source").as("top_source"),
+          expr("ns * 1000000 div n_members").as("purity_ppm"))
+    },
+
     // Near-dup CLUSTERS — connected components over the verified near-dup
     // pair graph (LSH candidates with exact Jaccard >= 0.5), the step a
     // dedup pipeline needs after pair generation: pairs (a,b),(b,c) must
@@ -1377,6 +1405,26 @@ object Dedup {
          |$hashSetSqlCte,
          |$clusterSqlCtes
          |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+
+    // d11's cluster CTEs + the same (count DESC, source) argmax and ppm
+    "d27_cluster_purity" ->
+      s"""WITH RECURSIVE $sigSqlCte,
+         |$hashSetSqlCte,
+         |$clusterSqlCtes,
+         |cs AS (SELECT cl.cluster_id, d.source, count(*) AS ns
+         |       FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+         |       GROUP BY 1, 2),
+         |agg AS (SELECT cluster_id, CAST(sum(ns) AS BIGINT) AS n_members,
+         |          count(*) AS n_sources
+         |        FROM cs GROUP BY cluster_id),
+         |top AS (SELECT cluster_id, source, ns FROM (
+         |          SELECT cs.*, row_number() OVER (PARTITION BY cluster_id
+         |            ORDER BY ns DESC, source) AS rk
+         |          FROM cs) t WHERE rk = 1)
+         |SELECT a.cluster_id, a.n_members, a.n_sources,
+         |  t.source AS top_source,
+         |  CAST(t.ns * 1000000 // a.n_members AS BIGINT) AS purity_ppm
+         |FROM agg a JOIN top t ON a.cluster_id = t.cluster_id""".stripMargin,
 
     "d15_neardup_corpus" ->
       s"""WITH RECURSIVE $sigSqlCte,

@@ -692,6 +692,35 @@ object Relational {
             .as("n_outliers"))
     },
 
+    // TPC-H Q8-shaped market share — the two-level share-of-total readout:
+    // ASIA customers' revenue per (order year, customer nation), each
+    // nation's share of its year. The share denominator comes from a
+    // WINDOW over the |years|·|nations| aggregate (never a second pass
+    // over the fact), and — the decimal discipline's window case — the
+    // year total is summed as DECIMAL inside the window too: a double
+    // window-sum adds in partition row order, which no engine pair
+    // replays identically. Both sums stay exact until the final
+    // double-cast; the share is then ONE IEEE division. Region/nation
+    // broadcast; one fact shuffle for the (year, nation) agg.
+    "q55_market_share" -> { (s, dir) =>
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val yearW = Window.partitionBy("o_year")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("rev_dec"))
+        .withColumn("tot_dec", sum(col("rev_dec")).over(yearW))
+        .select(col("o_year"), col("n_name"),
+          col("rev_dec").cast(DoubleType).as("revenue"),
+          (col("rev_dec").cast(DoubleType) / col("tot_dec").cast(DoubleType))
+            .as("share"))
+    },
+
     // KMV sketch SET ALGEBRA — the reason mergeable sketches beat exact
     // distinct at scale is not the single count (q36) but the algebra:
     // union/intersection cardinalities between every audience pair
@@ -1528,6 +1557,24 @@ object Relational {
         |    AS n_outliers
         |FROM dev d JOIN mad x ON d.event_type = x.event_type
         |GROUP BY d.event_type""".stripMargin,
+
+    // same decimal-to-the-end window sum, same single final division
+    "q55_market_share" ->
+      """WITH a AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year, n.n_name,
+        |    sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |      AS DECIMAL(18,6))) AS rev_dec
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA'
+        |  GROUP BY 1, 2)
+        |SELECT o_year, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec AS DOUBLE)
+        |    / CAST(sum(rev_dec) OVER (PARTITION BY o_year) AS DOUBLE) AS share
+        |FROM a""".stripMargin,
 
     // the union sketch is the distinct-merge rank window; membership runs
     // against each type's bottom-64 rows; every double op mirrors the

@@ -470,6 +470,27 @@ object Similarity {
           min("sil").as("min_sil"))
     },
 
+    // PQ codebook-utilization audit — the ops readout an ANN index needs
+    // before anyone trusts its recall numbers: per subspace, how many of
+    // the K centroids actually receive vectors, and how skewed the
+    // occupancy is (dead centroids waste code space; one viral centroid
+    // means ADC scores stop discriminating — the same pathology as m5's
+    // 8-bit percolation, caught by a dashboard count instead of a
+    // post-mortem). Two stacked hash aggs over the (vec, m) codes — the
+    // audit never touches vectors, so at 100 TB it reads the 4-byte code
+    // table, not the embedding column; skew is integer ppm (g10's
+    // discipline) so the readout hash-gates.
+    "s24_code_utilization" -> { (s, dir) =>
+      val n = normalized(s, dir)
+      pqCodes(n, pqCentroids(n))
+        .groupBy("m", "cid").agg(count(lit(1)).as("nb"))
+        .groupBy("m").agg(count(lit(1)).as("n_used"),
+          sum("nb").cast(LongType).as("n_vecs"),
+          max("nb").as("max_bucket"))
+        .select(col("m"), col("n_used"), col("n_vecs"), col("max_bucket"),
+          expr("max_bucket * 1000000 div n_vecs").as("skew_ppm"))
+    },
+
     // Embedding near-dup: label-blocked pair cosine above threshold — the
     // blocking key keeps the pair join off the cartesian path. Vectors are
     // unit-normalized BEFORE the join (O(N) norms instead of O(pairs)), so
@@ -980,6 +1001,15 @@ object Similarity {
          |  min(sil) AS min_sil
          |FROM sil GROUP BY cluster_id""".stripMargin
     },
+
+    // pqBase's codes verbatim; two stacked counts, integer-ppm skew
+    "s24_code_utilization" ->
+      s"""WITH $pqBase,
+         |b AS (SELECT m, cid, count(*) AS nb FROM codes GROUP BY m, cid)
+         |SELECT m, count(*) AS n_used, CAST(sum(nb) AS BIGINT) AS n_vecs,
+         |  max(nb) AS max_bucket,
+         |  CAST(max(nb) * 1000000 // sum(nb) AS BIGINT) AS skew_ppm
+         |FROM b GROUP BY m""".stripMargin,
 
     // s5's normalize/seed/assign/probe CTEs with the rank window replaced
     // by the radius filter + per-query rollup

@@ -705,6 +705,37 @@ object TextOps {
           col("eff").as("eff_weight"), col("n_copies"))
     },
 
+    // Cross-language vocabulary overlap — the language-contamination
+    // readout behind t3/t22's language-ID quality: exact Jaccard between
+    // every language pair's vocabulary. High overlap between two
+    // languages' token sets means n-gram language ID will confuse them
+    // (and shared vocabulary is exactly where w8-style per-source drift
+    // hides). The pair expansion is keyed on the TOKEN — one distinct
+    // (lang, word) collapse, then a word-equi self-join whose per-word
+    // fan-out is bounded by |langs|, never a vocabulary cross join; the
+    // |langs|² result joins the size table for the exact Jaccard (one
+    // IEEE division).
+    "w15_vocab_overlap" -> { (s, dir) =>
+      val vocab = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .distinct()
+        .localCheckpoint() // consumers: sizes + both sides of the pair join
+      val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("n"))
+      vocab.as("a").join(vocab.as("b"),
+          col("a.word") === col("b.word") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("lang").as("lang_a"), col("n").as("n_a"))),
+          "lang_a")
+        .join(broadcast(sizes.select(col("lang").as("lang_b"), col("n").as("n_b"))),
+          "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          (col("n_shared").cast(DoubleType)
+            / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+    },
+
     // Deterministic train/val/test split manifest — the eval-hygiene
     // primitive every training pipeline needs before any model sees data:
     // each doc's split is a pure function of md5(doc_id) (first byte:
@@ -1406,6 +1437,21 @@ object TextOps {
         |              CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
         |                AS BIGINT) AS n_tokens
         |            FROM documents) t) t2""".stripMargin,
+
+    // same distinct collapse, same word-keyed pair count, one division
+    "w15_vocab_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT lang, w AS word
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> ''),
+        |sz AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
+        |sh AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+        |       FROM v a JOIN v b ON a.word = b.word AND a.lang < b.lang
+        |       GROUP BY 1, 2)
+        |SELECT sh.lang_a, sh.lang_b, sh.n_shared, x.n AS n_a, y.n AS n_b,
+        |  CAST(sh.n_shared AS DOUBLE) / (x.n + y.n - sh.n_shared) AS jaccard
+        |FROM sh JOIN sz x ON sh.lang_a = x.lang
+        |        JOIN sz y ON sh.lang_b = y.lang""".stripMargin,
 
     // same md5-byte residue, same 13/26 boundaries, same integer ppm
     "t23_split_manifest" ->

@@ -358,6 +358,33 @@ object StreamingSessionize {
           .filter(col("rk") <= 3))
     },
 
+    // CHAINED windowed aggregations — the hierarchical-rollup pipeline
+    // (minute-grain counts → hourly summary) as TWO stacked streaming
+    // window aggregates: the second groupBy windows over the FIRST's
+    // window column (Spark's chained-time-window support, the second
+    // multi-stateful shape next to x7's dedup→window). The hourly row
+    // carries sum/peak/slice-count of its 10-minute slices — the peak
+    // column is why the rollup can't be computed flat (max-of-counts
+    // needs the intermediate grain). State per stage is watermark-
+    // bounded; the inner agg shrinks the stream by the slice width
+    // before the outer ever sees it — at 100 TB the second shuffle
+    // carries per-slice partials, never events. Append emission: an hour
+    // surfaces once the watermark passes its end (x7's rule, restated in
+    // the oracle's cutoff).
+    "x20_stream_window_rollup" -> { (s, dir) =>
+      runToCompletion(s, dir, ev =>
+        ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n10"))
+          .groupBy(window(col("window"), "1 hour"))
+          .agg(sum("n10").cast(LongType).as("n_events"),
+            max("n10").as("peak_10min"), count(lit(1)).as("n_slices"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_ts"), col("n_events"), col("peak_10min"),
+            col("n_slices")),
+        outputMode = "append", sinkName = "x20")
+    },
+
     // Sliding-window aggregate — the overlapping-window form x2's tumbling
     // rollup doesn't cover: every event lands in window/slide = 6 windows
     // (60 min length, 10 min slide, epoch-aligned starts). Spark expands
@@ -766,6 +793,21 @@ object StreamingSessionize {
         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_users
         |FROM agg, wm
         |WHERE epoch_ms(h) + 3600000 <= w""".stripMargin,
+
+    // 10-min slots nest exactly in hours (6 per hour); emission cutoff
+    // as in x7 — an hour emits once the final watermark passes its end
+    "x20_stream_window_rollup" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms FROM events),
+        |s AS (SELECT ms // 600000 AS slot, count(*) AS n10 FROM e GROUP BY 1),
+        |h AS (SELECT slot // 6 AS hr, CAST(sum(n10) AS BIGINT) AS n_events,
+        |        max(n10) AS peak_10min, count(*) AS n_slices
+        |      FROM s GROUP BY 1),
+        |wm AS (SELECT max(ms) - 3600000 AS w FROM e)
+        |SELECT strftime(make_timestamp(hr * 3600000000), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_ts,
+        |  n_events, peak_10min, n_slices
+        |FROM h, wm
+        |WHERE hr * 3600000 + 3600000 <= w""".stripMargin,
 
     // Each event belongs to the 6 epoch-aligned 10-min slots covering it
     // (slot = window start / 600000); emission cutoff as in x7.
