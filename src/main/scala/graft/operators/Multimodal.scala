@@ -314,6 +314,35 @@ object Multimodal {
         .filter(col("n_copies") > 0)
         .select(col("doc_id"), col("media_type"), col("weight"),
           col("n_copies"))
+    },
+
+    // WebDataset-style shard manifest — the layout a multimodal training
+    // loader actually consumes: per modality, items in a DETERMINISTIC
+    // PSEUDO-SHUFFLE order (md5 of the id — training wants decorrelated
+    // shards, and rand() would never replay), bin-packed by cumulative
+    // payload bytes into 16 KiB shards (t20's running-sum discipline with
+    // BYTES as the measure and the shuffle built into the sort key).
+    // The manifest is (item, shard, offset) — the loader does the byte
+    // movement; no payload ever shuffles here. The parallel unit is the
+    // modality partition (per (modality, shard-group) at 100 TB, where a
+    // coarse group key bounds every window partition — same note as t20).
+    "m11_shard_manifest" -> { (s, dir) =>
+      val m = docs(s, dir)
+        .withColumn("payload", col("text").cast(BinaryType))
+        .select(col("doc_id"),
+          expr("CAST(octet_length(payload) AS BIGINT)").as("n_bytes"),
+          expr(s"CASE ${hexVal("substr(md5(text), 1, 1)")} % 3" +
+            " WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+            .as("media_type"),
+          md5(col("doc_id").cast(StringType)).as("shuffle_key"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_type").orderBy("shuffle_key", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      m.withColumn("cum_before", sum("n_bytes").over(w) - col("n_bytes"))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          expr("cum_before div 16384").as("shard_id"),
+          expr("cum_before % 16384").as("shard_offset"))
     }
   )
 
@@ -480,6 +509,23 @@ object Multimodal {
          |WHERE CAST(floor(weight) AS BIGINT) +
          |    (CASE WHEN CAST(uv AS DOUBLE) / 4294967296.0 < weight - floor(weight)
          |          THEN 1 ELSE 0 END) > 0""".stripMargin
-    }
+    },
+
+    // same modality residue, same md5 shuffle order, same floors
+    "m11_shard_manifest" ->
+      """SELECT doc_id, media_type, n_bytes,
+        |  cum_before // 16384 AS shard_id, cum_before % 16384 AS shard_offset
+        |FROM (SELECT doc_id, media_type, n_bytes,
+        |        CAST(sum(n_bytes) OVER (PARTITION BY media_type
+        |          ORDER BY shuffle_key, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_bytes AS BIGINT) AS cum_before
+        |      FROM (SELECT doc_id,
+        |              CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |              CASE (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 3
+        |                WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |                ELSE 'video' END AS media_type,
+        |              md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |            FROM documents) t) t2""".stripMargin
   )
 }

@@ -721,6 +721,29 @@ object Relational {
             .as("share"))
     },
 
+    // Equi-DEPTH histogram — q52's equi-width twin, binned by the
+    // distribution instead of the range: decile CUTPOINTS from one
+    // grouped exact-percentile aggregate (q33's one-buffer machinery)
+    // broadcast back into the scan, bin = how many cutpoints the value
+    // has reached (9-element in-row fold — never a per-group ntile,
+    // whose global per-type sort is the textbook skew hazard at corpus
+    // scale). Ties straddling a cutpoint land LEFT-inclusive in both
+    // engines (>= on bit-identical interpolated doubles — q33 proved the
+    // interpolation matches), so bucket counts near-equalize rather than
+    // exactly equalize: that is the honest cutpoint-histogram semantics,
+    // and the lo/hi columns expose it.
+    "q56_equidepth_hist" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val cuts = ev.groupBy("event_type")
+        .agg(expr("percentile(value, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D," +
+          " 0.6D, 0.7D, 0.8D, 0.9D))").as("cuts"))
+      ev.join(broadcast(cuts), "event_type")
+        .withColumn("bin",
+          expr("CAST(size(filter(cuts, c -> value >= c)) AS BIGINT)"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+    },
+
     // KMV sketch SET ALGEBRA — the reason mergeable sketches beat exact
     // distinct at scale is not the single count (q36) but the algebra:
     // union/intersection cardinalities between every audience pair
@@ -1575,6 +1598,20 @@ object Relational {
         |  CAST(rev_dec AS DOUBLE)
         |    / CAST(sum(rev_dec) OVER (PARTITION BY o_year) AS DOUBLE) AS share
         |FROM a""".stripMargin,
+
+    // quantile_cont == Spark percentile (q33); same >= fold over the
+    // same 9 interpolated cutpoints
+    "q56_equidepth_hist" ->
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |      AS cuts
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  CAST(len(list_filter(c.cuts, x -> e.value >= x)) AS BIGINT) AS bin,
+        |  count(*) AS n, min(e.value) AS lo, max(e.value) AS hi
+        |FROM events e JOIN cuts c ON e.event_type = c.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     // the union sketch is the distinct-merge rank window; membership runs
     // against each type's bottom-64 rows; every double op mirrors the

@@ -705,6 +705,30 @@ object TextOps {
           col("eff").as("eff_weight"), col("n_copies"))
     },
 
+    // Skip-gram pair extraction — the word2vec/embedding training-pair
+    // primitive (each token paired with its next-1 and next-2 neighbors):
+    // w4 counts bag-of-words co-occurrence per document; skip-grams need
+    // POSITIONS, and the scalable spelling is q35's binning discipline —
+    // the probe side re-keys each token at (pos+1, pos+2) (a fixed 2×
+    // fan-out) and pairs form on the (doc, pos) EQUI-key, never a range
+    // or cross join. Pairing runs on the raw split arrays so positions
+    // agree engine-to-engine; the empty-token guard filters both ends
+    // AFTER pairing (same rows drop in both engines). Top-20 by
+    // (count DESC, pair) through a TakeOrdered heap.
+    "t24_skipgram_pairs" -> { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "word")))
+      val probes = toks.select(col("doc_id"),
+        explode(array(col("pos") + 1, col("pos") + 2)).as("pos"),
+        col("word").as("w1"))
+      probes.join(toks.withColumnRenamed("word", "w2"), Seq("doc_id", "pos"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
     // Cross-language vocabulary overlap — the language-contamination
     // readout behind t3/t22's language-ID quality: exact Jaccard between
     // every language pair's vocabulary. High overlap between two
@@ -1437,6 +1461,22 @@ object TextOps {
         |              CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
         |                AS BIGINT) AS n_tokens
         |            FROM documents) t) t2""".stripMargin,
+
+    // positions over the raw split arrays (Spark posexplode 0-based,
+    // list index 1-based — offsets agree), same post-pair empty guard
+    "t24_skipgram_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, ws[u.i] AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+        |       LATERAL unnest(generate_series(1, len(ws))) AS u(i)),
+        |p AS (SELECT a.w1, b.word AS w2, count(*) AS cnt
+        |      FROM (SELECT doc_id, pos + off AS pos, word AS w1
+        |            FROM tok, (SELECT unnest([1, 2]) AS off) o) a
+        |      JOIN tok b ON a.doc_id = b.doc_id AND a.pos = b.pos
+        |      WHERE a.w1 <> '' AND b.word <> ''
+        |      GROUP BY 1, 2)
+        |SELECT w1, w2, cnt FROM p
+        |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // same distinct collapse, same word-keyed pair count, one division
     "w15_vocab_overlap" ->

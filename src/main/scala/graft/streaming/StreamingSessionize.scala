@@ -140,6 +140,40 @@ object StreamingSessionize {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** x19's streaming stage: per-(hour, user) event counts — complete-mode
+    * state the sink-side rank projects over. Factored so the multi-batch
+    * replay spec runs the exact defs spelling. */
+  def hourlyUserCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_ts"), col("user_id"), col("n_events"))
+
+  /** x19's sink-side (batch, per-microbatch) projection: top 3 users per
+    * hour, deterministic (count DESC, user) order. */
+  def topkProjection(state: DataFrame): DataFrame = {
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour_ts").orderBy(col("n_events").desc, col("user_id"))
+    state
+      .withColumn("rk", row_number().over(rankW).cast(LongType))
+      .filter(col("rk") <= 3)
+  }
+
+  /** x20's chained windowed aggregations: 10-minute counts re-windowed to
+    * an hourly sum/peak/slice-count rollup. */
+  def windowRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n10"))
+      .groupBy(window(col("window"), "1 hour"))
+      .agg(sum("n10").cast(LongType).as("n_events"),
+        max("n10").as("peak_10min"), count(lit(1)).as("n_slices"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_ts"), col("n_events"), col("peak_10min"), col("n_slices"))
+
   /** Run a streaming transform over `dir`/events.parquet to completion
     * (file source → `foreachBatch` → parquet) and return the result as a
     * FILE-BACKED DataFrame. This is the correctness-gate harness: same
@@ -344,18 +378,8 @@ object StreamingSessionize {
     // the (window, user) key domain and the rank runs on the aggregate,
     // never the event stream.
     "x19_stream_topk" -> { (s, dir) =>
-      val rankW = org.apache.spark.sql.expressions.Window
-        .partitionBy("hour_ts").orderBy(col("n_events").desc, col("user_id"))
-      runToCompletion(s, dir, ev =>
-        ev.withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 hour"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
-            .as("hour_ts"), col("user_id"), col("n_events")),
-        sinkName = "x19",
-        sinkTransform = st => st
-          .withColumn("rk", row_number().over(rankW).cast(LongType))
-          .filter(col("rk") <= 3))
+      runToCompletion(s, dir, hourlyUserCounts(_), sinkName = "x19",
+        sinkTransform = topkProjection)
     },
 
     // CHAINED windowed aggregations — the hierarchical-rollup pipeline
@@ -372,16 +396,7 @@ object StreamingSessionize {
     // surfaces once the watermark passes its end (x7's rule, restated in
     // the oracle's cutoff).
     "x20_stream_window_rollup" -> { (s, dir) =>
-      runToCompletion(s, dir, ev =>
-        ev.withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "10 minutes"))
-          .agg(count(lit(1)).as("n10"))
-          .groupBy(window(col("window"), "1 hour"))
-          .agg(sum("n10").cast(LongType).as("n_events"),
-            max("n10").as("peak_10min"), count(lit(1)).as("n_slices"))
-          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
-            .as("hour_ts"), col("n_events"), col("peak_10min"),
-            col("n_slices")),
+      runToCompletion(s, dir, windowRollup(_),
         outputMode = "append", sinkName = "x20")
     },
 

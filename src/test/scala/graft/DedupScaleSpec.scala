@@ -117,6 +117,47 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(kept == Set(1L, 301L))
   }
 
+  test("d26 weighted jaccard: identical pair scores exactly 1.0; viral bucket contributes nothing") {
+    val rows = Dedup.defs("d26_weighted_jaccard")(spark, dir).collect()
+    assert(rows.length == 1, s"only the surviving (301, 302) candidate: ${rows.toSeq}")
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (301L, 302L))
+    assert(r.getLong(3) == r.getLong(4), "identical docs: inter_w == union_w")
+    assert(r.getDouble(5) == 1.0, s"wjac of identical docs must be exactly 1: $r")
+  }
+
+  test("d26 ranks a rare-shingle pair above an equally-overlapping boilerplate pair") {
+    // A/B share 15 tokens found NOWHERE else; C/D share a 15-token
+    // boilerplate preamble that also floods 20 other docs. Raw overlap is
+    // identical by construction, so plain d4 jaccard ties them — the IDF
+    // ppm weights are the only thing separating evidence from noise.
+    val d = Files.createTempDirectory("graft-wjac").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rare = (1 to 15).map(i => s"rare$i")
+    val boil = (1 to 15).map(i => s"boiler$i")
+    val mk = (id: Long, toks: Seq[String]) => {
+      val t = toks.mkString(" ")
+      Row(id, t, "en", "s", t.length.toLong)
+    }
+    val rows = Seq(
+      mk(1L, rare ++ Seq("ua1", "ua2", "ua3")),
+      mk(2L, rare ++ Seq("ub1", "ub2", "ub3")),
+      mk(3L, boil ++ Seq("uc1", "uc2", "uc3")),
+      mk(4L, boil ++ Seq("ud1", "ud2", "ud3"))) ++
+      (10L to 29L).map(i => mk(i, boil ++ Seq(s"uf${i}a", s"uf${i}b", s"uf${i}c")))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val wj = Dedup.defs("d26_weighted_jaccard")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(wj.contains((1L, 2L)) && wj.contains((3L, 4L)),
+      s"both pairs must survive LSH candidacy: ${wj.keys}")
+    assert(wj((1L, 2L)) > 2.0 * wj((3L, 4L)),
+      s"rare-shingle evidence must dominate boilerplate overlap: $wj")
+  }
+
   test("d11 collapses a transitive near-dup chain into one cluster") {
     val d = Files.createTempDirectory("graft-chain").toString
     val schema = StructType(Seq(

@@ -350,6 +350,24 @@ class GraphSpec extends AnyFunSuite {
       "a super-cap hub must not mediate predictions")
   }
 
+  test("g13 one LPA round adopts the (count DESC, label)-mode neighbor brand") {
+    // path 1-2-3-4-5 with brand seeds A,A,B,C,C. Unique-neighbor vertices
+    // copy that neighbor (1→A, 5→C); tied votes break to the smaller label
+    // (2: {A,B}→A, 3: {A,C}→A, 4: {B,C}→B) — the transition matrix pins
+    // both the mode and the deterministic tie-break.
+    val d = edgeFixture(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), "lpa")
+    val pschema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_brand", StringType)))
+    val parts = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"), (5L, "C"))
+      .map { case (k, b) => Row(k, b) }
+    spark.createDataFrame(spark.sparkContext.parallelize(parts, 2), pschema)
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    val got = Graph.defs("g13_label_prop")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("A", "A", 2L), ("B", "A", 1L), ("C", "B", 1L),
+      ("C", "C", 1L)), s"transition matrix diverges: $got")
+  }
+
   test("g8 histogram on K4+star: degrees {1×6, 3×4, 6×1}, cumulative and ppm exact") {
     val rows = Graph.defs("g8_degree_histogram")(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

@@ -768,6 +768,56 @@ class OperatorSpec extends AnyFunSuite {
       3L -> ((4L, 1L, 4L))), s"got $got")
   }
 
+  test("t23 split assignment is stable under corpus growth (per-source counts unchanged)") {
+    // the defining property of an md5-residue split: adding NEW docs (new
+    // ids, new source) must not move ANY existing doc across a split
+    // boundary — which a row_number- or rand-based assignment fails
+    val base = (0L until 100L).map(i => (i, s"doc number $i content", "s1"))
+    val grown = base ++ (1000L until 1100L).map(i => (i, s"later doc $i", "s2"))
+    def s1Counts(d: String) =
+      TextOps.defs("t23_split_manifest")(spark, d).collect()
+        .filter(_.getString(0) == "s1")
+        .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val before = s1Counts(writeDocs(base))
+    val after = s1Counts(writeDocs(grown))
+    assert(before == after,
+      s"growth moved existing docs across splits: $before vs $after")
+    // all three splits populated at n=100 and they partition the corpus
+    assert(before.keySet == Set("train", "val", "test"), s"got $before")
+    assert(before.values.map(_._1).sum == 100L)
+  }
+
+  test("s23 silhouette: tight planted clusters score near 1, bounds hold") {
+    // label-0 pair along axis 0, label-1 pair along axis 1 → s6 forms two
+    // 2-member clusters; each member sits ~on its centroid and far from
+    // the other, so every silhouette is near 1 (and always within [-1, 1])
+    val d = Files.createTempDirectory("graft-sil").toString
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val embRows = Seq(
+      Row(0L, vec(0 -> 1.0f), 0), Row(1L, vec(0 -> 1.0f, 1 -> 0.05f), 0),
+      Row(2L, vec(2 -> 1.0f), 1), Row(3L, vec(2 -> 1.0f, 3 -> 0.05f), 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(embRows, 2), embSchema)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Similarity.defs("s23_silhouette")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(rows.size == 2, s"two planted clusters expected: $rows")
+    rows.foreach { case (cid, (n, mean, mn)) =>
+      assert(n >= 2, s"cluster $cid lost members")
+      assert(mean >= -1.0 && mean <= 1.0 && mn >= -1.0 && mn <= 1.0,
+        s"silhouette out of bounds: $cid -> ($mean, $mn)")
+      assert(mean > 0.5, s"well-separated cluster $cid must score high: $mean")
+    }
+  }
+
   test("d24 bloom admission verdicts are exact, with whitespace-normalized fps") {
     val d = writeDocs(Seq(
       (1L, "hello world today", "s"), (2L, "another one", "s"),

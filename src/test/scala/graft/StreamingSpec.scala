@@ -113,6 +113,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet, "dedup key set diverges from batch DISTINCT")
   }
 
+  test("x19 top-k over 3 sliced microbatches equals the batch per-hour rank") {
+    import org.apache.spark.sql.functions._
+    val mb = timeSlicedDir(3)
+    val streamed = StreamingSessionize.runToCompletion(spark, mb,
+        StreamingSessionize.hourlyUserCounts(_), "complete", "multibatch-topk",
+        Map("maxFilesPerTrigger" -> "1"), "events*.parquet",
+        sinkTransform = StreamingSessionize.topkProjection)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // batch twin: same count + same rank projection over the full table
+    val batch = StreamingSessionize.topkProjection(
+        graft.sources.Tables.load(spark, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_ts"), col("user_id"), col("n_events")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty && streamed.exists(_._4 == 3L),
+      "test premise: some hour must have >= 3 active users")
+    assert(streamed.toSet == batch.toSet,
+      "final complete-mode top-k snapshot diverges from the batch rank")
+  }
+
+  test("x20 chained rollup over 3 sliced microbatches equals the one-shot stream") {
+    val mb = timeSlicedDir(3)
+    def run(d: String, sink: String, opts: Map[String, String], glob: String) =
+      StreamingSessionize.runToCompletion(spark, d,
+          StreamingSessionize.windowRollup(_), "append", sink, opts, glob)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sliced = run(mb, "multibatch-rollup", Map("maxFilesPerTrigger" -> "1"),
+      "events*.parquet")
+    val oneShot = run(dir, "oneshot-rollup", Map.empty, "events.parquet")
+    assert(sliced.nonEmpty && sliced.exists(_._3 > 1),
+      "test premise: some hour must have a >1-event peak slice")
+    // peak-of-slices requires cross-batch merging of the INNER window state;
+    // identical final emissions prove both stacked states merged correctly
+    assert(sliced.toSet == oneShot.toSet,
+      "chained-window emissions diverge between sliced and one-shot replays")
+  }
+
   test("x12 over three sliced microbatches equals the one-shot stream, verdicts non-degenerate") {
     // documents sliced by doc_id into 3 files replayed one per trigger:
     // each arriving doc's band rows land in one microbatch, and the
