@@ -450,10 +450,20 @@ object Similarity {
         .groupBy("cluster_id")
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)")
           .as("cv"))
+      // norms HOISTED out of the member × centroid expansion: the scoring
+      // pair count is |members|·K (the O(N·K) evaluator cost — production
+      // samples members and/or label-blocks the b-search; at gate scales
+      // the full evaluation is the point), so per-pair work must be ONE
+      // dot product — the in-join spelling recomputes both self-dots per
+      // pair, a measured 3× on the ScaleSmoke 100× corpus. Same operand
+      // order (dot / (na·nb)), so every double is bit-identical.
       val sil = member
-        .crossJoin(broadcast(cent.select(col("cluster_id").as("cid"), col("cv"))))
+        .withColumn("vnrm", sqrt(dot(col("v"), col("v"))))
+        .crossJoin(broadcast(cent.select(col("cluster_id").as("cid"), col("cv"),
+          sqrt(dot(col("cv"), col("cv"))).as("cnrm"))))
         .select(col("vec_id"), col("cluster_id"), col("cid"),
-          (lit(1.0) - cosine(col("v"), col("cv"))).as("dist"))
+          (lit(1.0) - dot(col("v"), col("cv")) / (col("vnrm") * col("cnrm")))
+            .as("dist"))
         .groupBy("vec_id", "cluster_id")
         .agg(min(when(col("cid") === col("cluster_id"), col("dist"))).as("a"),
           min(when(col("cid") =!= col("cluster_id"), col("dist"))).as("b"))
@@ -984,10 +994,13 @@ object Similarity {
          |       FROM cx GROUP BY cluster_id, pos),
          |cent AS (SELECT cluster_id, list(c ORDER BY pos) AS cv
          |         FROM cd GROUP BY cluster_id),
+         |mn AS (SELECT vec_id, cluster_id, v, sqrt(${d("v", "v")}) AS vnrm
+         |       FROM mem),
+         |cn AS (SELECT cluster_id, cv, sqrt(${d("cv", "cv")}) AS cnrm
+         |       FROM cent),
          |sc AS (SELECT m.vec_id, m.cluster_id, ct.cluster_id AS cid,
-         |         1.0 - (${d("m.v", "ct.cv")} /
-         |           (sqrt(${d("m.v", "m.v")}) * sqrt(${d("ct.cv", "ct.cv")}))) AS dist
-         |       FROM mem m CROSS JOIN cent ct),
+         |         1.0 - (${d("m.v", "ct.cv")} / (m.vnrm * ct.cnrm)) AS dist
+         |       FROM mn m CROSS JOIN cn ct),
          |ab AS (SELECT vec_id, cluster_id,
          |         min(CASE WHEN cid = cluster_id THEN dist END) AS a,
          |         min(CASE WHEN cid <> cluster_id THEN dist END) AS b

@@ -333,4 +333,25 @@ class PlanSpec extends AnyFunSuite {
       s"the dashboard-sized median/MAD tables must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q56: cutpoints broadcast back; no per-group ntile window sort of the fact") {
+    val p = plan(Relational.defs("q56_equidepth_hist")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the binning must be the in-row fold, never a Window (whose global
+    // per-type sort is the skew hazard the spelling exists to avoid)
+    assert(!p.contains("Window"), s"equi-depth must not plan a window:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("w15/t24/m11: pair joins stay equi-keyed, the shard window is the only sort") {
+    for (n <- Seq("w15_vocab_overlap", "t24_skipgram_pairs")) {
+      val p = plan(TextOps.defs(n)(spark, dir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must never cross-join:\n$p")
+    }
+    val p = plan(Multimodal.defs("m11_shard_manifest")(spark, dir))
+    // one modality-partitioned running-sum window, nothing else shuffles
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"m11 is one window exchange:\n$p")
+  }
 }
