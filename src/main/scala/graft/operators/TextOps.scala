@@ -705,6 +705,30 @@ object TextOps {
           col("eff").as("eff_weight"), col("n_copies"))
     },
 
+    // Tokenizer FERTILITY per language — the tokenizer-evaluation metric
+    // (subword tokens per word): a language whose fertility under a given
+    // pre-tokenizer runs high is poorly covered by it, pays more sequence
+    // length per sentence, and gets effectively down-weighted at a fixed
+    // token budget — the number a mixture designer (t14) reads next to
+    // the token shares. Whitespace words (t1's denominator) vs t5's
+    // BPE-ish pre-tokens, rolled up per language with the ratio as exact
+    // integer ppm. One narrow projection + one |langs|-row hash agg;
+    // both tokenizers run inside the scan stage.
+    "t25_tokenizer_fertility" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"),
+          expr("CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT)")
+            .as("nw"),
+          expr("CAST(size(regexp_extract_all(text," +
+            " '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS BIGINT)").as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nw").cast(LongType).as("n_words"),
+          sum("nt").cast(LongType).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          expr("n_tokens * 1000000 div n_words").as("fertility_ppm"))
+    },
+
     // Skip-gram pair extraction — the word2vec/embedding training-pair
     // primitive (each token paired with its next-1 and next-2 neighbors):
     // w4 counts bag-of-words co-occurrence per document; skip-grams need
@@ -1461,6 +1485,21 @@ object TextOps {
         |              CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
         |                AS BIGINT) AS n_tokens
         |            FROM documents) t) t2""".stripMargin,
+
+    // same two tokenizers, same integer ppm ratio
+    "t25_tokenizer_fertility" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS nw,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |      AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nt) * 1000000 // sum(nw) AS BIGINT) AS fertility_ppm
+        |FROM c GROUP BY lang""".stripMargin,
 
     // positions over the raw split arrays (Spark posexplode 0-based,
     // list index 1-based — offsets agree), same post-pair empty guard
