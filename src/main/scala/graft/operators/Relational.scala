@@ -744,6 +744,65 @@ object Relational {
         .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
     },
 
+    // POISSON BOOTSTRAP — the distributed-resampling primitive (Chamandy
+    // et al., "Estimating Uncertainty for Massive Data Streams"): classic
+    // bootstrap resamples n-of-n WITH replacement, which requires global
+    // coordination; the Poisson approximation gives every row an
+    // independent Poisson(1) weight per replicate, so 16 resampled means
+    // come out of ONE scan as conditional aggregates — no shuffle ever
+    // carries a resample. The weights are DETERMINISTIC Poisson draws:
+    // u = md5(event_id, replicate) as a 32-bit uniform, inverted through
+    // the exact cumulative-P(1) thresholds (literal doubles, identical
+    // comparisons in both engines — rand() would never replay). Output is
+    // the (type, replicate) mean table — 16·|types| rows; the caller reads
+    // the spread as the standard error of the mean. The 16× explode lives
+    // inside the scan stage; partial aggregation collapses it before the
+    // one (type, replicate) shuffle.
+    "q57_poisson_bootstrap" -> { (s, dir) =>
+      // cumulative Poisson(1): e^-1 · Σ 1/k!
+      val p = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+      val reps = t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"),
+          explode(expr("sequence(0, 15)")).as("b"))
+        .withColumn("u", graft.functions.HexPrefixToLong.hex8(
+          md5(concat(col("event_id").cast(StringType), lit("_"),
+            col("b").cast(StringType)))).cast(DoubleType) / lit(4294967296.0))
+        .withColumn("w",
+          p.zipWithIndex.foldRight(lit(6): Column) { case ((t0, k), e) =>
+            when(col("u") < t0, lit(k)).otherwise(e)
+          })
+      reps.groupBy(col("event_type"), col("b").cast(LongType).as("b"))
+        .agg(sum("w").cast(LongType).as("n_eff"),
+          (sum((col("w") * col("value")).cast(DecimalType(18, 6)))
+            .cast(DoubleType) / sum("w").cast(DoubleType)).as("mean_b"))
+    },
+
+    // Key-set CHECKSUM audit — the snapshot-equality primitive behind
+    // replication checks and migration sign-offs: an order-independent
+    // aggregate hash per table (sum of 32-bit md5 prefixes over the key
+    // columns) that two sites compare WITHOUT moving data. Sums are
+    // order-free so partial aggregation and any partitioning give the
+    // same checksum; DECIMAL(38) accumulation holds corpus-scale sums
+    // exactly. One narrow pass per table; keys only (q50's discipline) —
+    // value-column checksums would need cross-engine float/timestamp
+    // formatting parity the key columns don't.
+    "q58_key_checksums" -> { (s, dir) =>
+      def ck(name: String, keyExpr: String) =
+        t(s, dir, name)
+          .select(graft.functions.HexPrefixToLong.hex8(md5(expr(keyExpr)))
+            .as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("h").cast(DecimalType(38, 0))).cast(LongType).as("checksum"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+      ck("lineitem",
+          "concat(CAST(l_orderkey AS STRING), '_', CAST(l_partkey AS STRING)," +
+            " '_', CAST(l_suppkey AS STRING))")
+        .unionAll(ck("orders", "CAST(o_orderkey AS STRING)"))
+        .unionAll(ck("customer", "CAST(c_custkey AS STRING)"))
+        .unionAll(ck("part", "CAST(p_partkey AS STRING)"))
+    },
+
     // KMV sketch SET ALGEBRA — the reason mergeable sketches beat exact
     // distinct at scale is not the single count (q36) but the algebra:
     // union/intersection cardinalities between every audience pair
@@ -1612,6 +1671,52 @@ object Relational {
         |  count(*) AS n, min(e.value) AS lo, max(e.value) AS hi
         |FROM events e JOIN cuts c ON e.event_type = c.event_type
         |GROUP BY 1, 2""".stripMargin,
+
+    // same md5 uniforms, same literal thresholds, same decimal means
+    "q57_poisson_bootstrap" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH r AS (
+         |  SELECT event_type, value, event_id, b.b
+         |  FROM events, (SELECT unnest(generate_series(0, 15)) AS b) b),
+         |u AS (SELECT event_type, value, b,
+         |        CAST($hexToInt AS DOUBLE) / 4294967296.0 AS u
+         |      FROM (SELECT event_type, value, b,
+         |              md5(CAST(event_id AS VARCHAR) || '_' || CAST(b AS VARCHAR)) AS m
+         |            FROM r) t),
+         |w AS (SELECT event_type, value, b,
+         |        CASE WHEN u < 0.36787944117144233 THEN 0
+         |             WHEN u < 0.7357588823428847 THEN 1
+         |             WHEN u < 0.9196986029286058 THEN 2
+         |             WHEN u < 0.9810118431238462 THEN 3
+         |             WHEN u < 0.9963401531726563 THEN 4
+         |             WHEN u < 0.9994058151824183 THEN 5
+         |             ELSE 6 END AS w
+         |      FROM u)
+         |SELECT event_type, b, CAST(sum(w) AS BIGINT) AS n_eff,
+         |  ${dsumSql("w * value")} / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)
+         |    AS mean_b
+         |FROM w GROUP BY 1, 2""".stripMargin
+    },
+
+    // same keys, same 32-bit md5 prefixes, order-free sums
+    "q58_key_checksums" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      def ck(name: String, keyExpr: String) =
+        s"""SELECT '$name' AS table_name, count(*) AS n_rows,
+           |  CAST(sum($hexToInt) AS BIGINT) AS checksum
+           |FROM (SELECT md5($keyExpr) AS m FROM $name) t""".stripMargin
+      Seq(
+        ck("lineitem",
+          "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_partkey AS VARCHAR)" +
+            " || '_' || CAST(l_suppkey AS VARCHAR)"),
+        ck("orders", "CAST(o_orderkey AS VARCHAR)"),
+        ck("customer", "CAST(c_custkey AS VARCHAR)"),
+        ck("part", "CAST(p_partkey AS VARCHAR)")).mkString("\nUNION ALL\n")
+    },
 
     // the union sketch is the distinct-merge rank window; membership runs
     // against each type's bottom-64 rows; every double op mirrors the

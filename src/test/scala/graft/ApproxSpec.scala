@@ -110,4 +110,30 @@ class ApproxSpec extends AnyFunSuite {
     assert(disc <= rows.length / 2,
       s"estimated intersection ordering is uncorrelated with exact: $rows")
   }
+
+  test("q57: Poisson replicate means scatter around the exact mean, n_eff near n") {
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("m"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val reps = Relational.defs("q57_poisson_bootstrap")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(reps.length == exact.size * 16, "16 replicates per type")
+    reps.foreach { case (et, _, nEff, meanB) =>
+      val (n, m) = exact(et)
+      // Poisson(1) weights: E[n_eff]=n, sd=√n → ±5σ; per-replicate mean
+      // se ≈ sd(value)/√n, generously bounded at 25% of the mean here
+      // (n per type ≈ 200 at sf0.001, value cv ≈ 1 → se ≈ 7%)
+      assert(math.abs(nEff - n) <= 5 * math.sqrt(n.toDouble) + 1,
+        s"$et: n_eff $nEff vs n $n")
+      assert(math.abs(meanB - m) / m <= 0.25,
+        s"$et: replicate mean $meanB vs exact $m")
+    }
+    // the replicates must actually VARY (a degenerate all-weights-1
+    // implementation would pass the bounds above)
+    val spreads = reps.groupBy(_._1).values.map(g => g.map(_._4).distinct.size)
+    assert(spreads.forall(_ >= 8), s"replicate means suspiciously constant")
+  }
 }
