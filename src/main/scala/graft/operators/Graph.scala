@@ -131,6 +131,46 @@ object Graph {
       r
     },
 
+    // PageRank CONVERGENCE readout — the monitoring row an iterative job
+    // emits per round so the operator (human or auto-tuner) knows when to
+    // stop: L1 and max rank movement between consecutive rounds, exact
+    // longs off g2's integer ranks (the float form's per-round residual
+    // never cross-engine-compares). Each round adds one vertex-keyed
+    // equi-join of consecutive rank tables and a 1-row aggregate — noise
+    // next to the round itself; at 100 TB this is how "run until
+    // converged" replaces "run 3 rounds and hope". Rounds replay g2's
+    // exact arithmetic, so round-3 ranks here ARE g2's output.
+    "g14_rank_convergence" -> { (s, dir) =>
+      val S = 1000000000000L
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val deg = degrees(e).localCheckpoint()
+      val n = deg.agg(count(lit(1)).as("n"))
+      val de = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      var r = deg.join(broadcast(n))
+        .select(col("v"), expr(s"CAST($S div n AS BIGINT)").as("pr"))
+        .localCheckpoint()
+      val deltas = (1 to 3).map { i =>
+        val rc = r.join(deg, "v")
+          .select(col("v").as("src"), expr("pr div d").as("c"))
+        val next = de.join(rc, "src")
+          .groupBy(col("dst").as("v")).agg(sum(col("c")).as("sc"))
+          .join(broadcast(n))
+          .select(col("v"), expr(
+            s"CAST((15 * ($S div n)) div 100 + (85 * sc) div 100 AS BIGINT)")
+            .as("pr"))
+          .localCheckpoint()
+        val d0 = next.join(r.withColumnRenamed("pr", "prev"), "v")
+          .select(abs(col("pr") - col("prev")).as("delta"))
+          .agg(sum("delta").cast("long").as("l1_delta"),
+            max("delta").cast("long").as("max_delta"))
+          .select(lit(i.toLong).as("round"), col("l1_delta"), col("max_delta"))
+        r = next
+        d0
+      }
+      deltas.reduce(_.unionAll(_))
+    },
+
     // Weighted damped PageRank — g2 on the weighted co-order graph, the
     // realistic regime (edges carry co-order counts, and a pair ordered
     // together 30× should pull 30× the rank flow of a pair at the support
@@ -611,6 +651,24 @@ object Graph {
         |${prStepSql(2)},
         |${prStepSql(3)}
         |SELECT v, pr FROM r3""".stripMargin,
+
+    // g2's rounds verbatim; per-round deltas off the same integer ranks
+    "g14_rank_convergence" ->
+      s"""WITH $graphSql,
+        |n AS (SELECT count(*) AS n FROM deg),
+        |de AS (SELECT a AS src, b AS dst FROM edges
+        |       UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |r0 AS (SELECT v, CAST(1000000000000 // n.n AS BIGINT) AS pr FROM deg, n),
+        |${prStepSql(1)},
+        |${prStepSql(2)},
+        |${prStepSql(3)},
+        |${(1 to 3).map(i =>
+          s"""d$i AS (SELECT CAST($i AS BIGINT) AS round,
+             |  CAST(sum(abs(r$i.pr - r${i - 1}.pr)) AS BIGINT) AS l1_delta,
+             |  CAST(max(abs(r$i.pr - r${i - 1}.pr)) AS BIGINT) AS max_delta
+             |FROM r$i JOIN r${i - 1} ON r$i.v = r${i - 1}.v)""".stripMargin)
+          .mkString(",\n")}
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3""".stripMargin,
 
     // same graph; the degree cap on the CENTER role is part of the
     // semantics (mirrored), the top-20 tiebreak is total

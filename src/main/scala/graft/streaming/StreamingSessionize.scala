@@ -382,6 +382,25 @@ object StreamingSessionize {
         sinkTransform = topkProjection)
     },
 
+    // Streaming CONTINUOUS-INTEGRITY checksum — q58's key-set checksum
+    // maintained incrementally: the order-independent aggregate hash
+    // (decimal sum of 32-bit md5 prefixes) is a commutative monoid, so
+    // complete-mode state merges every microbatch in O(1) and the sink
+    // always holds the checksum-so-far — the drift monitor a replication
+    // pipeline tails to catch divergence without ever re-scanning. On a
+    // finite replay the final row equals the batch checksum BY ALGEBRA
+    // (arrival slicing is irrelevant to a commutative sum), which is the
+    // oracle.
+    "x21_stream_checksum" -> { (s, dir) =>
+      runToCompletion(s, dir, ev =>
+        ev.select(graft.functions.HexPrefixToLong
+            .hex8(md5(col("event_id").cast(StringType))).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("h").cast(DecimalType(38, 0))).cast(LongType)
+              .as("checksum")),
+        sinkName = "x21")
+    },
+
     // CHAINED windowed aggregations — the hierarchical-rollup pipeline
     // (minute-grain counts → hourly summary) as TWO stacked streaming
     // window aggregates: the second groupBy windows over the FIRST's
@@ -808,6 +827,15 @@ object StreamingSessionize {
         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_users
         |FROM agg, wm
         |WHERE epoch_ms(h) + 3600000 <= w""".stripMargin,
+
+    // commutative sum: the replayed checksum equals the batch checksum
+    "x21_stream_checksum" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""SELECT count(*) AS n_rows, CAST(sum($hexToInt) AS BIGINT) AS checksum
+         |FROM (SELECT md5(CAST(event_id AS VARCHAR)) AS m FROM events) t""".stripMargin
+    },
 
     // 10-min slots nest exactly in hours (6 per hour); emission cutoff
     // as in x7 — an hour emits once the final watermark passes its end
