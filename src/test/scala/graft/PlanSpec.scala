@@ -343,6 +343,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q57: the 16-replicate explode collapses map-side — one exchange, no join") {
+    val p = plan(Relational.defs("q57_poisson_bootstrap")(spark, dir))
+    // partial+final hash agg around exactly one exchange; the 16× row
+    // expansion must never be what the shuffle carries
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join"), s"bootstrap is joinless:\n$p")
+  }
+
+  test("q58: four key-only scans, no join, pruned ReadSchema") {
+    val p = plan(Relational.defs("q58_key_checksums")(spark, dir))
+    assert(!p.contains("Join"), p)
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.size == 4, s"one scan per audited table:\n$p")
+    schemas.foreach(l => assert(l.split(",").length <= 3,
+      s"checksum scan reads more than its key columns: $l"))
+  }
+
+  test("t25: both tokenizers run inside the scan stage — one exchange total") {
+    val p = plan(TextOps.defs("t25_tokenizer_fertility")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("w15/t24/m11: pair joins stay equi-keyed, the shard window is the only sort") {
     for (n <- Seq("w15_vocab_overlap", "t24_skipgram_pairs")) {
       val p = plan(TextOps.defs(n)(spark, dir))
