@@ -705,6 +705,63 @@ object TextOps {
           col("eff").as("eff_weight"), col("n_copies"))
     },
 
+    // The END-TO-END CURATION PIPELINE — every stage this pack builds,
+    // chained into the one deliverable a pretraining run actually
+    // consumes: quality gate (t11's corpus-relative P25 stopword bar) →
+    // exact dedup keep-best (d7's window) → benchmark decontamination
+    // (d12's shingle probe, contaminated docs DROPPED) → train split
+    // (t23's md5 residue) → 512-token sequence packing (t20's running
+    // sum). One declarative plan: Catalyst fuses the gates into the
+    // scans, the only corpus shuffles are the fp window, the shingle
+    // probe, and the pack window, and the broadcast threshold/index
+    // never move the corpus. This is the "switch your pipeline to one
+    // query" demonstrator — each stage is the FACTORED spelling of its
+    // standalone query, so the composition cannot drift from the parts.
+    "t26_curation_pipeline" -> { (s, dir) =>
+      val d = docs(s, dir)
+      // 1. quality: stopword score >= corpus P25 (threshold broadcast)
+      val scored = withQualityCols(d).select(col("doc_id"),
+        (col("n_stop").cast(DoubleType) / col("n_tokens")).as("score"))
+      val thr = scored.agg(expr("percentile(score, 0.25D)").as("thr"))
+      val quality = scored.crossJoin(broadcast(thr))
+        .filter(col("score") >= col("thr")).select("doc_id")
+      // 2. exact dedup among quality survivors: keep-best per fingerprint
+      val keepW = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id"))
+      val kept = d.join(quality, "doc_id")
+        .withColumn("fp", graft.operators.Dedup.fpCol)
+        .withColumn("rk", row_number().over(keepW))
+        .filter(col("rk") === 1)
+        .select("doc_id", "source", "text")
+      // 3. decontamination: drop docs sharing ANY shingle with the
+      // benchmark (docs 0-9, which are themselves excluded as eval)
+      val hs0 = graft.operators.Dedup.hashSetsOf(d).localCheckpoint()
+      val bench = hs0.filter(col("doc_id") < 10)
+        .select(explode(col("hs")).as("h")).distinct()
+      val contaminated = hs0.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .join(broadcast(bench), "h")
+        .select("doc_id").distinct()
+      // 4. train split: md5 residue >= 26 (t23's boundaries)
+      val hx = "instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), %d, 1)) - 1"
+      val clean = kept.filter(col("doc_id") >= 10)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(expr(s"(${hx.format(1)}) * 16 + (${hx.format(2)})") >= 26)
+      // 5. pack into 512-token sequences per source
+      val packW = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      clean
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT)")
+            .as("n_tokens"))
+        .withColumn("cum_before", sum("n_tokens").over(packW) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("cum_before div 512").as("seq_id"),
+          expr("cum_before % 512").as("seq_offset"))
+    },
+
     // Tokenizer FERTILITY per language — the tokenizer-evaluation metric
     // (subword tokens per word): a language whose fertility under a given
     // pre-tokenizer runs high is poorly covered by it, pays more sequence
@@ -1485,6 +1542,48 @@ object TextOps {
         |              CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
         |                AS BIGINT) AS n_tokens
         |            FROM documents) t) t2""".stripMargin,
+
+    // every stage's oracle spelling chained: t11's gate, d7's window,
+    // d12's probe, t23's residue, t20's packing
+    "t26_curation_pipeline" ->
+      s"""WITH ${graft.operators.Dedup.hashSetSqlCte},
+         |sc AS (
+         |  SELECT doc_id, CAST(n_stop AS DOUBLE) / n_tokens AS score
+         |  FROM (SELECT doc_id,
+         |          CAST(len(w) AS BIGINT) AS n_tokens,
+         |          CAST(len(list_filter(w, x -> x IN ($stopSqlList))) AS BIGINT) AS n_stop
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u),
+         |thr AS (SELECT quantile_cont(score, 0.25) AS thr FROM sc),
+         |q AS (SELECT doc_id FROM sc, thr WHERE score >= thr),
+         |f AS (SELECT d.doc_id, d.source, d.text, d.n_chars,
+         |        md5(lower(trim(regexp_replace(d.text, '[ \\t\\n\\r\\f]+', ' ', 'g')))) AS fp
+         |      FROM documents d JOIN q ON d.doc_id = q.doc_id),
+         |kept AS (SELECT doc_id, source, text FROM (
+         |           SELECT f.*, row_number() OVER (
+         |             PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rk
+         |           FROM f) t WHERE rk = 1),
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 10),
+         |cont AS (SELECT DISTINCT c.doc_id
+         |         FROM (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 10) c
+         |         JOIN bench b ON c.h = b.h),
+         |clean AS (SELECT k.doc_id, k.source, k.text FROM kept k
+         |          WHERE k.doc_id >= 10
+         |            AND k.doc_id NOT IN (SELECT doc_id FROM cont)
+         |            AND (instr('0123456789abcdef',
+         |                   substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |              + (instr('0123456789abcdef',
+         |                   substr(md5(CAST(k.doc_id AS VARCHAR)), 2, 1)) - 1) >= 26),
+         |tok AS (SELECT doc_id, source,
+         |          CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+         |            AS BIGINT) AS n_tokens
+         |        FROM clean)
+         |SELECT doc_id, source, n_tokens,
+         |  cum_before // 512 AS seq_id, cum_before % 512 AS seq_offset
+         |FROM (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          - n_tokens AS BIGINT) AS cum_before
+         |      FROM tok) t2""".stripMargin,
 
     // same two tokenizers, same integer ppm ratio
     "t25_tokenizer_fertility" ->

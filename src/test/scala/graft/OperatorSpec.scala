@@ -818,6 +818,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("t26 funnel: every gate bites; benchmark docs and non-train residues never survive") {
+    val dir001 = "/root/testdata/sf0.001"
+    val rows = TextOps.defs("t26_curation_pipeline")(spark, dir001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = spark.read.parquet(s"$dir001/documents.parquet").count()
+    assert(rows.nonEmpty && rows.length < total.toInt,
+      s"the funnel must pass some docs and drop some: ${rows.length} of $total")
+    assert(rows.forall(_._1 >= 10), "benchmark docs 0-9 are eval, never training")
+    // t23's residue: every survivor is in the train split
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def residue(id: Long): Int = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(hex(0)) * 16 + "0123456789abcdef".indexOf(hex(1))
+    }
+    assert(rows.forall(r => residue(r._1) >= 26), "a val/test doc leaked into training")
+    // packing invariant per source: offsets are the running sum mod 512
+    rows.groupBy(_._2).values.foreach { g =>
+      var cum = 0L
+      g.sortBy(_._1).foreach { case (_, _, nt, seqId, off) =>
+        assert(seqId == cum / 512 && off == cum % 512, s"packing broke at $g")
+        cum += nt
+      }
+    }
+  }
+
   test("d24 bloom admission verdicts are exact, with whitespace-normalized fps") {
     val d = writeDocs(Seq(
       (1L, "hello world today", "s"), (2L, "another one", "s"),
