@@ -313,6 +313,41 @@ object Similarity {
         .select("query_id", "neighbor_id", "rnk", "sim")
     },
 
+    // Dimension-TRUNCATION recall sweep — the Matryoshka question every
+    // embedding store faces: how much neighbor quality survives keeping
+    // only the first 16 / 32 of 64 dims (4×/2× less storage AND scan)?
+    // ONE corpus×queries pass scores all three widths (the truncated
+    // dots are prefixes of the same row — no second scan), three rank
+    // windows cut exact top-5s per width, and recall@5 vs the full-width
+    // baseline comes from the s4/s7/s10 evaluation join. The width-64
+    // rows are the 1.0 sanity diagonal. At 100 TB this sweep is how the
+    // 4× cheaper index EARNS the right to replace the full one.
+    "s25_dim_truncation_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v")).as("sim_64"),
+          cosine(slice(col("qv"), 1, 32), slice(col("v"), 1, 32)).as("sim_32"),
+          cosine(slice(col("qv"), 1, 16), slice(col("v"), 1, 16)).as("sim_16"))
+        .localCheckpoint() // one pass feeds three rank windows + baseline
+      def top5(wd: Int): DataFrame = {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col(s"sim_$wd").desc, col("neighbor_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
+      }
+      val exact = top5(64).withColumn("hit", lit(1))
+      Seq(16, 32, 64).map { wd =>
+        top5(wd)
+          .join(exact, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(lit(wd.toLong).as("width"), col("query_id"))
+          .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
+      }.reduce(_.unionAll(_))
+    },
+
     // Multi-probe LSH ANN: each query probes its own bucket PLUS the four
     // hamming-1 neighbor codes (xor bit flips) — the standard recall fix for
     // bucketed ANN (a near neighbor straddling one hyperplane lands one bit
@@ -978,6 +1013,37 @@ object Similarity {
          |  ${graft.Exprs.davgSql("err", 6)} AS mean_err,
          |  max(err) AS max_err
          |FROM er GROUP BY cid""".stripMargin
+    },
+
+    // same one-pass three-width scoring, same rank cuts, same eval join
+    "s25_dim_truncation_recall" -> {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      def cos(a: String, b: String) =
+        s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+      def block(wd: Int) =
+        s"""SELECT CAST($wd AS BIGINT) AS width, t.query_id,
+           |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / 5.0 AS recall_at_5
+           |FROM t$wd t LEFT JOIN t64 ex
+           |  ON t.query_id = ex.query_id AND t.neighbor_id = ex.neighbor_id
+           |GROUP BY t.query_id""".stripMargin
+      def rankCte(wd: Int) =
+        s"""t$wd AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY sim_$wd DESC, neighbor_id) AS rnk
+           |  FROM sc) r WHERE rnk <= 5)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |         ${cos("qv", "v")} AS sim_64,
+         |         ${cos("list_slice(qv, 1, 32)", "list_slice(v, 1, 32)")} AS sim_32,
+         |         ${cos("list_slice(qv, 1, 16)", "list_slice(v, 1, 16)")} AS sim_16
+         |       FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |${rankCte(16)},
+         |${rankCte(32)},
+         |${rankCte(64)}
+         |${Seq(16, 32, 64).map(block).mkString("\nUNION ALL\n")}""".stripMargin
     },
 
     // s6's cluster CTEs + davg-exact centroids in dim order; a/b are the
