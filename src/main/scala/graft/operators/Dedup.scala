@@ -800,6 +800,23 @@ object Dedup {
             / (col("tw1") + col("tw2") - col("inter_w"))).as("wjac"))
     },
 
+    // Duplicate RAG chunks — cross-document boilerplate at the CHUNK
+    // grain: a retrieval store deduplicates chunks, not documents (two
+    // distinct docs sharing a verbatim 128-token window would otherwise
+    // both surface for the same query), and this is the detector: t27's
+    // chunk fingerprints (factored — the same `ragChunks` the manifest
+    // ships) grouped by fp, kept where ≥ 2 DISTINCT docs carry the
+    // chunk. One hash agg on the fingerprint; text never moves (the fp
+    // is computed in-row inside the scan stage).
+    "d28_dup_chunks" -> { (s, dir) =>
+      TextOps.ragChunks(docs(s, dir))
+        .groupBy("chunk_fp")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct("doc_id").as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+    },
+
     // Near-dup cluster PURITY — the provenance audit over d11's clusters:
     // per cluster, how many sources its members span and what fraction
     // (integer ppm) the majority source holds. Pure clusters are ordinary
@@ -1405,6 +1422,14 @@ object Dedup {
          |$hashSetSqlCte,
          |$clusterSqlCtes
          |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+
+    // t27's ch CTE verbatim; the distinct-doc floor mirrored
+    "d28_dup_chunks" ->
+      s"""WITH ${TextOps.ragChunkSqlCte}
+         |SELECT chunk_fp, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+         |FROM ch GROUP BY chunk_fp
+         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
 
     // d11's cluster CTEs + the same (count DESC, source) argmax and ppm
     "d27_cluster_purity" ->

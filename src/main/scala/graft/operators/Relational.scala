@@ -744,6 +744,42 @@ object Relational {
         .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
     },
 
+    // Multi-touch ATTRIBUTION — each purchase's value split equally
+    // across the same user's views in the preceding 2 hours: q42 credits
+    // the FIRST touch; this is the linear model ad-tech actually
+    // reconciles revenue against. The lookback join is q35's binned
+    // equi-join (2-hour bins, purchases probe (bin, bin-1) — fixed 2×
+    // fan-out, never a per-user history cross product); the equal split
+    // is integer MICRO-UNITS (decimal-exact value × 1e6, floor-divided
+    // by the view count) so per-user credit sums are exact longs — a
+    // float value/n allocation summed per user is partition-order-
+    // dependent and never hash-gates. Purchases with no qualifying view
+    // stay unattributed (dropped here; q50's audit discipline would
+    // count them).
+    "q59_attribution" -> { (s, dir) =>
+      val W = 7200000L
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"), col("value"),
+          expr(s"unix_millis(ts) div $W").as("bin"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_millis(col("ts")).as("v_ms"),
+          expr(s"unix_millis(ts) div $W").as("vbin"))
+      val matched = p
+        .withColumn("vbin", explode(array(col("bin"), col("bin") - 1)))
+        .join(v, Seq("user_id", "vbin"))
+        .filter(col("v_ms") <= col("p_ms") && col("v_ms") > col("p_ms") - W)
+      matched
+        .withColumn("nv", count(lit(1)).over(Window.partitionBy("p_id")))
+        .withColumn("credit_micro",
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) div nv"))
+        .groupBy("user_id")
+        .agg(countDistinct("p_id").as("n_purchases"),
+          count(lit(1)).as("n_view_credits"),
+          sum("credit_micro").cast(LongType).as("credit_micro"))
+    },
+
     // POISSON BOOTSTRAP — the distributed-resampling primitive (Chamandy
     // et al., "Estimating Uncertainty for Massive Data Streams"): classic
     // bootstrap resamples n-of-n WITH replacement, which requires global
@@ -1671,6 +1707,27 @@ object Relational {
         |  count(*) AS n, min(e.value) AS lo, max(e.value) AS hi
         |FROM events e JOIN cuts c ON e.event_type = c.event_type
         |GROUP BY 1, 2""".stripMargin,
+
+    // plain range join (the binned cover is exact over the 2 h window),
+    // same integer micro-unit floors
+    "q59_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_ms(ts) AS v_ms
+        |      FROM events WHERE event_type = 'view'),
+        |m AS (SELECT p.p_id, p.user_id, p.value
+        |      FROM p JOIN v ON p.user_id = v.user_id
+        |        AND v.v_ms <= p.p_ms AND v.v_ms > p.p_ms - 7200000),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS nv FROM m),
+        |cr AS (SELECT user_id, p_id,
+        |         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) // nv
+        |           AS credit
+        |       FROM c)
+        |SELECT user_id, count(DISTINCT p_id) AS n_purchases,
+        |  count(*) AS n_view_credits,
+        |  CAST(sum(credit) AS BIGINT) AS credit_micro
+        |FROM cr GROUP BY user_id""".stripMargin,
 
     // same md5 uniforms, same literal thresholds, same decimal means
     "q57_poisson_bootstrap" -> {

@@ -39,6 +39,36 @@ object TextOps {
     .withColumn("n_stop",
       size(expr(s"filter(w, x -> x IN ($stopSqlList))")).cast(LongType))
 
+  /** t27's overlapping-chunk manifest (128-token windows, stride 96) over
+    * ANY documents-schema frame — factored so d28's duplicate-chunk
+    * detector consumes exactly the chunks t27 ships. */
+  private[operators] def ragChunks(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast(LongType).as("n"))
+      .select(col("doc_id"), col("w"), col("n"),
+        posexplode(expr("transform(sequence(0L, (greatest(n, 1L) - 1) div 96)," +
+          " i -> i * 96)")).as(Seq("chunk_id", "tok_start")))
+      .withColumn("chunk_len", least(lit(128L), col("n") - col("tok_start")))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        col("tok_start"), col("chunk_len"),
+        md5(concat_ws(" ",
+          expr("slice(w, CAST(tok_start + 1 AS INT), CAST(chunk_len AS INT))")))
+          .as("chunk_fp"))
+
+  /** The chunk manifest in the shared SQL dialect (`ch` CTE) — the oracle
+    * twin of [[ragChunks]], shared by t27/d28. */
+  private[operators] val ragChunkSqlCte: String =
+    """ch AS (
+      |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS chunk_id,
+      |    CAST((u.i - 1) * 96 AS BIGINT) AS tok_start,
+      |    least(128, n - (u.i - 1) * 96) AS chunk_len,
+      |    md5(array_to_string(
+      |      w[(u.i - 1) * 96 + 1 : (u.i - 1) * 96 + least(128, n - (u.i - 1) * 96)],
+      |      ' ')) AS chunk_fp
+      |  FROM (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0) t,
+      |       LATERAL unnest(generate_series(1, (greatest(n, 1) - 1) // 96 + 1)) AS u(i))""".stripMargin
+
   /** The t2 quality bar over the staged columns (Spark side). */
   private[operators] val qualityOkCol: org.apache.spark.sql.Column =
     col("n_tokens") >= 20 &&
@@ -703,6 +733,19 @@ object TextOps {
         .filter(col("n_copies") > 0)
         .select(col("doc_id"), col("lang"), col("n_copies_dup"),
           col("eff").as("eff_weight"), col("n_copies"))
+    },
+
+    // RAG chunk manifest — the retrieval-ingestion primitive: overlapping
+    // 128-token windows at stride 96 (32-token overlap, so no sentence is
+    // orphaned at a boundary), emitted as (doc, chunk, start, len, fp)
+    // WITHOUT moving text — the loader slices bytes, the engine ships the
+    // manifest (t20/m11's discipline on the retrieval axis). The chunk
+    // fingerprint is md5 of the reassembled window, giving d28 its
+    // cross-doc duplicate-chunk hook. In-row generator fan-out: one scan,
+    // zero shuffles; trailing short chunks are kept (deterministic rule:
+    // starts at every stride while start < n_tokens).
+    "t27_rag_chunks" -> { (s, dir) =>
+      ragChunks(docs(s, dir))
     },
 
     // The END-TO-END CURATION PIPELINE — every stage this pack builds,
@@ -1542,6 +1585,11 @@ object TextOps {
         |              CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
         |                AS BIGINT) AS n_tokens
         |            FROM documents) t) t2""".stripMargin,
+
+    // the shared ch CTE verbatim
+    "t27_rag_chunks" ->
+      s"""WITH $ragChunkSqlCte
+         |SELECT doc_id, chunk_id, tok_start, chunk_len, chunk_fp FROM ch""".stripMargin,
 
     // every stage's oracle spelling chained: t11's gate, d7's window,
     // d12's probe, t23's residue, t20's packing

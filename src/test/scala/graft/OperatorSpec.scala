@@ -844,6 +844,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("t27/d28: chunk grid covers every token; verbatim shared chunks are flagged") {
+    val common = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val d = writeDocs(Seq((1L, common, "s"), (2L, common, "s"),
+      (3L, "totally different words here now", "s")))
+    val chunks = TextOps.defs("t27_rag_chunks")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 200 tokens → starts 0/96/192 with lens 128/104/8; 5-token doc → one
+    // whole-doc chunk; windows overlap by 32 and jointly cover every token
+    assert(chunks.filter(_._1 == 1L).map(c => (c._3, c._4)).toSet ==
+      Set((0L, 128L), (96L, 104L), (192L, 8L)), chunks.toSeq)
+    assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0L, 5L)))
+    val dups = Dedup.defs("d28_dup_chunks")(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the identical docs share all 3 chunk fingerprints; doc 3's is unique
+    assert(dups.length == 3 && dups.forall(_ == ((2L, 2L, 1L))), dups.toSeq)
+  }
+
   test("d24 bloom admission verdicts are exact, with whitespace-normalized fps") {
     val d = writeDocs(Seq(
       (1L, "hello world today", "s"), (2L, "another one", "s"),
