@@ -42,7 +42,7 @@ object TextOps {
   /** t27's overlapping-chunk manifest (128-token windows, stride 96) over
     * ANY documents-schema frame — factored so d28's duplicate-chunk
     * detector consumes exactly the chunks t27 ships. */
-  private[operators] def ragChunks(d: DataFrame): DataFrame =
+  private[graft] def ragChunks(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast(LongType).as("n"))
       .select(col("doc_id"), col("w"), col("n"),
@@ -57,7 +57,7 @@ object TextOps {
 
   /** The chunk manifest in the shared SQL dialect (`ch` CTE) — the oracle
     * twin of [[ragChunks]], shared by t27/d28. */
-  private[operators] val ragChunkSqlCte: String =
+  private[graft] val ragChunkSqlCte: String =
     """ch AS (
       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS chunk_id,
       |    CAST((u.i - 1) * 96 AS BIGINT) AS tok_start,
@@ -600,6 +600,42 @@ object TextOps {
             .cast(LongType).as("a"),
           sum(col("n_w")).cast(LongType).as("b"))
         .select(col("source"), col("t_s").as("n_tokens"),
+          ((col("a") + col("t_s") * (col("t") - col("b"))).cast(DoubleType)
+            / (col("t_s").cast(DoubleType) * lit(2.0) * col("t")))
+            .as("tv_distance"))
+    },
+
+    // SPLIT-divergence audit — the eval-hygiene check AFTER t23 assigns
+    // splits: total-variation distance between each split's token
+    // distribution and the corpus (w12's exact-long machinery with the
+    // md5-residue split as the group). Large TV for the test split means
+    // the held-out data is not exchangeable with training and every eval
+    // number on it is suspect; for a hash split the TVs should be small
+    // and this query is the proof, not the assumption. Same
+    // absent-token-mass fold as w12 — no split×vocabulary expansion ever
+    // exists.
+    "w16_split_divergence" -> { (s, dir) =>
+      val hx = "instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), %d, 1)) - 1"
+      val r = expr(s"(${hx.format(1)}) * 16 + (${hx.format(2)})")
+      val sw = docs(s, dir)
+        .withColumn("split",
+          when(r < 13, "test").when(r < 26, "val").otherwise("train"))
+        .select(col("split"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("split", "w").agg(count(lit(1)).as("n_sw"))
+        .localCheckpoint()
+      val ts = sw.groupBy("split").agg(sum("n_sw").cast(LongType).as("t_s"))
+      val nw = sw.groupBy("w").agg(sum("n_sw").cast(LongType).as("n_w"))
+      val t = sw.agg(sum("n_sw").cast(LongType).as("t"))
+      sw.join(nw, "w")
+        .join(broadcast(ts), "split")
+        .crossJoin(broadcast(t))
+        .groupBy(col("split"), col("t_s"), col("t"))
+        .agg(
+          sum(abs(col("n_sw") * col("t") - col("n_w") * col("t_s")))
+            .cast(LongType).as("a"),
+          sum(col("n_w")).cast(LongType).as("b"))
+        .select(col("split"), col("t_s").as("n_tokens"),
           ((col("a") + col("t_s") * (col("t") - col("b"))).cast(DoubleType)
             / (col("t_s").cast(DoubleType) * lit(2.0) * col("t")))
             .as("tv_distance"))
@@ -1474,6 +1510,31 @@ object TextOps {
         |        FROM sw JOIN nw USING (w) JOIN ts USING (source) CROSS JOIN t
         |        GROUP BY 1, 2, 3)
         |SELECT source, t_s AS n_tokens,
+        |  CAST(a + t_s * (t - b) AS DOUBLE)
+        |    / (CAST(t_s AS DOUBLE) * 2.0 * t) AS tv_distance
+        |FROM agg""".stripMargin,
+
+    // w12's folds with t23's residue as the group key
+    "w16_split_divergence" ->
+      """WITH tok AS (
+        |  SELECT CASE WHEN r < 13 THEN 'test'
+        |              WHEN r < 26 THEN 'val' ELSE 'train' END AS split, w
+        |  FROM (SELECT
+        |          (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS r,
+        |          unnest(string_split(text, ' ')) AS w
+        |        FROM documents) t
+        |  WHERE w <> ''),
+        |sw AS (SELECT split, w, count(*) AS n_sw FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT split, CAST(sum(n_sw) AS BIGINT) AS t_s FROM sw GROUP BY split),
+        |nw AS (SELECT w, CAST(sum(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY w),
+        |t AS (SELECT CAST(sum(n_sw) AS BIGINT) AS t FROM sw),
+        |agg AS (SELECT sw.split, ts.t_s, t.t,
+        |          CAST(sum(abs(sw.n_sw * t.t - nw.n_w * ts.t_s)) AS BIGINT) AS a,
+        |          CAST(sum(nw.n_w) AS BIGINT) AS b
+        |        FROM sw JOIN nw USING (w) JOIN ts USING (split) CROSS JOIN t
+        |        GROUP BY 1, 2, 3)
+        |SELECT split, t_s AS n_tokens,
         |  CAST(a + t_s * (t - b) AS DOUBLE)
         |    / (CAST(t_s AS DOUBLE) * 2.0 * t) AS tv_distance
         |FROM agg""".stripMargin,

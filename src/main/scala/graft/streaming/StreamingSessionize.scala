@@ -554,6 +554,20 @@ object StreamingSessionize {
       runToCompletion(s, dir, streamBloomAdmission(s, dir), outputMode = "append",
         sinkName = "x18", sourceGlob = "documents.parquet",
         sourceSchema = docSchema)
+    },
+
+    // INGEST-TIME chunking — t27's RAG manifest as the streaming stage a
+    // retrieval pipeline actually runs (chunk on arrival, not in a
+    // nightly batch): the chunker is a per-row pure generator, so this is
+    // zero-state append streaming (x18's determinism-by-construction —
+    // no watermark, no state store, arrival slicing cannot change a
+    // chunk). The factored TextOps.ragChunks is the same code batch t27
+    // ships; the oracle is batch t27's, verbatim.
+    "x22_stream_rag_chunks" -> { (s, dir) =>
+      runToCompletion(s, dir,
+        graft.operators.TextOps.ragChunks(_), outputMode = "append",
+        sinkName = "x22", sourceGlob = "documents.parquet",
+        sourceSchema = docSchema)
     }
   )
 
@@ -827,6 +841,11 @@ object StreamingSessionize {
         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_users
         |FROM agg, wm
         |WHERE epoch_ms(h) + 3600000 <= w""".stripMargin,
+
+    // per-row pure generator: the replay IS batch t27
+    "x22_stream_rag_chunks" ->
+      s"""WITH ${graft.operators.TextOps.ragChunkSqlCte}
+         |SELECT doc_id, chunk_id, tok_start, chunk_len, chunk_fp FROM ch""".stripMargin,
 
     // commutative sum: the replayed checksum equals the batch checksum
     "x21_stream_checksum" -> {
