@@ -20,7 +20,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ §7 extensions).
     * Query-name namespaces are disjoint: q (relational), w/t (text),
-    * d (dedup), s (similarity), m (multimodal). */
+    * d (dedup), s (similarity), m (multimodal), g (graph), x (streaming). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ StreamingSessionize.defs ++ TypedAggs.defs ++

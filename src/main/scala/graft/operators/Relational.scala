@@ -744,6 +744,39 @@ object Relational {
         .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
     },
 
+    // Distribution DRIFT monitor — q52's histogram compared across two
+    // time periods (first vs second half of the month): the check a
+    // production pipeline runs before trusting that yesterday's model
+    // assumptions still hold. Bins come from the GLOBAL range (one-row
+    // broadcast, so both periods bin identically — per-period ranges
+    // would make the comparison meaningless), counts are conditional
+    // aggregates in ONE pass, and the per-bin drift is |p_A − p_B| with
+    // each share a single division of exact longs — one subtraction,
+    // deterministic. |types|·10 rows out whatever the corpus.
+    "q60_distribution_drift" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("period",
+          when(col("ts") < lit("2024-01-16").cast(TimestampType), "a")
+            .otherwise("b"))
+      val mm = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      val binned = ev.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(floor((col("value") - col("lo")) * 10.0 / (col("hi") - col("lo"))),
+            lit(9.0)).cast(LongType))
+      val tots = binned.groupBy("event_type")
+        .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("ta"),
+          sum(when(col("period") === "b", 1L).otherwise(0L)).as("tb"))
+      binned.groupBy("event_type", "bin")
+        .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("period") === "b", 1L).otherwise(0L)).as("n_b"))
+        .join(broadcast(tots), "event_type")
+        .select(col("event_type"), col("bin"),
+          col("n_a").cast(LongType).as("n_a"),
+          col("n_b").cast(LongType).as("n_b"),
+          abs(col("n_a").cast(DoubleType) / col("ta")
+            - col("n_b").cast(DoubleType) / col("tb")).as("drift"))
+    },
+
     // Multi-touch ATTRIBUTION — each purchase's value split equally
     // across the same user's views in the preceding 2 hours: q42 credits
     // the FIRST touch; this is the linear model ad-tech actually
@@ -1707,6 +1740,29 @@ object Relational {
         |  count(*) AS n, min(e.value) AS lo, max(e.value) AS hi
         |FROM events e JOIN cuts c ON e.event_type = c.event_type
         |GROUP BY 1, 2""".stripMargin,
+
+    // same global bins, same conditional counts, same single-subtraction
+    // drift
+    "q60_distribution_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS period
+        |  FROM events),
+        |mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        |b AS (SELECT event_type, period,
+        |        CAST(least(floor((value - lo) * 10.0 / (hi - lo)), 9.0) AS BIGINT) AS bin
+        |      FROM e, mm),
+        |tots AS (SELECT event_type,
+        |           CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+        |           CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS tb
+        |         FROM b GROUP BY event_type),
+        |c AS (SELECT event_type, bin,
+        |        CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |      FROM b GROUP BY 1, 2)
+        |SELECT c.event_type, c.bin, c.n_a, c.n_b,
+        |  abs(CAST(c.n_a AS DOUBLE) / t.ta - CAST(c.n_b AS DOUBLE) / t.tb) AS drift
+        |FROM c JOIN tots t ON c.event_type = t.event_type""".stripMargin,
 
     // plain range join (the binned cover is exact over the 2 h window),
     // same integer micro-unit floors
