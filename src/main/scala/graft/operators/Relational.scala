@@ -744,6 +744,29 @@ object Relational {
         .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
     },
 
+    // Fulfillment-span analysis — the order-lifecycle readout: per order,
+    // the first→last lineitem ship-date span, then span statistics per
+    // order priority (the ops dashboard: do urgent orders actually ship
+    // tighter?). Two stacked aggregations — a per-order min/max collapse
+    // (partial+final on the join key it already shares with orders) and a
+    // |priorities|-row rollup with exact integer day spans + one exact
+    // percentile per group. The fact joins orders AFTER collapsing to one
+    // row per order — joining first would carry every lineitem through
+    // the join for no reason.
+    "q61_fulfillment_span" -> { (s, dir) =>
+      val spans = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(datediff(max("l_shipdate"), min("l_shipdate")).cast(LongType)
+          .as("span_days"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .join(spans, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Exprs.lsum(col("span_days")).as("total_span_days"),
+          max("span_days").as("max_span_days"),
+          expr("percentile(span_days, 0.5D)").as("median_span_days"))
+    },
+
     // Distribution DRIFT monitor — q52's histogram compared across two
     // time periods (first vs second half of the month): the check a
     // production pipeline runs before trusting that yesterday's model
@@ -1740,6 +1763,21 @@ object Relational {
         |  count(*) AS n, min(e.value) AS lo, max(e.value) AS hi
         |FROM events e JOIN cuts c ON e.event_type = c.event_type
         |GROUP BY 1, 2""".stripMargin,
+
+    // date_diff('day') == Spark datediff on date-truncated timestamps;
+    // quantile_cont == percentile (q33)
+    "q61_fulfillment_span" ->
+      """WITH s AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    CAST(date_diff('day', min(l_shipdate), max(l_shipdate)) AS BIGINT)
+        |      AS span_days
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(s.span_days) AS BIGINT) AS total_span_days,
+        |  max(s.span_days) AS max_span_days,
+        |  quantile_cont(s.span_days, 0.5) AS median_span_days
+        |FROM orders o JOIN s ON o.o_orderkey = s.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // same global bins, same conditional counts, same single-subtraction
     // drift

@@ -101,6 +101,24 @@ object Similarity {
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
       .localCheckpoint()
 
+  /** s6's clustered vectors (cluster_id, vec_id, v), checkpointed —
+    * shared base of the cluster-quality family (s23/s26). */
+  private def s6Members(s: SparkSession, dir: String): DataFrame =
+    defs("s6_embed_clusters")(s, dir)
+      .join(emb(s, dir).select(col("vec_id"), col("v")), "vec_id")
+      .localCheckpoint()
+
+  /** davg-exact per-cluster centroids assembled in dim order (cluster_id,
+    * cv) — the s15 discipline, factored for s23/s26. */
+  private def centroidsOf(member: DataFrame): DataFrame =
+    member
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster_id", "pos")
+      .agg(graft.Exprs.davg(col("x"), 6).as("c"))
+      .groupBy("cluster_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)")
+        .as("cv"))
+
   /** Coarse-quantizer codebook: 8 deterministic seed centroids (cid, cu). */
   private def coarseCentroids(n: DataFrame): DataFrame =
     n.filter(col("vec_id").between(100, 107))
@@ -474,17 +492,8 @@ object Similarity {
     // native DotProduct, and a/b come out of order-independent
     // conditional MINs — so the doubles hash-gate cross-engine.
     "s23_silhouette" -> { (s, dir) =>
-      val cl = defs("s6_embed_clusters")(s, dir)
-      val member = cl
-        .join(emb(s, dir).select(col("vec_id"), col("v")), "vec_id")
-        .localCheckpoint() // consumers: centroid build + scoring pass
-      val cent = member
-        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster_id", "pos")
-        .agg(graft.Exprs.davg(col("x"), 6).as("c"))
-        .groupBy("cluster_id")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)")
-          .as("cv"))
+      val member = s6Members(s, dir)
+      val cent = centroidsOf(member)
       // norms HOISTED out of the member × centroid expansion: the scoring
       // pair count is |members|·K (the O(N·K) evaluator cost — production
       // samples members and/or label-blocks the b-search; at gate scales
@@ -513,6 +522,37 @@ object Similarity {
         .agg(count(lit(1)).as("n_members"),
           graft.Exprs.davg(col("sil"), 6).as("mean_sil"),
           min("sil").as("min_sil"))
+    },
+
+    // Cluster MERGE candidates — the lifecycle step after clustering:
+    // centroid pairs whose cosine clears the merge bar are the clusters
+    // a curator merges (near-dup clustering fragments one semantic group
+    // across LSH bands; the centroid pass stitches them). The bar is
+    // corpus-relative: trained embeddings use ~0.9; the synthetic
+    // corpus's random directions top out at ~0.38, so 0.25 selects the
+    // same "most confusable percentile" the production bar would. The K×K centroid
+    // comparison is DELIBERATE and bounded: it runs on the centroid
+    // table (K rows — never members), norms hoisted (s23's lesson), and
+    // at corpus scale the same pass runs over bucketed or sampled
+    // centroids (the s23 evaluator posture) — the plan shape is
+    // unchanged. Member counts ride along so the merge decision sees
+    // sizes.
+    "s26_merge_candidates" -> { (s, dir) =>
+      val member = s6Members(s, dir)
+      val sizes = member.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n"))
+      val cent = centroidsOf(member)
+        .join(sizes, "cluster_id")
+        .select(col("cluster_id"), col("cv"), col("n"),
+          sqrt(dot(col("cv"), col("cv"))).as("nrm"))
+      cent.as("a")
+        .join(broadcast(cent.as("b")),
+          col("a.cluster_id") < col("b.cluster_id"))
+        .select(col("a.cluster_id").as("cid_a"), col("b.cluster_id").as("cid_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"),
+          (dot(col("a.cv"), col("b.cv")) / (col("a.nrm") * col("b.nrm")))
+            .as("sim"))
+        .filter(col("sim") > 0.25)
     },
 
     // PQ codebook-utilization audit — the ops readout an ANN index needs
@@ -1079,6 +1119,29 @@ object Similarity {
          |  ${graft.Exprs.davgSql("sil", 6)} AS mean_sil,
          |  min(sil) AS min_sil
          |FROM sil GROUP BY cluster_id""".stripMargin
+    },
+
+    // s23's centroid CTEs + sizes; same hoisted-norm cosine, same bar
+    "s26_merge_candidates" -> {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      s"""WITH RECURSIVE $embClusterSqlCtes,
+         |mem AS (SELECT cl.cluster_id, e.vec_id, e.v
+         |        FROM cl JOIN e ON cl.vec_id = e.vec_id),
+         |sz AS (SELECT cluster_id, count(*) AS n FROM mem GROUP BY cluster_id),
+         |cx AS (SELECT cluster_id, CAST(u.i AS BIGINT) AS pos, v[u.i] AS x
+         |       FROM mem, LATERAL unnest(generate_series(1, len(v))) AS u(i)),
+         |cd AS (SELECT cluster_id, pos, ${graft.Exprs.davgSql("x", 6)} AS c
+         |       FROM cx GROUP BY cluster_id, pos),
+         |cent AS (SELECT cd.cluster_id, list(c ORDER BY pos) AS cv
+         |         FROM cd GROUP BY cd.cluster_id),
+         |cn AS (SELECT cent.cluster_id, cv, sz.n, sqrt(${d("cv", "cv")}) AS nrm
+         |       FROM cent JOIN sz ON cent.cluster_id = sz.cluster_id)
+         |SELECT a.cluster_id AS cid_a, b.cluster_id AS cid_b,
+         |  a.n AS n_a, b.n AS n_b,
+         |  ${d("a.cv", "b.cv")} / (a.nrm * b.nrm) AS sim
+         |FROM cn a JOIN cn b ON a.cluster_id < b.cluster_id
+         |WHERE ${d("a.cv", "b.cv")} / (a.nrm * b.nrm) > 0.25""".stripMargin
     },
 
     // pqBase's codes verbatim; two stacked counts, integer-ppm skew

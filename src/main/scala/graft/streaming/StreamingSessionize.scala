@@ -556,6 +556,51 @@ object StreamingSessionize {
         sourceSchema = docSchema)
     },
 
+    // The MAINTAINED drift dashboard — q60's monitor as a streaming view:
+    // the baseline histogram (first half-month) and the global bin range
+    // are batch-built STATIC state; the stream maintains the live
+    // histogram incrementally (complete-mode (type, bin) counts, bins
+    // from the broadcast range so live and baseline always bin
+    // identically), and the drift projection — live shares vs baseline
+    // shares — runs in foreachBatch over each delivered snapshot (x19's
+    // sinkTransform pattern: the sink always holds the CURRENT drift
+    // table). On a finite replay the live histogram is the full-corpus
+    // histogram, which is the oracle. Every bin with baseline mass has
+    // live mass (the replay is a superset), so the left join is total.
+    "x23_stream_drift" -> { (s, dir) =>
+      val ev = graft.sources.Tables.load(s, dir, "events")
+      val mm = ev.agg(min("value").as("lo"), max("value").as("hi"))
+        .localCheckpoint()
+      def binCol = least(
+        floor((col("value") - col("lo")) * 10.0 / (col("hi") - col("lo"))),
+        lit(9.0)).cast(LongType)
+      val base = ev
+        .filter(col("ts") < lit("2024-01-16").cast(TimestampType))
+        .crossJoin(broadcast(mm)).withColumn("bin", binCol)
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n_base"))
+        .localCheckpoint()
+      // per-type totals joined on the TYPE key alone — carried on the
+      // per-bin row they would go NULL exactly where n_base does (a bin
+      // absent from the baseline), nulling the drift
+      val baseTotals = base.groupBy("event_type")
+        .agg(sum("n_base").cast(LongType).as("t_base"))
+        .localCheckpoint()
+      runToCompletion(s, dir, st =>
+        st.crossJoin(broadcast(mm)).withColumn("bin", binCol)
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("n_live")),
+        sinkName = "x23",
+        sinkTransform = live => live
+          .withColumn("t_live", sum("n_live").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+          .join(broadcast(base), Seq("event_type", "bin"), "left")
+          .join(broadcast(baseTotals), "event_type")
+          .select(col("event_type"), col("bin"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"), col("n_live"),
+            abs(coalesce(col("n_base"), lit(0L)).cast(DoubleType)
+                / col("t_base")
+              - col("n_live").cast(DoubleType) / col("t_live")).as("drift")))
+    },
+
     // INGEST-TIME chunking — t27's RAG manifest as the streaming stage a
     // retrieval pipeline actually runs (chunk on arrival, not in a
     // nightly batch): the chunker is a per-row pure generator, so this is
@@ -841,6 +886,31 @@ object StreamingSessionize {
         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_users
         |FROM agg, wm
         |WHERE epoch_ms(h) + 3600000 <= w""".stripMargin,
+
+    // live = the full corpus on a finite replay; baseline and bins as in
+    // q60's period-a side
+    "x23_stream_drift" ->
+      """WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        |b AS (SELECT event_type,
+        |        CAST(least(floor((value - lo) * 10.0 / (hi - lo)), 9.0) AS BIGINT) AS bin
+        |      FROM events, mm WHERE ts < TIMESTAMP '2024-01-16'),
+        |base AS (SELECT event_type, bin, count(*) AS n_base FROM b GROUP BY 1, 2),
+        |bt AS (SELECT event_type, CAST(sum(n_base) AS BIGINT) AS t_base
+        |       FROM base GROUP BY event_type),
+        |l AS (SELECT event_type,
+        |        CAST(least(floor((value - lo) * 10.0 / (hi - lo)), 9.0) AS BIGINT) AS bin
+        |      FROM events, mm),
+        |live AS (SELECT event_type, bin, count(*) AS n_live FROM l GROUP BY 1, 2),
+        |lt AS (SELECT event_type, CAST(sum(n_live) AS BIGINT) AS t_live
+        |       FROM live GROUP BY event_type)
+        |SELECT live.event_type, live.bin,
+        |  CAST(coalesce(base.n_base, 0) AS BIGINT) AS n_base, live.n_live,
+        |  abs(CAST(coalesce(base.n_base, 0) AS DOUBLE) / bt.t_base
+        |    - CAST(live.n_live AS DOUBLE) / lt.t_live) AS drift
+        |FROM live
+        |LEFT JOIN base ON live.event_type = base.event_type AND live.bin = base.bin
+        |JOIN bt ON live.event_type = bt.event_type
+        |JOIN lt ON live.event_type = lt.event_type""".stripMargin,
 
     // per-row pure generator: the replay IS batch t27
     "x22_stream_rag_chunks" ->
