@@ -556,6 +556,35 @@ object StreamingSessionize {
         sourceSchema = docSchema)
     },
 
+    // The MAINTAINED audience-size dashboard — q36's KMV distinct
+    // estimate as a streaming view: the stream keeps per-(type, user-hash)
+    // counts (ONE stateful complete-mode agg — state bounded by the key
+    // domain, x4's argument), and the sketch math — bottom-64 ranks →
+    // (k−1)·2³²/u_k — runs per snapshot in the sink projection next to
+    // the exact count it estimates. Deterministic md5 ranks make the
+    // ESTIMATE itself hash-gate on replay (q36's property). A production
+    // O(k)-state variant folds the sketch inside transformWithState —
+    // plumbing x10 already proves — at the cost of losing the exact
+    // column this gate rides on.
+    "x24_stream_kmv_users" -> { (s, dir) =>
+      val k = 64
+      runToCompletion(s, dir, ev =>
+        ev.select(col("event_type"),
+            graft.functions.HexPrefixToLong
+              .hex8(md5(col("user_id").cast(StringType))).as("hv"))
+          .groupBy("event_type", "hv").agg(count(lit(1)).as("n_ev")),
+        sinkName = "x24",
+        sinkTransform = st => st
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_exact"),
+            expr(s"slice(array_sort(collect_list(hv)), 1, $k)").as("bot"))
+          .select(col("event_type"), col("n_exact"),
+            when(size(col("bot")) === k,
+              lit((k - 1).toDouble * 4294967296.0) /
+                element_at(col("bot"), k).cast(DoubleType))
+              .otherwise(col("n_exact").cast(DoubleType)).as("est_users")))
+    },
+
     // The MAINTAINED drift dashboard — q60's monitor as a streaming view:
     // the baseline histogram (first half-month) and the global bin range
     // are batch-built STATIC state; the stream maintains the live
@@ -886,6 +915,25 @@ object StreamingSessionize {
         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_users
         |FROM agg, wm
         |WHERE epoch_ms(h) + 3600000 <= w""".stripMargin,
+
+    // q36's rank arithmetic over the replayed distinct-hash set
+    "x24_stream_kmv_users" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH h AS (SELECT DISTINCT event_type, $hexToInt AS hv
+         |           FROM (SELECT event_type,
+         |                   md5(CAST(user_id AS VARCHAR)) AS m FROM events) t),
+         |rk AS (SELECT event_type, hv,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n_exact
+         |       FROM h)
+         |SELECT event_type, CAST(max(n_exact) AS BIGINT) AS n_exact,
+         |  CASE WHEN max(n_exact) >= 64
+         |       THEN 63.0 * 4294967296.0 / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
+         |       ELSE CAST(max(n_exact) AS DOUBLE) END AS est_users
+         |FROM rk GROUP BY event_type""".stripMargin
+    },
 
     // live = the full corpus on a finite replay; baseline and bins as in
     // q60's period-a side
