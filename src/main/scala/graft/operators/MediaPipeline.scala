@@ -37,7 +37,8 @@ object MediaPipeline {
 
   val featureDim = 8
 
-  /** STUB decoder ??? — stands in for image/audio decode + feature extract.
+  /** STUB decoder — stands in for image/audio decode + feature extract
+    * (no codec libraries ship in this container).
     * Deterministic: feature i = byte i of md5(payload) scaled to [0, 1).
     * A real implementation replaces ONLY this function. */
   private[operators] def decodeStub(payload: Array[Byte]): Array[Float] = {

@@ -675,6 +675,12 @@ object Relational {
     // projection + hash agg, never a re-shuffle of the fact. All derived
     // arithmetic is IEEE-identical in both engines (subtraction, abs,
     // compare — no reordered float sums), so the counts hash-gate.
+    // Degenerate-case caveat (ADVICE r9): when over half a type's values
+    // are identical, MAD = 0 and `adev > 3·MAD` flags EVERY non-median
+    // value — the standard MAD collapse, deterministic and engine-
+    // consistent. The `mad` column is emitted precisely so consumers can
+    // discount mad = 0 groups; an epsilon floor would trade a documented
+    // readout for a float constant that breaks the hash-gate discipline.
     "q54_mad_outliers" -> { (s, dir) =>
       val ev = t(s, dir, "events")
       val med = ev.groupBy("event_type")
@@ -775,7 +781,13 @@ object Relational {
     // would make the comparison meaningless), counts are conditional
     // aggregates in ONE pass, and the per-bin drift is |p_A − p_B| with
     // each share a single division of exact longs — one subtraction,
-    // deterministic. |types|·10 rows out whatever the corpus.
+    // deterministic. |types|·10 rows out whatever the corpus. A type with
+    // ZERO rows in one period has no defined share there (0/0): Spark's
+    // non-ANSI division yields NULL where DuckDB's IEEE mode yields NaN,
+    // so both spellings route the denominator through nullif(total, 0) —
+    // drift is NULL for such types (the readout for "new/vanished type",
+    // distinct from drift 0.0) and the spellings agree bit-for-bit
+    // (ADVICE r9).
     "q60_distribution_drift" -> { (s, dir) =>
       val ev = t(s, dir, "events")
         .withColumn("period",
@@ -796,8 +808,9 @@ object Relational {
         .select(col("event_type"), col("bin"),
           col("n_a").cast(LongType).as("n_a"),
           col("n_b").cast(LongType).as("n_b"),
-          abs(col("n_a").cast(DoubleType) / col("ta")
-            - col("n_b").cast(DoubleType) / col("tb")).as("drift"))
+          abs(col("n_a").cast(DoubleType) / nullif(col("ta"), lit(0L))
+            - col("n_b").cast(DoubleType) / nullif(col("tb"), lit(0L)))
+            .as("drift"))
     },
 
     // Multi-touch ATTRIBUTION — each purchase's value split equally
@@ -809,31 +822,52 @@ object Relational {
     // is integer MICRO-UNITS (decimal-exact value × 1e6, floor-divided
     // by the view count) so per-user credit sums are exact longs — a
     // float value/n allocation summed per user is partition-order-
-    // dependent and never hash-gates. Purchases with no qualifying view
-    // stay unattributed (dropped here; q50's audit discipline would
-    // count them).
+    // dependent and never hash-gates. Reconciliation is EXACT (ADVICE
+    // r9): the div remainder (≤ nv−1 micro-units per purchase) goes to
+    // the LATEST qualifying view (ties broken by view event_id — a total
+    // order, so the assignment hash-gates), and purchases with NO
+    // qualifying view roll up into one sentinel row (user_id = −1) —
+    // Σ credit_micro over the whole result equals Σ value_micro over ALL
+    // purchases, the invariant an ad-revenue reconciler audits.
     "q59_attribution" -> { (s, dir) =>
       val W = 7200000L
       val ev = t(s, dir, "events")
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
-          unix_millis(col("ts")).as("p_ms"), col("value"),
+          unix_millis(col("ts")).as("p_ms"),
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            .as("value_micro"),
           expr(s"unix_millis(ts) div $W").as("bin"))
       val v = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), unix_millis(col("ts")).as("v_ms"),
+        .select(col("user_id"), col("event_id").as("v_id"),
+          unix_millis(col("ts")).as("v_ms"),
           expr(s"unix_millis(ts) div $W").as("vbin"))
       val matched = p
         .withColumn("vbin", explode(array(col("bin"), col("bin") - 1)))
         .join(v, Seq("user_id", "vbin"))
         .filter(col("v_ms") <= col("p_ms") && col("v_ms") > col("p_ms") - W)
-      matched
+      val attributed = matched
         .withColumn("nv", count(lit(1)).over(Window.partitionBy("p_id")))
+        .withColumn("rn", row_number().over(Window.partitionBy("p_id")
+          .orderBy(col("v_ms").desc, col("v_id").desc)))
         .withColumn("credit_micro",
-          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) div nv"))
+          expr("value_micro div nv" +
+            " + CASE WHEN rn = 1" +
+            " THEN value_micro - (value_micro div nv) * nv ELSE 0 END"))
         .groupBy("user_id")
         .agg(countDistinct("p_id").as("n_purchases"),
           count(lit(1)).as("n_view_credits"),
           sum("credit_micro").cast(LongType).as("credit_micro"))
+      // q50's audit discipline: the dropped rows become a counted row.
+      // groupBy on the sentinel key ⇒ the row exists only when
+      // unattributed purchases do (zero input rows → zero groups).
+      val unattributed = p
+        .join(matched.select("p_id"), Seq("p_id"), "left_anti")
+        .groupBy(lit(-1L).as("user_id"))
+        .agg(countDistinct("p_id").as("n_purchases"),
+          lit(0L).as("n_view_credits"),
+          sum("value_micro").cast(LongType).as("credit_micro"))
+      attributed.unionAll(unattributed)
     },
 
     // POISSON BOOTSTRAP — the distributed-resampling primitive (Chamandy
@@ -1780,7 +1814,9 @@ object Relational {
         |GROUP BY 1""".stripMargin,
 
     // same global bins, same conditional counts, same single-subtraction
-    // drift
+    // drift; NULLIF guards the 0/0 share exactly as the Spark side does
+    // (Spark non-ANSI /0 → NULL vs DuckDB IEEE → NaN would otherwise
+    // diverge on a period-empty type)
     "q60_distribution_drift" ->
       """WITH e AS (
         |  SELECT event_type, value,
@@ -1799,29 +1835,49 @@ object Relational {
         |        CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
         |      FROM b GROUP BY 1, 2)
         |SELECT c.event_type, c.bin, c.n_a, c.n_b,
-        |  abs(CAST(c.n_a AS DOUBLE) / t.ta - CAST(c.n_b AS DOUBLE) / t.tb) AS drift
+        |  abs(CAST(c.n_a AS DOUBLE) / NULLIF(t.ta, 0)
+        |    - CAST(c.n_b AS DOUBLE) / NULLIF(t.tb, 0)) AS drift
         |FROM c JOIN tots t ON c.event_type = t.event_type""".stripMargin,
 
     // plain range join (the binned cover is exact over the 2 h window),
-    // same integer micro-unit floors
+    // same integer micro-unit floors, same latest-view remainder rule
+    // (row_number over the identical (v_ms DESC, v_id DESC) total order),
+    // same sentinel rollup for view-less purchases (NOT EXISTS = the
+    // left_anti; GROUP BY the constant key so the row vanishes when the
+    // anti-join is empty, exactly as Spark's grouped agg does)
     "q59_attribution" ->
       """WITH p AS (
-        |  SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms, value
+        |  SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      AS value_micro
         |  FROM events WHERE event_type = 'purchase'),
-        |v AS (SELECT user_id, epoch_ms(ts) AS v_ms
+        |v AS (SELECT user_id, event_id AS v_id, epoch_ms(ts) AS v_ms
         |      FROM events WHERE event_type = 'view'),
-        |m AS (SELECT p.p_id, p.user_id, p.value
+        |m AS (SELECT p.p_id, p.user_id, p.value_micro, v.v_ms, v.v_id
         |      FROM p JOIN v ON p.user_id = v.user_id
         |        AND v.v_ms <= p.p_ms AND v.v_ms > p.p_ms - 7200000),
-        |c AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS nv FROM m),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS nv,
+        |        row_number() OVER (PARTITION BY p_id
+        |          ORDER BY v_ms DESC, v_id DESC) AS rn
+        |      FROM m),
         |cr AS (SELECT user_id, p_id,
-        |         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) // nv
-        |           AS credit
-        |       FROM c)
-        |SELECT user_id, count(DISTINCT p_id) AS n_purchases,
-        |  count(*) AS n_view_credits,
-        |  CAST(sum(credit) AS BIGINT) AS credit_micro
-        |FROM cr GROUP BY user_id""".stripMargin,
+        |         value_micro // nv
+        |           + CASE WHEN rn = 1
+        |             THEN value_micro - (value_micro // nv) * nv
+        |             ELSE 0 END AS credit
+        |       FROM c),
+        |att AS (SELECT user_id, count(DISTINCT p_id) AS n_purchases,
+        |          count(*) AS n_view_credits,
+        |          CAST(sum(credit) AS BIGINT) AS credit_micro
+        |        FROM cr GROUP BY user_id),
+        |un AS (SELECT CAST(-1 AS BIGINT) AS user_id,
+        |         count(DISTINCT p_id) AS n_purchases,
+        |         CAST(0 AS BIGINT) AS n_view_credits,
+        |         CAST(sum(value_micro) AS BIGINT) AS credit_micro
+        |       FROM p
+        |       WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
+        |       GROUP BY 1)
+        |SELECT * FROM att UNION ALL SELECT * FROM un""".stripMargin,
 
     // same md5 uniforms, same literal thresholds, same decimal means
     "q57_poisson_bootstrap" -> {
