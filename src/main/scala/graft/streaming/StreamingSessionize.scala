@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -159,6 +159,100 @@ object StreamingSessionize {
     state
       .withColumn("rk", row_number().over(rankW).cast(LongType))
       .filter(col("rk") <= 3)
+  }
+
+  /** x23/x23a's static state, batch-built once per run and broadcast into
+    * every microbatch: the global bin range, the baseline (first
+    * half-month) histogram, and its per-type totals. Checkpointed so no
+    * microbatch ever re-aggregates the historical corpus. */
+  private def driftStatics(s: SparkSession, dir: String)
+      : (DataFrame, Column, DataFrame, DataFrame) = {
+    val ev = graft.sources.Tables.load(s, dir, "events")
+    val mm = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      .localCheckpoint()
+    val binCol = least(
+      floor((col("value") - col("lo")) * 10.0 / (col("hi") - col("lo"))),
+      lit(9.0)).cast(LongType)
+    val base = ev
+      .filter(col("ts") < lit("2024-01-16").cast(TimestampType))
+      .crossJoin(broadcast(mm)).withColumn("bin", binCol)
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n_base"))
+      .localCheckpoint()
+    // per-type totals joined on the TYPE key alone — carried on the
+    // per-bin row they would go NULL exactly where n_base does (a bin
+    // absent from the baseline), nulling the drift
+    val baseTotals = base.groupBy("event_type")
+      .agg(sum("n_base").cast(LongType).as("t_base"))
+      .localCheckpoint()
+    (mm, binCol, base, baseTotals)
+  }
+
+  /** The drift readout shared by x23 (all-time live histogram) and x23a
+    * (per-hour live histogram; `liveKeys` carries the extra hour_ts key).
+    * Both joins are LEFT (ADVICE r9): a (type, bin) absent from the
+    * baseline coalesces to n_base = 0, and a TYPE with no baseline mass at
+    * all — first seen after the baseline window, the strongest drift
+    * signal — gets the full live share as its sentinel drift instead of
+    * being silently dropped by an inner join. The oracle pins both rules. */
+  private def driftProjection(base: DataFrame, baseTotals: DataFrame,
+      liveKeys: Seq[String])(live: DataFrame): DataFrame = {
+    val extraKeys = liveKeys.filterNot(_ == "event_type")
+    live
+      .withColumn("t_live", sum("n_live").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(liveKeys.map(col): _*)))
+      .join(broadcast(base), Seq("event_type", "bin"), "left")
+      .join(broadcast(baseTotals), Seq("event_type"), "left")
+      .select(extraKeys.map(col) ++ Seq(col("event_type"), col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"), col("n_live"),
+        when(col("t_base").isNull,
+          col("n_live").cast(DoubleType) / col("t_live"))
+          .otherwise(abs(coalesce(col("n_base"), lit(0L))
+              .cast(DoubleType) / col("t_base")
+            - col("n_live").cast(DoubleType) / col("t_live")))
+          .as("drift")): _*)
+  }
+
+  /** x24a's streaming stage: watermarked per-(hour, type, user-hash)
+    * distinct state — evicted once the hour closes, emitted append-only. */
+  private[graft] def hourlyKmvHashes(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        graft.functions.HexPrefixToLong
+          .hex8(md5(col("user_id").cast(StringType))).as("hv"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_ts"), col("event_type"), col("hv"))
+
+  /** x24a's sink-side projection: per finalized (hour, type), the exact
+    * distinct count plus the bottom-64 KMV estimate (q36's arithmetic). */
+  private[graft] def kmvHourProjection(st: DataFrame): DataFrame = {
+    val k = 64
+    st.groupBy("hour_ts", "event_type")
+      .agg(count(lit(1)).as("n_exact"),
+        expr(s"slice(array_sort(collect_list(hv)), 1, $k)").as("bot"))
+      .select(col("hour_ts"), col("event_type"), col("n_exact"),
+        when(size(col("bot")) === k,
+          lit((k - 1).toDouble * 4294967296.0) /
+            element_at(col("bot"), k).cast(DoubleType))
+          .otherwise(col("n_exact").cast(DoubleType)).as("est_users"))
+  }
+
+  /** x23a's (streaming transform, sink projection) pair: the statics are
+    * built from `dir`'s batch corpus; the transform maintains the
+    * watermark-evicted per-hour live histogram. Factored so the replay
+    * spec can stream a SLICED copy against statics from the original dir. */
+  private[graft] def hourlyDriftPieces(s: SparkSession, dir: String)
+      : (DataFrame => DataFrame, DataFrame => DataFrame) = {
+    val (mm, binCol, base, baseTotals) = driftStatics(s, dir)
+    val transform = (st: DataFrame) =>
+      st.withWatermark("ts", "1 hour")
+        .crossJoin(broadcast(mm)).withColumn("bin", binCol)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n_live"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_ts"), col("event_type"), col("bin"), col("n_live"))
+    (transform, driftProjection(base, baseTotals, Seq("hour_ts", "event_type")))
   }
 
   /** x20's chained windowed aggregations: 10-minute counts re-windowed to
@@ -382,6 +476,24 @@ object StreamingSessionize {
         sinkTransform = topkProjection)
     },
 
+    // x19's APPEND-MODE twin (VERDICT r9 item 1): the same per-(hour,
+    // user) count aggregate, but a window EMITS once the watermark passes
+    // its end and its state is EVICTED — the scale-safe form for an
+    // unbounded stream, where complete mode both re-emits the entire
+    // all-time snapshot every trigger and holds every (hour, user) key
+    // forever. Emission is atomic per window (all of a finalized hour's
+    // rows surface in the first microbatch whose watermark passes its
+    // end), so the top-3 rank in foreachBatch sees each hour COMPLETE —
+    // the sink accumulates exactly one finalized top-k per hour,
+    // append-only, never rewritten. Trailing unfinalized hours stay in
+    // state (x7's cutoff, restated in the oracle); StreamingSpec pins the
+    // 3-slice replay against the complete-mode snapshot restricted to
+    // closed hours.
+    "x19a_topk_append" -> { (s, dir) =>
+      runToCompletion(s, dir, hourlyUserCounts(_), outputMode = "append",
+        sinkName = "x19a", sinkTransform = topkProjection)
+    },
+
     // Streaming CONTINUOUS-INTEGRITY checksum — q58's key-set checksum
     // maintained incrementally: the order-independent aggregate hash
     // (decimal sum of 32-bit md5 prefixes) is a commutative monoid, so
@@ -585,6 +697,21 @@ object StreamingSessionize {
               .otherwise(col("n_exact").cast(DoubleType)).as("est_users")))
     },
 
+    // x24's APPEND-MODE twin (VERDICT r9 item 1): the audience sketch
+    // re-keyed by HOUR. The (window, type, user-hash) distinct state is
+    // watermark-EVICTED once its hour closes, so state holds only the
+    // open hours' keys instead of the all-time (type, hash) domain, and
+    // each trigger appends only newly finalized hours instead of
+    // rewriting the dashboard — the unbounded-stream-safe form. The KMV
+    // rank arithmetic runs per finalized hour in the sink (per-window
+    // emission is atomic, so the batch-side groupBy sees each hour's
+    // full hash set); unfinalized trailing hours stay in state (x7's
+    // cutoff, restated in the oracle).
+    "x24a_kmv_append" -> { (s, dir) =>
+      runToCompletion(s, dir, hourlyKmvHashes(_), outputMode = "append",
+        sinkName = "x24a", sinkTransform = kmvHourProjection)
+    },
+
     // The MAINTAINED drift dashboard — q60's monitor as a streaming view:
     // the baseline histogram (first half-month) and the global bin range
     // are batch-built STATIC state; the stream maintains the live
@@ -595,39 +722,36 @@ object StreamingSessionize {
     // sinkTransform pattern: the sink always holds the CURRENT drift
     // table). On a finite replay the live histogram is the full-corpus
     // histogram, which is the oracle. Every bin with baseline mass has
-    // live mass (the replay is a superset), so the left join is total.
+    // live mass (the replay is a superset), so the per-bin left join is
+    // total; the TYPE join is left too (ADVICE r9): a type first seen
+    // AFTER the baseline window — the strongest drift signal there is —
+    // has no t_base row, and an inner join would silently drop it from
+    // the dashboard. Its sentinel drift is the full live share (baseline
+    // share ≡ 0), pinned identically in the oracle.
     "x23_stream_drift" -> { (s, dir) =>
-      val ev = graft.sources.Tables.load(s, dir, "events")
-      val mm = ev.agg(min("value").as("lo"), max("value").as("hi"))
-        .localCheckpoint()
-      def binCol = least(
-        floor((col("value") - col("lo")) * 10.0 / (col("hi") - col("lo"))),
-        lit(9.0)).cast(LongType)
-      val base = ev
-        .filter(col("ts") < lit("2024-01-16").cast(TimestampType))
-        .crossJoin(broadcast(mm)).withColumn("bin", binCol)
-        .groupBy("event_type", "bin").agg(count(lit(1)).as("n_base"))
-        .localCheckpoint()
-      // per-type totals joined on the TYPE key alone — carried on the
-      // per-bin row they would go NULL exactly where n_base does (a bin
-      // absent from the baseline), nulling the drift
-      val baseTotals = base.groupBy("event_type")
-        .agg(sum("n_base").cast(LongType).as("t_base"))
-        .localCheckpoint()
+      val (mm, binCol, base, baseTotals) = driftStatics(s, dir)
       runToCompletion(s, dir, st =>
         st.crossJoin(broadcast(mm)).withColumn("bin", binCol)
           .groupBy("event_type", "bin").agg(count(lit(1)).as("n_live")),
         sinkName = "x23",
-        sinkTransform = live => live
-          .withColumn("t_live", sum("n_live").over(
-            org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
-          .join(broadcast(base), Seq("event_type", "bin"), "left")
-          .join(broadcast(baseTotals), "event_type")
-          .select(col("event_type"), col("bin"),
-            coalesce(col("n_base"), lit(0L)).as("n_base"), col("n_live"),
-            abs(coalesce(col("n_base"), lit(0L)).cast(DoubleType)
-                / col("t_base")
-              - col("n_live").cast(DoubleType) / col("t_live")).as("drift")))
+        sinkTransform = driftProjection(base, baseTotals, Seq("event_type")))
+    },
+
+    // x23's APPEND-MODE twin (VERDICT r9 item 1): the live histogram
+    // re-keyed by HOUR — each closed hour's bin distribution compared to
+    // the static baseline shares. The (hour, type, bin) state is
+    // watermark-EVICTED once its hour finalizes, so state holds only the
+    // open hours instead of the all-time (type, bin) domain growing with
+    // stream lifetime, and each trigger APPENDS only newly finalized
+    // hours instead of rewriting the whole dashboard — the scale-safe
+    // form for an unbounded production stream. Per-window emission is
+    // atomic, so the sink-side share/drift projection sees each hour
+    // complete; the trailing unfinalized hours stay in state (x7's
+    // cutoff, restated in the oracle).
+    "x23a_drift_append" -> { (s, dir) =>
+      val (transform, sink) = hourlyDriftPieces(s, dir)
+      runToCompletion(s, dir, transform, outputMode = "append",
+        sinkName = "x23a", sinkTransform = sink)
     },
 
     // INGEST-TIME chunking — t27's RAG manifest as the streaming stage a
@@ -837,6 +961,22 @@ object StreamingSessionize {
         |  FROM c) r
         |WHERE rk <= 3""".stripMargin,
 
+    // x19's rank restricted to CLOSED hours: append mode only emits a
+    // window once the final watermark (max event ms - 1 h) passes its end
+    // (x7's cutoff rule)
+    "x19a_topk_append" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS h, user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, user_id,
+        |  n_events, rk
+        |FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY h
+        |    ORDER BY n_events DESC, user_id) AS BIGINT) AS rk
+        |  FROM c, wm WHERE epoch_ms(h) + 3600000 <= w) r
+        |WHERE rk <= 3""".stripMargin,
+
     "x3_stream_interval_join" ->
       """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
         |  epoch_ms(c.ts) - epoch_ms(v.ts) AS ms_gap
@@ -935,8 +1075,31 @@ object StreamingSessionize {
          |FROM rk GROUP BY event_type""".stripMargin
     },
 
+    // x24's rank arithmetic per (closed hour, type): distinct hashes
+    // within the hour, emission cutoff as in x7/x19a
+    "x24a_kmv_append" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH hh AS (SELECT DISTINCT h, event_type, $hexToInt AS hv
+         |            FROM (SELECT date_trunc('hour', ts) AS h, event_type,
+         |                    md5(CAST(user_id AS VARCHAR)) AS m FROM events) t),
+         |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events),
+         |rk AS (SELECT h, event_type, hv,
+         |         row_number() OVER (PARTITION BY h, event_type ORDER BY hv) AS rn,
+         |         count(*) OVER (PARTITION BY h, event_type) AS n_exact
+         |       FROM hh, wm WHERE epoch_ms(h) + 3600000 <= w)
+         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+         |  CAST(max(n_exact) AS BIGINT) AS n_exact,
+         |  CASE WHEN max(n_exact) >= 64
+         |       THEN 63.0 * 4294967296.0 / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
+         |       ELSE CAST(max(n_exact) AS DOUBLE) END AS est_users
+         |FROM rk GROUP BY 1, 2""".stripMargin
+    },
+
     // live = the full corpus on a finite replay; baseline and bins as in
-    // q60's period-a side
+    // q60's period-a side; bt joins LEFT with the full-live-share
+    // sentinel for baseline-absent types (the Spark side's ADVICE r9 fix)
     "x23_stream_drift" ->
       """WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
         |b AS (SELECT event_type,
@@ -953,12 +1116,45 @@ object StreamingSessionize {
         |       FROM live GROUP BY event_type)
         |SELECT live.event_type, live.bin,
         |  CAST(coalesce(base.n_base, 0) AS BIGINT) AS n_base, live.n_live,
-        |  abs(CAST(coalesce(base.n_base, 0) AS DOUBLE) / bt.t_base
-        |    - CAST(live.n_live AS DOUBLE) / lt.t_live) AS drift
+        |  CASE WHEN bt.t_base IS NULL
+        |       THEN CAST(live.n_live AS DOUBLE) / lt.t_live
+        |       ELSE abs(CAST(coalesce(base.n_base, 0) AS DOUBLE) / bt.t_base
+        |         - CAST(live.n_live AS DOUBLE) / lt.t_live) END AS drift
         |FROM live
         |LEFT JOIN base ON live.event_type = base.event_type AND live.bin = base.bin
-        |JOIN bt ON live.event_type = bt.event_type
+        |LEFT JOIN bt ON live.event_type = bt.event_type
         |JOIN lt ON live.event_type = lt.event_type""".stripMargin,
+
+    // x23's readout per CLOSED hour: live histogram keyed by hour with
+    // x7's emission cutoff; baseline CTEs, left joins, and the
+    // no-baseline-mass sentinel exactly as in x23
+    "x23a_drift_append" ->
+      """WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        |b AS (SELECT event_type,
+        |        CAST(least(floor((value - lo) * 10.0 / (hi - lo)), 9.0) AS BIGINT) AS bin
+        |      FROM events, mm WHERE ts < TIMESTAMP '2024-01-16'),
+        |base AS (SELECT event_type, bin, count(*) AS n_base FROM b GROUP BY 1, 2),
+        |bt AS (SELECT event_type, CAST(sum(n_base) AS BIGINT) AS t_base
+        |       FROM base GROUP BY event_type),
+        |l AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |        CAST(least(floor((value - lo) * 10.0 / (hi - lo)), 9.0) AS BIGINT) AS bin
+        |      FROM events, mm),
+        |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events),
+        |live AS (SELECT h, event_type, bin, count(*) AS n_live
+        |         FROM l, wm WHERE epoch_ms(h) + 3600000 <= w GROUP BY 1, 2, 3),
+        |lt AS (SELECT h, event_type, CAST(sum(n_live) AS BIGINT) AS t_live
+        |       FROM live GROUP BY 1, 2)
+        |SELECT strftime(live.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |  live.event_type, live.bin,
+        |  CAST(coalesce(base.n_base, 0) AS BIGINT) AS n_base, live.n_live,
+        |  CASE WHEN bt.t_base IS NULL
+        |       THEN CAST(live.n_live AS DOUBLE) / lt.t_live
+        |       ELSE abs(CAST(coalesce(base.n_base, 0) AS DOUBLE) / bt.t_base
+        |         - CAST(live.n_live AS DOUBLE) / lt.t_live) END AS drift
+        |FROM live
+        |LEFT JOIN base ON live.event_type = base.event_type AND live.bin = base.bin
+        |LEFT JOIN bt ON live.event_type = bt.event_type
+        |JOIN lt ON live.h = lt.h AND live.event_type = lt.event_type""".stripMargin,
 
     // per-row pure generator: the replay IS batch t27
     "x22_stream_rag_chunks" ->

@@ -135,6 +135,71 @@ class StreamingSpec extends AnyFunSuite {
       "final complete-mode top-k snapshot diverges from the batch rank")
   }
 
+  test("x19a append top-k over 3 slices == complete snapshot restricted to closed hours") {
+    import org.apache.spark.sql.functions._
+    val mb = timeSlicedDir(3)
+    val appended = StreamingSessionize.runToCompletion(spark, mb,
+        StreamingSessionize.hourlyUserCounts(_), "append", "x19a-mb",
+        Map("maxFilesPerTrigger" -> "1"), "events*.parquet",
+        sinkTransform = StreamingSessionize.topkProjection)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val complete = StreamingSessionize.runToCompletion(spark, dir,
+        StreamingSessionize.hourlyUserCounts(_), "complete", "x19a-snap",
+        sinkTransform = StreamingSessionize.topkProjection)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // closed = the final watermark (max event ms - 1 h) passed the hour's end
+    val wm = graft.sources.Tables.load(spark, dir, "events")
+      .agg(max(unix_millis(col("ts")))).head.getLong(0) - 3600000L
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def closed(hourTs: String) = fmt.parse(hourTs).getTime + 3600000L <= wm
+    assert(complete.exists(t => !closed(t._1)),
+      "test premise: at least one trailing hour must still be open")
+    assert(appended.length == appended.distinct.length,
+      "a finalized hour's top-k must be appended exactly once")
+    assert(appended.toSet == complete.filter(t => closed(t._1)).toSet,
+      "append-mode finalized rows diverge from the complete snapshot's closed hours")
+  }
+
+  test("x24a hourly KMV over 3 slices == one-shot replay (evicted window state merges)") {
+    val mb = timeSlicedDir(3)
+    def run(d: String, sink: String, opts: Map[String, String], glob: String) =
+      StreamingSessionize.runToCompletion(spark, d,
+          StreamingSessionize.hourlyKmvHashes(_), "append", sink, opts, glob,
+          sinkTransform = StreamingSessionize.kmvHourProjection)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val sliced = run(mb, "x24a-mb", Map("maxFilesPerTrigger" -> "1"),
+      "events*.parquet")
+    val oneShot = run(dir, "x24a-oneshot", Map.empty, "events.parquet")
+    assert(sliced.nonEmpty, "test premise: some hour must finalize")
+    // a (window, type, hash) key whose events straddle a slice boundary
+    // must still count ONCE — identical emissions prove the distinct
+    // state merged across triggers before eviction
+    assert(sliced.toSet == oneShot.toSet,
+      "hourly KMV emissions diverge between sliced and one-shot replays")
+  }
+
+  test("x23a hourly drift over 3 slices == one-shot replay, statics never restream") {
+    val mb = timeSlicedDir(3)
+    def run(srcDir: String, sink: String, opts: Map[String, String], glob: String) = {
+      // statics always come from the ORIGINAL corpus dir — the baseline is
+      // batch state, independent of how the live stream is sliced
+      val (transform, sinkT) = StreamingSessionize.hourlyDriftPieces(spark, dir)
+      StreamingSessionize.runToCompletion(spark, srcDir, transform, "append",
+          sink, opts, glob, sinkTransform = sinkT)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+    }
+    val sliced = run(mb, "x23a-mb", Map("maxFilesPerTrigger" -> "1"),
+      "events*.parquet")
+    val oneShot = run(dir, "x23a-oneshot", Map.empty, "events.parquet")
+    assert(sliced.nonEmpty, "test premise: some hour must finalize")
+    assert(sliced.toSet == oneShot.toSet,
+      "hourly drift emissions diverge between sliced and one-shot replays")
+  }
+
   test("x20 chained rollup over 3 sliced microbatches equals the one-shot stream") {
     val mb = timeSlicedDir(3)
     def run(d: String, sink: String, opts: Map[String, String], glob: String) =
