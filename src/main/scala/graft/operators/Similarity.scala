@@ -101,12 +101,115 @@ object Similarity {
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
       .localCheckpoint()
 
+  /** Deterministic md5-residue evaluator sample — d9's truth-guard idiom
+    * on the vector axis (VERDICT r9 item 2), now a CODE knob instead of a
+    * comment: keep a row iff the first hex char of md5(id) < `hexCap`, so
+    * "8" keeps ~50%, "4" ~25%, and [[fullSample]] ("g", above every hex
+    * char) keeps everything. This is the guard the linear-but-wide
+    * evaluator passes expose — s23's O(N·K) member×centroid scoring and
+    * s1/s4's O(|Q|·N) brute baselines: the GATE runs the full evaluation
+    * (at gate scale the full pass is the point, and the oracle compares
+    * full passes), while a 100 TB caller passes "8"/"4"/"1" to bound the
+    * expansion by the sample. md5-residue determinism makes a sampled
+    * evaluation reproducible across retries, partitionings, and engines
+    * (the predicate is pure SQL on both sides — d9's truthSqlCte proves
+    * the cross-engine md5 parity). AnnIvfSpec pins the knob on a flood
+    * fixture: the scored expansion shrinks to exactly the sampled rows. */
+  private[graft] val fullSample = "g"
+  private[graft] def sampledId(id: Column, hexCap: String): Column =
+    substring(md5(id.cast(StringType)), 1, 1) < lit(hexCap)
+
+  /** s1's brute-force cosine top-k, factored with the evaluator knob: the
+    * query universe (`queryPred`) optionally thinned by the [[sampledId]]
+    * residue sample. Cost is |Q_sampled|·N — the sample bounds the one
+    * axis that grows with the query log. */
+  private[graft] def bruteTopK(e: DataFrame, queryPred: Column, k: Int,
+      queryCap: String = fullSample): DataFrame = {
+    val q = e.filter(queryPred)
+      .filter(sampledId(col("vec_id"), queryCap))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
+
+  /** s4's recall evaluation with the query-side knob: the exact baseline
+    * (the O(|Q|·N) term) scores only the sampled queries; the approximate
+    * side joins unrestricted (hits exist only for sampled queries after
+    * the left join). The gate runs the full 5-query set. */
+  private[graft] def annRecall(s: SparkSession, dir: String,
+      queryCap: String = fullSample): DataFrame = {
+    val exact5 = bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10, queryCap)
+      .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
+    val approx5 = defs("s2_ann_lsh")(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact5.join(approx5, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
+  }
+
   /** s6's clustered vectors (cluster_id, vec_id, v), checkpointed —
     * shared base of the cluster-quality family (s23/s26). */
   private def s6Members(s: SparkSession, dir: String): DataFrame =
     defs("s6_embed_clusters")(s, dir)
       .join(emb(s, dir).select(col("vec_id"), col("v")), "vec_id")
       .localCheckpoint()
+
+  /** Simplified (centroid) silhouette per cluster — the clustering-quality
+    * grader the s6/s15 family lacks: for each clustered vector,
+    * a = cosine distance to its OWN centroid, b = the nearest OTHER
+    * centroid, sil = (b − a) / max(a, b) ∈ [−1, 1] (negative ⇒ the vector
+    * sits closer to a foreign centroid — a mis-clustering readout). The
+    * centroid form is the O(N·K) silhouette — the classic all-pairs
+    * definition is O(N²) and dead at corpus scale — and K dashboard-sized
+    * centroids BROADCAST into one pass over the members.
+    *
+    * `memberCap` is the evaluator sampling knob (VERDICT r9 item 2,
+    * [[sampledId]]): the member×centroid expansion scores only the
+    * residue-sampled members, while the CENTROIDS still come from the
+    * full member table (sample the scored side, never the model side).
+    * The gate passes [[fullSample]] (full evaluation — the point at gate
+    * scale); a 100 TB caller caps the one axis that is corpus-sized.
+    * Under sampling, n_members counts the SCORED members.
+    *
+    * Norms are HOISTED out of the expansion: per-pair work must be ONE
+    * dot product — the in-join spelling recomputes both self-dots per
+    * pair, a measured 3× on the ScaleSmoke 100× corpus. Same operand
+    * order (dot / (na·nb)), so every double is bit-identical; centroids
+    * are davg-exact per dimension (s15's decimal discipline) and a/b come
+    * from order-independent conditional MINs, so the rollup hash-gates. */
+  private[graft] def silhouette(member: DataFrame,
+      memberCap: String = fullSample): DataFrame = {
+    val cent = centroidsOf(member)
+    val sil = member
+      .filter(sampledId(col("vec_id"), memberCap))
+      .withColumn("vnrm", sqrt(dot(col("v"), col("v"))))
+      .crossJoin(broadcast(cent.select(col("cluster_id").as("cid"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("cnrm"))))
+      .select(col("vec_id"), col("cluster_id"), col("cid"),
+        (lit(1.0) - dot(col("v"), col("cv")) / (col("vnrm") * col("cnrm")))
+          .as("dist"))
+      .groupBy("vec_id", "cluster_id")
+      .agg(min(when(col("cid") === col("cluster_id"), col("dist"))).as("a"),
+        min(when(col("cid") =!= col("cluster_id"), col("dist"))).as("b"))
+      .withColumn("sil",
+        // b is NULL only when the whole corpus is ONE cluster (no other
+        // centroid exists) — silhouette is undefined there; pin 0 in both
+        // engines (greatest-with-NULL also differs between them)
+        when(col("b").isNull || greatest(col("a"), col("b")) <= lit(0.0),
+          lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+    sil.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        graft.Exprs.davg(col("sil"), 6).as("mean_sil"),
+        min("sil").as("min_sil"))
+  }
 
   /** davg-exact per-cluster centroids assembled in dim order (cluster_id,
     * cv) — the s15 discipline, factored for s23/s26. */
@@ -315,20 +418,11 @@ object Similarity {
     },
 
     // Brute-force cosine top-10 for query vectors (vec_id < 5): the exact
-    // baseline every ANN variant is measured against.
+    // baseline every ANN variant is measured against. The |Q|·N expansion
+    // carries the sampledId query knob (bruteTopK) — the gate scores the
+    // full 5-query set; a corpus-scale recall audit passes a residue cap.
     "s1_knn_brute" -> { (s, dir) =>
-      val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("qv"), col("v")).as("sim"))
-        .withColumn("rnk", row_number().over(w).cast(LongType))
-        .filter(col("rnk") <= 10)
-        .select("query_id", "neighbor_id", "rnk", "sim")
+      bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
     },
 
     // Dimension-TRUNCATION recall sweep — the Matryoshka question every
@@ -394,15 +488,7 @@ object Similarity {
     // ANN quality measurement: recall@5 of the multi-probe LSH (s2) against
     // the exact baseline (s1) per query — the evaluation loop any ANN
     // deployment runs to tune plane count / probe count.
-    "s4_ann_recall" -> { (s, dir) =>
-      val exact5 = defs("s1_knn_brute")(s, dir)
-        .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
-      val approx5 = defs("s2_ann_lsh")(s, dir)
-        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      exact5.join(approx5, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
-    },
+    "s4_ann_recall" -> { (s, dir) => annRecall(s, dir) },
 
     // IVF-style ANN — the other classic scale path next to hyperplane LSH
     // (s2): a tiny coarse-quantizer codebook (8 deterministic seed centroids,
@@ -479,50 +565,11 @@ object Similarity {
           max("err").as("max_err"))
     },
 
-    // Simplified (centroid) silhouette per cluster — the clustering-quality
-    // grader the s6/s15 family lacks: for each clustered vector,
-    // a = cosine distance to its OWN centroid, b = the nearest OTHER
-    // centroid, sil = (b − a) / max(a, b) ∈ [−1, 1] (negative ⇒ the vector
-    // sits closer to a foreign centroid — a mis-clustering readout). The
-    // centroid form is the O(N·K) silhouette — the classic all-pairs
-    // definition is O(N²) and dead at corpus scale — and K
-    // dashboard-sized centroids BROADCAST into one pass over the members.
-    // Centroids are davg-exact per dimension (s15's decimal discipline)
-    // assembled in dim order, every per-vector fold is the sequential
-    // native DotProduct, and a/b come out of order-independent
-    // conditional MINs — so the doubles hash-gate cross-engine.
-    "s23_silhouette" -> { (s, dir) =>
-      val member = s6Members(s, dir)
-      val cent = centroidsOf(member)
-      // norms HOISTED out of the member × centroid expansion: the scoring
-      // pair count is |members|·K (the O(N·K) evaluator cost — production
-      // samples members and/or label-blocks the b-search; at gate scales
-      // the full evaluation is the point), so per-pair work must be ONE
-      // dot product — the in-join spelling recomputes both self-dots per
-      // pair, a measured 3× on the ScaleSmoke 100× corpus. Same operand
-      // order (dot / (na·nb)), so every double is bit-identical.
-      val sil = member
-        .withColumn("vnrm", sqrt(dot(col("v"), col("v"))))
-        .crossJoin(broadcast(cent.select(col("cluster_id").as("cid"), col("cv"),
-          sqrt(dot(col("cv"), col("cv"))).as("cnrm"))))
-        .select(col("vec_id"), col("cluster_id"), col("cid"),
-          (lit(1.0) - dot(col("v"), col("cv")) / (col("vnrm") * col("cnrm")))
-            .as("dist"))
-        .groupBy("vec_id", "cluster_id")
-        .agg(min(when(col("cid") === col("cluster_id"), col("dist"))).as("a"),
-          min(when(col("cid") =!= col("cluster_id"), col("dist"))).as("b"))
-        .withColumn("sil",
-          // b is NULL only when the whole corpus is ONE cluster (no other
-          // centroid exists) — silhouette is undefined there; pin 0 in both
-          // engines (greatest-with-NULL also differs between them)
-          when(col("b").isNull || greatest(col("a"), col("b")) <= lit(0.0),
-            lit(0.0))
-            .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
-      sil.groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_members"),
-          graft.Exprs.davg(col("sil"), 6).as("mean_sil"),
-          min("sil").as("min_sil"))
-    },
+    // Simplified (centroid) silhouette per cluster — see [[silhouette]]
+    // for the full O(N·K) design notes and the memberCap sampling knob
+    // (the gate runs the full evaluation; production caps the member
+    // side).
+    "s23_silhouette" -> { (s, dir) => silhouette(s6Members(s, dir)) },
 
     // Cluster MERGE candidates — the lifecycle step after clustering:
     // centroid pairs whose cosine clears the merge bar are the clusters

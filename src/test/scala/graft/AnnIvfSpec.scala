@@ -221,4 +221,65 @@ class AnnIvfSpec extends AnyFunSuite {
       seeds.get((cid, dim)).exists(s0 => math.abs(s0 - c) > 1e-9)
     }, "three rounds left every centroid identical to the one-step means")
   }
+
+  test("bruteTopK query knob: the residue sample shrinks the |Q|·N expansion exactly") {
+    // flood fixture: 300 vectors, 60 of them queries — the d9-style guard
+    // must bound the brute baseline by the SAMPLED query count
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31.0 + d * 7.0)))
+    }.toDF("vec_id", "v").localCheckpoint()
+    val full = Similarity.bruteTopK(e, col("vec_id") < 60, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(full.map(_._1).distinct.length == 60, "fullSample must keep all 60 queries")
+    val sampled = Similarity.bruteTopK(e, col("vec_id") < 60, k = 3, queryCap = "4")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // expected sample = the same md5-residue predicate evaluated independently
+    val expected = e.filter(col("vec_id") < 60)
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 1) < "4")
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < 30,
+      s"test premise: cap '4' must thin the 60 queries (got ${expected.size})")
+    assert(sampled.map(_._1).toSet == expected,
+      "sampled run must score exactly the residue-sampled queries")
+    assert(sampled.length == expected.size * 3,
+      "each sampled query must still get its full top-k")
+    // sampled results are the full run restricted — sampling never re-ranks
+    assert(sampled.toSet == full.filter(t => expected(t._1)).toSet)
+  }
+
+  test("silhouette member knob: sampled scoring against FULL-member centroids") {
+    // three clusters of identical vectors: every member of a cluster has
+    // the same sil, so the sampled mean/min equal the full-pass values and
+    // only the scored-member count may shrink — which pins both halves of
+    // the knob's contract (score the sample, model on the full table)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val member = (0 until 240).map { i =>
+      val c = i % 3
+      (c.toLong, i.toLong,
+        Array.tabulate(8)(d => if (d % 3 == c) 1.0 else 0.05 * (c + 1)))
+    }.toDF("cluster_id", "vec_id", "v").localCheckpoint()
+    val full = Similarity.silhouette(member).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val samp = Similarity.silhouette(member, memberCap = "8").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val expectedCounts = member
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 1) < "8")
+      .groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.keySet == Set(0L, 1L, 2L) && samp.keySet == Set(0L, 1L, 2L))
+    full.keys.foreach { c =>
+      assert(full(c)._1 == 80L, s"full pass must score all of cluster $c")
+      assert(samp(c)._1 == expectedCounts(c),
+        s"sampled pass must score exactly the residue sample of cluster $c")
+      assert(samp(c)._1 < full(c)._1, s"cap '8' must thin cluster $c")
+      // identical members ⇒ per-member sil identical ⇒ rollups must agree
+      assert(math.abs(samp(c)._2 - full(c)._2) < 1e-12, s"mean_sil cluster $c")
+      assert(math.abs(samp(c)._3 - full(c)._3) < 1e-12, s"min_sil cluster $c")
+    }
+  }
 }
