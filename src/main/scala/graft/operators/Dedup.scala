@@ -945,11 +945,19 @@ object Dedup {
     // that partition's shingle UNION, and partial+final min aggregation
     // combines partition sketches without ever re-scanning text. Per
     // source: one 16-component sketch of its whole shingle universe (one
-    // hash-agg over the postings, the d13 explode). Then every source PAIR
-    // is compared on the 20-row sketch table — estimated Jaccard between
-    // two sources' full shingle sets from 2×16 longs, where the exact
-    // answer would join their complete postings. The corpus-curation use:
-    // which sources are near-copies of each other (mirrors, scrapes of the
+    // hash-agg over the postings, the d13 explode). Source PAIRS are then
+    // found by BANDING the sketch table on its own components (VERDICT r9
+    // item 4): a pair with any overlap estimate to report (n_agree ≥ 1)
+    // shares at least one (component, min-value) cell, so candidates come
+    // from an equi-self-join on the melted sketch — bounded by matching
+    // cells, never |sources|² (a real web-crawl source axis is ~10⁴
+    // sources = 10⁸ cross-join pairs; shared-min candidates are the same
+    // sketch-prune/exact-verify discipline the pack uses everywhere
+    // else). Zero-agreement pairs — est_jaccard exactly 0 — carry no
+    // curation signal and are NOT emitted (mirrored in the oracle). The
+    // full 16-component agreement count is then verified on two
+    // |sources|-sized broadcast joins. The corpus-curation use: which
+    // sources are near-copies of each other (mirrors, scrapes of the
     // same site) before mixing weights (t14) are assigned.
     "d16_source_overlap" -> { (s, dir) =>
       val hv = docs(s, dir)
@@ -958,7 +966,16 @@ object Dedup {
       val sketchCols = (0 until numHashes).map { j =>
         min(expr(s"(${hashA(j)} * h + ${hashB(j)}) % $P")).as(s"s$j")
       }
+      // 3 consumers (melt + both verify sides) of one postings aggregate
       val sk = hv.groupBy("source").agg(sketchCols.head, sketchCols.tail: _*)
+        .localCheckpoint()
+      val melted = sk.select(col("source"), posexplode(array(
+        (0 until numHashes).map(j => col(s"s$j")): _*)).as(Seq("j", "sv")))
+      val cand = melted.as("x").join(melted.as("y"),
+          col("x.j") === col("y.j") && col("x.sv") === col("y.sv")
+            && col("x.source") < col("y.source"))
+        .select(col("x.source").as("src1"), col("y.source").as("src2"))
+        .distinct()
       val left = sk.select(col("source").as("src1") +:
         (0 until numHashes).map(j => col(s"s$j").as(s"a$j")): _*)
       val right = sk.select(col("source").as("src2") +:
@@ -966,8 +983,7 @@ object Dedup {
       val nAgree = (0 until numHashes)
         .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
         .reduce(_ + _)
-      left.crossJoin(broadcast(right))
-        .filter(col("src1") < col("src2"))
+      cand.join(broadcast(left), "src1").join(broadcast(right), "src2")
         .select(col("src1"), col("src2"), nAgree.cast(LongType).as("n_agree"))
         .withColumn("est_jaccard",
           col("n_agree").cast(DoubleType) / numHashes)
@@ -1495,7 +1511,10 @@ object Dedup {
          |GROUP BY p.doc_id""".stripMargin,
 
     // d16: same shingle → md5 → affine-min pipeline keyed by source, same
-    // component-agreement count, so the sketches replay bit-for-bit.
+    // component-agreement count, so the sketches replay bit-for-bit. The
+    // banded Spark side emits exactly the pairs sharing >= 1 component,
+    // i.e. n_agree >= 1 — the tiny oracle states that as a WHERE over the
+    // pairwise join (exactness preserved; only the plan differs).
     "d16_source_overlap" -> {
       val hexToInt = (0 until 8).map { i =>
         s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
@@ -1517,7 +1536,8 @@ object Dedup {
          |SELECT a.source AS src1, b.source AS src2,
          |  CAST($agree AS BIGINT) AS n_agree,
          |  CAST($agree AS DOUBLE) / $numHashes AS est_jaccard
-         |FROM sk a JOIN sk b ON a.source < b.source""".stripMargin
+         |FROM sk a JOIN sk b ON a.source < b.source
+         |WHERE $agree >= 1""".stripMargin
     },
 
     // The cut decision needs only hash % 8, and 16^k ≡ 0 (mod 8) for k ≥ 1,

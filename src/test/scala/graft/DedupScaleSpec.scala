@@ -290,6 +290,40 @@ class DedupScaleSpec extends AnyFunSuite {
       "a shingle-less pair must be excluded, not emitted with NULL/NaN containment")
   }
 
+  test("d16 many-sources: banded sketch join finds mirrors without a |sources|² cross join") {
+    // 60 disjoint-content sources + one mirrored pair: the banded candidate
+    // join must emit only pairs sharing >= 1 sketch component — the mirror
+    // pair at n_agree = 16 — instead of enumerating all C(62,2) = 1891
+    // source pairs the old crossJoin spelled out
+    val d = Files.createTempDirectory("graft-d16").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val mirror = "shared mirrored corpus text scraped twice from the same origin site"
+    val rows = (0 until 60).flatMap { sIdx =>
+      (0 until 3).map { j =>
+        val txt = Seq.tabulate(8)(t => s"src${sIdx}doc${j}tok$t").mkString(" ")
+        Row((sIdx * 10 + j).toLong, txt, "en", s"src$sIdx", txt.length.toLong)
+      }
+    } ++ Seq(Row(9001L, mirror, "en", "mirrorA", mirror.length.toLong),
+      Row(9002L, mirror, "en", "mirrorB", mirror.length.toLong))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val q = Dedup.defs("d16_source_overlap")(spark, d)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"the source-pair comparison must not be a cross join\n$plan")
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.exists { case (a, b, n, e) =>
+      Set(a, b) == Set("mirrorA", "mirrorB") && n == 16L && e == 1.0
+    }, s"the mirrored source pair must agree on all 16 components: ${got.mkString(",")}")
+    assert(got.forall(_._3 >= 1L), "no zero-agreement pair may be emitted")
+    assert(got.length < 100,
+      s"disjoint sources must not pair up toward |sources|²: ${got.length} pairs")
+  }
+
   test("d17's final plan re-derives nothing from documents (one checkpointed scan)") {
     // the chunking pass (tokenize → window → chunk fingerprints) runs once
     // inside the localCheckpoint; both the df rollup and the join-back must
