@@ -90,6 +90,34 @@ object ScaleSmoke {
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     }
+    // TPC-H star-join facts (q53/q55/q61 — VERDICT r9 item 3): replicate
+    // lineitem and orders with re-keyed ORDER keys only; dimensions
+    // (customer/nation/region) stay fixed — the realistic 100 TB shape
+    // (facts grow, dims don't), so every customer carries factor× the
+    // orders, the per-(year, nation) and per-priority groups grow factor×
+    // deep at the same group count, and the broadcast side stays
+    // broadcast-sized. Mutually exclusive with the g-branch's two-column
+    // lineitem above (different shapes of the same file).
+    val relationalFactQs =
+      Set("q53_customer_returns", "q55_market_share", "q61_fulfillment_span")
+    val needsFacts = names.exists(relationalFactQs.contains)
+    require(!(needsFacts && needsLineitem),
+      "g-queries and relational fact queries replicate lineitem differently — run them separately")
+    if (needsFacts) {
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      (0 until factor).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") * factor + i)
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$base/orders.parquet")
+      (0 until factor).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") * factor + i)
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      for (t <- Seq("customer", "nation", "region"))
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
     // events (the behavioral queries' source), volume-pure: re-keying
     // user_id and event_id makes the replicated stream N disjoint user
     // populations over the SAME time axis — per-user session structure is
