@@ -289,7 +289,8 @@ object StreamingSessionize {
       sourceOptions: Map[String, String] = Map.empty,
       sourceGlob: String = "events.parquet",
       sourceSchema: StructType = rawSchema,
-      sinkTransform: DataFrame => DataFrame = identity): DataFrame = {
+      sinkTransform: DataFrame => DataFrame = identity,
+      tagBatchId: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A streaming query fixes its state-store layout at start: with the
     // session's batch-oriented shuffle.partitions (32 on the driver) every
@@ -327,13 +328,22 @@ object StreamingSessionize {
       // projection of the CURRENT full state — a maintained materialized
       // view. Its schema comes from an empty analysis-only frame so the
       // read-back below is typed even when zero microbatches fire.
+      // tagBatchId threads foreachBatch's batch id into the sink rows —
+      // the piece an UPDATE-mode keyed sink needs to resolve "latest
+      // upsert per key" from an append-only file sink (x14a)
+      val rowSchema =
+        if (tagBatchId) transformed.schema.add("batch_id", LongType)
+        else transformed.schema
       val schema = sinkTransform(spark.createDataFrame(
-        new java.util.ArrayList[Row](), transformed.schema)).schema
+        new java.util.ArrayList[Row](), rowSchema)).schema
       val saveMode = if (outputMode == "complete") "overwrite" else "append"
       val q = transformed.writeStream
         .outputMode(outputMode)
-        .foreachBatch { (batch: Dataset[Row], _: Long) =>
-          sinkTransform(batch).write.mode(saveMode).parquet(out.getAbsolutePath)
+        .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+          val tagged =
+            if (tagBatchId) batch.withColumn("batch_id", lit(bid)) else batch
+          sinkTransform(tagged).write.mode(saveMode)
+            .parquet(out.getAbsolutePath)
         }
         .start()
       try q.processAllAvailable()
@@ -600,6 +610,29 @@ object StreamingSessionize {
         sourceSchema = docSchema)
     },
 
+    // x14's UPDATE-MODE twin — the "production would emit update-mode
+    // deltas to a keyed sink" caveat in x14's own scaladoc, now code: per
+    // trigger the stream emits ONLY the words whose counts changed (the
+    // arriving slice's vocabulary), tagged with the microbatch id, and the
+    // keyed sink resolves each word to its LATEST upsert — so per-trigger
+    // sink volume is |touched vocab| where complete mode rewrites the
+    // whole dictionary every time. State is the same vocab-bounded count
+    // table as x14; what eviction is to x19a, delta emission is to x14a.
+    // The resolved sink state equals batch w1 on any replay slicing
+    // (StreamingSpec pins per-batch emissions == each slice's exact
+    // vocabulary).
+    "x14a_wordcount_update" -> { (s, dir) =>
+      val upserts = runToCompletion(s, dir, streamWordcount,
+        outputMode = "update", sinkName = "x14a",
+        sourceGlob = "documents.parquet", sourceSchema = docSchema,
+        tagBatchId = true)
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy("word").orderBy(col("batch_id").desc)
+      upserts.withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1)
+        .select("word", "cnt")
+    },
+
     // t16's mixture resampling as the online admission job: the weight
     // table is learned batch-side from the static corpus (one aggregate,
     // checkpointed), and each arriving microbatch maps through the same
@@ -649,6 +682,25 @@ object StreamingSessionize {
       runToCompletion(s, dir, streamDecontam(s, dir), outputMode = "complete",
         sinkName = "x17", sourceGlob = "documents.parquet",
         sourceSchema = docSchema)
+    },
+
+    // x17's ZERO-STATE twin: the same verdicts with NO stateful operator
+    // at all. x17's complete-mode per-doc aggregate holds one row per doc
+    // EVER SCORED — bounded per doc, unbounded over stream lifetime (the
+    // x19/x23/x24 pattern on the doc axis). But a doc's shingles arrive
+    // inside its own row, so the contamination count never needed a
+    // re-aggregate: hashSetsOf's distinct hash set intersects the
+    // broadcast benchmark array IN-ROW (array_intersect on two sorted
+    // distinct arrays), making the whole pipeline a stateless append
+    // stream — per-row pure function of (text, static index), slicing-
+    // invariant by construction (x15/x18's argument), sink grows only
+    // with scored docs. Shingle-less docs (< 3 tokens) are filtered, as
+    // x17's explode-then-group silently does. The benchmark array is
+    // |benchmarks|-bounded — the same broadcastability x17 relies on.
+    "x17a_decontam_stateless" -> { (s, dir) =>
+      runToCompletion(s, dir, statelessDecontam(s, dir),
+        outputMode = "append", sinkName = "x17a",
+        sourceGlob = "documents.parquet", sourceSchema = docSchema)
     },
 
     // d24's bloom admission as the online gate it's designed to be — and
@@ -777,6 +829,31 @@ object StreamingSessionize {
     stream => graft.operators.TextOps.lmScoreProbe(stream, model, prefix)
   }
 
+  /** x17a's transform: the benchmark index folded into ONE sorted array
+    * (|benchmarks|-bounded, checkpointed), intersected IN-ROW with each
+    * arriving doc's distinct hash set — a per-row pure function, so the
+    * stream needs no stateful operator at all. The size(hs) > 0 filter
+    * reproduces x17's explode-then-group behavior of dropping
+    * shingle-less docs (and dodges the 0/0 ratio both engines would
+    * spell differently). */
+  private[graft] def statelessDecontam(
+      s: SparkSession, indexDir: String): DataFrame => DataFrame = {
+    val benchArr = graft.operators.Dedup.benchIndex(s, indexDir)
+      .agg(sort_array(collect_list(col("h"))).as("bench_hs"))
+      .localCheckpoint()
+    st =>
+      graft.operators.Dedup.hashSetsOf(st.filter(col("doc_id") >= 10))
+        .filter(size(col("hs")) > 0)
+        .withColumn("_k", lit(1))
+        .join(broadcast(benchArr.withColumn("_k", lit(1))), "_k").drop("_k")
+        .select(col("doc_id"),
+          size(col("hs")).cast(LongType).as("n_shingles"),
+          size(array_intersect(col("hs"), col("bench_hs"))).cast(LongType)
+            .as("n_contaminated"))
+        .withColumn("ratio",
+          col("n_contaminated").cast(DoubleType) / col("n_shingles"))
+  }
+
   /** x17's transform: the static benchmark index built once batch-side
     * (checkpointed), the per-batch probe d12's, verbatim
     * (Dedup.contaminationCounts over Dedup.hashSetsOf). */
@@ -901,6 +978,26 @@ object StreamingSessionize {
       |WHERE sid < last_sid
       |   OR end_ms + 1800000 < (SELECT max(ms) - 3600000 FROM e)""".stripMargin
 
+  /** w1's batch wordcount — the shared truth for x14 (complete snapshot)
+    * and x14a (latest-upsert resolution of the update deltas). */
+  private val wordcountOracleSql: String =
+    """SELECT w AS word, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |WHERE w <> '' GROUP BY w""".stripMargin
+
+  /** d12's contamination verdicts — the shared truth for x17 (stateful
+    * per-doc aggregate) and x17a (in-row zero-state intersect). */
+  private val decontamOracleSql: String =
+    s"""WITH ${graft.operators.Dedup.hashSetSqlCte},
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 10),
+       |corpus AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 10)
+       |SELECT c.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS ratio
+       |FROM corpus c LEFT JOIN bench b ON c.h = b.h
+       |GROUP BY c.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // d24's oracle verbatim — per-row verdicts are pure functions of the
     // static corpus state, so the streamed rows ARE the batch rows
@@ -916,16 +1013,11 @@ object StreamingSessionize {
 
     // d12's oracle verbatim — the streamed state must merge to exactly the
     // batch verdicts (shared probe spelling makes it so by construction)
-    "x17_stream_decontam" ->
-      s"""WITH ${graft.operators.Dedup.hashSetSqlCte},
-         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 10),
-         |corpus AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 10)
-         |SELECT c.doc_id, count(*) AS n_shingles,
-         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*) AS ratio
-         |FROM corpus c LEFT JOIN bench b ON c.h = b.h
-         |GROUP BY c.doc_id""".stripMargin,
+    "x17_stream_decontam" -> decontamOracleSql,
+
+    // the in-row intersect computes the identical distinct-hash counts
+    // (hs is already distinct), so the zero-state twin shares the oracle
+    "x17a_decontam_stateless" -> decontamOracleSql,
 
     "x1_stream_sessionize" ->
       s"""WITH e AS (
@@ -1244,10 +1336,12 @@ object StreamingSessionize {
          |LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin,
 
     // the final complete-mode state == the batch wordcount (w1's oracle)
-    "x14_stream_wordcount" ->
-      """SELECT w AS word, count(*) AS cnt
-        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-        |WHERE w <> '' GROUP BY w""".stripMargin,
+    "x14_stream_wordcount" -> wordcountOracleSql,
+
+    // latest-upsert-per-word resolution of the update deltas == the same
+    // batch wordcount (the last batch that touched a word carried its
+    // final count)
+    "x14a_wordcount_update" -> wordcountOracleSql,
 
     // stateless per-batch projection over static weights: the streamed
     // manifest is row-for-row the batch manifest (t16's oracle verbatim)

@@ -284,6 +284,92 @@ class StreamingSpec extends AnyFunSuite {
       s"incremental state (${multi.size} words) must equal batch (${batch.size})")
   }
 
+  test("x14a update deltas: each batch emits exactly its slice's vocabulary; latest upsert == batch wordcount") {
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft-x14a-mb").toFile
+    // the sf0.001 corpus has a 31-word vocabulary every third covers, which
+    // would make the delta property vacuous — plant a word that exists ONLY
+    // in slice 0, so later triggers provably do NOT re-emit untouched keys
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val ids = raw.select("doc_id").collect().map(_.getLong(0)).sorted
+    val synth = raw.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        ids.min - 1L, "uniqzeroword uniqzeroword", "en", "synthetic", 25L)),
+      raw.schema)
+    val all = raw.unionByName(synth)
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val sliceVocab = (0 until 3).map { i =>
+      val sd = new java.io.File(d, s"slice$i")
+      val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+      val hi = if (i == 2) Long.MaxValue else cuts(i)
+      val slice = all.filter(all("doc_id") >= lo && all("doc_id") < hi)
+      slice.coalesce(1).write.parquet(sd.getAbsolutePath)
+      val part = sd.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(d, s"documents$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+      slice.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").select("w").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    assert(sliceVocab(0).contains("uniqzeroword")
+      && !sliceVocab(1).contains("uniqzeroword")
+      && !sliceVocab(2).contains("uniqzeroword"),
+      "test premise: the planted word must live only in slice 0")
+    val upserts = StreamingSessionize.runToCompletion(spark, d.getAbsolutePath,
+        StreamingSessionize.streamWordcount, "update", "x14a-mb",
+        Map("maxFilesPerTrigger" -> "1"), "documents*.parquet",
+        StreamingSessionize.docSchema, tagBatchId = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byBatch = upserts.groupBy(_._3)
+    assert(byBatch.keySet == Set(0L, 1L, 2L), "three triggers expected")
+    // THE delta property: a trigger emits exactly the words its slice
+    // touched — complete mode would re-emit the whole dictionary (and in
+    // particular batches 1/2 must NOT re-emit the untouched planted word)
+    for (i <- 0 until 3)
+      assert(byBatch(i.toLong).map(_._1).toSet == sliceVocab(i),
+        s"batch $i must emit exactly its slice's vocabulary")
+    // keyed-sink resolution (the x14a def spelling): latest upsert per word
+    val resolved = upserts.groupBy(_._1).map { case (w, rs) =>
+      w -> rs.maxBy(_._3)._2
+    }
+    val batch = all.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(resolved == batch,
+      s"resolved update state (${resolved.size} words) must equal the batch wordcount (${batch.size})")
+  }
+
+  test("x17a zero-state decontam == stateful x17 verdicts, sliced or not") {
+    val d = java.nio.file.Files.createTempDirectory("graft-x17a-mb").toFile
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val ids = raw.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    for (i <- 0 until 3) {
+      val sd = new java.io.File(d, s"slice$i")
+      val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+      val hi = if (i == 2) Long.MaxValue else cuts(i)
+      raw.filter(raw("doc_id") >= lo && raw("doc_id") < hi)
+        .coalesce(1).write.parquet(sd.getAbsolutePath)
+      val part = sd.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(d, s"documents$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    // the benchmark statics always come from the original corpus dir
+    val sliced = StreamingSessionize.runToCompletion(spark, d.getAbsolutePath,
+        StreamingSessionize.statelessDecontam(spark, dir), "append",
+        "x17a-mb", Map("maxFilesPerTrigger" -> "1"), "documents*.parquet",
+        StreamingSessionize.docSchema)
+      .collect().map(key).toSet
+    val stateful = StreamingSessionize.defs("x17_stream_decontam")(spark, dir)
+      .collect().map(key).toSet
+    assert(sliced.nonEmpty && sliced == stateful,
+      s"zero-state verdicts (${sliced.size}) must equal x17's (${stateful.size})")
+  }
+
   test("x15 streamed mixture manifest is row-for-row the batch manifest across 3 slices") {
     // stateless admission: copy counts depend only on doc_id + the static
     // weight table, so slicing the arrival order must change nothing
