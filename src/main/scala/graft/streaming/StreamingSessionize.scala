@@ -583,7 +583,11 @@ object StreamingSessionize {
     // admission job alarms on anyway; the verdict comes from max_jaccard,
     // which multiplicity cannot change). 100 TB posture: state is one row
     // per in-flight doc; the band join partitions the stream by band key
-    // against a corpus index that lives as a table, never in memory.
+    // against a corpus index that lives as a table, never in memory. A
+    // doc's band hits all land in its arrival trigger (the index is
+    // static), so its verdict is final immediately — production emits
+    // x14a's update-mode deltas rather than this gate's complete
+    // snapshots, which hold one row per doc ever scored.
     "x12_stream_incremental_dedup" -> { (s, dir) =>
       runToCompletion(s, dir, incrementalDedup(s, dir),
         outputMode = "complete", sinkName = "x12",
@@ -658,7 +662,12 @@ object StreamingSessionize {
     // (complete mode, one row per scored doc). The scores are x14's
     // wordcount discipline applied to model INFERENCE: integer-ppm floor
     // arithmetic, so the streamed state merges to exactly the batch t17
-    // row set.
+    // row set. Unbounded-stream posture: a doc's pairs all arrive inside
+    // its own row, so its mean is FINAL from its first trigger —
+    // production emits x14a's update-mode deltas (one row per newly
+    // scored doc) instead of this gate's complete snapshots; x17a's
+    // in-row collapse does NOT apply because the vocab² model must stay
+    // a joined table, never a broadcastable array.
     "x16_stream_lm_score" -> { (s, dir) =>
       runToCompletion(s, dir, streamLmScore(s, dir), outputMode = "complete",
         sinkName = "x16", sourceGlob = "documents.parquet",
