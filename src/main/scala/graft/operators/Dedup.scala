@@ -717,6 +717,33 @@ object Dedup {
       contaminationCounts(hs0.filter(col("doc_id") >= 10), bench)
     },
 
+    // Benchmark LEAKAGE audit — d12's question in the REVERSE direction:
+    // d12 asks "which corpus doc is contaminated", this asks "which
+    // BENCHMARK is compromised, and how badly" — the per-benchmark
+    // fraction of its shingles already present anywhere in the training
+    // corpus, i.e. the number an eval-integrity review reads before
+    // trusting a score. Plan discipline: the corpus side NEVER shuffles
+    // at corpus scale — corpus shingle postings are semi-joined against
+    // the BROADCAST benchmark shingle list first (|benchmarks|-bounded,
+    // the d12/x17 broadcastability argument), so the distinct() and the
+    // final rollup run over matched rows only, which are bench-sized by
+    // construction. One checkpointed shingle pass feeds both sides.
+    "d29_benchmark_leakage" -> { (s, dir) =>
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      val bshing = hs0.filter(col("doc_id") < 10)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+      val present = hs0.filter(col("doc_id") >= 10)
+        .select(explode(col("hs")).as("h"))
+        .join(broadcast(bshing.select("h").distinct()), Seq("h"), "left_semi")
+        .distinct()
+      bshing.join(present.withColumn("hit", lit(1)), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_leaked"))
+        .withColumn("leak_ratio",
+          col("n_leaked").cast(DoubleType) / col("n_shingles"))
+    },
+
     // Bloom-filter dedup admission — q37's runtime-semi-join discipline on
     // the dedup axis: is each batch doc's fingerprint already in the
     // corpus? The corpus fp set folds into ONE mergeable 64 Kbit BloomAgg
@@ -1410,6 +1437,21 @@ object Dedup {
          |    / count(*) AS ratio
          |FROM corpus c LEFT JOIN bench b ON c.h = b.h
          |GROUP BY c.doc_id""".stripMargin,
+
+    // d29: the reverse-direction rollup — per benchmark doc, its distinct
+    // shingles probed against the corpus's distinct shingle set (the
+    // Spark side prunes the corpus with a broadcast semi-join first; the
+    // tiny oracle states the plain semantics)
+    "d29_benchmark_leakage" ->
+      s"""WITH $hashSetSqlCte,
+         |bs AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id < 10),
+         |cs AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id >= 10)
+         |SELECT bs.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN cs.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+         |  CAST(sum(CASE WHEN cs.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS leak_ratio
+         |FROM bs LEFT JOIN cs ON bs.h = cs.h
+         |GROUP BY bs.doc_id""".stripMargin,
 
     // the bloom filter + residual join is exactly the semi-join; the
     // oracle spells the semantics, the Spark side the pruned plan

@@ -773,6 +773,53 @@ object Relational {
           expr("percentile(span_days, 0.5D)").as("median_span_days"))
     },
 
+    // Type-2 SCD MERGE — the slowly-changing-dimension apply every
+    // warehouse runs nightly and the pack's one missing write-side
+    // relational op: a change batch upserts into a versioned dimension,
+    // closing the prior row (valid_to set, no longer current) and opening
+    // a new current row, while untouched keys pass through. The change
+    // batch here is deterministic — customers whose md5(custkey) residue
+    // is below 1/8 get a re-segmented record (t23's split idiom, so both
+    // engines derive the identical batch) — and the merge is ONE narrow
+    // pass: broadcast the (dimension-key-sized) change batch, then each
+    // dimension row explodes to its 1-or-2 output versions in-row — no
+    // shuffle at all, which is the point: an SCD apply is a map over the
+    // dimension however large it is, never a re-aggregation. At 100 TB
+    // the dimension write is partitioned by key range and the change
+    // batch stays broadcast-sized (a day's dimension churn). Validity
+    // columns are string literals (cross-engine date hashing is a
+    // formatting trap the pack avoids); is_current is 0/1.
+    "q62_scd2_merge" -> { (s, dir) =>
+      val asOf = "2024-01-15"
+      val opened = "2023-01-01"
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val changes = cust
+        .filter(substring(md5(col("c_custkey").cast(StringType)), 1, 1) < "2")
+        .select(col("c_custkey"),
+          concat(lit("SEG_"), col("c_mktsegment")).as("new_segment"))
+      cust.join(broadcast(changes), Seq("c_custkey"), "left")
+        .select(col("c_custkey"), explode(
+          when(col("new_segment").isNotNull, array(
+            struct(col("c_mktsegment").as("segment"),
+              lit(opened).as("valid_from"), lit(asOf).as("valid_to"),
+              lit(0L).as("is_current")),
+            struct(col("new_segment").as("segment"),
+              lit(asOf).as("valid_from"),
+              lit(null).cast(StringType).as("valid_to"),
+              lit(1L).as("is_current"))))
+            .otherwise(array(
+              struct(col("c_mktsegment").as("segment"),
+                lit(opened).as("valid_from"),
+                lit(null).cast(StringType).as("valid_to"),
+                lit(1L).as("is_current")))))
+          .as("r"))
+        .select(col("c_custkey"), col("r.segment").as("segment"),
+          col("r.valid_from").as("valid_from"),
+          col("r.valid_to").as("valid_to"),
+          col("r.is_current").as("is_current"))
+    },
+
     // Distribution DRIFT monitor — q52's histogram compared across two
     // time periods (first vs second half of the month): the check a
     // production pipeline runs before trusting that yesterday's model
@@ -811,6 +858,50 @@ object Relational {
           abs(col("n_a").cast(DoubleType) / nullif(col("ta"), lit(0L))
             - col("n_b").cast(DoubleType) / nullif(col("tb"), lit(0L)))
             .as("drift"))
+    },
+
+    // Event-type CORRELATION matrix — which metrics co-move hourly, the
+    // readout an ops dashboard uses to find redundant alerts and leading
+    // indicators. The corpus-scale work is ONE (hour, type) hash count;
+    // everything after runs on the |hours|·|types| grid (dashboard-sized
+    // at any corpus volume — the q46/t16 discipline), zero-filled via a
+    // cross join of two TINY distinct sets so absent hours count as 0
+    // (computing corr only over co-present hours is the classic bias).
+    // Pearson r follows g9's exact-arithmetic recipe: all five power
+    // sums are DECIMAL(38,0)-exact, the numerator and both variance
+    // terms are exact decimal cross-products, and r is ONE double
+    // division over two IEEE sqrts — bit-portable. A constant series
+    // (variance 0) has no defined correlation: guarded to NULL in both
+    // engines (the q60 lesson).
+    "q63_type_correlation" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val hc = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val grid = hc.select("h").distinct()
+        .crossJoin(broadcast(hc.select("event_type").distinct()))
+        .join(hc, Seq("h", "event_type"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val a = grid.select(col("h"), col("event_type").as("t1"),
+        col("n").cast(dec).as("x"))
+      val b = grid.select(col("h"), col("event_type").as("t2"),
+        col("n").cast(dec).as("y"))
+      val agg = a.join(b, Seq("h")).filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val dx = col("n_hours") * col("sxx") - col("sx") * col("sx")
+      val dy = col("n_hours") * col("syy") - col("sy") * col("sy")
+      val num = col("n_hours") * col("sxy") - col("sx") * col("sy")
+      agg.select(col("t1"), col("t2"), col("n_hours"),
+        when(dx <= 0 || dy <= 0, lit(null).cast(DoubleType))
+          .otherwise(num.cast(DoubleType)
+            / (sqrt(dx.cast(DoubleType)) * sqrt(dy.cast(DoubleType))))
+          .as("r"))
     },
 
     // Multi-touch ATTRIBUTION — each purchase's value split equally
@@ -1813,6 +1904,27 @@ object Relational {
         |FROM orders o JOIN s ON o.o_orderkey = s.o_orderkey
         |GROUP BY 1""".stripMargin,
 
+    // same md5-residue change batch, same two-or-one row versioning —
+    // spelled as the closed-rows UNION the current-rows (the relational
+    // twin of the Spark side's in-row explode)
+    "q62_scd2_merge" ->
+      """WITH ch AS (
+        |  SELECT c_custkey, 'SEG_' || c_mktsegment AS new_segment
+        |  FROM customer
+        |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '2')
+        |SELECT c.c_custkey, c.c_mktsegment AS segment,
+        |  '2023-01-01' AS valid_from, '2024-01-15' AS valid_to,
+        |  CAST(0 AS BIGINT) AS is_current
+        |FROM customer c JOIN ch ON c.c_custkey = ch.c_custkey
+        |UNION ALL
+        |SELECT c.c_custkey,
+        |  coalesce(ch.new_segment, c.c_mktsegment) AS segment,
+        |  CASE WHEN ch.c_custkey IS NULL THEN '2023-01-01'
+        |       ELSE '2024-01-15' END AS valid_from,
+        |  CAST(NULL AS VARCHAR) AS valid_to,
+        |  CAST(1 AS BIGINT) AS is_current
+        |FROM customer c LEFT JOIN ch ON c.c_custkey = ch.c_custkey""".stripMargin,
+
     // same global bins, same conditional counts, same single-subtraction
     // drift; NULLIF guards the 0/0 share exactly as the Spark side does
     // (Spark non-ANSI /0 → NULL vs DuckDB IEEE → NaN would otherwise
@@ -1838,6 +1950,33 @@ object Relational {
         |  abs(CAST(c.n_a AS DOUBLE) / NULLIF(t.ta, 0)
         |    - CAST(c.n_b AS DOUBLE) / NULLIF(t.tb, 0)) AS drift
         |FROM c JOIN tots t ON c.event_type = t.event_type""".stripMargin,
+
+    // same zero-filled grid, HUGEINT power sums mirroring the decimal
+    // exactness, same single division over two sqrts, same variance-0
+    // NULL guard
+    "q63_type_correlation" ->
+      """WITH hc AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |              count(*) AS n
+        |            FROM events GROUP BY 1, 2),
+        |grid AS (SELECT hours.h, types.event_type, coalesce(hc.n, 0) AS n
+        |         FROM (SELECT DISTINCT h FROM hc) hours
+        |         CROSS JOIN (SELECT DISTINCT event_type FROM hc) types
+        |         LEFT JOIN hc ON hc.h = hours.h
+        |           AND hc.event_type = types.event_type),
+        |p AS (SELECT a.h, a.event_type AS t1, b.event_type AS t2,
+        |        CAST(a.n AS HUGEINT) AS x, CAST(b.n AS HUGEINT) AS y
+        |      FROM grid a JOIN grid b ON a.h = b.h
+        |        AND a.event_type < b.event_type),
+        |agg AS (SELECT t1, t2, CAST(count(*) AS HUGEINT) AS nh,
+        |          sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |          sum(x*x) AS sxx, sum(y*y) AS syy
+        |        FROM p GROUP BY 1, 2)
+        |SELECT t1, t2, CAST(nh AS BIGINT) AS n_hours,
+        |  CASE WHEN nh*sxx - sx*sx <= 0 OR nh*syy - sy*sy <= 0 THEN NULL
+        |       ELSE CAST(nh*sxy - sx*sy AS DOUBLE)
+        |         / (sqrt(CAST(nh*sxx - sx*sx AS DOUBLE))
+        |            * sqrt(CAST(nh*syy - sy*sy AS DOUBLE))) END AS r
+        |FROM agg""".stripMargin,
 
     // plain range join (the binned cover is exact over the 2 h window),
     // same integer micro-unit floors, same latest-view remainder rule

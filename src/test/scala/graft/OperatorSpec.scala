@@ -861,6 +861,93 @@ class OperatorSpec extends AnyFunSuite {
     assert(dups.length == 3 && dups.forall(_ == ((2L, 2L, 1L))), dups.toSeq)
   }
 
+  test("d29 benchmark leakage: a fully-quoted benchmark reads 1.0, a novel one 0.0") {
+    val d = writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "bench"),     // quoted in 11
+      (2L, "totally novel benchmark content here", "bench"),
+      (11L, "intro words alpha beta gamma delta epsilon and a tail", "corpus"),
+      (12L, "unrelated corpus text goes here", "corpus")))
+    val got = Dedup.defs("d29_benchmark_leakage")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // 5 tokens → 3 distinct 3-gram shingles, all present verbatim in doc 11
+    assert(got(1L) == ((3L, 3L, 1.0)), s"quoted benchmark: ${got(1L)}")
+    assert(got(2L)._3 == 0.0, s"novel benchmark must leak nothing: ${got(2L)}")
+  }
+
+  test("q62 SCD2 merge: changed keys carry a closed + a current row, unchanged pass through") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Relational.defs("q62_scd2_merge")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4)))
+    val base = graft.sources.Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def changed(k: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.charAt(0) < '2'
+    }
+    val byKey = rows.groupBy(_._1)
+    assert(byKey.keySet == base.keySet, "every dimension key must survive the merge")
+    assert(base.keys.exists(changed) && base.keys.exists(k => !changed(k)),
+      "test premise: the change batch must be a proper subset")
+    byKey.foreach { case (k, vs) =>
+      // exactly ONE current row per key, always
+      assert(vs.count(_._5 == 1L) == 1, s"key $k current-row count")
+      if (changed(k)) {
+        assert(vs.length == 2, s"changed key $k must version to 2 rows")
+        val closed = vs.find(_._5 == 0L).get
+        val current = vs.find(_._5 == 1L).get
+        assert(closed._2 == base(k) && closed._4.contains("2024-01-15"),
+          s"key $k old row must close at the merge date")
+        assert(current._2 == s"SEG_${base(k)}" && current._3 == "2024-01-15"
+          && current._4.isEmpty, s"key $k new row must open at the merge date")
+      } else {
+        assert(vs.length == 1 && vs.head._2 == base(k)
+          && vs.head._3 == "2023-01-01" && vs.head._4.isEmpty,
+          s"unchanged key $k must pass through open")
+      }
+    }
+  }
+
+  test("q63 correlation matrix equals a sequential exact-arithmetic recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Relational.defs("q63_type_correlation")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    // independent hourly counts → BigInt power sums → the same formula
+    val hc = graft.sources.Tables.load(spark, dir, "events")
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour", col("ts"))
+        .as("h"), col("event_type"))
+      .count().collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hours = hc.keys.map(_._1).toSeq.distinct
+    val types = hc.keys.map(_._2).toSeq.distinct.sorted
+    assert(got.size == types.combinations(2).size,
+      "one row per unordered type pair expected")
+    for (Seq(t1, t2) <- types.combinations(2)) {
+      val xs = hours.map(h => BigInt(hc.getOrElse((h, t1), 0L)))
+      val ys = hours.map(h => BigInt(hc.getOrElse((h, t2), 0L)))
+      val n = BigInt(hours.size)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+      val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      val (nHours, rOpt) = got((t1, t2))
+      assert(nHours == hours.size.toLong, s"($t1,$t2) hour count")
+      if (dx <= 0 || dy <= 0) assert(rOpt.isEmpty, s"($t1,$t2) must be NULL")
+      else {
+        val expect = (n * sxy - sx * sy).toDouble /
+          (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
+        assert(rOpt.isDefined && math.abs(rOpt.get - expect) < 1e-12
+          && rOpt.get.abs <= 1.0 + 1e-12,
+          s"($t1,$t2) r=${rOpt} expected $expect")
+      }
+    }
+  }
+
   test("d24 bloom admission verdicts are exact, with whitespace-normalized fps") {
     val d = writeDocs(Seq(
       (1L, "hello world today", "s"), (2L, "another one", "s"),
