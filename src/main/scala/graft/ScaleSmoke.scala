@@ -118,6 +118,19 @@ object ScaleSmoke {
         spark.read.parquet(s"$base/$t.parquet")
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
+    // q62's scale axis is the DIMENSION itself (an SCD apply maps over
+    // however many dimension rows exist): replicate customer on re-keyed
+    // custkey. Exclusive with the star-join branch's fixed-dims copy.
+    val needsDim = names.contains("q62_scd2_merge")
+    require(!(needsDim && needsFacts),
+      "q62 replicates customer; the star-join branch copies it fixed — run them separately")
+    if (needsDim) {
+      val cust = spark.read.parquet(s"$base/customer.parquet")
+      (0 until factor).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") * factor + i)
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    }
     // events (the behavioral queries' source), volume-pure: re-keying
     // user_id and event_id makes the replicated stream N disjoint user
     // populations over the SAME time axis — per-user session structure is

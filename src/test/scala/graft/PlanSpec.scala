@@ -367,6 +367,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q62: the SCD merge is one narrow pass — broadcast change attach, zero shuffles") {
+    val p = plan(Relational.defs("q62_scd2_merge")(spark, dir))
+    // the only Exchange allowed is the broadcast of the change batch;
+    // a shuffle would mean the dimension was re-partitioned for a map
+    assert(!p.contains("Exchange hashpartitioning")
+      && !p.contains("Exchange rangepartitioning"),
+      s"q62 must not shuffle the dimension:\n$p")
+    assert(p.contains("BroadcastExchange"), s"change batch must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q63: one events scan feeds the checkpoint; the pair join runs on the grid only") {
+    val df = Relational.defs("q63_type_correlation")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // hc is checkpointed: hours/types/counts/pairs all derive from the
+    // blocks — the corpus is read exactly zero times in the final plan
+    assert(!p.contains("Scan parquet"),
+      s"q63's final plan must derive everything from the checkpointed counts:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the hour-x-type grid must be a broadcast cross of tiny sides:\n$p")
+  }
+
+  test("d29: corpus postings meet the benchmark list by broadcast, never a shuffle of the corpus") {
+    val p = plan(Dedup.defs("d29_benchmark_leakage")(spark, dir))
+    // the semi-join that prunes corpus postings must be broadcast-hash —
+    // a shuffled semi-join would move the corpus-scale posting table
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"corpus pruning must be a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-scale shuffle join:\n$p")
+  }
+
   test("w15/t24/m11: pair joins stay equi-keyed, the shard window is the only sort") {
     for (n <- Seq("w15_vocab_overlap", "t24_skipgram_pairs")) {
       val p = plan(TextOps.defs(n)(spark, dir))
