@@ -641,6 +641,47 @@ object TextOps {
             .as("tv_distance"))
     },
 
+    // The DATASET CARD rollup — the per-source summary a corpus producer
+    // ships alongside the data (doc/token counts, language mix, exact
+    // duplication): majority language with its ppm share, docs whose
+    // whitespace-normalized fingerprint has CORPUS-WIDE multiplicity >= 2
+    // (a mirror's dups count against both sources — the cross-source
+    // reading d22 drills into), mean tokens per doc. Every derived number
+    // is an exact integer ppm floor (t8's discipline), so the card
+    // hash-gates. ONE narrow scan feeds all three consumers through a
+    // checkpointed (source, lang, fp, n_tokens) projection — text never
+    // shuffles; the fp-multiplicity window carries two columns; the
+    // rollups are |sources|- and (source, lang)-sized.
+    "w17_dataset_card" -> { (s, dir) =>
+      val base = docs(s, dir).select(col("source"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          graft.operators.Dedup.fpCol.as("fp"))
+        .localCheckpoint()
+      val perSource = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast(LongType).as("n_tokens"),
+        countDistinct("lang").as("n_langs"))
+      val topLang = base.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("nl").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("nl"))
+      val dupDocs = base
+        .withColumn("m", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .filter(col("m") >= 2)
+        .groupBy("source").agg(count(lit(1)).as("n_dup"))
+      perSource.join(topLang, "source")
+        .join(dupDocs, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("top_lang"),
+          expr("nl * 1000000 div n_docs").as("top_lang_ppm"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_docs"),
+          expr("coalesce(n_dup, 0) * 1000000 div n_docs").as("dup_doc_ppm"),
+          expr("n_tokens div n_docs").as("mean_doc_tokens"))
+    },
+
     // BPE merge-pair statistics — the first step of tokenizer TRAINING
     // (the one data product every LLM pipeline derives besides the corpus
     // itself): the most frequent adjacent character pairs, weighted by
@@ -1538,6 +1579,36 @@ object TextOps {
         |  CAST(a + t_s * (t - b) AS DOUBLE)
         |    / (CAST(t_s AS DOUBLE) * 2.0 * t) AS tv_distance
         |FROM agg""".stripMargin,
+
+    // same fingerprint spelling as d1/d10, same ppm floors, same
+    // corpus-wide dup-multiplicity window
+    "w17_dataset_card" ->
+      """WITH base AS (
+        |  SELECT source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |ps AS (SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |       FROM base GROUP BY source),
+        |tl AS (SELECT source, lang AS top_lang, nl FROM (
+        |         SELECT source, lang, count(*) AS nl,
+        |           row_number() OVER (PARTITION BY source
+        |             ORDER BY count(*) DESC, lang) AS rk
+        |         FROM base GROUP BY source, lang) r
+        |       WHERE rk = 1),
+        |dd AS (SELECT source, count(*) AS n_dup FROM (
+        |         SELECT source, count(*) OVER (PARTITION BY fp) AS m
+        |         FROM base) x
+        |       WHERE m >= 2 GROUP BY source)
+        |SELECT ps.source, ps.n_docs, ps.n_tokens, ps.n_langs, tl.top_lang,
+        |  tl.nl * 1000000 // ps.n_docs AS top_lang_ppm,
+        |  CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup_docs,
+        |  coalesce(dd.n_dup, 0) * 1000000 // ps.n_docs AS dup_doc_ppm,
+        |  ps.n_tokens // ps.n_docs AS mean_doc_tokens
+        |FROM ps JOIN tl ON ps.source = tl.source
+        |LEFT JOIN dd ON ps.source = dd.source""".stripMargin,
 
     // two chained aggregates; the ppm ratio is the same single floor
     "w14_token_burstiness" ->

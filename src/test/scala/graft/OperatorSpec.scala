@@ -861,6 +861,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(dups.length == 3 && dups.forall(_ == ((2L, 2L, 1L))), dups.toSeq)
   }
 
+  test("w17 dataset card hand-computes: language majority, cross-source dups, ppm floors") {
+    val d = Files.createTempDirectory("graft-card-fx").toString
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // A: 2 en + 1 fr docs; one of A's docs is duplicated into B (a mirror
+    // pair must count against BOTH cards); B: the mirror + one unique doc
+    val rows = Seq(
+      Row(1L, "one two three", "en", "A", 13L),
+      Row(2L, "four five six seven", "en", "A", 19L),
+      Row(3L, "un deux trois", "fr", "A", 13L),
+      Row(4L, "one  two   three", "en", "B", 16L), // dup of 1 after normalize
+      Row(5L, "unique content here", "en", "B", 19L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), sch)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextOps.defs("w17_dataset_card")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))).toMap
+    // A: 3 docs, 3+4+3=10 tokens, 2 langs, en 2/3 → 666666 ppm,
+    //    1 dup doc (doc 1, corpus-wide m=2) → 333333 ppm, mean 10/3=3
+    assert(got("A") == ((3L, 10L, 2L, "en", 666666L, 1L, 333333L, 3L)),
+      s"A card: ${got("A")}")
+    // B: 2 docs, 6+3=9 tokens (t1's raw-split semantics count the empty
+    // tokens doc 4's double spaces produce), 1 lang, en 1000000 ppm,
+    // 1 dup → 500000, mean 9/2 = 4
+    assert(got("B") == ((2L, 9L, 1L, "en", 1000000L, 1L, 500000L, 4L)),
+      s"B card: ${got("B")}")
+  }
+
   test("d29 benchmark leakage: a fully-quoted benchmark reads 1.0, a novel one 0.0") {
     val d = writeDocs(Seq(
       (1L, "alpha beta gamma delta epsilon", "bench"),     // quoted in 11
