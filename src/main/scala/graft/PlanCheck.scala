@@ -28,13 +28,30 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
-      df.write.format("noop").mode("overwrite").save()
-      val p = df.queryExecution.executedPlan.toString
+      // Execute this Dataset's OWN QueryExecution so its
+      // AdaptiveSparkPlanExec is FINALIZED before the plan is read —
+      // otherwise the printout is the static plan and misses every
+      // runtime join demotion/promotion (code-review r10 finding). Note
+      // a write plans a separate QueryExecution, and even Dataset.foreach
+      // routes through the separate rddQueryExecution — only qe.toRdd
+      // executes the plan object we then print.
+      val qe = df.queryExecution
+      qe.toRdd.count(): Unit
+      // the finalized adaptive toString appends an "== Initial Plan =="
+      // section — count only the final plan above it
+      val p = qe.executedPlan.toString.split("== Initial Plan ==").head
       def n(token: String) = token.r.findAllIn(p).size
+      // count shuffle exchanges separately from broadcasts — a plain
+      // "Exchange" token also matches inside "BroadcastExchange"
+      val shuffles = n("Exchange hashpartitioning") +
+        n("Exchange rangepartitioning") + n("Exchange SinglePartition")
       println(s"PLANCHECK $name broadcastHash=${n("BroadcastHashJoin")}" +
         s" sortMerge=${n("SortMergeJoin")} shuffledHash=${n("ShuffledHashJoin")}" +
         s" nestedLoop=${n("NestedLoop")} cartesian=${n("CartesianProduct")}" +
-        s" scans=${n("Scan parquet")} exchanges=${n("Exchange")}")
+        s" scans=${n("Scan parquet")} shuffleExchanges=$shuffles" +
+        s" broadcastExchanges=${n("BroadcastExchange")}" +
+        s" adaptive=${p.contains("AdaptiveSparkPlan")}" +
+        s" finalPlan=${p.contains("isFinalPlan=true")}")
     }
     spark.stop()
   }

@@ -923,12 +923,17 @@ object Relational {
     "q59_attribution" -> { (s, dir) =>
       val W = 7200000L
       val ev = t(s, dir, "events")
+      // p and matched each feed TWO consumers (the attributed rollup and
+      // the anti-join sentinel branch) — checkpointed so the events scan
+      // and the bin-explode view join run once, not once per branch
+      // (code-review r10; the hs0/sk/hc multi-consumer discipline)
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
           unix_millis(col("ts")).as("p_ms"),
           expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
             .as("value_micro"),
           expr(s"unix_millis(ts) div $W").as("bin"))
+        .localCheckpoint()
       val v = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("v_id"),
           unix_millis(col("ts")).as("v_ms"),
@@ -937,6 +942,7 @@ object Relational {
         .withColumn("vbin", explode(array(col("bin"), col("bin") - 1)))
         .join(v, Seq("user_id", "vbin"))
         .filter(col("v_ms") <= col("p_ms") && col("v_ms") > col("p_ms") - W)
+        .localCheckpoint()
       val attributed = matched
         .withColumn("nv", count(lit(1)).over(Window.partitionBy("p_id")))
         .withColumn("rn", row_number().over(Window.partitionBy("p_id")
