@@ -97,6 +97,41 @@ object Graph {
   }
 
   val defs: Map[String, Q] = Map(
+    // Multi-source BFS LAYERS from the hub products — the frontier-
+    // expansion iterative shape the family's other loops don't cover
+    // (g2 propagates rank, g5/g12 contract components, g6 peels): which
+    // vertices sit within 1/2/3 hops of the top-8 highest-degree hubs,
+    // the catalog-coverage / blast-radius diagnostic. Seeds are a total
+    // (d DESC, v) order so the set is engine-independent; each round is
+    // ONE edge-linear equi-join of the symmetrized edges against the
+    // (shrinking or plateauing) frontier, a distinct, and a vertex-sized
+    // anti-join against visited — the textbook distributed BFS step, per
+    // round checkpointed (the g2/g6 flat-lineage discipline). Distances
+    // are exact integers, so the layer table hash-gates. Unvisited
+    // vertices (> 3 hops or disconnected) are absent — the reachability
+    // complement is g5's components question.
+    "g15_bfs_layers" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint() // 3 rounds probe it
+      val seeds = degrees(e).orderBy(col("d").desc, col("v")).limit(8)
+        .select(col("v"), lit(0L).as("dist")).localCheckpoint()
+      var visited = seeds
+      var frontier = seeds.select("v")
+      for (i <- 1 to 3) {
+        val next = sym
+          .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("dst").as("v")).distinct()
+          .join(visited.select("v"), Seq("v"), "left_anti")
+          .select(col("v"), lit(i.toLong).as("dist"))
+          .localCheckpoint()
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next.select("v")
+      }
+      visited
+    },
+
     // Damped PageRank over the co-order graph, INTEGER-EXACT: ranks are
     // scaled by 1e12 and every step uses floor division (`div`), so three
     // unrolled iterations produce bit-identical longs in any engine — the
@@ -587,6 +622,31 @@ object Graph {
        |  JOIN k$i y ON u${i - 1}.v = y.u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same graph, same (d DESC, v) seed order, three unrolled frontier
+    // rounds with NOT-IN visited guards (all vertex ids non-null, so
+    // NOT IN is safe)
+    "g15_bfs_layers" ->
+      s"""WITH $graphSql,
+        |sym AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |seeds AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM deg
+        |          ORDER BY d DESC, v LIMIT 8),
+        |f1 AS (SELECT DISTINCT sym.dst AS v
+        |       FROM sym JOIN seeds ON sym.src = seeds.v
+        |       WHERE sym.dst NOT IN (SELECT v FROM seeds)),
+        |v1 AS (SELECT v, dist FROM seeds
+        |       UNION ALL SELECT v, CAST(1 AS BIGINT) FROM f1),
+        |f2 AS (SELECT DISTINCT sym.dst AS v
+        |       FROM sym JOIN f1 ON sym.src = f1.v
+        |       WHERE sym.dst NOT IN (SELECT v FROM v1)),
+        |v2 AS (SELECT v, dist FROM v1
+        |       UNION ALL SELECT v, CAST(2 AS BIGINT) FROM f2),
+        |f3 AS (SELECT DISTINCT sym.dst AS v
+        |       FROM sym JOIN f2 ON sym.src = f2.v
+        |       WHERE sym.dst NOT IN (SELECT v FROM v2))
+        |SELECT v, dist FROM v2
+        |UNION ALL SELECT v, CAST(3 AS BIGINT) AS dist FROM f3""".stripMargin,
+
     // same graph; twelve unrolled peeling rounds (fixpoint by round 12
     // is pinned in GraphSpec, not assumed)
     "g6_kcore" ->

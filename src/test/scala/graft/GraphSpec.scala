@@ -287,6 +287,42 @@ class GraphSpec extends AnyFunSuite {
       s"${(got.toSet diff want.toSet).take(5)} / ${(want.toSet diff got.toSet).take(5)}")
   }
 
+  test("g15 matches a sequential multi-source BFS on a random graph; layers partition") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 150).map { _ =>
+      val a = rnd.nextInt(60) + 1L; val b = rnd.nextInt(60) + 1L
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val d = Files.createTempDirectory("graft-bfs").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    val rows = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(6000000L + 2 * i, 6000001L + 2 * i).flatMap(ok => Seq(Row(ok, a), Row(ok, b)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 5), schema)
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Graph.defs("g15_bfs_layers")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sequential reference: same (d DESC, v) seed rule, same 3 rounds
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    val seeds = deg.toSeq.sortBy { case (v, dd) => (-dd, v) }.take(8).map(_._1)
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (i <- 1 to 3) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist = dist ++ next.map(_ -> i.toLong)
+      frontier = next
+    }
+    assert(got == dist, s"distributed vs sequential BFS mismatch: " +
+      s"${(got.toSet diff dist.toSet).take(5)} / ${(dist.toSet diff got.toSet).take(5)}")
+    // layers are a partition: one distance per vertex, seeds at 0
+    assert(got.values.count(_ == 0L) == 8)
+    assert(got.size == got.keySet.size)
+    assert(got.values.exists(_ == 3L), "test premise: some vertex must sit 3 hops out")
+  }
+
   test("g2 invariants: regular graphs stay uniform; rank mass is conserved up to floors") {
     // a 12-cycle is 2-regular: every vertex must hold EXACTLY S div 12 rank
     // at every iteration (contributions and damping are identical per
