@@ -820,6 +820,33 @@ object Relational {
           col("r.is_current").as("is_current"))
     },
 
+    // POINT-IN-TIME (temporal) join — the query side of the SCD story
+    // q45/q62 build: each event joins the dimension VERSION that was
+    // valid at its timestamp (the "what segment was this customer in
+    // when they clicked" question; joining the current row back-dates
+    // attributes and silently corrupts history). The join is EQUI on the
+    // customer key with the validity range as a residual predicate —
+    // fan-out is bounded by versions-per-key (≤ 2 here; dimension churn
+    // in general), never a range-join cross product. Validity compares
+    // are ISO date STRINGS (lexicographic == chronological), the
+    // open-ended current row closes with a '9999-12-31' sentinel, and
+    // the rollup keeps the output (segment × type)-sized. At 100 TB the
+    // dimension shuffles once on its key opposite the fact — the
+    // standard warehouse temporal-join plan.
+    "q64_temporal_join" -> { (s, dir) =>
+      val dim = defs("q62_scd2_merge")(s, dir)
+        .select(col("c_custkey"), col("segment"), col("valid_from"),
+          coalesce(col("valid_to"), lit("9999-12-31")).as("valid_to"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .join(dim, col("user_id") === col("c_custkey")
+          && col("d") >= col("valid_from") && col("d") < col("valid_to"))
+        .groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+    },
+
     // Distribution DRIFT monitor — q52's histogram compared across two
     // time periods (first vs second half of the month): the check a
     // production pipeline runs before trusting that yesterday's model
@@ -1506,6 +1533,26 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM lineitem l
       |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)""".stripMargin
 
+  /** q62's versioned-dimension SQL — factored so q64's temporal join can
+    * consume the identical merge as a CTE. */
+  private val scd2MergeSql: String =
+    """WITH ch AS (
+      |  SELECT c_custkey, 'SEG_' || c_mktsegment AS new_segment
+      |  FROM customer
+      |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '2')
+      |SELECT c.c_custkey, c.c_mktsegment AS segment,
+      |  '2023-01-01' AS valid_from, '2024-01-15' AS valid_to,
+      |  CAST(0 AS BIGINT) AS is_current
+      |FROM customer c JOIN ch ON c.c_custkey = ch.c_custkey
+      |UNION ALL
+      |SELECT c.c_custkey,
+      |  coalesce(ch.new_segment, c.c_mktsegment) AS segment,
+      |  CASE WHEN ch.c_custkey IS NULL THEN '2023-01-01'
+      |       ELSE '2024-01-15' END AS valid_from,
+      |  CAST(NULL AS VARCHAR) AS valid_to,
+      |  CAST(1 AS BIGINT) AS is_current
+      |FROM customer c LEFT JOIN ch ON c.c_custkey = ch.c_custkey""".stripMargin
+
   private val q1Sums =
     s"""${dsumSql("l_quantity")} AS sum_qty,
        |  ${dsumSql("l_extendedprice")} AS sum_base_price,
@@ -1913,23 +1960,21 @@ object Relational {
     // same md5-residue change batch, same two-or-one row versioning —
     // spelled as the closed-rows UNION the current-rows (the relational
     // twin of the Spark side's in-row explode)
-    "q62_scd2_merge" ->
-      """WITH ch AS (
-        |  SELECT c_custkey, 'SEG_' || c_mktsegment AS new_segment
-        |  FROM customer
-        |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '2')
-        |SELECT c.c_custkey, c.c_mktsegment AS segment,
-        |  '2023-01-01' AS valid_from, '2024-01-15' AS valid_to,
-        |  CAST(0 AS BIGINT) AS is_current
-        |FROM customer c JOIN ch ON c.c_custkey = ch.c_custkey
-        |UNION ALL
-        |SELECT c.c_custkey,
-        |  coalesce(ch.new_segment, c.c_mktsegment) AS segment,
-        |  CASE WHEN ch.c_custkey IS NULL THEN '2023-01-01'
-        |       ELSE '2024-01-15' END AS valid_from,
-        |  CAST(NULL AS VARCHAR) AS valid_to,
-        |  CAST(1 AS BIGINT) AS is_current
-        |FROM customer c LEFT JOIN ch ON c.c_custkey = ch.c_custkey""".stripMargin,
+    "q62_scd2_merge" -> scd2MergeSql,
+
+    // same versioned dimension (the factored q62 SQL as a CTE), same
+    // ISO-string validity compare (lexicographic == chronological),
+    // same open-interval sentinel
+    "q64_temporal_join" ->
+      s"""WITH dim AS ($scd2MergeSql),
+         |e AS (SELECT user_id, event_type, value,
+         |        strftime(ts, '%Y-%m-%d') AS d FROM events)
+         |SELECT dim.segment, e.event_type, count(*) AS n_events,
+         |  ${dsumSql("e.value")} AS sum_value
+         |FROM e JOIN dim ON e.user_id = dim.c_custkey
+         |  AND e.d >= dim.valid_from
+         |  AND e.d < coalesce(dim.valid_to, '9999-12-31')
+         |GROUP BY 1, 2""".stripMargin,
 
     // same global bins, same conditional counts, same single-subtraction
     // drift; NULLIF guards the 0/0 share exactly as the Spark side does

@@ -979,6 +979,35 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q64 temporal join picks the dimension version valid at each event's date") {
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.sources.Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def changed(k: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.charAt(0) < '2'
+    }
+    // sequential point-in-time reference: pre-merge dates see the old
+    // segment; merge-date-or-later dates on changed keys see the new one
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "date_format(ts, 'yyyy-MM-dd') AS d")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = events.flatMap { case (u, ty, d) =>
+      base.get(u).map { seg =>
+        val at = if (changed(u) && d >= "2024-01-15") s"SEG_$seg" else seg
+        (at, ty)
+      }
+    }.groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    assert(events.exists { case (u, _, d) => changed(u) && d < "2024-01-15" }
+      && events.exists { case (u, _, d) => changed(u) && d >= "2024-01-15" },
+      "test premise: changed keys must have events on BOTH sides of the merge")
+    val got = Relational.defs("q64_temporal_join")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect, s"got ${got.size} groups, expect ${expect.size}")
+  }
+
   test("d24 bloom admission verdicts are exact, with whitespace-normalized fps") {
     val d = writeDocs(Seq(
       (1L, "hello world today", "s"), (2L, "another one", "s"),
