@@ -138,7 +138,8 @@ object ScaleSmoke {
     // and per-hour concurrency scales ×N (exactly the hot-hour stress a
     // sweep-line must absorb). Valid for user-keyed event-time queries
     // (q16/q42/q43/q45/q46); value/props-analytics keep their meaning too.
-    val needsEvents = names.exists(_.startsWith("q"))
+    val needsEvents =
+      names.exists(n => n.startsWith("q") && n != "q64_temporal_join")
     if (needsEvents) {
       val ev = graft.sources.Tables.load(spark, base, "events")
       (0 until factor).map { i =>
@@ -146,6 +147,28 @@ object ScaleSmoke {
           .withColumn("event_id", col("event_id") * factor + i)
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+
+    // q64's scale axis is the FACT: replicate events re-keying event_id
+    // ONLY — user keys stay intact so the PIT join rate is the original's,
+    // each user carries factor× the events, and the versioned customer
+    // dimension (copied fixed) stays broadcast-sized. Exclusive with the
+    // generic events branch (which re-keys user_id and would silently
+    // zero the dimension join) and with the branches that write customer
+    // in other shapes.
+    val needsPit = names.contains("q64_temporal_join")
+    require(!(needsPit && needsEvents),
+      "q64 replicates events keeping user keys; the generic events branch re-keys them — run separately")
+    require(!(needsPit && (needsFacts || needsDim)),
+      "q64 copies customer fixed; other branches write it differently — run separately")
+    if (needsPit) {
+      val ev = graft.sources.Tables.load(spark, base, "events")
+      (0 until factor).map { i =>
+        ev.withColumn("event_id", col("event_id") * factor + i)
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      spark.read.parquet(s"$base/customer.parquet")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     }
 
     def force(name: String): Unit =

@@ -389,6 +389,18 @@ class PlanSpec extends AnyFunSuite {
       s"the hour-x-type grid must be a broadcast cross of tiny sides:\n$p")
   }
 
+  test("q64: the versioned dimension broadcasts to the fact; no sort-merge, no range cross") {
+    val p = plan(Relational.defs("q64_temporal_join")(spark, dir))
+    // the PIT join must be an equi-join on the customer key with the
+    // validity range as a residual — a SortMergeJoin here means the
+    // fact shuffled for a dimension-sized side; a nested-loop means the
+    // range predicate stopped being residual and became the join itself
+    assert(p.contains("BroadcastHashJoin"), s"dimension must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"q64 must stay a broadcast equi-join with residual validity:\n$p")
+  }
+
   test("d29: corpus postings meet the benchmark list by broadcast, never a shuffle of the corpus") {
     val p = plan(Dedup.defs("d29_benchmark_leakage")(spark, dir))
     // the semi-join that prunes corpus postings must be broadcast-hash —
