@@ -99,7 +99,10 @@ object ScaleSmoke {
     // broadcast-sized. Mutually exclusive with the g-branch's two-column
     // lineitem above (different shapes of the same file).
     val relationalFactQs =
-      Set("q53_customer_returns", "q55_market_share", "q61_fulfillment_span")
+      Set("q53_customer_returns", "q55_market_share", "q61_fulfillment_span",
+        // the skew audit reads the same replicated facts: group COUNT stays,
+        // group sizes grow factor× — the "facts grow" histogram shape
+        "q66_join_skew_audit")
     val needsFacts = names.exists(relationalFactQs.contains)
     require(!(needsFacts && needsLineitem),
       "g-queries and relational fact queries replicate lineitem differently — run them separately")
@@ -139,7 +142,10 @@ object ScaleSmoke {
     // sweep-line must absorb). Valid for user-keyed event-time queries
     // (q16/q42/q43/q45/q46); value/props-analytics keep their meaning too.
     val needsEvents =
-      names.exists(n => n.startsWith("q") && n != "q64_temporal_join")
+      names.exists(n => n.startsWith("q") && n != "q64_temporal_join" &&
+        !Set("q53_customer_returns", "q55_market_share",
+          "q61_fulfillment_span", "q62_scd2_merge",
+          "q66_join_skew_audit").contains(n))
     if (needsEvents) {
       val ev = graft.sources.Tables.load(spark, base, "events")
       (0 until factor).map { i =>

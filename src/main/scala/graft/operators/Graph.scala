@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
 
 import graft.sources.Tables
 
@@ -130,6 +131,47 @@ object Graph {
         frontier = next.select("v")
       }
       visited
+    },
+
+    // Per-hub HARMONIC centrality — g15's multi-source BFS refined to
+    // per-seed distances (g15's layers give the SET-min distance; which
+    // hub reaches how much, and how closely, needs (seed, v) state —
+    // bounded by seeds × vertices, 8× here). Same frontier-expansion
+    // rounds: edge-linear equi-join of the symmetrized edges against the
+    // (seed, v)-keyed frontier, distinct, anti-join against visited,
+    // per round checkpointed. The readout is EXACT: harmonic centrality
+    // Σ 1/dist over 3 hops scaled ×6 (6/1, 6/2, 6/3 are integers), so
+    // the row hash-gates where a float 1/3 sum never would. 100 TB
+    // posture: per-seed BFS multiplies frontier volume by |seeds|, not
+    // rounds — the standard batched multi-source trick; a thousand seeds
+    // would batch the seed set instead.
+    "g16_hub_closeness" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint() // 3 rounds probe it
+      val seeds = degrees(e).orderBy(col("d").desc, col("v")).limit(8)
+        .select(col("v").as("seed")).localCheckpoint()
+      var visited = seeds
+        .select(col("seed"), col("seed").as("v"), lit(0L).as("dist"))
+        .localCheckpoint()
+      var frontier = visited.select("seed", "v")
+      for (i <- 1 to 3) {
+        val next = sym
+          .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("seed"), col("dst").as("v")).distinct()
+          .join(visited.select("seed", "v"), Seq("seed", "v"), "left_anti")
+          .withColumn("dist", lit(i.toLong))
+          .localCheckpoint()
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next.select("seed", "v")
+      }
+      visited.filter(col("dist") > 0)
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"),
+          sum(when(col("dist") === 1, 6L)
+            .when(col("dist") === 2, 3L).otherwise(2L))
+            .cast(LongType).as("harmonic_x6"))
     },
 
     // Damped PageRank over the co-order graph, INTEGER-EXACT: ranks are
@@ -646,6 +688,37 @@ object Graph {
         |       WHERE sym.dst NOT IN (SELECT v FROM v2))
         |SELECT v, dist FROM v2
         |UNION ALL SELECT v, CAST(3 AS BIGINT) AS dist FROM f3""".stripMargin,
+
+    // g15's rounds per seed: (seed, v)-keyed frontiers with NOT EXISTS
+    // visited guards; the same ×6 integer harmonic readout
+    "g16_hub_closeness" ->
+      s"""WITH $graphSql,
+        |sym AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |seeds AS (SELECT v AS seed FROM deg ORDER BY d DESC, v LIMIT 8),
+        |v0 AS (SELECT seed, seed AS v FROM seeds),
+        |f1 AS (SELECT DISTINCT v0.seed, sym.dst AS v
+        |       FROM sym JOIN v0 ON sym.src = v0.v
+        |       WHERE NOT EXISTS (SELECT 1 FROM v0 x
+        |                         WHERE x.seed = v0.seed AND x.v = sym.dst)),
+        |v1 AS (SELECT seed, v FROM v0 UNION ALL SELECT seed, v FROM f1),
+        |f2 AS (SELECT DISTINCT f1.seed, sym.dst AS v
+        |       FROM sym JOIN f1 ON sym.src = f1.v
+        |       WHERE NOT EXISTS (SELECT 1 FROM v1 x
+        |                         WHERE x.seed = f1.seed AND x.v = sym.dst)),
+        |v2 AS (SELECT seed, v FROM v1 UNION ALL SELECT seed, v FROM f2),
+        |f3 AS (SELECT DISTINCT f2.seed, sym.dst AS v
+        |       FROM sym JOIN f2 ON sym.src = f2.v
+        |       WHERE NOT EXISTS (SELECT 1 FROM v2 x
+        |                         WHERE x.seed = f2.seed AND x.v = sym.dst)),
+        |reached AS (
+        |  SELECT seed, 1 AS dist FROM f1
+        |  UNION ALL SELECT seed, 2 FROM f2
+        |  UNION ALL SELECT seed, 3 FROM f3)
+        |SELECT seed, count(*) AS n_reached,
+        |  CAST(sum(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)
+        |    AS BIGINT) AS harmonic_x6
+        |FROM reached GROUP BY seed""".stripMargin,
 
     // same graph; twelve unrolled peeling rounds (fixpoint by round 12
     // is pinned in GraphSpec, not assumed)

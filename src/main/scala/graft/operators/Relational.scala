@@ -847,6 +847,93 @@ object Relational {
           dsum(col("value")).as("sum_value"))
     },
 
+    // TIME-WEIGHTED average — the monitoring/finance aggregate where a
+    // value HOLDS until the next observation of the same series: per
+    // event_type, twa = Σ value·hold / Σ hold over the step function the
+    // events trace (a plain AVG over-weights bursts; TWA weights each
+    // observation by how long it was current). The naive spelling is ONE
+    // window partitioned by type — |types| partitions, a 100 TB skew
+    // cliff. Decomposed (q46's carry discipline): successor lookup runs
+    // in (type, hour) window partitions — corpus-scale work rides
+    // |types|·|hours| partitions — and the cross-hour link is the
+    // per-(type, hour) FIRST-observation table, |types|·|hours| rows,
+    // lead-chained per type and broadcast back. Arithmetic is exact to
+    // the last step: value in integer micros (q59's discipline), holds
+    // in integer ms, per-element products < 2^63 (value_micro ≤ ~6e8,
+    // hold ≤ one month ≈ 2.6e9 ms), sums in DECIMAL(38,0)/HUGEINT; the
+    // only float ops are the final divisions, IEEE-deterministic in both
+    // engines. Each series' last observation has no successor and is
+    // excluded (its hold is open-ended; a dashboard clamps it to `now`).
+    "q65_time_weighted_avg" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ms"),
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            .as("value_micro"))
+        .withColumn("h", expr("ms div 3600000"))
+        .localCheckpoint() // two consumers: hold rows + per-hour firsts
+      val inHour = Window.partitionBy("event_type", "h")
+        .orderBy(col("ms"), col("event_id"))
+      val firsts = e.groupBy("event_type", "h").agg(min(col("ms")).as("first_ms"))
+      val link = firsts
+        .withColumn("next_first_ms",
+          lead(col("first_ms"), 1).over(Window.partitionBy("event_type").orderBy("h")))
+        .select("event_type", "h", "next_first_ms")
+      e.withColumn("next_in_hour", lead(col("ms"), 1).over(inHour))
+        .join(broadcast(link), Seq("event_type", "h"))
+        .withColumn("hold_ms",
+          coalesce(col("next_in_hour"), col("next_first_ms")) - col("ms"))
+        .filter(col("hold_ms").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("hold_ms")).cast(LongType).as("total_hold_ms"),
+          sum(expr("CAST(value_micro * hold_ms AS DECIMAL(38,0))")).as("wsum"))
+        .select(col("event_type"), col("n_holds"), col("total_hold_ms"),
+          (col("wsum").cast(DoubleType) /
+            expr("CAST(nullif(total_hold_ms, 0) AS DOUBLE)") / lit(1e6)).as("twa"))
+    },
+
+    // JOIN-SKEW audit — the diagnostic a planner (human or automated)
+    // runs BEFORE shipping a shuffle join at 100 TB: per candidate join
+    // key, row/key counts, the heaviest key's row share (the salting
+    // trigger q22 exists for), and exact p50/p90/p99 group sizes. The
+    // scale discipline is the whole point: group sizes reduce to a
+    // SIZE HISTOGRAM first (|distinct sizes| rows — thousands at any
+    // corpus volume), so the percentile scan and its single-partition
+    // cumulative window run over the tiny histogram, never a corpus-wide
+    // sort (the q46/t16 tiny-table-window rule). Percentile rank is the
+    // integer ceiling ceil(q·n_keys) picked as the smallest size whose
+    // cumulative key count reaches it — exact longs end to end, no
+    // interpolation (cross-engine float quantile semantics never
+    // hash-gate). Two fact keys audited; each is one partial+final agg,
+    // one tiny histogram agg, one broadcast of a 1-row total.
+    "q66_join_skew_audit" -> { (s, dir) =>
+      def audit(df: DataFrame, keyCol: String): DataFrame = {
+        val h = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("nk"))
+          .localCheckpoint() // totals + cumulative both read it
+        val tot = h.agg(sum(col("nk")).cast(LongType).as("n_keys"),
+          sum(col("sz") * col("nk")).cast(LongType).as("n_rows"))
+        h.withColumn("cum", sum(col("nk")).over(Window.orderBy("sz")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(tot))
+          .agg(min(col("n_rows")).as("n_rows"), min(col("n_keys")).as("n_keys"),
+            max(col("sz")).as("max_group"),
+            min(when(expr("cum >= (n_keys * 50 + 99) div 100"), col("sz")))
+              .as("p50_group"),
+            min(when(expr("cum >= (n_keys * 90 + 99) div 100"), col("sz")))
+              .as("p90_group"),
+            min(when(expr("cum >= (n_keys * 99 + 99) div 100"), col("sz")))
+              .as("p99_group"))
+          .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+            col("max_group"), expr("max_group * 1000000 div n_rows")
+              .as("max_share_ppm"),
+            col("p50_group"), col("p90_group"), col("p99_group"))
+      }
+      audit(t(s, dir, "orders"), "o_custkey")
+        .unionAll(audit(t(s, dir, "lineitem"), "l_partkey"))
+    },
+
     // Distribution DRIFT monitor — q52's histogram compared across two
     // time periods (first vs second half of the month): the check a
     // production pipeline runs before trusting that yesterday's model
@@ -1975,6 +2062,55 @@ object Relational {
          |  AND e.d >= dim.valid_from
          |  AND e.d < coalesce(dim.valid_to, '9999-12-31')
          |GROUP BY 1, 2""".stripMargin,
+
+    // the oracle spells the GLOBAL per-type successor directly (one
+    // window); the Spark side's (type, hour) decomposition + cross-hour
+    // link reconstructs the identical successor because hour is a
+    // monotone function of ms — equality proves the decomposition exact.
+    // Same integer micros, same HUGEINT product sums, same final-division
+    // float discipline (NULLIF guards the all-holds-zero 0/0).
+    "q65_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ms,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_micro
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, value_micro,
+        |    lead(ms) OVER (PARTITION BY event_type ORDER BY ms, event_id) - ms
+        |      AS hold_ms
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_holds,
+        |  CAST(sum(hold_ms) AS BIGINT) AS total_hold_ms,
+        |  CAST(sum(CAST(value_micro * hold_ms AS HUGEINT)) AS DOUBLE)
+        |    / CAST(NULLIF(CAST(sum(hold_ms) AS BIGINT), 0) AS DOUBLE) / 1e6
+        |    AS twa
+        |FROM x WHERE hold_ms IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // same size-histogram reduction, same ceiling ranks picked off the
+    // cumulative, same ppm floor
+    "q66_join_skew_audit" -> {
+      def auditSql(table: String, keyCol: String): String =
+        s"""SELECT '$keyCol' AS key_col, min(n_rows) AS n_rows,
+           |  min(n_keys) AS n_keys, CAST(max(sz) AS BIGINT) AS max_group,
+           |  CAST(max(sz) AS BIGINT) * 1000000 // min(n_rows) AS max_share_ppm,
+           |  CAST(min(CASE WHEN cum >= (n_keys * 50 + 99) // 100 THEN sz END)
+           |    AS BIGINT) AS p50_group,
+           |  CAST(min(CASE WHEN cum >= (n_keys * 90 + 99) // 100 THEN sz END)
+           |    AS BIGINT) AS p90_group,
+           |  CAST(min(CASE WHEN cum >= (n_keys * 99 + 99) // 100 THEN sz END)
+           |    AS BIGINT) AS p99_group
+           |FROM (
+           |  SELECT sz, nk, sum(nk) OVER (ORDER BY sz) AS cum,
+           |    CAST(sum(nk) OVER () AS BIGINT) AS n_keys,
+           |    CAST(sum(sz * nk) OVER () AS BIGINT) AS n_rows
+           |  FROM (SELECT sz, count(*) AS nk FROM
+           |          (SELECT count(*) AS sz FROM $table GROUP BY $keyCol) g
+           |        GROUP BY sz) h) c""".stripMargin
+      s"""${auditSql("orders", "o_custkey")}
+         |UNION ALL
+         |${auditSql("lineitem", "l_partkey")}""".stripMargin
+    },
 
     // same global bins, same conditional counts, same single-subtraction
     // drift; NULLIF guards the 0/0 share exactly as the Spark side does

@@ -682,6 +682,26 @@ object TextOps {
           expr("n_tokens div n_docs").as("mean_doc_tokens"))
     },
 
+    // Small-file COMPACTION planner — the table-maintenance audit a
+    // lakehouse runs nightly: per (source, lang) partition, payload bytes
+    // (n_chars as the text-proxy), doc count, the file count a compactor
+    // should emit at a 1 MiB target (integer ceiling division), oversized
+    // docs (> 256 KiB — the rows a packer routes to their own files),
+    // and mean doc bytes. At real scale the input is the table's FILE
+    // metadata, not a data scan — the arithmetic and output contract are
+    // identical; here the corpus stands in for its own manifest. One
+    // partial+final hash agg, all-integer outputs, hash-gates trivially.
+    "w18_compaction_plan" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("bytes"),
+          sum(when(col("n_chars") > 262144L, 1L).otherwise(0L))
+            .cast(LongType).as("n_oversized"))
+        .withColumn("target_files", expr("(bytes + 1048575) div 1048576"))
+        .withColumn("avg_doc_bytes", expr("bytes div n_docs"))
+    },
+
     // BPE merge-pair statistics — the first step of tokenizer TRAINING
     // (the one data product every LLM pipeline derives besides the corpus
     // itself): the most frequent adjacent character pairs, weighted by
@@ -1609,6 +1629,16 @@ object TextOps {
         |  ps.n_tokens // ps.n_docs AS mean_doc_tokens
         |FROM ps JOIN tl ON ps.source = tl.source
         |LEFT JOIN dd ON ps.source = dd.source""".stripMargin,
+
+    // one aggregate, the same integer ceiling/floor divisions
+    "w18_compaction_plan" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  CAST(sum(CASE WHEN n_chars > 262144 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oversized,
+        |  (CAST(sum(n_chars) AS BIGINT) + 1048575) // 1048576 AS target_files,
+        |  CAST(sum(n_chars) AS BIGINT) // count(*) AS avg_doc_bytes
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // two chained aggregates; the ppm ratio is the same single floor
     "w14_token_burstiness" ->

@@ -323,6 +323,41 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.exists(_ == 3L), "test premise: some vertex must sit 3 hops out")
   }
 
+  test("g16 matches sequential per-seed BFS harmonic centrality on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 150).map { _ =>
+      val a = rnd.nextInt(60) + 1L; val b = rnd.nextInt(60) + 1L
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val d = Files.createTempDirectory("graft-hc").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    val rows = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(7000000L + 2 * i, 7000001L + 2 * i).flatMap(ok => Seq(Row(ok, a), Row(ok, b)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 5), schema)
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Graph.defs("g16_hub_closeness")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    val seeds = deg.toSeq.sortBy { case (v, dd) => (-dd, v) }.take(8).map(_._1)
+    val h6 = Map(1L -> 6L, 2L -> 3L, 3L -> 2L)
+    val expect = seeds.map { s0 =>
+      var dist = Map(s0 -> 0L); var frontier = Set(s0)
+      for (i <- 1 to 3) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+        dist = dist ++ next.map(_ -> i.toLong); frontier = next
+      }
+      val reached = dist.filter(_._2 > 0)
+      s0 -> ((reached.size.toLong, reached.values.map(h6).sum))
+    }.toMap
+    assert(got == expect, s"distributed vs sequential: " +
+      s"${(got.toSet diff expect.toSet).take(5)} / ${(expect.toSet diff got.toSet).take(5)}")
+    assert(expect.values.exists(_._2 > 0), "test premise: hubs must reach something")
+  }
+
   test("g2 invariants: regular graphs stay uniform; rank mass is conserved up to floors") {
     // a 12-cycle is 2-regular: every vertex must hold EXACTLY S div 12 rank
     // at every iteration (contributions and damping are identical per

@@ -1008,6 +1008,66 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expect, s"got ${got.size} groups, expect ${expect.size}")
   }
 
+  test("q65 TWA matches a sequential step-function integration per type") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "event_id", "unix_millis(ts) AS ms",
+        "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = events.groupBy(_._1).map { case (ty, rows) =>
+      // sequential truth: sort the series, each value holds to the next ms
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val holds = sorted.zip(sorted.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      val tot = holds.map(_._2).sum
+      val wsum = holds.map { case (vm, h) => BigInt(vm) * BigInt(h) }.sum
+      ty -> ((holds.size.toLong, tot, wsum.toDouble / tot.toDouble / 1e6))
+    }
+    val got = Relational.defs("q65_time_weighted_avg")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == expect.keySet, s"types: ${got.keySet}")
+    expect.foreach { case (ty, (n, tot, twa)) =>
+      assert(got(ty)._1 == n && got(ty)._2 == tot, s"$ty holds: ${got(ty)}")
+      assert(math.abs(got(ty)._3 - twa) < 1e-9, s"$ty twa: ${got(ty)._3} vs $twa")
+    }
+  }
+
+  test("w18 compaction plan: exact bytes, ceiling file counts, oversized flags") {
+    val big = "x" * 300000 // one doc over the 256 KiB oversize line
+    val d = writeDocs(Seq(
+      (1L, "abcde", "A"), (2L, "fgh", "A"), (3L, big, "A"), (4L, "ij", "B")))
+    val got = TextOps.defs("w18_compaction_plan")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val aBytes = 5L + 3L + 300000L
+    assert(got(("A", "en")) ==
+      ((3L, aBytes, 1L, (aBytes + 1048575) / 1048576, aBytes / 3)), s"$got")
+    assert(got(("B", "en")) == ((1L, 2L, 0L, 1L, 2L)), s"$got")
+  }
+
+  test("q66 skew audit: exact ceiling-rank percentiles on a hand-built key distribution") {
+    val d = Files.createTempDirectory("graft-skew-fx").toString
+    // o_custkey group sizes [1,1,1,2,5]: n_keys=5, n_rows=10, max=5;
+    // p50 rank ceil(2.5)=3 → sz 1; p90 rank ceil(4.5)=5 → sz 5; p99 → 5
+    val orders = Seq(1L, 2L, 3L, 4L, 4L, 5L, 5L, 5L, 5L, 5L)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(orders.map(Row(_)), 3),
+      StructType(Seq(StructField("o_custkey", LongType))))
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    // l_partkey: one key × 3 rows → max_share_ppm = 1000000
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L), Row(9L), Row(9L)), 2),
+      StructType(Seq(StructField("l_partkey", LongType))))
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Relational.defs("q66_join_skew_audit")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got("o_custkey") == ((10L, 5L, 5L, 500000L, 1L, 5L, 5L)), s"$got")
+    assert(got("l_partkey") == ((3L, 1L, 3L, 1000000L, 3L, 3L, 3L)), s"$got")
+  }
+
   test("d24 bloom admission verdicts are exact, with whitespace-normalized fps") {
     val d = writeDocs(Seq(
       (1L, "hello world today", "s"), (2L, "another one", "s"),

@@ -401,6 +401,20 @@ class PlanSpec extends AnyFunSuite {
       s"q64 must stay a broadcast equi-join with residual validity:\n$p")
   }
 
+  test("q65: the corpus window partitions on (type, hour); the cross-hour link broadcasts") {
+    val p = plan(Relational.defs("q65_time_weighted_avg")(spark, dir))
+    // the successor lookup must ride |types|·|hours| partitions — a
+    // type-only hashpartitioning feeding the CORPUS window would be the
+    // skew cliff the decomposition exists to avoid (the type-only window
+    // that remains runs over the |types|·|hours| firsts table only)
+    assert("hashpartitioning\\(event_type#\\d+, h#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"q65's corpus window must partition on (event_type, h):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cross-hour link must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("d29: corpus postings meet the benchmark list by broadcast, never a shuffle of the corpus") {
     val p = plan(Dedup.defs("d29_benchmark_leakage")(spark, dir))
     // the semi-join that prunes corpus postings must be broadcast-hash —
