@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming time-weighted-average HOLD ledger — the append-mode twin of
+  * batch q65 (Relational.scala): per event_type, each observation's value
+  * holds until the NEXT observation of the same series, and the stream
+  * emits one finalized `(type, start_ms, hold_ms, value_micro)` row per
+  * closed hold. The TWA itself is one downstream rollup of the ledger
+  * (Σ value_micro·hold_ms / Σ hold_ms) — emitting the exact holds instead
+  * of a maintained aggregate keeps the query in APPEND mode (x19a/x23a's
+  * eviction discipline) where a complete-mode TWA would re-emit a
+  * per-type snapshot every trigger.
+  *
+  * The hard part a batch lead() window gets for free is ORDER: a live
+  * stream arrives unordered, so a hold (a → b) is only final once no
+  * event can still land between them — exactly when the watermark passes
+  * b's event time (anything later arriving below the watermark is dropped
+  * by `withWatermark`, the standard completeness contract). Mechanics:
+  * per type, [[GroupState]] buffers the observations above the last
+  * emission cut; on every invocation the buffer (plus the batch's rows)
+  * sorts by (ms, event_id) — the same total order as the batch window —
+  * and every adjacent pair whose SUCCESSOR is at or below the current
+  * watermark emits; the first un-emittable observation onward stays
+  * buffered (its head is the predecessor of the next hold). An event-time
+  * timeout re-arms at that head's successor-eligibility point (the
+  * buffered second element's ms), so pending holds flush as the watermark
+  * advances with no per-trigger busy-looping.
+  *
+  * Scale posture: state is one buffer per event_type holding only the
+  * observations inside the watermark delay (arrival tracks event time on
+  * a real stream, so the buffer is ~delay deep; the gate's one-file
+  * replay degenerately buffers the whole file for one trigger — a
+  * harness artifact, not the operator's contract). Values are integer
+  * micros and holds integer ms (q65's exact-arithmetic discipline), so
+  * the emitted ledger hash-gates bit-for-bit.
+  */
+object StreamTwa {
+
+  /** `ts` duplicates `ms`: the watermarked event-time column must reach
+    * the stateful operator for EventTimeTimeout to engage. */
+  final case class Obs(event_type: String, ts: java.sql.Timestamp,
+      ms: Long, event_id: Long, value_micro: Long)
+  final case class Buf(obs: Seq[(Long, Long, Long)]) // (ms, event_id, value_micro)
+  final case class Hold(event_type: String, start_ms: Long, hold_ms: Long,
+      value_micro: Long)
+
+  /** Emit every hold whose successor the watermark has STRICTLY passed;
+    * keep the rest (the cut head stays — it is the next hold's
+    * predecessor). Strict, because Spark fires an event-time timeout only
+    * when `timeoutTimestamp < watermark` — an at-the-watermark successor
+    * could never get its flushing invocation, so `<=` here would leave
+    * the emitted set dependent on whether a data batch happened to
+    * co-arrive (slicing-dependent = gate-breaking). */
+  private def cut(ty: String, sorted: Seq[(Long, Long, Long)], wmMs: Long)
+      : (Seq[Hold], Seq[(Long, Long, Long)]) = {
+    // k = observations strictly below the watermark = emittable
+    // successors live at indices 1..k-1
+    val k = sorted.count(_._1 < wmMs)
+    val holds = (1 until k).map { i =>
+      val (pm, _, pv) = sorted(i - 1)
+      Hold(ty, pm, sorted(i)._1 - pm, pv)
+    }
+    val keepFrom = math.max(k - 1, 0)
+    (holds, sorted.drop(keepFrom))
+  }
+
+  def holds(events: Dataset[Obs]): Dataset[Hold] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Buf, Hold](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (ty: String, it: Iterator[Obs], state: GroupState[Buf]) =>
+          val prior = state.getOption.map(_.obs).getOrElse(Seq.empty)
+          val fresh = it.map(o => (o.ms, o.event_id, o.value_micro)).toSeq
+          val sorted = (prior ++ fresh).sortBy(o => (o._1, o._2))
+          val wm = state.getCurrentWatermarkMs()
+          val (out, keep) = cut(ty, sorted, wm)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(Buf(keep))
+            // the first pending hold finalizes exactly when the watermark
+            // strictly passes keep(1).ms, which is Spark's timer-fire
+            // condition (timeout < watermark) for a timer set AT that ms;
+            // keep(1).ms >= wm here by the strict cut, so the set call is
+            // legal (Spark rejects timers below the current watermark).
+            // With one lone observation nothing can flush until new data
+            // arrives, so no timer.
+            if (keep.size >= 2) state.setTimeoutTimestamp(keep(1)._1)
+          }
+          out.iterator
+      }
+  }
+
+  /** The raw-events → hold-ledger transform (watermark + typed buffer). */
+  def transform(raw: DataFrame): DataFrame = {
+    import raw.sparkSession.implicits._
+    holds(
+      raw.withWatermark("ts", "1 hour")
+        .select(col("event_type"), col("ts"),
+          unix_millis(col("ts")).as("ms"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            .as("value_micro"))
+        .as[Obs]).toDF()
+  }
+
+  /** Run over `dir`/events.parquet to completion; returns the emitted hold
+    * ledger (holds whose successor sits inside the final watermark delay
+    * stay buffered, exactly as a live job would hold them). */
+  def runToCompletion(spark: SparkSession, dir: String): DataFrame =
+    StreamingSessionize.runToCompletion(spark, dir, transform,
+      outputMode = "append", sinkName = "stream-twa")
+}

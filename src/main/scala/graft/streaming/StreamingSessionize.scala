@@ -773,6 +773,16 @@ object StreamingSessionize {
         sinkName = "x24a", sinkTransform = kmvHourProjection)
     },
 
+    // Watermark-ORDERED hold ledger — batch q65's TWA on a live stream:
+    // per event_type, each observation's value holds until the series'
+    // next observation, and a hold emits (append mode) exactly when the
+    // watermark strictly passes its successor — the point past which no
+    // in-contract event can land between the pair. The shape x1-x24
+    // don't cover: reconstructing a total EVENT-TIME order (batch lead())
+    // from unordered arrival via buffered custom state + event-time
+    // timers. See StreamTwa.scala for the cut/timer mechanics.
+    "x25_stream_twa" -> { (s, dir) => StreamTwa.runToCompletion(s, dir) },
+
     // The MAINTAINED drift dashboard — q60's monitor as a streaming view:
     // the baseline histogram (first half-month) and the global bin range
     // are batch-built STATIC state; the stream maintains the live
@@ -1175,6 +1185,26 @@ object StreamingSessionize {
          |       ELSE CAST(max(n_exact) AS DOUBLE) END AS est_users
          |FROM rk GROUP BY event_type""".stripMargin
     },
+
+    // batch q65's lead() spelling restricted to holds whose successor the
+    // final watermark (max event ms − 1 h) STRICTLY passed — the x25
+    // emission rule restated; the tail inside the delay stays buffered
+    "x25_stream_twa" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ms,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      AS value_micro
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, ms AS start_ms, value_micro,
+        |    lead(ms) OVER (PARTITION BY event_type ORDER BY ms, event_id)
+        |      AS next_ms
+        |  FROM e)
+        |SELECT event_type, start_ms, next_ms - start_ms AS hold_ms,
+        |  value_micro
+        |FROM x
+        |WHERE next_ms IS NOT NULL
+        |  AND next_ms < (SELECT max(ms) - 3600000 FROM e)""".stripMargin,
 
     // x24's rank arithmetic per (closed hour, type): distinct hashes
     // within the hour, emission cutoff as in x7/x19a

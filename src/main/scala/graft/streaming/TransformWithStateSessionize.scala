@@ -54,7 +54,7 @@ object TransformWithStateSessionize {
       // it (a racing stale timer must be a no-op)
       if (open.exists()) {
         val s = open.get()
-        if (s.end + gapMs == info.getExpiryTimeInMs) {
+        if (s.end + gapMs == info.getExpiryTimeInMs()) {
           open.clear()
           return Iterator.single(Session(uid, s.n, s.start, s.end, s.sum))
         }

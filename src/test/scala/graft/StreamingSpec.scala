@@ -161,6 +161,26 @@ class StreamingSpec extends AnyFunSuite {
       "append-mode finalized rows diverge from the complete snapshot's closed hours")
   }
 
+  test("x25 hold ledger over 3 slices == one-shot replay (order reconstructed across triggers)") {
+    val mb = timeSlicedDir(3)
+    def run(d: String, sink: String, opts: Map[String, String], glob: String) =
+      StreamingSessionize.runToCompletion(spark, d,
+          graft.streaming.StreamTwa.transform, "append", sink, opts, glob)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sliced = run(mb, "x25-mb", Map("maxFilesPerTrigger" -> "1"),
+      "events*.parquet")
+    val oneShot = run(dir, "x25-oneshot", Map.empty, "events.parquet")
+    assert(sliced.nonEmpty, "test premise: some hold must finalize")
+    // a hold whose two observations land in DIFFERENT slices must emit
+    // exactly once with the exact duration — the buffered predecessor
+    // survived the trigger boundary and met its successor in order
+    assert(sliced.length == sliced.distinct.length,
+      "a hold must be emitted by exactly one microbatch")
+    assert(sliced.toSet == oneShot.toSet,
+      "hold emissions diverge between sliced and one-shot replays")
+  }
+
   test("x24a hourly KMV over 3 slices == one-shot replay (evicted window state merges)") {
     val mb = timeSlicedDir(3)
     def run(d: String, sink: String, opts: Map[String, String], glob: String) =
