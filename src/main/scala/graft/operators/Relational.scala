@@ -1545,8 +1545,75 @@ object Relational {
             lit((k - 1).toDouble * 4294967296.0) /
               element_at(col("bot"), k).cast(DoubleType))
             .otherwise(size(col("bot")).cast(DoubleType)).as("est_users_7d"))
+    },
+
+    // Hybrid SALTED skew join — the mitigation q66's audit triggers, as a
+    // plan. A hot join key floods one shuffle partition however many
+    // partitions exist; AQE's skew-join split only rescues the SORT-MERGE
+    // path (it re-splits oversized partitions at runtime) and cannot help
+    // when the hot side must co-group with stateful ops or when a single
+    // KEY (not partition) is the flood. The manual form: detect hot keys,
+    // replicate ONLY their dim rows R ways, and spread their fact rows
+    // across the R replicas with a DETERMINISTIC salt (hash of the fact
+    // row's unique id, never rand() — retries/re-plans must re-derive the
+    // same salt). Cold keys pay salt 0 and join exactly as before, so the
+    // dim blow-up is |hot| · R rows, not |dim| · R. One pass over the
+    // fact; the join result is IDENTICAL to the unsalted join (the oracle
+    // is the plain join — salting is a physical rewrite, not semantics).
+    // Hot = group size > 3× the mean, compared in exact longs
+    // (c · n_keys > 3 · n_rows); production would feed the threshold from
+    // a sampled sketch or q66's histogram, exact counts here keep the
+    // gate deterministic. The merge hint pins the cold path to SMJ so the
+    // demonstrated plan is the 100 TB shape (dim too big to broadcast);
+    // uniform TPC-H data legitimately yields zero hot keys — SkewJoinSpec
+    // pins the hot branch on a flooded fixture instead.
+    "q67_salted_join" -> { (s, dir) =>
+      saltedSkewJoin(t(s, dir, "lineitem"), t(s, dir, "part"),
+          "l_partkey", "p_partkey", saltR = 8,
+          factId = Seq(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("p_brand")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("l_partkey")).as("n_parts"))
     }
   )
+
+  /** Hot-key salted join (q67): fact ⋈ dim on `factKey = dimKey`, with keys
+    * whose fact group size exceeds `hotFactor`× the mean spread over `saltR`
+    * deterministic salt replicas. Returns the joined frame (all columns of
+    * both inputs minus the helper salt columns). */
+  private[graft] def saltedSkewJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, saltR: Int,
+      factId: Seq[Column], hotFactor: Long = 3L): DataFrame = {
+    val counts = fact.groupBy(col(factKey).as("hk"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("c")).cast(LongType).as("n_rows"))
+    // tiny by construction (≤ n_keys / hotFactor rows); checkpointed once,
+    // probed from both sides of the join
+    val hotKeys = counts.crossJoin(broadcast(tot))
+      .filter(col("c") * col("n_keys") > lit(hotFactor) * col("n_rows"))
+      .select(col("hk"))
+      .localCheckpoint()
+    val saltedFact = fact
+      .join(broadcast(hotKeys), col(factKey) === col("hk"), "left")
+      .withColumn("fact_salt",
+        when(col("hk").isNotNull,
+          pmod(xxhash64(factId: _*), lit(saltR.toLong)).cast(IntegerType))
+          .otherwise(lit(0)))
+      .drop("hk")
+    val saltedDim = dim
+      .join(broadcast(hotKeys), col(dimKey) === col("hk"), "left")
+      .withColumn("dim_salt", explode(
+        sequence(lit(0),
+          when(col("hk").isNotNull, lit(saltR - 1)).otherwise(lit(0)))))
+      .drop("hk")
+    saltedFact.hint("merge")
+      .join(saltedDim, col(factKey) === col(dimKey)
+        && col("fact_salt") === col("dim_salt"))
+      .drop("fact_salt", "dim_salt")
+  }
 
   /** The funnel stage-chaining CTEs (first view → first click within 24 h
     * strictly after it → first purchase within 24 h strictly after that),
@@ -2467,6 +2534,15 @@ object Relational {
          |       THEN 63.0 * 4294967296.0 / CAST(max(hv) AS DOUBLE)
          |       ELSE CAST(count(*) AS DOUBLE) END AS est_users_7d
          |FROM m GROUP BY 1""".stripMargin
-    }
+    },
+
+    // q67: salting is a physical rewrite — the oracle is the PLAIN join
+    "q67_salted_join" ->
+      s"""SELECT p_brand,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items,
+         |  count(DISTINCT l_partkey) AS n_parts
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin
   )
 }

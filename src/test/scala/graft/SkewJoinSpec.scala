@@ -38,4 +38,43 @@ class SkewJoinSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("manual salted join (q67): flooded key joins identically to the plain join") {
+    // one hot key (0) with 20k fact rows vs 99 cold keys with ~10 each
+    val fact = spark.range(20000)
+      .select(col("id"), lit(0L).as("k"))
+      .union(spark.range(990).select((col("id") + 100000).as("id"),
+        (col("id") % 99 + 1).as("k")))
+    val dim = spark.range(100).select(col("id").as("dk"),
+      concat(lit("dim-"), col("id")).as("name"))
+    val salted = graft.operators.Relational
+      .saltedSkewJoin(fact, dim, "k", "dk", saltR = 8, factId = Seq(col("id")))
+    val plain = fact.join(dim, col("k") === col("dk"))
+    // identical result set: salting is a physical rewrite, not semantics
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().orderBy("k").collect().toSeq
+      == plain.groupBy("k").count().orderBy("k").collect().toSeq)
+    assert(salted.agg(sum(col("id"))).head.getLong(0)
+      == plain.agg(sum(col("id"))).head.getLong(0))
+    // structural pins: the cold path stays SMJ (merge hint) and the dim
+    // side carries the hot-key replication explode
+    salted.collect()
+    val planStr = salted.queryExecution.executedPlan.toString
+    assert(planStr.contains("SortMergeJoin"), planStr.take(2000))
+    assert(planStr.contains("Generate") || planStr.contains("explode"),
+      planStr.take(2000))
+    // the hot key's fact rows actually spread: >1 distinct salt among them
+    val hotSalts = fact.filter(col("k") === 0L)
+      .select(pmod(xxhash64(col("id")), lit(8L)).as("s"))
+      .distinct().count()
+    assert(hotSalts > 1, s"hot key salts collapsed to $hotSalts value(s)")
+  }
+
+  test("salted join degenerates cleanly when no key is hot") {
+    val fact = spark.range(1000).select(col("id"), (col("id") % 50).as("k"))
+    val dim = spark.range(50).select(col("id").as("dk"))
+    val salted = graft.operators.Relational
+      .saltedSkewJoin(fact, dim, "k", "dk", saltR = 8, factId = Seq(col("id")))
+    assert(salted.count() == 1000)
+  }
 }
