@@ -102,7 +102,13 @@ object ScaleSmoke {
       Set("q53_customer_returns", "q55_market_share", "q61_fulfillment_span",
         // the skew audit reads the same replicated facts: group COUNT stays,
         // group sizes grow factor× — the "facts grow" histogram shape
-        "q66_join_skew_audit")
+        "q66_join_skew_audit",
+        // the salted join's axis is the same (l_partkey groups grow factor×
+        // deep, part stays fixed); uniform growth moves the mean with the
+        // groups, so the measured path is the production COLD path (count
+        // pass + SMJ) at factor× volume — the hot path is SkewJoinSpec's
+        // flooded fixture
+        "q67_salted_join")
     val needsFacts = names.exists(relationalFactQs.contains)
     require(!(needsFacts && needsLineitem),
       "g-queries and relational fact queries replicate lineitem differently — run them separately")
@@ -117,7 +123,7 @@ object ScaleSmoke {
         ord.withColumn("o_orderkey", col("o_orderkey") * factor + i)
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-      for (t <- Seq("customer", "nation", "region"))
+      for (t <- Seq("customer", "nation", "region", "part"))
         spark.read.parquet(s"$base/$t.parquet")
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
@@ -143,9 +149,7 @@ object ScaleSmoke {
     // (q16/q42/q43/q45/q46); value/props-analytics keep their meaning too.
     val needsEvents =
       names.exists(n => n.startsWith("q") && n != "q64_temporal_join" &&
-        !Set("q53_customer_returns", "q55_market_share",
-          "q61_fulfillment_span", "q62_scd2_merge",
-          "q66_join_skew_audit").contains(n))
+        n != "q62_scd2_merge" && !relationalFactQs.contains(n))
     if (needsEvents) {
       val ev = graft.sources.Tables.load(spark, base, "events")
       (0 until factor).map { i =>
