@@ -783,6 +783,22 @@ object StreamingSessionize {
     // timers. See StreamTwa.scala for the cut/timer mechanics.
     "x25_stream_twa" -> { (s, dir) => StreamTwa.runToCompletion(s, dir) },
 
+    // POINT-IN-TIME stream enrichment — q64 at the place a PIT join runs
+    // in production (ingest): each arriving event picks the dimension
+    // VERSION valid at its EVENT time, not the current row (which would
+    // back-date attributes the moment the dimension churns mid-stream).
+    // The q62-merged SCD2 dimension is batch-built static state
+    // (checkpointed once, broadcast into every microbatch — x17's
+    // discipline); the join is equi on the customer key with the
+    // validity range as a residual inside the broadcast probe, fan-out
+    // ≤ versions/key. ZERO streaming state: verdicts are pure functions
+    // of (event, static dimension), so arrival slicing can't change the
+    // output (x15's argument) — pinned by a 3-slice replay.
+    "x26_stream_pit_enrich" -> { (s, dir) =>
+      runToCompletion(s, dir, pitEnrich(s, dir),
+        outputMode = "append", sinkName = "x26")
+    },
+
     // The MAINTAINED drift dashboard — q60's monitor as a streaming view:
     // the baseline histogram (first half-month) and the global bin range
     // are batch-built STATIC state; the stream maintains the live
@@ -910,6 +926,25 @@ object StreamingSessionize {
       graft.sources.Tables.load(s, indexDir, "documents")).localCheckpoint()
     stream => TextOps.mixtureManifest(
       stream.select(col("doc_id"), col("lang")), w)
+  }
+
+  /** x26's transform: the q62-merged SCD2 dimension built once batch-side
+    * (checkpointed — the stream must not re-derive the merge per
+    * microbatch), broadcast-probed by each arriving event with the
+    * validity range as a residual predicate. Factored so the replay spec
+    * drives it over a sliced stream with the same static dimension. */
+  private[graft] def pitEnrich(
+      s: SparkSession, indexDir: String): DataFrame => DataFrame = {
+    val dim = graft.operators.Relational.defs("q62_scd2_merge")(s, indexDir)
+      .select(col("c_custkey"), col("segment"), col("valid_from"),
+        coalesce(col("valid_to"), lit("9999-12-31")).as("valid_to"))
+      .localCheckpoint()
+    stream => stream
+      .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey")
+        && col("d") >= col("valid_from") && col("d") < col("valid_to"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"), col("value"))
   }
 
   /** x14's transform, factored for the multi-batch replay spec: w1's exact
@@ -1205,6 +1240,18 @@ object StreamingSessionize {
         |FROM x
         |WHERE next_ms IS NOT NULL
         |  AND next_ms < (SELECT max(ms) - 3600000 FROM e)""".stripMargin,
+
+    // x26: q64's PIT join, row-level — the stream is stateless so the
+    // oracle is exactly the batch join (no emission cutoff to restate)
+    "x26_stream_pit_enrich" -> {
+      val dimSql = graft.operators.Relational.oracles("q62_scd2_merge")
+      s"""WITH dim AS ($dimSql)
+         |SELECT event_id, user_id, event_type, dim.segment, value
+         |FROM events e JOIN dim ON e.user_id = dim.c_custkey
+         |  AND strftime(e.ts, '%Y-%m-%d') >= dim.valid_from
+         |  AND strftime(e.ts, '%Y-%m-%d')
+         |      < coalesce(dim.valid_to, '9999-12-31')""".stripMargin
+    },
 
     // x24's rank arithmetic per (closed hour, type): distinct hashes
     // within the hour, emission cutoff as in x7/x19a

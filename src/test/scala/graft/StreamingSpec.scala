@@ -181,6 +181,23 @@ class StreamingSpec extends AnyFunSuite {
       "hold emissions diverge between sliced and one-shot replays")
   }
 
+  test("x26 PIT enrichment over 3 slices == one-shot replay (stateless, static dim)") {
+    val mb = timeSlicedDir(3)
+    val enrich = StreamingSessionize.pitEnrich(spark, dir)
+    def run(d: String, sink: String, opts: Map[String, String], glob: String) =
+      StreamingSessionize.runToCompletion(spark, d, enrich, "append", sink,
+          opts, glob)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+          r.getDouble(4)))
+    val sliced = run(mb, "x26-mb", Map("maxFilesPerTrigger" -> "1"),
+      "events*.parquet")
+    val oneShot = run(dir, "x26-oneshot", Map.empty, "events.parquet")
+    assert(sliced.nonEmpty, "test premise: some event must enrich")
+    assert(sliced.toSet == oneShot.toSet,
+      "stateless PIT enrichment diverged across arrival slicings")
+  }
+
   test("x24a hourly KMV over 3 slices == one-shot replay (evicted window state merges)") {
     val mb = timeSlicedDir(3)
     def run(d: String, sink: String, opts: Map[String, String], glob: String) =
