@@ -845,6 +845,37 @@ object TextOps {
       ragChunks(docs(s, dir))
     },
 
+    // INTRA-document repetition SCRUB — the text-surgery twin of t15's
+    // repetition score: where t15 FLAGS documents whose content loops,
+    // this REMOVES the loops (keep the first occurrence of each
+    // non-overlapping 3-token chunk, drop re-occurrences, reassemble the
+    // text) — the cleaning pass a looping-generator or boilerplate-heavy
+    // crawl page needs before it poisons a training mix wholesale-drop
+    // would over-prune. Everything runs IN ROW with higher-order
+    // functions (transform/filter/array_position over the token array):
+    // the corpus NEVER shuffles, per-doc cost is bounded by the doc's own
+    // chunk count (array_position's rescan is O(chunks²) on a ~200-token
+    // doc = trivial, and per-doc bounded at any corpus size), and the
+    // whole scrub fuses into the scan under whole-stage codegen. The
+    // first-occurrence rule is deterministic (chunk order is text order),
+    // so clean_text hash-gates. Non-overlapping chunks make removal
+    // well-defined (an overlapping-shingle rule would have to arbitrate
+    // which tokens of a partial overlap survive).
+    "t28_repeat_scrub" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")).cast(LongType))
+        .withColumn("ch", expr(
+          "transform(sequence(0L, (greatest(n, 1L) - 1) div 3)," +
+            " i -> array_join(slice(w, CAST(i * 3 + 1 AS INT), 3), ' '))"))
+        .withColumn("kept", expr(
+          "filter(ch, (c, i) -> array_position(ch, c) = i + 1)"))
+        .select(col("doc_id"),
+          array_join(col("kept"), " ").as("clean_text"),
+          size(col("ch")).cast(LongType).as("n_chunks"),
+          size(col("kept")).cast(LongType).as("n_kept"))
+    },
+
     // The END-TO-END CURATION PIPELINE — every stage this pack builds,
     // chained into the one deliverable a pretraining run actually
     // consumes: quality gate (t11's corpus-relative P25 stopword bar) →
@@ -1752,6 +1783,31 @@ object TextOps {
     "t27_rag_chunks" ->
       s"""WITH $ragChunkSqlCte
          |SELECT doc_id, chunk_id, tok_start, chunk_len, chunk_fp FROM ch""".stripMargin,
+
+    // t28: the first-occurrence rule spelled relationally — min chunk
+    // index per (doc, chunk text), ordered string_agg rebuilds the text
+    "t28_repeat_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS cidx,
+        |    array_to_string(
+        |      w[(u.i - 1) * 3 + 1 : least(n, (u.i - 1) * 3 + 3)], ' ') AS ctext
+        |  FROM t, LATERAL unnest(
+        |    generate_series(1, (greatest(n, 1) - 1) // 3 + 1)) AS u(i)),
+        |k AS (
+        |  SELECT doc_id, cidx, ctext,
+        |    min(cidx) OVER (PARTITION BY doc_id, ctext) AS first_idx
+        |  FROM c)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN cidx = first_idx THEN ctext END,
+        |    ' ' ORDER BY cidx), '') AS clean_text,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN cidx = first_idx THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM k GROUP BY doc_id""".stripMargin,
 
     // every stage's oracle spelling chained: t11's gate, d7's window,
     // d12's probe, t23's residue, t20's packing

@@ -1068,6 +1068,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(got("l_partkey") == ((3L, 1L, 3L, 1000000L, 3L, 3L, 3L)), s"$got")
   }
 
+  test("t28 repeat scrub keeps first occurrences and reassembles text in order") {
+    val d = writeDocs(Seq(
+      // chunks: [a b c][a b c][d e f][a b c] -> keep idx 0 and 2
+      (1L, "a b c a b c d e f a b c", "s"),
+      // no repeats; trailing short chunk survives
+      (2L, "x y z w", "s"),
+      // repeated SHORT trailing chunk is NOT the full chunk "p q r" — stays
+      (3L, "p q r p", "s")))
+    val got = TextOps.defs("t28_repeat_scrub")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b c d e f", 4L, 2L)), s"$got")
+    assert(got(2L) == (("x y z w", 2L, 2L)), s"$got")
+    assert(got(3L) == (("p q r p", 2L, 2L)), s"$got")
+  }
+
   test("d24 bloom admission verdicts are exact, with whitespace-normalized fps") {
     val d = writeDocs(Seq(
       (1L, "hello world today", "s"), (2L, "another one", "s"),
