@@ -105,7 +105,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }

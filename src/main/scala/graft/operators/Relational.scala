@@ -979,8 +979,11 @@ object Relational {
     // indicators. The corpus-scale work is ONE (hour, type) hash count;
     // everything after runs on the |hours|·|types| grid (dashboard-sized
     // at any corpus volume — the q46/t16 discipline), zero-filled via a
-    // cross join of two TINY distinct sets so absent hours count as 0
-    // (computing corr only over co-present hours is the classic bias).
+    // cross join of the GENERATED min..max hour sequence with the distinct
+    // type set, so every calendar hour in the observed span counts as 0
+    // for every type that did not fire — including hours where NO type
+    // fired at all (computing corr only over active hours is the classic
+    // bias; ADVICE r10 caught that a present-hours axis still had it).
     // Pearson r follows g9's exact-arithmetic recipe: all five power
     // sums are DECIMAL(38,0)-exact, the numerator and both variance
     // terms are exact decimal cross-products, and r is ONE double
@@ -993,7 +996,9 @@ object Relational {
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint()
-      val grid = hc.select("h").distinct()
+      val axis = hc.agg(min("h").as("lo"), max("h").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val grid = axis
         .crossJoin(broadcast(hc.select("event_type").distinct()))
         .join(hc, Seq("h", "event_type"), "left")
         .withColumn("n", coalesce(col("n"), lit(0L)))
@@ -1034,6 +1039,11 @@ object Relational {
     // qualifying view roll up into one sentinel row (user_id = −1) —
     // Σ credit_micro over the whole result equals Σ value_micro over ALL
     // purchases, the invariant an ad-revenue reconciler audits.
+    // PRECONDITION (ADVICE r10): the sentinel shares the user_id key
+    // domain, so real user ids must be non-negative — true of the
+    // testdata generator and of every TPC-H-ish surrogate key here; on a
+    // dataset where −1 is a legal user_id, move the sentinel to a
+    // separate boolean column instead of overloading the key.
     "q59_attribution" -> { (s, dir) =>
       val W = 7200000L
       val ev = t(s, dir, "events")
@@ -2205,15 +2215,18 @@ object Relational {
         |    - CAST(c.n_b AS DOUBLE) / NULLIF(t.tb, 0)) AS drift
         |FROM c JOIN tots t ON c.event_type = t.event_type""".stripMargin,
 
-    // same zero-filled grid, HUGEINT power sums mirroring the decimal
-    // exactness, same single division over two sqrts, same variance-0
-    // NULL guard
+    // same zero-filled grid over the same generated min..max hour axis
+    // (generate_series/sequence are both stop-inclusive), HUGEINT power
+    // sums mirroring the decimal exactness, same single division over
+    // two sqrts, same variance-0 NULL guard
     "q63_type_correlation" ->
       """WITH hc AS (SELECT date_trunc('hour', ts) AS h, event_type,
         |              count(*) AS n
         |            FROM events GROUP BY 1, 2),
         |grid AS (SELECT hours.h, types.event_type, coalesce(hc.n, 0) AS n
-        |         FROM (SELECT DISTINCT h FROM hc) hours
+        |         FROM (SELECT unnest(generate_series(lo, hi,
+        |                 INTERVAL 1 HOUR)) AS h
+        |               FROM (SELECT min(h) AS lo, max(h) AS hi FROM hc)) hours
         |         CROSS JOIN (SELECT DISTINCT event_type FROM hc) types
         |         LEFT JOIN hc ON hc.h = hours.h
         |           AND hc.event_type = types.event_type),

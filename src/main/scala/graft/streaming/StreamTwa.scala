@@ -33,9 +33,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * observations inside the watermark delay (arrival tracks event time on
   * a real stream, so the buffer is ~delay deep; the gate's one-file
   * replay degenerately buffers the whole file for one trigger — a
-  * harness artifact, not the operator's contract). Values are integer
-  * micros and holds integer ms (q65's exact-arithmetic discipline), so
-  * the emitted ledger hash-gates bit-for-bit.
+  * harness artifact, not the operator's contract). The kept buffer is
+  * stored SORTED and each batch is merge-inserted (sort the fresh rows
+  * only, then one linear merge — ADVICE r10), so per-trigger work is
+  * O(batch·log batch + buffer), not O(buffer·log buffer).
+  * OPERATIONAL BOUND: buffer depth = observations per type whose
+  * successor the watermark has not passed ≈ type_rate × (watermark
+  * delay + arrival lag beyond event time). A hot type whose arrival lag
+  * exceeds the 1 h delay grows its single state-store value linearly
+  * with that excess lag — the deploy-time mitigations are a larger
+  * `withWatermark` delay (admits the lag, bounds the buffer at
+  * rate×delay) or keying by (type, coarse time bucket); an in-operator
+  * cap cannot drop or early-emit rows without breaking the exact-ledger
+  * contract, so none is imposed. Values are integer micros and holds
+  * integer ms (q65's exact-arithmetic discipline), so the emitted
+  * ledger hash-gates bit-for-bit.
   */
 object StreamTwa {
 
@@ -67,15 +79,35 @@ object StreamTwa {
     (holds, sorted.drop(keepFrom))
   }
 
+  /** Linear merge of two (ms, event_id, *)-sorted runs — the buffer is
+    * kept sorted across triggers so only the fresh batch pays a sort. */
+  private def merge(a: IndexedSeq[(Long, Long, Long)],
+      b: IndexedSeq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long, Long)]
+    out.sizeHint(a.size + b.size)
+    var i = 0; var j = 0
+    while (i < a.size && j < b.size) {
+      val x = a(i); val y = b(j)
+      if (x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2)) { out += x; i += 1 }
+      else { out += y; j += 1 }
+    }
+    while (i < a.size) { out += a(i); i += 1 }
+    while (j < b.size) { out += b(j); j += 1 }
+    out.result()
+  }
+
   def holds(events: Dataset[Obs]): Dataset[Hold] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState[Buf, Hold](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (ty: String, it: Iterator[Obs], state: GroupState[Buf]) =>
-          val prior = state.getOption.map(_.obs).getOrElse(Seq.empty)
-          val fresh = it.map(o => (o.ms, o.event_id, o.value_micro)).toSeq
-          val sorted = (prior ++ fresh).sortBy(o => (o._1, o._2))
+          // prior is a suffix of a previously sorted run — still sorted
+          val prior = state.getOption.map(_.obs.toIndexedSeq)
+            .getOrElse(IndexedSeq.empty)
+          val fresh = it.map(o => (o.ms, o.event_id, o.value_micro))
+            .toIndexedSeq.sortBy(o => (o._1, o._2))
+          val sorted = merge(prior, fresh)
           val wm = state.getCurrentWatermarkMs()
           val (out, keep) = cut(ty, sorted, wm)
           if (keep.isEmpty) state.remove()
