@@ -588,6 +588,34 @@ object Graph {
       newLbl.join(lbl.select(col("v").as("u"), col("lbl").as("old_lbl")), "u")
         .groupBy("old_lbl", "new_lbl")
         .agg(count(lit(1)).as("n_parts"))
+    },
+
+    // BUTTERFLY census — the BIPARTITE motif the unipartite rows project
+    // away: a butterfly is a 4-cycle (order₁, part₁, order₂, part₂), the
+    // smallest unit of bipartite clustering (Sanei-Mehri et al., KDD'18),
+    // and the co-purchase-strength signal g1's triangles can't see (the
+    // order-part graph is bipartite — it HAS no triangles; triangles only
+    // appear after the co-order projection discards how many orders back
+    // each edge). Identity: a part pair co-ordered by w orders carries
+    // C(w,2) butterflies, so the census is one arithmetic map over the
+    // weighted co-order edges g11 already materializes — per part,
+    // Σ_{pairs ∋ p} C(w,2) (each butterfly counted once per part side,
+    // alongside its pair degree). Exact longs throughout. Scale: the pair
+    // expansion is coOrderEdgesW's bounded in-row transform (per-order
+    // basket, never a global wedge self-join — the vertex-priority trick
+    // from the literature is for wedge-skewed graphs; basket-bounded data
+    // caps the expansion at C(basket,2) per order); everything after is
+    // edge-linear: one per-part rollup over a melt of the edge list. The
+    // support-≥2 filter is exactly the butterfly support (w < 2 ⇒
+    // C(w,2) = 0 contributes nothing), so no signal is lost.
+    "g17_butterflies" -> { (s, dir) =>
+      val bf = coOrderEdgesW(t(s, dir, "lineitem"))
+        .select(col("a"), col("b"), expr("(c * (c - 1)) div 2").as("bf"))
+      bf.select(col("a").as("part"), col("bf"))
+        .unionAll(bf.select(col("b").as("part"), col("bf")))
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("bf").cast("long").as("n_butterflies"))
     }
   )
 
@@ -955,6 +983,23 @@ object Graph {
         |nl AS (SELECT u, lbl AS new_lbl FROM win WHERE rk = 1)
         |SELECT p.p_brand AS old_lbl, nl.new_lbl, count(*) AS n_parts
         |FROM nl JOIN part p ON nl.u = p.p_partkey
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // same weighted pairs (the HAVING keeps the count g17 squares), same
+    // integer C(w,2) floor, same per-side melt
+    "g17_butterflies" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |          FROM lp l1 JOIN lp l2
+        |            ON l1.l_orderkey = l2.l_orderkey
+        |           AND l1.l_partkey < l2.l_partkey),
+        |we AS (SELECT a, b, count(*) AS c FROM pairs GROUP BY a, b
+        |       HAVING count(*) >= 2),
+        |bf AS (SELECT a, b, (c * (c - 1)) // 2 AS bf FROM we),
+        |m AS (SELECT a AS part, bf FROM bf
+        |      UNION ALL SELECT b AS part, bf FROM bf)
+        |SELECT part, count(*) AS n_pairs,
+        |  CAST(sum(bf) AS BIGINT) AS n_butterflies
+        |FROM m GROUP BY part""".stripMargin
   )
 }

@@ -1586,6 +1586,61 @@ object Relational {
             .as("revenue"),
           count(lit(1)).as("n_items"),
           countDistinct(col("l_partkey")).as("n_parts"))
+    },
+
+    // GAPS-AND-ISLANDS — the interval-merge readout the window family
+    // still lacked (q16 sessionizes POINT events by gap; q46 counts
+    // concurrent INTERVALS; neither merges intervals into maximal covered
+    // runs): per customer, each order spans [o_orderdate, last ship date]
+    // and overlapping/touching spans coalesce into "activity islands" —
+    // the engagement-continuity readout (how many distinct active
+    // stretches, how much calendar is covered vs idle). Classic spelling:
+    // an order OPENS a new island iff its start lies strictly after the
+    // running max end of all earlier intervals — computed over the
+    // (start, end, orderkey) TOTAL order so the ROWS frame is
+    // deterministic under start ties — and island id is the running sum
+    // of open flags. Scale: the per-order collapse shuffles by orderkey
+    // (the key lineitem already groups by), then windows and both
+    // stacked aggs all partition by o_custkey — ONE customer-key shuffle
+    // reused across four operators, per-key work bounded by that
+    // customer's order count, nothing global ever sorts. Day arithmetic
+    // is exact integers (datediff), islands count days inclusively, and
+    // gap_days = observed extent − covered days (disjointness of islands
+    // makes that subtraction exact). Orders with no lineitem rows have
+    // no ship evidence and drop via the inner join (both engines).
+    "q68_interval_islands" -> { (s, dir) =>
+      val iv = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("end0"))
+      val spans = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("start"))
+        .join(iv, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("start"),
+          greatest(col("start"), col("end0")).as("end"))
+      val ord = Window.partitionBy("o_custkey")
+        .orderBy(col("start"), col("end"), col("o_orderkey"))
+      val prevMax = max(col("end"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = spans
+        .withColumn("opens",
+          when(prevMax.isNull || col("start") > prevMax, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("opens")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("o_custkey", "island")
+        .agg(min("start").as("i_start"), max("end").as("i_end"),
+          count(lit(1)).as("i_orders"))
+      islands
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_islands"),
+          lsum(col("i_orders")).as("n_orders"),
+          lsum(datediff(col("i_end"), col("i_start")).cast(LongType) + 1L)
+            .as("covered_days"),
+          min("i_start").as("s0"), max("i_end").as("e0"))
+        .select(col("custkey"), col("n_islands"), col("n_orders"),
+          col("covered_days"),
+          (datediff(col("e0"), col("s0")).cast(LongType) + 1L
+            - col("covered_days")).as("gap_days"))
     }
   )
 
@@ -2556,6 +2611,37 @@ object Relational {
          |  count(*) AS n_items,
          |  count(DISTINCT l_partkey) AS n_parts
          |FROM lineitem JOIN part ON l_partkey = p_partkey
-         |GROUP BY p_brand""".stripMargin
+         |GROUP BY p_brand""".stripMargin,
+
+    // same (start, end, orderkey) total order under both windows, same
+    // strict-after island break, same inclusive day counts; start/end
+    // spelled strt/en (DuckDB keywords)
+    "q68_interval_islands" ->
+      """WITH iv AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS end0
+        |            FROM lineitem GROUP BY 1),
+        |o AS (SELECT o.o_custkey, o.o_orderkey,
+        |        CAST(o.o_orderdate AS DATE) AS strt,
+        |        greatest(CAST(o.o_orderdate AS DATE), iv.end0) AS en
+        |      FROM orders o JOIN iv ON o.o_orderkey = iv.l_orderkey),
+        |f AS (SELECT *, CASE WHEN pm IS NULL OR strt > pm THEN 1 ELSE 0 END
+        |        AS opens
+        |      FROM (SELECT *, max(en) OVER (PARTITION BY o_custkey
+        |              ORDER BY strt, en, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |            FROM o) t),
+        |g AS (SELECT *, sum(opens) OVER (PARTITION BY o_custkey
+        |        ORDER BY strt, en, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM f),
+        |i AS (SELECT o_custkey, island, min(strt) AS i_start,
+        |        max(en) AS i_end, count(*) AS i_orders
+        |      FROM g GROUP BY 1, 2)
+        |SELECT o_custkey AS custkey, count(*) AS n_islands,
+        |  CAST(sum(i_orders) AS BIGINT) AS n_orders,
+        |  CAST(sum(date_diff('day', i_start, i_end) + 1) AS BIGINT)
+        |    AS covered_days,
+        |  CAST(date_diff('day', min(i_start), max(i_end)) + 1
+        |    - sum(date_diff('day', i_start, i_end) + 1) AS BIGINT) AS gap_days
+        |FROM i GROUP BY 1""".stripMargin
   )
 }
