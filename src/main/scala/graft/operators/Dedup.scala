@@ -1319,6 +1319,81 @@ object Dedup {
         .select(col("d1"), col("d2"), col("n_shared"), col("n1"), col("n2"),
           (col("n_shared").cast(DoubleType) / least(col("n1"), col("n2")))
             .as("overlap"))
+    },
+
+    // PREFIX/TRUNCATION duplicates — the crawl artifact the shingle rows
+    // don't isolate: a document that is an exact PREFIX of a longer one
+    // (re-crawl truncated at a byte budget, pagination cut, stripped
+    // tail). Shingle Jaccard scores such a pair by length RATIO (a 10%
+    // head of a long doc scores ~0.1 and hides below every near-dup
+    // threshold), so truncation needs its own detector. Key fact: if A
+    // (|A| ≥ 32) is a prefix of B, both share their first 32 chars —
+    // so banding on md5(first 32 chars) finds every such pair with ONE
+    // equi-join, no similarity search. Verify is substr equality (exact,
+    // no false positives); strict len < keeps this disjoint from d1's
+    // exact-dup domain. Skew: a boilerplate head shared by thousands of
+    // docs floods its band — bands over 256 members are dropped before
+    // the pair expansion (the maxBucket discipline; the oracle mirrors
+    // the cap, so the gate pins the SAME detector, cap included). Docs
+    // under 32 chars are out of scope by contract (a <32-char truncation
+    // artifact is noise, and banding them would need per-length bands).
+    // At 100 TB: one narrow (doc_id, band, len) projection, one
+    // band-count agg, one capped self-join — no text ever shuffles
+    // except the in-band verify columns.
+    "d30_prefix_dups" -> { (s, dir) =>
+      val K = 32
+      val capN = 256
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast(LongType).as("len"))
+        .filter(col("len") >= K)
+        .withColumn("band", md5(substring(col("text"), 1, K)))
+        .localCheckpoint() // feeds the band count + both join sides
+      val ok = d.groupBy("band").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= capN).select("band")
+      val dd = d.join(ok, Seq("band"), "left_semi")
+      val a = dd.select(col("band"), col("doc_id").as("prefix_id"),
+        col("text").as("ta"), col("len").as("prefix_chars"))
+      val b = dd.select(col("band"), col("doc_id").as("full_id"),
+        col("text").as("tb"), col("len").as("full_chars"))
+      a.join(b, "band")
+        .filter(col("prefix_chars") < col("full_chars")
+          && expr("substring(tb, 1, prefix_chars)") === col("ta"))
+        .select("prefix_id", "full_id", "prefix_chars", "full_chars")
+    },
+
+    // SPLIT-LEAKAGE audit — the train/test contamination d12/d29 DON'T
+    // measure: those check the corpus against an EXTERNAL benchmark; this
+    // checks the corpus against its OWN split assignment (t23's
+    // md5-residue 13/26/256 manifest), counting verified near-dup pairs
+    // (LSH candidates, exact Jaccard ≥ 0.5 — d4's verify) that straddle
+    // splits. A near-dup of a test doc sitting in train inflates eval
+    // exactly like benchmark leakage, and no amount of external decontam
+    // catches it — this is the audit a curation pipeline runs BEFORE
+    // freezing a split. Output is the |splits|² upper-triangle matrix
+    // (split-sorted pair → pair count): the off-diagonal rows are the
+    // leaks, the diagonal is the in-split redundancy baseline the leak
+    // rate is read against. Scale: the pair pipeline is d4's (banded
+    // candidates, capped buckets, melt-join verify); the split map is a
+    // key-only projection joined twice; the rollup is 6 rows.
+    "d31_split_leakage" -> { (s, dir) =>
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      val jac = withJaccard(
+        lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))),
+        hs0)
+        .filter(col("jaccard") >= 0.5)
+      val hx = "instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), %d, 1)) - 1"
+      val r = expr(s"(${hx.format(1)}) * 16 + (${hx.format(2)})")
+      val splits = docs(s, dir).select(col("doc_id"),
+        when(r < 13, "test").when(r < 26, "val").otherwise("train").as("split"))
+      jac
+        .join(splits.select(col("doc_id").as("d1"), col("split").as("sp1")), "d1")
+        .join(splits.select(col("doc_id").as("d2"), col("split").as("sp2")), "d2")
+        .groupBy(least(col("sp1"), col("sp2")).as("split_a"),
+          greatest(col("sp1"), col("sp2")).as("split_b"))
+        .agg(count(lit(1)).as("n_neardup_pairs"))
+        .withColumn("crosses_split",
+          (col("split_a") =!= col("split_b")).cast(LongType))
     }
   )
 
@@ -1769,6 +1844,46 @@ object Dedup {
          |  CAST(n_shared AS DOUBLE) / least(a.nf, b.nf) AS overlap
          |FROM pairs JOIN nf a ON pairs.d1 = a.doc_id
          |           JOIN nf b ON pairs.d2 = b.doc_id""".stripMargin
-    }
+    },
+
+    // same first-32 band, same 256 band cap, same substr-equality verify,
+    // same strict length order
+    "d30_prefix_dups" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |             md5(substr(text, 1, 32)) AS band
+        |           FROM documents WHERE length(text) >= 32),
+        |ok AS (SELECT band FROM d GROUP BY band HAVING count(*) <= 256),
+        |dd AS (SELECT d.* FROM d JOIN ok USING (band))
+        |SELECT a.doc_id AS prefix_id, b.doc_id AS full_id,
+        |  a.len AS prefix_chars, b.len AS full_chars
+        |FROM dd a JOIN dd b ON a.band = b.band
+        |  AND a.len < b.len AND substr(b.text, 1, a.len) = a.text""".stripMargin,
+
+    // d4's candidates + verify, t23's md5-residue split map, the same
+    // split-sorted pair rollup
+    "d31_split_leakage" ->
+      s"""WITH $sigSqlCte,
+         |$hashSetSqlCte,
+         |jac AS (SELECT d1, d2,
+         |          CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |            / len(list_distinct(x.hs || y.hs)) AS jaccard
+         |        FROM cand JOIN sh x ON cand.d1 = x.doc_id
+         |                  JOIN sh y ON cand.d2 = y.doc_id),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN r < 13 THEN 'test'
+         |              WHEN r < 26 THEN 'val' ELSE 'train' END AS split
+         |       FROM (SELECT doc_id,
+         |               (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |             + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS r
+         |             FROM documents) t)
+         |SELECT least(a.split, b.split) AS split_a,
+         |  greatest(a.split, b.split) AS split_b,
+         |  count(*) AS n_neardup_pairs,
+         |  CAST(least(a.split, b.split) <> greatest(a.split, b.split)
+         |    AS BIGINT) AS crosses_split
+         |FROM jac JOIN sp a ON jac.d1 = a.doc_id
+         |         JOIN sp b ON jac.d2 = b.doc_id
+         |WHERE jac.jaccard >= 0.5
+         |GROUP BY 1, 2, 4""".stripMargin
   )
 }
