@@ -915,6 +915,42 @@ object Similarity {
       exact5.join(approx5, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
+    },
+
+    // RECIPROCAL-RANK FUSION — the hybrid-retrieval combiner (Cormack &
+    // Clarke, SIGIR'09): production search runs SEVERAL retrievers whose
+    // failure modes differ (here the two scale paths the family already
+    // gates: s2's hyperplane LSH and s5's IVF list-probing — one loses
+    // neighbors across hyperplanes, the other in unprobed lists) and
+    // fuses their ranked lists by Σ 1/(60+rank), which rewards agreement
+    // without ever comparing raw scores across retrievers (the whole
+    // point of RRF — scores from different ANN schemes aren't
+    // commensurable). The 1/(60+r) terms are integer micro-units
+    // (1e9 div (60+r) — exact longs; a float Σ 1/(60+r) is
+    // summation-order-dependent and never hash-gates; floor at ppb keeps
+    // every distinct rank sum distinct for k ≤ 5). in_lsh/in_ivf expose
+    // WHICH retriever carried each fused hit — the per-retriever
+    // contribution audit. Scale: both inputs are the already-pruned
+    // top-5-per-query frames (k·|queries| rows however big the corpus);
+    // the fusion is one (query, neighbor) full-outer equi-join + one
+    // k-bounded rank window — the corpus is never rescanned.
+    "s27_rrf_fusion" -> { (s, dir) =>
+      val lsh = defs("s2_ann_lsh")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rnk").as("r_lsh"))
+      val ivf = defs("s5_ann_ivf")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rnk").as("r_ivf"))
+      val fused = lsh.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
+        .withColumn("rrf_ppb",
+          coalesce(expr("1000000000 div (60 + r_lsh)"), lit(0L))
+            + coalesce(expr("1000000000 div (60 + r_ivf)"), lit(0L)))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_ppb").desc, col("neighbor_id"))
+      fused.withColumn("fused_rank", row_number().over(w).cast(LongType))
+        .filter(col("fused_rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rrf_ppb"),
+          col("fused_rank"),
+          col("r_lsh").isNotNull.cast(LongType).as("in_lsh"),
+          col("r_ivf").isNotNull.cast(LongType).as("in_ivf"))
     }
   )
 
@@ -1448,7 +1484,62 @@ object Similarity {
          |SELECT e5.query_id, sum(coalesce(a5.hit, 0)) / 5.0 AS recall_at_5
          |FROM e5 LEFT JOIN a5
          |  ON e5.query_id = a5.query_id AND e5.neighbor_id = a5.neighbor_id
-         |GROUP BY e5.query_id""".stripMargin
+         |GROUP BY e5.query_id""".stripMargin,
+
+    // s2's CTEs verbatim (pl), s5's verbatim (pi), same integer-ppb RRF
+    // terms, same (rrf DESC, neighbor) fused rank
+    "s27_rrf_fusion" -> {
+      val probeList = ("qb" +: (0 until numPlanes).map(p => s"xor(qb, ${1 << p})"))
+        .mkString("[", ", ", "]")
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+         |q AS (SELECT query_id, qv, unnest($probeList) AS probe FROM (
+         |        SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b
+         |        WHERE vec_id < 5) q0),
+         |pl AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |       FROM b JOIN q ON b.bucket = q.probe AND b.vec_id <> q.query_id),
+         |lsh AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS r_lsh FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY sim DESC, neighbor_id) AS rnk FROM pl) r
+         |        WHERE rnk <= 5),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |cent AS (SELECT vec_id - 100 AS cid, u AS cu FROM n WHERE vec_id BETWEEN 100 AND 107),
+         |asg AS (SELECT vec_id, u, cid FROM (
+         |    SELECT n.vec_id, n.u, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent) t WHERE crk = 1),
+         |probes AS (SELECT query_id, qu, cid FROM (
+         |    SELECT n.vec_id AS query_id, n.u AS qu, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent WHERE n.vec_id < 5) t WHERE crk <= 2),
+         |pi AS (SELECT query_id, asg.vec_id AS neighbor_id, ${d("qu", "asg.u")} AS sim
+         |       FROM asg JOIN probes ON asg.cid = probes.cid
+         |       WHERE asg.vec_id <> probes.query_id),
+         |ivf AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS r_ivf FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY sim DESC, neighbor_id) AS rnk FROM pi) r
+         |        WHERE rnk <= 5),
+         |f AS (SELECT coalesce(lsh.query_id, ivf.query_id) AS query_id,
+         |        coalesce(lsh.neighbor_id, ivf.neighbor_id) AS neighbor_id,
+         |        coalesce(1000000000 // (60 + r_lsh), 0)
+         |          + coalesce(1000000000 // (60 + r_ivf), 0) AS rrf_ppb,
+         |        CAST(r_lsh IS NOT NULL AS BIGINT) AS in_lsh,
+         |        CAST(r_ivf IS NOT NULL AS BIGINT) AS in_ivf
+         |      FROM lsh FULL OUTER JOIN ivf
+         |        ON lsh.query_id = ivf.query_id
+         |       AND lsh.neighbor_id = ivf.neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rrf_ppb AS BIGINT) AS rrf_ppb,
+         |  CAST(fr AS BIGINT) AS fused_rank, in_lsh, in_ivf
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_ppb DESC, neighbor_id) AS fr FROM f) t
+         |WHERE fr <= 5""".stripMargin
+    }
   )
 
   private def dSql(a: String, b: String) =
