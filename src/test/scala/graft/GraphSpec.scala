@@ -542,4 +542,38 @@ class GraphSpec extends AnyFunSuite {
     assert(nlj <= 3, s"unexpected nested-loop join at graph scale ($nlj)\n$p")
     assert(p.contains("LeftSemi"), s"closure must be a semi-join\n$p")
   }
+
+  test("g17 butterflies: every support-2 pair carries C(2,2)=1; per-part sums are exact") {
+    // K4-from-two-orders: each of the 6 part pairs is co-ordered twice
+    // (w=2 → 1 butterfly each); each star (hub, leaf) pair likewise.
+    // Per part: K4 members sit in 3 pairs, the hub in 6, each leaf in 1.
+    val got = Graph.defs("g17_butterflies")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (1L to 4L).foreach(p => assert(got(p) == ((3L, 3L)), s"part $p: ${got(p)}"))
+    assert(got(10L) == ((6L, 6L)), s"hub: ${got(10L)}")
+    (20L to 25L).foreach(p => assert(got(p) == ((1L, 1L)), s"leaf $p: ${got(p)}"))
+    assert(got.size == 11, s"parts in the support-2 graph: ${got.keySet}")
+  }
+
+  test("g17 matches sequential butterfly counting on sf0.001") {
+    val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairW = li.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+      .filter(_._2 >= 2)
+    val expect = pairW.toSeq
+      .flatMap { case ((a, b), w) =>
+        val bf = w * (w - 1) / 2
+        Seq(a -> bf, b -> bf)
+      }
+      .groupBy(_._1)
+      .map { case (p, vs) => p -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    val got = Graph.defs("g17_butterflies")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(expect.nonEmpty, "premise: sf0.001 must have support-2 pairs")
+    assert(got == expect, s"got ${got.size} parts, expect ${expect.size}")
+  }
 }

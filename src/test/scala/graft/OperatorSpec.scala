@@ -954,7 +954,12 @@ class OperatorSpec extends AnyFunSuite {
         .as("h"), col("event_type"))
       .count().collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
-    val hours = hc.keys.map(_._1).toSeq.distinct
+    // the FULL generated min..max hour axis (ADVICE r10): calendar hours
+    // where no type fired at all still zero-fill
+    val hours = {
+      val hs = hc.keys.map(_._1.getTime).toSeq.distinct
+      (hs.min to hs.max by 3600000L).map(new java.sql.Timestamp(_))
+    }
     val types = hc.keys.map(_._2).toSeq.distinct.sorted
     assert(got.size == types.combinations(2).size,
       "one row per unordered type pair expected")
@@ -1094,5 +1099,105 @@ class OperatorSpec extends AnyFunSuite {
     val got = Dedup.defs("d24_bloom_dedup")(spark, d).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == Map(7L -> true, 17L -> false, 27L -> true), s"got $got")
+  }
+
+  test("q68 islands match a sequential interval-merge sweep on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val ends = graft.sources.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS sd").collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate.toEpochDay)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val ivs = graft.sources.Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderkey", "o_custkey", "CAST(o_orderdate AS DATE) AS od")
+      .collect()
+      .flatMap { r =>
+        val ok = r.getLong(0)
+        ends.get(ok).map { e =>
+          val st = r.getDate(2).toLocalDate.toEpochDay
+          (r.getLong(1), ok, st, math.max(st, e))
+        }
+      }
+    val expect = ivs.groupBy(_._1).map { case (cust, rows) =>
+      // the same (start, end, orderkey) total order, strict-after breaks
+      val sorted = rows.sortBy(r => (r._3, r._4, r._2))
+      var islands = List.empty[(Long, Long)] // (start, maxEnd), newest first
+      sorted.foreach { case (_, _, st, en) =>
+        islands match {
+          case (s0, e0) :: rest if st <= e0 =>
+            islands = (s0, math.max(e0, en)) :: rest
+          case _ => islands = (st, en) :: islands
+        }
+      }
+      val covered = islands.map { case (s0, e0) => e0 - s0 + 1 }.sum
+      val span = islands.map(_._2).max - islands.map(_._1).min + 1
+      cust -> ((islands.size.toLong, rows.size.toLong, covered, span - covered))
+    }
+    val got = Relational.defs("q68_interval_islands")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(expect.values.exists(_._1 > 1), "premise: some customer must split")
+    assert(got == expect, s"got ${got.size} customers, expect ${expect.size}")
+  }
+
+  test("d30 finds strict-prefix pairs only, and a flooded band is capped out") {
+    val base = "aaaaaaaaaabbbbbbbbbbccccccccccdddddddddd" // 40 chars
+    val long = base + " plus an extended tail here"
+    val flood = (100L until 400L).map(i =>
+      (i, "z" * 32 + "x" * (1 + (i % 7)).toInt, "s"))
+    val d = writeDocs(Seq(
+      (1L, base, "s"),
+      (2L, long, "s"),
+      (3L, "totally unrelated thirty-six chars!", "s"),
+      (4L, base, "s")) ++ flood) // 4 = exact dup of 1: equal length, no pair
+    val got = Dedup.defs("d30_prefix_dups")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // 1 and 4 are both strict prefixes of 2; (1,4) is equal-length (d1's
+    // domain); the 300-doc flood shares one band (> 256) and yields NOTHING
+    assert(got == Set(
+      (1L, 2L, base.length.toLong, long.length.toLong),
+      (4L, 2L, base.length.toLong, long.length.toLong)), s"got $got")
+  }
+
+  test("d31 counts the verified near-dup pair once, under the t23 split map") {
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val r = Integer.parseInt(md.substring(0, 2), 16)
+      if (r < 13) "test" else if (r < 26) "val" else "train"
+    }
+    val d = writeDocs(Seq(
+      (1L, "the cat sat on the mat today", "s"),
+      (2L, "the cat sat on the mat today", "s"), // exact dup of 1 (jac 1.0)
+      (3L, "completely different words entirely here now", "s")))
+    val got = Dedup.defs("d31_split_leakage")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val sp = Seq(split(1L), split(2L)).sorted
+    assert(got.toSeq == Seq((sp.head, sp.last, 1L,
+      if (sp.head == sp.last) 0L else 1L)), s"got ${got.mkString(";")}")
+  }
+
+  test("s27 fusion equals integer-ppb RRF recomputed from the s2/s5 lists on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    def ranks(name: String): Map[(Long, Long), Long] =
+      Similarity.defs(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lsh = ranks("s2_ann_lsh")
+    val ivf = ranks("s5_ann_ivf")
+    assert(lsh.nonEmpty && ivf.nonEmpty, "premise: both retrievers return")
+    val fused = (lsh.keySet ++ ivf.keySet).toSeq.map { k =>
+      val s = lsh.get(k).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+        ivf.get(k).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+      (k._1, k._2, s, lsh.contains(k), ivf.contains(k))
+    }
+    val expect = fused.groupBy(_._1).flatMap { case (_, vs) =>
+      vs.sortBy(v => (-v._3, v._2)).zipWithIndex.filter(_._2 < 5).map {
+        case ((q, n, s, il, iv), i) =>
+          (q, n) -> ((s, i + 1L, if (il) 1L else 0L, if (iv) 1L else 0L))
+      }
+    }
+    val got = Similarity.defs("s27_rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, s"got ${got.size} fused rows, expect ${expect.size}")
   }
 }
