@@ -1641,6 +1641,45 @@ object Relational {
           col("covered_days"),
           (datediff(col("e0"), col("s0")).cast(LongType) + 1L
             - col("covered_days")).as("gap_days"))
+    },
+
+    // GAP-FILL (LOCF) — the time-series completion every downstream
+    // consumer of q15's hourly rollup actually wants: a dense per-type
+    // hourly series where silent hours carry the LAST observed hourly
+    // mean forward (last-observation-carried-forward, the standard
+    // step-interpolation; q65 integrates the same step function, this
+    // MATERIALIZES it). The axis is q63's generated min..max hour grid
+    // (every calendar hour appears, observed or not); the fill is one
+    // running last-non-null window per type. Hours before a type's first
+    // observation stay honestly NULL — inventing a value there is the
+    // classic backfill bug. Exactness: the hourly mean is integer micros
+    // floor-divided (sum div count; both engines truncate toward zero
+    // and value ≥ 0 here, so the floors agree — the prStepSql caveat),
+    // never a float avg. Scale: the corpus-sized work is ONE (type,
+    // hour) partial+final agg; the grid, windows, and fill all run on
+    // |hours|·|types| rows — dashboard-sized at any corpus volume.
+    "q69_gap_fill" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+            .as("vm"))
+      val hc = ev.groupBy("event_type", "h")
+        .agg(expr("sum(vm) div count(1)").as("mean_micro"))
+        .localCheckpoint() // feeds the axis bounds + type set + grid join
+      val axis = hc.agg(min("h").as("lo"), max("h").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val grid = axis
+        .crossJoin(broadcast(hc.select("event_type").distinct()))
+        .join(hc, Seq("event_type", "h"), "left")
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid
+        .withColumn("filled_micro",
+          last(col("mean_micro"), ignoreNulls = true).over(w))
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("filled_micro"),
+          col("mean_micro").isNotNull.cast(LongType).as("was_observed"))
     }
   )
 
@@ -2642,6 +2681,31 @@ object Relational {
         |    AS covered_days,
         |  CAST(date_diff('day', min(i_start), max(i_end)) + 1
         |    - sum(date_diff('day', i_start, i_end) + 1) AS BIGINT) AS gap_days
-        |FROM i GROUP BY 1""".stripMargin
+        |FROM i GROUP BY 1""".stripMargin,
+
+    // same generated hour axis, same integer-micros floored mean (// and
+    // div both truncate toward zero; vm >= 0), same IGNORE NULLS running
+    // fill, NULL before first observation
+    "q69_gap_fill" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |               AS vm
+        |           FROM events),
+        |hc AS (SELECT event_type, h,
+        |         CAST(sum(vm) // count(*) AS BIGINT) AS mean_micro
+        |       FROM e GROUP BY 1, 2),
+        |axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |         FROM (SELECT min(h) AS lo, max(h) AS hi FROM hc)),
+        |grid AS (SELECT t.event_type, axis.h, hc.mean_micro
+        |         FROM axis
+        |         CROSS JOIN (SELECT DISTINCT event_type FROM hc) t
+        |         LEFT JOIN hc ON hc.event_type = t.event_type
+        |           AND hc.h = axis.h)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  last_value(mean_micro IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_micro,
+        |  CAST(mean_micro IS NOT NULL AS BIGINT) AS was_observed
+        |FROM grid""".stripMargin
   )
 }
