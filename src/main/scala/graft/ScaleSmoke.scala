@@ -108,7 +108,11 @@ object ScaleSmoke {
         // groups, so the measured path is the production COLD path (count
         // pass + SMJ) at factor× volume — the hot path is SkewJoinSpec's
         // flooded fixture
-        "q67_salted_join")
+        "q67_salted_join",
+        // islands: o_orderkey re-keyed on BOTH facts keeps the per-order
+        // collapse intact while every customer carries factor× the
+        // intervals — the per-customer window-depth stress
+        "q68_interval_islands")
     val needsFacts = names.exists(relationalFactQs.contains)
     require(!(needsFacts && needsLineitem),
       "g-queries and relational fact queries replicate lineitem differently — run them separately")

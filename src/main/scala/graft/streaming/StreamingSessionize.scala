@@ -783,6 +783,14 @@ object StreamingSessionize {
     // timers. See StreamTwa.scala for the cut/timer mechanics.
     "x25_stream_twa" -> { (s, dir) => StreamTwa.runToCompletion(s, dir) },
 
+    // GAPS-AND-ISLANDS live — q68's interval merge on the event stream
+    // (events as duration-carrying spans, merged per type into busy
+    // islands that close when the watermark strictly passes their end).
+    // x25's buffered-state + event-time-timer discipline on INTERVAL
+    // state instead of a hold series. See StreamIslands.scala.
+    "x27_stream_islands" -> { (s, dir) =>
+      StreamIslands.runToCompletion(s, dir) },
+
     // POINT-IN-TIME stream enrichment — q64 at the place a PIT join runs
     // in production (ingest): each arriving event picks the dimension
     // VERSION valid at its EVENT time, not the current row (which would
@@ -1240,6 +1248,34 @@ object StreamingSessionize {
         |FROM x
         |WHERE next_ms IS NOT NULL
         |  AND next_ms < (SELECT max(ms) - 3600000 FROM e)""".stripMargin,
+
+    // x27: q68's running-max-end window spelling over the same
+    // (ms, event_id) total order; islands whose end the final watermark
+    // (max event ms − 1 h delay) strictly passed are the closed ledger
+    "x27_stream_islands" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ms,
+        |    epoch_ms(ts) * 1000 AS s_us,
+        |    epoch_ms(ts) * 1000
+        |      + CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS e_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN pm IS NULL OR s_us > pm THEN 1 ELSE 0 END
+        |        AS opens
+        |      FROM (SELECT *, max(e_us) OVER (PARTITION BY event_type
+        |              ORDER BY ms, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |            FROM e) t),
+        |g AS (SELECT *, sum(opens) OVER (PARTITION BY event_type
+        |        ORDER BY ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM f),
+        |i AS (SELECT event_type, island, min(s_us) AS start_us,
+        |        max(e_us) AS end_us, count(*) AS n_events
+        |      FROM g GROUP BY 1, 2)
+        |SELECT event_type, start_us, end_us,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM i
+        |WHERE end_us < (SELECT (max(ms) - 3600000) * 1000 FROM e)""".stripMargin,
 
     // x26: q64's PIT join, row-level — the stream is stateless so the
     // oracle is exactly the batch join (no emission cutoff to restate)

@@ -181,6 +181,26 @@ class StreamingSpec extends AnyFunSuite {
       "hold emissions diverge between sliced and one-shot replays")
   }
 
+  test("x27 island ledger over 3 slices == one-shot replay (interval merge across triggers)") {
+    val mb = timeSlicedDir(3)
+    def run(d: String, sink: String, opts: Map[String, String], glob: String) =
+      StreamingSessionize.runToCompletion(spark, d,
+          graft.streaming.StreamIslands.transform, "append", sink, opts, glob)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sliced = run(mb, "x27-mb", Map("maxFilesPerTrigger" -> "1"),
+      "events*.parquet")
+    val oneShot = run(dir, "x27-oneshot", Map.empty, "events.parquet")
+    assert(sliced.nonEmpty, "test premise: some island must close")
+    // an island whose member intervals straddle slice boundaries must
+    // emit exactly once with the merged extent — the open island survived
+    // the trigger boundary in state and kept absorbing
+    assert(sliced.length == sliced.distinct.length,
+      "an island must be emitted by exactly one microbatch")
+    assert(sliced.toSet == oneShot.toSet,
+      "island emissions diverge between sliced and one-shot replays")
+  }
+
   test("x26 PIT enrichment over 3 slices == one-shot replay (stateless, static dim)") {
     val mb = timeSlicedDir(3)
     val enrich = StreamingSessionize.pitEnrich(spark, dir)
