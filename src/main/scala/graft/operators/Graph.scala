@@ -616,6 +616,42 @@ object Graph {
         .groupBy("part")
         .agg(count(lit(1)).as("n_pairs"),
           sum("bf").cast("long").as("n_butterflies"))
+    },
+
+    // EDGE SUPPORT — per-edge triangle counts, the k-truss precursor and
+    // the per-EDGE robustness readout g4's per-VERTEX coefficient can't
+    // give: an edge embedded in many triangles is a structural tie (its
+    // endpoints share context), one in none is a bridge or noise — the
+    // edge-pruning signal a recommender applies before mining families
+    // (g12 thresholds on co-order COUNT; support thresholds on shared
+    // NEIGHBORHOOD — orthogonal evidence). Same degree-oriented wedge
+    // join as g1 (out-degree O(√m) per vertex, the skew pin's property),
+    // wedges KEEP their center here, the closure probe is an equi-join on
+    // the (least, greatest) normalized closing pair, and each triangle
+    // credits its three edges via a fixed ×3 in-row explode — edge-linear
+    // in the triangle count, never a neighborhood² enumeration.
+    "g18_edge_support" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val oe = oriented(e)
+      val e1 = oe.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      val e2 = oe.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+      val wedge = e1.join(e2, "u")
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .select(col("u"), col("x"), col("y"))
+      val tri = wedge.join(e,
+          least(col("x"), col("y")) === col("a")
+            && greatest(col("x"), col("y")) === col("b"))
+        .select(col("u"), col("x"), col("y"))
+      tri.select(explode(array(
+          struct(least(col("u"), col("x")).as("ea"),
+            greatest(col("u"), col("x")).as("eb")),
+          struct(least(col("u"), col("y")).as("ea"),
+            greatest(col("u"), col("y")).as("eb")),
+          struct(least(col("x"), col("y")).as("ea"),
+            greatest(col("x"), col("y")).as("eb")))).as("p"))
+        .groupBy(col("p.ea").as("a"), col("p.eb").as("b"))
+        .agg(count(lit(1)).as("support"))
     }
   )
 
@@ -1000,6 +1036,19 @@ object Graph {
         |      UNION ALL SELECT b AS part, bf FROM bf)
         |SELECT part, count(*) AS n_pairs,
         |  CAST(sum(bf) AS BIGINT) AS n_butterflies
-        |FROM m GROUP BY part""".stripMargin
+        |FROM m GROUP BY part""".stripMargin,
+
+    // triangles enumerated once each (a < b < c), each crediting its
+    // three edges
+    "g18_edge_support" ->
+      s"""WITH $graphSql,
+        |tri AS (SELECT ab.a AS x, ab.b AS y, ac.b AS z
+        |        FROM edges ab JOIN edges ac
+        |          ON ab.a = ac.a AND ab.b < ac.b
+        |        JOIN edges bc ON bc.a = ab.b AND bc.b = ac.b),
+        |m AS (SELECT x AS a, y AS b FROM tri
+        |      UNION ALL SELECT x, z FROM tri
+        |      UNION ALL SELECT y, z FROM tri)
+        |SELECT a, b, count(*) AS support FROM m GROUP BY 1, 2""".stripMargin
   )
 }

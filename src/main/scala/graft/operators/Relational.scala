@@ -1680,6 +1680,42 @@ object Relational {
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("filled_micro"),
           col("mean_micro").isNotNull.cast(LongType).as("was_observed"))
+    },
+
+    // SESSION PATH transitions — the behavioral readout q16 (session
+    // stats) and q42 (fixed funnel) both stop short of: the empirical
+    // first-order Markov matrix of WITHIN-session event-type transitions
+    // (which step actually follows which, and with what share — how a
+    // product team discovers the funnels worth defining). Sessions are
+    // q16's exact break rule (gap > 30 min over the (ms, event_id) total
+    // order — one spelling, or the two sessionizers drift); transitions
+    // are one lead() inside the (user, session) sub-partition of the SAME
+    // user-key shuffle, so the whole query is q16's one exchange plus a
+    // |types|²-row rollup. share_ppm is the exact integer row-conditional
+    // share (outgoing transitions per from_type), the matrix a path
+    // analysis actually reads. Scale: windows never leave the user key;
+    // the transition matrix is |types|² whatever the corpus.
+    "q70_session_paths" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+      val byTs = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val brk = when(col("ms") - lag(col("ms"), 1).over(byTs) > 30L * 60 * 1000, 1L)
+        .otherwise(when(lag(col("ms"), 1).over(byTs).isNull, 1L).otherwise(0L))
+      val bySess = Window.partitionBy("user_id", "session_id")
+        .orderBy(col("ms"), col("event_id"))
+      val trans = e.withColumn("brk", brk)
+        .withColumn("session_id", sum(col("brk")).over(
+          byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("to_type", lead(col("event_type"), 1).over(bySess))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      trans
+        .withColumn("tot",
+          sum("n_transitions").over(Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"), col("n_transitions"),
+          expr("n_transitions * 1000000 div tot").as("share_ppm"))
     }
   )
 
@@ -2706,6 +2742,33 @@ object Relational {
         |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS filled_micro,
         |  CAST(mean_micro IS NOT NULL AS BIGINT) AS was_observed
-        |FROM grid""".stripMargin
+        |FROM grid""".stripMargin,
+
+    // q16's exact break rule (gap > 30 min, (ms, event_id) total order),
+    // one lead() in the (user, session) sub-partition, integer-ppm
+    // row-conditional shares
+    "q70_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |           FROM events),
+        |b AS (SELECT *, CASE WHEN pms IS NULL OR ms - pms > 1800000
+        |                     THEN 1 ELSE 0 END AS brk
+        |      FROM (SELECT *, lag(ms) OVER (PARTITION BY user_id
+        |              ORDER BY ms, event_id) AS pms FROM e) t),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |        ORDER BY ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS session_id
+        |      FROM b),
+        |x AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id, session_id
+        |          ORDER BY ms, event_id) AS to_type
+        |      FROM s),
+        |c AS (SELECT from_type, to_type, count(*) AS n_transitions
+        |      FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST(n_transitions * 1000000
+        |    // (sum(n_transitions) OVER (PARTITION BY from_type))
+        |    AS BIGINT) AS share_ppm
+        |FROM c""".stripMargin
   )
 }

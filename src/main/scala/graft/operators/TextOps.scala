@@ -1256,6 +1256,54 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           graft.Exprs.lsum(col("n_pairs")).as("n_pairs"),
           graft.Exprs.davg(col("mean_p6"), 6).as("avg_p6"))
+    },
+
+    // N-GRAM SATURATION — the corpus-level redundancy curve: for n=1,2,3,
+    // total n-gram occurrences vs distinct n-grams, and the repeat share
+    // as an exact ppm floor. Heaps' law (w11) tracks how VOCABULARY grows
+    // with corpus size; this is the complementary single-snapshot readout
+    // — how much of the corpus at each gram order is repetition of
+    // something already seen (the number dedup and data-mixing decisions
+    // trade against: a saturated corpus buys fewer unique trigrams per
+    // token). Fixed-width slice inside the transform lambda is LINEAR per
+    // doc (the d23 lesson bites only when the slice width scales with the
+    // window): one corpus scan per gram order, each a partial+final count
+    // + distinct agg — three 1-row frames unioned.
+    "t29_ngram_saturation" -> { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      def grams(n: Int): DataFrame = toks
+        .filter(size(col("w")) >= n)
+        .select(explode(expr(
+          s"transform(sequence(1, size(w) - ${n - 1})," +
+            s" i -> array_join(slice(w, i, $n), ' '))")).as("g"))
+      def row(n: Int): DataFrame = grams(n)
+        .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("n_distinct"))
+        .select(lit(n.toLong).as("n"), col("total"), col("n_distinct"))
+      Seq(1, 2, 3).map(row).reduce(_.unionAll(_))
+        .select(col("n"), col("total"), col("n_distinct"),
+          expr("(total - n_distinct) * 1000000 div total").as("repeat_ppm"))
+    },
+
+    // DUPLICATE-CLUSTER SIZE HISTOGRAM — the corpus dup-structure profile
+    // w17's per-source dup ppm summarizes away: how many exact-dup
+    // clusters exist at each multiplicity and what share of the corpus
+    // they hold (the shape that decides between d8's hard dedup and d25's
+    // soft weights: a corpus of twice-duplicated docs and one with a
+    // thousand-copy boilerplate blob have the same dup ppm and need
+    // opposite treatments). One fingerprint agg (d1's normalized fp — the
+    // factored fpOf, so the histogram can never drift from the dedup
+    // ops), one |sizes|-row histogram agg, one single-row total broadcast
+    // for the exact ppm floors.
+    "w19_dup_histogram" -> { (s, dir) =>
+      val sizes = Dedup.fpOf(docs(s, dir))
+        .groupBy("fp").agg(count(lit(1)).as("m"))
+      val hist = sizes.groupBy("m")
+        .agg(count(lit(1)).as("n_clusters"), sum("m").cast(LongType).as("n_docs"))
+      val tot = hist.agg(sum("n_docs").as("tot"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("m").as("cluster_size"), col("n_clusters"), col("n_docs"),
+          expr("n_docs * 1000000 div tot").as("corpus_ppm"))
     }
   )
 
@@ -2023,7 +2071,42 @@ object TextOps {
          |  count(*) AS n_docs,
          |  CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
          |  ${graft.Exprs.davgSql("mean_p6", 6)} AS avg_p6
-         |FROM sc, thr GROUP BY 1""".stripMargin
+         |FROM sc, thr GROUP BY 1""".stripMargin,
+
+    // same raw-split grams (w[i:i+k] is end-inclusive = slice(w, i, n)),
+    // same three single-row aggs, same ppm floor
+    "t29_ngram_saturation" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g1 AS (SELECT unnest(w) AS g FROM w),
+        |g2 AS (SELECT array_to_string(w[i:i+1], ' ') AS g
+        |       FROM w, LATERAL unnest(generate_series(1, len(w)-1)) AS t(i)),
+        |g3 AS (SELECT array_to_string(w[i:i+2], ' ') AS g
+        |       FROM w, LATERAL unnest(generate_series(1, len(w)-2)) AS t(i)),
+        |u AS (
+        |  SELECT CAST(1 AS BIGINT) AS n, count(*) AS total,
+        |    count(DISTINCT g) AS n_distinct FROM g1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), count(*), count(DISTINCT g) FROM g2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), count(*), count(DISTINCT g) FROM g3)
+        |SELECT n, total, n_distinct,
+        |  CAST((total - n_distinct) * 1000000 // total AS BIGINT)
+        |    AS repeat_ppm
+        |FROM u""".stripMargin,
+
+    // d1's normalized fingerprint verbatim, the same histogram + total
+    "w19_dup_histogram" ->
+      """WITH fp AS (SELECT md5(lower(trim(
+        |              regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp
+        |            FROM documents),
+        |sz AS (SELECT fp, count(*) AS m FROM fp GROUP BY fp),
+        |h AS (SELECT m AS cluster_size, count(*) AS n_clusters,
+        |        CAST(sum(m) AS BIGINT) AS n_docs
+        |      FROM sz GROUP BY m)
+        |SELECT cluster_size, n_clusters, n_docs,
+        |  CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM h) AS BIGINT)
+        |    AS corpus_ppm
+        |FROM h""".stripMargin
   )
 
   /** t17's score CTEs (bigram model, prefix marginals, per-doc mean in

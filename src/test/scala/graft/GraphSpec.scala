@@ -555,6 +555,16 @@ class GraphSpec extends AnyFunSuite {
     assert(got.size == 11, s"parts in the support-2 graph: ${got.keySet}")
   }
 
+  test("g18 edge support: every K4 edge sits in exactly 2 triangles; star edges vanish") {
+    val got = Graph.defs("g18_edge_support")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k4Edges = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(got.keySet == k4Edges.toSet,
+      s"only K4 edges carry triangles: ${got.keySet}")
+    assert(got.values.forall(_ == 2L),
+      s"each K4 edge closes with both remaining vertices: $got")
+  }
+
   test("g17 matches sequential butterfly counting on sf0.001") {
     val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_partkey").collect()

@@ -1176,6 +1176,60 @@ class OperatorSpec extends AnyFunSuite {
       if (sp.head == sp.last) 0L else 1L)), s"got ${got.mkString(";")}")
   }
 
+  test("w19 histogram separates multiplicities the flat dup ppm can't") {
+    val d = writeDocs(Seq(
+      (1L, "alpha beta", "s"), (2L, "ALPHA   beta", "s"), // normalize to dup
+      (3L, "alpha beta ", "s"),                            // trim to dup
+      (4L, "gamma delta", "s"), (5L, "gamma delta", "s"),
+      (6L, "unique text", "s")))
+    val got = TextOps.defs("w19_dup_histogram")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      3L -> ((1L, 3L, 500000L)),
+      2L -> ((1L, 2L, 333333L)),
+      1L -> ((1L, 1L, 166666L))), s"got $got")
+  }
+
+  test("t29 saturation hand-computes per gram order on a repeating doc") {
+    // "a b a b": unigrams 4/2 -> 500000; bigrams [a b, b a, a b] 3/2 ->
+    // 333333; trigrams [a b a, b a b] 2/2 -> 0
+    val d = writeDocs(Seq((1L, "a b a b", "s")))
+    val got = TextOps.defs("t29_ngram_saturation")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((4L, 2L, 500000L)),
+      2L -> ((3L, 2L, 333333L)),
+      3L -> ((2L, 2L, 0L))), s"got $got")
+  }
+
+  test("q70 transitions respect session boundaries and row-conditional shares") {
+    val d = Files.createTempDirectory("graft-paths-fx").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: [A B A] (10-min steps), 60-min gap, [B C]; user 2: [A B]
+    val rows = Seq(
+      Row(1L, ts(0), 1L, "A", 1.0, "{}"), Row(2L, ts(10), 1L, "B", 1.0, "{}"),
+      Row(3L, ts(20), 1L, "A", 1.0, "{}"), Row(4L, ts(80), 1L, "B", 1.0, "{}"),
+      Row(5L, ts(90), 1L, "C", 1.0, "{}"),
+      Row(6L, ts(0), 2L, "A", 1.0, "{}"), Row(7L, ts(5), 2L, "B", 1.0, "{}"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.defs("q70_session_paths")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // the 60-min gap breaks user 1: A->B twice (u1 s1, u2), B->A once,
+    // B->C once (u1 s2) — and NO A->B across the gap
+    assert(got == Map(
+      ("A", "B") -> ((2L, 1000000L)),
+      ("B", "A") -> ((1L, 500000L)),
+      ("B", "C") -> ((1L, 500000L))), s"got $got")
+  }
+
   test("s27 fusion equals integer-ppb RRF recomputed from the s2/s5 lists on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     def ranks(name: String): Map[(Long, Long), Long] =
