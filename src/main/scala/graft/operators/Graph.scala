@@ -631,29 +631,62 @@ object Graph {
     // credits its three edges via a fixed ×3 in-row explode — edge-linear
     // in the triangle count, never a neighborhood² enumeration.
     "g18_edge_support" -> { (s, dir) =>
-      val e = coOrderEdges(t(s, dir, "lineitem"))
-      val oe = oriented(e)
-      val e1 = oe.select(col("u"), col("v").as("x"), col("dv").as("dx"))
-      val e2 = oe.select(col("u"), col("v").as("y"), col("dv").as("dy"))
-      val wedge = e1.join(e2, "u")
-        .filter(col("dx") < col("dy") ||
-          (col("dx") === col("dy") && col("x") < col("y")))
-        .select(col("u"), col("x"), col("y"))
-      val tri = wedge.join(e,
-          least(col("x"), col("y")) === col("a")
-            && greatest(col("x"), col("y")) === col("b"))
-        .select(col("u"), col("x"), col("y"))
-      tri.select(explode(array(
-          struct(least(col("u"), col("x")).as("ea"),
-            greatest(col("u"), col("x")).as("eb")),
-          struct(least(col("u"), col("y")).as("ea"),
-            greatest(col("u"), col("y")).as("eb")),
-          struct(least(col("x"), col("y")).as("ea"),
-            greatest(col("x"), col("y")).as("eb")))).as("p"))
-        .groupBy(col("p.ea").as("a"), col("p.eb").as("b"))
-        .agg(count(lit(1)).as("support"))
+      supportOf(coOrderEdges(t(s, dir, "lineitem")))
+    },
+
+    // K-TRUSS (k=4) — the cohesive-subgraph EXTRACTION the pointwise
+    // rows stop short of: iteratively peel edges whose triangle support
+    // drops below k−2 = 2 until fixpoint (Cohen '08); what survives is
+    // the subgraph where every tie is reinforced by ≥2 shared contexts —
+    // the community core family mining actually wants (g12 thresholds
+    // RAW co-order counts; truss-ness is structural and survives count
+    // inflation). Anti-monotone like g6's k-core, so the same
+    // fixed-unroll discipline: 7 rounds (GraphSpec pins fixpoint by
+    // round 6 at sf0.001; the denser-replicated sf0.001 graph is the
+    // slow case — sf0.01/sf0.1 empty by round 3, the honest
+    // corpus-density readout, exactly g6's 3-core precedent), each round
+    // checkpointed (the support pipeline consumes its edge list three
+    // times). Output is the truss with support RECOMPUTED on the final
+    // edge set — the number a consumer reads as "ties inside the core".
+    // Scale: the corpus-sized work is the ONE coOrderEdges build; every
+    // peel round is g18's edge-linear support pass on a CONTRACTING
+    // graph.
+    "g19_ktruss" -> { (s, dir) =>
+      var e = coOrderEdges(t(s, dir, "lineitem"))
+      for (_ <- 1 to 7) {
+        e = supportOf(e).filter(col("support") >= 2)
+          .select("a", "b").localCheckpoint()
+      }
+      supportOf(e)
     }
   )
+
+  /** Per-edge triangle support of an (a, b) a<b edge list (g18's pipeline,
+    * factored for g19's peel rounds): degree-oriented wedges with centers
+    * kept, closure as a (least, greatest) equi-join, each triangle
+    * crediting its three edges via a fixed ×3 in-row explode. */
+  private[graft] def supportOf(e: DataFrame): DataFrame = {
+    val oe = oriented(e)
+    val e1 = oe.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = oe.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedge = e1.join(e2, "u")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("u"), col("x"), col("y"))
+    val tri = wedge.join(e,
+        least(col("x"), col("y")) === col("a")
+          && greatest(col("x"), col("y")) === col("b"))
+      .select(col("u"), col("x"), col("y"))
+    tri.select(explode(array(
+        struct(least(col("u"), col("x")).as("ea"),
+          greatest(col("u"), col("x")).as("eb")),
+        struct(least(col("u"), col("y")).as("ea"),
+          greatest(col("u"), col("y")).as("eb")),
+        struct(least(col("x"), col("y")).as("ea"),
+          greatest(col("x"), col("y")).as("eb")))).as("p"))
+      .groupBy(col("p.ea").as("a"), col("p.eb").as("b"))
+      .agg(count(lit(1)).as("support"))
+  }
 
   /** `rounds` peeling rounds toward the k-core: directed edge list after
     * repeatedly dropping vertices of degree < k. Package-private so
@@ -726,6 +759,22 @@ object Graph {
        |  SELECT u${i - 1}.u, u${i - 1}.v FROM u${i - 1}
        |  JOIN k$i x ON u${i - 1}.u = x.u
        |  JOIN k$i y ON u${i - 1}.v = y.u)""".stripMargin
+
+  /** One truss-peel round as SQL CTEs, operand-for-operand the Spark
+    * round: tri<i> enumerates each triangle of e<i-1> once (a < b < c),
+    * m<i> credits its three edges, sup<i> counts, e<i> keeps support ≥ 2.
+    * MATERIALIZED for the same 3^rounds-expansion reason as peelStepSql. */
+  private def trussStepSql(i: Int): String =
+    s"""tri$i AS MATERIALIZED (
+       |  SELECT ab.a AS x, ab.b AS y, ac.b AS z
+       |  FROM e${i - 1} ab JOIN e${i - 1} ac ON ab.a = ac.a AND ab.b < ac.b
+       |  JOIN e${i - 1} bc ON bc.a = ab.b AND bc.b = ac.b),
+       |m$i AS (SELECT x AS a, y AS b FROM tri$i
+       |        UNION ALL SELECT x, z FROM tri$i
+       |        UNION ALL SELECT y, z FROM tri$i),
+       |e$i AS MATERIALIZED (
+       |  SELECT a, b FROM (SELECT a, b, count(*) AS s FROM m$i GROUP BY 1, 2)
+       |  WHERE s >= 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // same graph, same (d DESC, v) seed order, three unrolled frontier
@@ -1049,6 +1098,20 @@ object Graph {
         |m AS (SELECT x AS a, y AS b FROM tri
         |      UNION ALL SELECT x, z FROM tri
         |      UNION ALL SELECT y, z FROM tri)
-        |SELECT a, b, count(*) AS support FROM m GROUP BY 1, 2""".stripMargin
+        |SELECT a, b, count(*) AS support FROM m GROUP BY 1, 2""".stripMargin,
+
+    // the 7 unrolled peel rounds, then support recomputed on the final
+    // edge set — operand-for-operand the Spark loop
+    "g19_ktruss" ->
+      s"""WITH $graphSql,
+        |e0 AS MATERIALIZED (SELECT a, b FROM edges),
+        |${(1 to 7).map(trussStepSql).mkString(",\n")},
+        |trif AS (SELECT ab.a AS x, ab.b AS y, ac.b AS z
+        |         FROM e7 ab JOIN e7 ac ON ab.a = ac.a AND ab.b < ac.b
+        |         JOIN e7 bc ON bc.a = ab.b AND bc.b = ac.b),
+        |mf AS (SELECT x AS a, y AS b FROM trif
+        |       UNION ALL SELECT x, z FROM trif
+        |       UNION ALL SELECT y, z FROM trif)
+        |SELECT a, b, count(*) AS support FROM mf GROUP BY 1, 2""".stripMargin
   )
 }

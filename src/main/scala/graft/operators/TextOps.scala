@@ -1304,6 +1304,51 @@ object TextOps {
       hist.crossJoin(broadcast(tot))
         .select(col("m").as("cluster_size"), col("n_clusters"), col("n_docs"),
           expr("n_docs * 1000000 div tot").as("corpus_ppm"))
+    },
+
+    // ONE BPE MERGE ROUND applied — the APPLY step t19 (pair statistics)
+    // stops short of, and the loop body tokenizer training repeats: pick
+    // the top pair by the (count DESC, pair) total order, merge it into a
+    // single symbol across the vocabulary, and emit the NEXT round's pair
+    // table over the merged symbol sequences (where the new symbol now
+    // pairs with its neighbors — the statistics that pick merge #2).
+    // Greedy left-to-right non-overlapping merging — BPE's exact apply
+    // rule — IS string replace() semantics ('aaa' merging 'aa' → [aa, a]),
+    // so the merge is one codegen'd replace into a sentinel char (chr(1),
+    // absent from the corpus alphabet by contract) and symbols stay
+    // single chars; the sentinel expands back to the pair in the output.
+    // Corpus is read ONCE (the word-count collapse is checkpointed and
+    // feeds both the pair argmax and the re-tokenize — t19's
+    // read-once-per-round discipline); everything downstream runs on the
+    // VOCABULARY.
+    "t30_bpe_merge_round" -> { (s, dir) =>
+      val wc = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val top = wc.filter(length(col("word")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("cnt").cast(LongType).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair").as("mp"))
+      wc.crossJoin(broadcast(top))
+        .select(col("cnt"), col("mp"),
+          expr("replace(word, mp, chr(1))").as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(col("cnt"), col("mp"), explode(expr(
+          "transform(sequence(1, length(w) - 1)," +
+            " i -> struct(substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r))"))
+          .as("p"))
+        .select(col("cnt"),
+          expr("replace(p.l, chr(1), mp)").as("lhs"),
+          expr("replace(p.r, chr(1), mp)").as("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(sum("cnt").cast(LongType).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("lhs"), col("rhs"))
+        .limit(20)
     }
   )
 
@@ -2106,7 +2151,30 @@ object TextOps {
         |SELECT cluster_size, n_clusters, n_docs,
         |  CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM h) AS BIGINT)
         |    AS corpus_ppm
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // same (count DESC, pair) argmax, same replace-into-sentinel greedy
+    // merge, same single-char symbol pairs with the sentinel expanded
+    "t30_bpe_merge_round" ->
+      """WITH wc AS (SELECT w AS word, count(*) AS cnt
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                  FROM documents) t
+        |            WHERE w <> '' GROUP BY w),
+        |pr AS (SELECT substr(word, i, 2) AS pair, sum(cnt) AS n
+        |       FROM wc, LATERAL unnest(generate_series(1, length(word) - 1))
+        |         AS g(i)
+        |       WHERE length(word) >= 2
+        |       GROUP BY 1),
+        |top AS (SELECT pair AS mp FROM pr ORDER BY n DESC, pair LIMIT 1),
+        |mw AS (SELECT cnt, mp, replace(word, mp, chr(1)) AS w FROM wc, top),
+        |p AS (SELECT cnt, replace(substr(w, i, 1), chr(1), mp) AS lhs,
+        |        replace(substr(w, i + 1, 1), chr(1), mp) AS rhs
+        |      FROM mw, LATERAL unnest(generate_series(1, length(w) - 1))
+        |        AS g(i)
+        |      WHERE length(w) >= 2)
+        |SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_occurrences DESC, lhs, rhs LIMIT 20""".stripMargin
   )
 
   /** t17's score CTEs (bigram model, prefix marginals, per-doc mean in

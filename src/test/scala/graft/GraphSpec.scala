@@ -565,6 +565,31 @@ class GraphSpec extends AnyFunSuite {
       s"each K4 edge closes with both remaining vertices: $got")
   }
 
+  test("g19 4-truss keeps K4 whole (support 2 everywhere); star edges never enter") {
+    val got = Graph.defs("g19_ktruss")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k4Edges = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(got.keySet == k4Edges.toSet, s"truss: ${got.keySet}")
+    assert(got.values.forall(_ == 2L), s"K4 is its own 4-truss: $got")
+  }
+
+  test("g19 reached fixpoint at sf0.001: one more peel round removes nothing") {
+    val rows = Graph.defs("g19_ktruss")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "premise: the sf0.001 4-truss must be non-empty")
+    assert(rows.forall(_._3 >= 2L),
+      "at fixpoint every surviving edge holds support >= 2 in the truss")
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    val eDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq.map(r => Row(r._1, r._2)), 4),
+      schema)
+    val kept = Graph.supportOf(eDf)
+      .filter(org.apache.spark.sql.functions.col("support") >= 2).count()
+    assert(kept == rows.length,
+      s"round 8 would peel ${rows.length - kept} more edges — not a fixpoint")
+  }
+
   test("g17 matches sequential butterfly counting on sf0.001") {
     val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_partkey").collect()

@@ -1230,6 +1230,19 @@ class OperatorSpec extends AnyFunSuite {
       ("B", "C") -> ((1L, 500000L))), s"got $got")
   }
 
+  test("t30 applies the argmax merge greedily and recounts symbol pairs") {
+    // vocabulary {banana x2, cab}: pair counts ba:2 an:4 na:4 ca:1 ab:1 —
+    // the (n DESC, pair) argmax picks 'an' over the tied 'na'; greedy
+    // left-to-right merge gives banana -> [b, an, an, a], so round 2
+    // reads (b,an):2 (an,an):2 (an,a):2 (c,a):1 (a,b):1
+    val d = writeDocs(Seq((1L, "banana banana cab", "s")))
+    val got = TextOps.defs("t30_bpe_merge_round")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("an", "a", 2L), ("an", "an", 2L), ("b", "an", 2L),
+      ("a", "b", 1L), ("c", "a", 1L)), s"got ${got.mkString(";")}")
+  }
+
   test("s27 fusion equals integer-ppb RRF recomputed from the s2/s5 lists on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     def ranks(name: String): Map[(Long, Long), Long] =
