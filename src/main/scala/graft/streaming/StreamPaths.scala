@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming session-path ledger — the append-mode twin of batch q70
+  * (Relational.scala): per user, every WITHIN-SESSION transition
+  * (consecutive events ≤ 30 min apart, q70's exact break rule) emits one
+  * finalized `(user_id, from_type, to_type, from_ms)` row; the transition
+  * matrix itself is a downstream rollup of the ledger (group by
+  * from/to — the x25 ledger-not-aggregate discipline, which keeps the
+  * query in APPEND mode where a maintained matrix would re-snapshot per
+  * trigger).
+  *
+  * The completeness argument is StreamTwa's: a transition (a → b) is
+  * final exactly when the watermark strictly passes b's event time — no
+  * admissible event can still land between a and b, so both the
+  * adjacency AND the gap (session membership) are decided. A
+  * consecutive pair whose gap exceeds 30 min emits NOTHING (the session
+  * break — the predecessor simply retires), which is why this cannot be
+  * spelled as a windowed aggregate: the operator's output is conditional
+  * on the reconstructed ORDER, not on any key's accumulated state.
+  *
+  * Mechanics are [[StreamTwa]]'s cut verbatim (sorted buffer per user,
+  * merge-inserted batches, strict `<` cut, event-time timer re-armed at
+  * the first pending successor); only the emission payload differs
+  * (type pair + gap condition instead of value holds). State per user is
+  * the observations inside the watermark delay — the StreamTwa
+  * operational bound applies per user instead of per type.
+  */
+object StreamPaths {
+
+  /** `ts` duplicates `ms`: the watermarked event-time column must reach
+    * the stateful operator for EventTimeTimeout to engage. */
+  final case class Obs(user_id: Long, ts: java.sql.Timestamp,
+      ms: Long, event_id: Long, event_type: String)
+  final case class Buf(obs: Seq[(Long, Long, String)]) // (ms, event_id, type)
+  final case class Trans(user_id: Long, from_type: String, to_type: String,
+      from_ms: Long)
+
+  private val gapMs = 30L * 60 * 1000
+
+  /** Linear merge of two (ms, event_id, *)-sorted runs. */
+  private def merge(a: IndexedSeq[(Long, Long, String)],
+      b: IndexedSeq[(Long, Long, String)]): Seq[(Long, Long, String)] = {
+    val out = Vector.newBuilder[(Long, Long, String)]
+    out.sizeHint(a.size + b.size)
+    var i = 0; var j = 0
+    while (i < a.size && j < b.size) {
+      val x = a(i); val y = b(j)
+      if (x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2)) { out += x; i += 1 }
+      else { out += y; j += 1 }
+    }
+    while (i < a.size) { out += a(i); i += 1 }
+    while (j < b.size) { out += b(j); j += 1 }
+    out.result()
+  }
+
+  def transitions(events: Dataset[Obs]): Dataset[Trans] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Buf, Trans](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Obs], state: GroupState[Buf]) =>
+          val prior = state.getOption.map(_.obs.toIndexedSeq)
+            .getOrElse(IndexedSeq.empty)
+          val fresh = it.map(o => (o.ms, o.event_id, o.event_type))
+            .toIndexedSeq.sortBy(o => (o._1, o._2))
+          val sorted = merge(prior, fresh)
+          val wm = state.getCurrentWatermarkMs()
+          // StreamTwa's strict cut: pairs whose SUCCESSOR the watermark
+          // strictly passed are decided — emit if within the session gap,
+          // retire silently otherwise (the break)
+          val k = sorted.count(_._1 < wm)
+          val out = (1 until k).flatMap { i =>
+            val (pm, _, pt) = sorted(i - 1)
+            val (cm, _, ct) = sorted(i)
+            if (cm - pm <= gapMs) Some(Trans(uid, pt, ct, pm)) else None
+          }
+          val keep = sorted.drop(math.max(k - 1, 0))
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(Buf(keep))
+            if (keep.size >= 2) state.setTimeoutTimestamp(keep(1)._1)
+          }
+          out.iterator
+      }
+  }
+
+  /** The raw-events → transition-ledger transform (watermark + state). */
+  def transform(raw: DataFrame): DataFrame = {
+    import raw.sparkSession.implicits._
+    transitions(
+      raw.withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"),
+          unix_millis(col("ts")).as("ms"), col("event_id"), col("event_type"))
+        .as[Obs]).toDF()
+  }
+
+  /** Run over `dir`/events.parquet to completion; returns the emitted
+    * transition ledger (pairs whose successor sits inside the final
+    * watermark delay stay buffered, exactly as a live job would). */
+  def runToCompletion(spark: SparkSession, dir: String): DataFrame =
+    StreamingSessionize.runToCompletion(spark, dir, transform,
+      outputMode = "append", sinkName = "stream-paths")
+}

@@ -791,6 +791,13 @@ object StreamingSessionize {
     "x27_stream_islands" -> { (s, dir) =>
       StreamIslands.runToCompletion(s, dir) },
 
+    // SESSION-PATH ledger live — q70's within-session transitions as an
+    // append stream (the matrix is a downstream rollup). StreamTwa's cut
+    // mechanics keyed by user; a pair beyond the 30-min gap retires
+    // silently (the session break). See StreamPaths.scala.
+    "x28_stream_paths" -> { (s, dir) =>
+      StreamPaths.runToCompletion(s, dir) },
+
     // POINT-IN-TIME stream enrichment — q64 at the place a PIT join runs
     // in production (ingest): each arriving event picks the dimension
     // VERSION valid at its EVENT time, not the current row (which would
@@ -1276,6 +1283,22 @@ object StreamingSessionize {
         |  CAST(n_events AS BIGINT) AS n_events
         |FROM i
         |WHERE end_us < (SELECT (max(ms) - 3600000) * 1000 FROM e)""".stripMargin,
+
+    // x28: the global per-user successor (adjacency is session-invariant),
+    // q70's gap rule, the x25 emission cutoff on the SUCCESSOR's time
+    "x28_stream_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |           FROM events),
+        |x AS (SELECT user_id, event_type AS from_type, ms AS from_ms,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ms, event_id) AS to_type,
+        |        lead(ms) OVER (PARTITION BY user_id
+        |          ORDER BY ms, event_id) AS to_ms
+        |      FROM e)
+        |SELECT user_id, from_type, to_type, from_ms
+        |FROM x
+        |WHERE to_ms IS NOT NULL AND to_ms - from_ms <= 1800000
+        |  AND to_ms < (SELECT max(ms) - 3600000 FROM e)""".stripMargin,
 
     // x26: q64's PIT join, row-level — the stream is stateless so the
     // oracle is exactly the batch join (no emission cutoff to restate)

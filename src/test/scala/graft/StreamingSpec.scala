@@ -201,6 +201,25 @@ class StreamingSpec extends AnyFunSuite {
       "island emissions diverge between sliced and one-shot replays")
   }
 
+  test("x28 transition ledger over 3 slices == one-shot replay (session breaks respected)") {
+    val mb = timeSlicedDir(3)
+    def run(d: String, sink: String, opts: Map[String, String], glob: String) =
+      StreamingSessionize.runToCompletion(spark, d,
+          graft.streaming.StreamPaths.transform, "append", sink, opts, glob)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val sliced = run(mb, "x28-mb", Map("maxFilesPerTrigger" -> "1"),
+      "events*.parquet")
+    val oneShot = run(dir, "x28-oneshot", Map.empty, "events.parquet")
+    assert(sliced.nonEmpty, "test premise: some transition must finalize")
+    // a transition whose endpoints land in DIFFERENT slices must emit
+    // exactly once; a super-gap pair must emit in NEITHER replay
+    assert(sliced.length == sliced.distinct.length,
+      "a transition must be emitted by exactly one microbatch")
+    assert(sliced.toSet == oneShot.toSet,
+      "transition emissions diverge between sliced and one-shot replays")
+  }
+
   test("x26 PIT enrichment over 3 slices == one-shot replay (stateless, static dim)") {
     val mb = timeSlicedDir(3)
     val enrich = StreamingSessionize.pitEnrich(spark, dir)
