@@ -510,6 +510,21 @@ object Dedup {
       .select("d1", "d2")
   }
 
+  /** The docs d15's keep-largest-per-cluster policy DROPS (cluster by
+    * verified near-dup reachability, keep the (n_chars DESC, doc_id)
+    * winner) — factored so the policy (d15) and its per-source audit
+    * (d32) are one spelling. */
+  private def neardupLosers(s: SparkSession, dir: String): DataFrame = {
+    val cl = Components.minLabel(neardupEdges(s, dir))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    cl.join(docs(s, dir).select("doc_id", "n_chars"), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select("doc_id")
+  }
+
   /** Oracle-side near-dup cluster CTEs (shared by d11/d15): verified edges
     * → undirected closure → recursive reachability → min-id label per
     * clustered doc. Requires WITH RECURSIVE and sigs/sh CTEs in scope. */
@@ -894,16 +909,29 @@ object Dedup {
     // identical signatures, so this subsumes d8 up to the viral-bucket cap
     // (capped buckets keep their members — LSH hygiene over completeness).
     "d15_neardup_corpus" -> { (s, dir) =>
+      docs(s, dir).join(neardupLosers(s, dir), Seq("doc_id"), "left_anti")
+    },
+
+    // NEAR-DUP SURVIVORSHIP by source — the curation readout d15's corpus
+    // output doesn't surface: which sources LOSE most to near-dup removal
+    // (a mirror/scraper source retains little; an original source retains
+    // everything — the signal that reweights or drops a source before
+    // training, and the number a data-acquisition team is actually graded
+    // on). Factored over the SAME neardupLosers pipeline as d15 (one
+    // spelling — the policy and its audit can never drift), then two
+    // |sources|-row aggs and an exact ppm floor. Non-degenerate on the
+    // gate corpora (near-dup clusters exist at every SF even though exact
+    // dups don't).
+    "d32_neardup_survivorship" -> { (s, dir) =>
       val d = docs(s, dir)
-      val cl = Components.minLabel(neardupEdges(s, dir))
-        .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-      val w = Window.partitionBy("cluster_id")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      val losers = cl.join(d.select("doc_id", "n_chars"), "doc_id")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") > 1)
-        .select("doc_id")
-      d.join(losers, Seq("doc_id"), "left_anti")
+      val dropped = d.join(neardupLosers(s, dir), Seq("doc_id"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_dropped"))
+      d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(dropped, Seq("source"), "left")
+        .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+        .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+        .select(col("source"), col("n_docs"), col("n_dropped"), col("n_kept"),
+          expr("n_kept * 1000000 div n_docs").as("retention_ppm"))
     },
 
     // MinHash estimation error — the third evaluator next to d9 (candidate
@@ -1597,6 +1625,28 @@ object Dedup {
          |  WHERE rk > 1)
          |SELECT doc_id, text, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    // d15's cluster + losers CTEs verbatim, then the per-source rollup
+    "d32_neardup_survivorship" ->
+      s"""WITH RECURSIVE $sigSqlCte,
+         |$hashSetSqlCte,
+         |$clusterSqlCtes,
+         |losers AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |      row_number() OVER (PARTITION BY c.cluster_id
+         |                         ORDER BY d.n_chars DESC, c.doc_id) AS rk
+         |    FROM cl c JOIN documents d ON c.doc_id = d.doc_id) t
+         |  WHERE rk > 1),
+         |k AS (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM losers)
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |      FROM documents GROUP BY source)
+         |SELECT source, n_docs, n_dropped,
+         |  CAST(n_docs - n_dropped AS BIGINT) AS n_kept,
+         |  CAST((n_docs - n_dropped) * 1000000 // n_docs AS BIGINT)
+         |    AS retention_ppm
+         |FROM k""".stripMargin,
 
     "d14_minhash_estimate" ->
       s"""WITH $sigSqlCte,

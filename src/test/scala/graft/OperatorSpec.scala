@@ -1230,6 +1230,22 @@ class OperatorSpec extends AnyFunSuite {
       ("B", "C") -> ((1L, 500000L))), s"got $got")
   }
 
+  test("d32 survivorship reconciles exactly with the d15 corpus it audits") {
+    val sf = "/root/testdata/sf0.001"
+    val kept = Dedup.defs("d15_neardup_corpus")(spark, sf).collect()
+      .map(r => r.getString(3)).groupBy(identity)
+      .map { case (src, vs) => src -> vs.length.toLong }
+    val got = Dedup.defs("d32_neardup_survivorship")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.values.exists(_._2 > 0), "premise: some source must drop docs")
+    got.foreach { case (src, (nDocs, nDropped, nKept, ppm)) =>
+      assert(nDocs == nDropped + nKept, s"$src partition")
+      assert(nKept == kept.getOrElse(src, 0L), s"$src vs the d15 corpus")
+      assert(ppm == nKept * 1000000 / nDocs, s"$src ppm floor")
+    }
+  }
+
   test("t30 applies the argmax merge greedily and recounts symbol pairs") {
     // vocabulary {banana x2, cab}: pair counts ba:2 an:4 na:4 ca:1 ab:1 —
     // the (n DESC, pair) argmax picks 'an' over the tied 'na'; greedy
