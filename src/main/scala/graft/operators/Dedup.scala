@@ -934,6 +934,31 @@ object Dedup {
           expr("n_kept * 1000000 div n_docs").as("retention_ppm"))
     },
 
+    // CLUSTER-AWARE SPLIT — the FIX for what d31 audits: assign every
+    // near-dup CLUSTER to one split by hashing its REPRESENTATIVE (the
+    // cluster's min doc_id; singletons represent themselves), so a
+    // verified near-dup pair can never straddle a split boundary BY
+    // CONSTRUCTION — t23's doc-hash split leaks (d31 measures it); this
+    // one provably doesn't (the spec re-runs d31's pair logic against
+    // this assignment and finds zero cross-split pairs). Same md5-residue
+    // 13/26/256 boundaries as t23, applied to the representative id —
+    // still stable under corpus growth as long as clusters keep their
+    // minimum member (adding a NEW smaller near-dup can migrate its
+    // cluster, the honest cost of leakage-safety; t23's per-doc
+    // stability and leakage-freedom are not simultaneously achievable).
+    "d33_cluster_split" -> { (s, dir) =>
+      val cl = Components.minLabel(neardupEdges(s, dir))
+        .select(col("v").as("doc_id"), col("lbl"))
+      val hx = "instr('0123456789abcdef', substr(md5(CAST(rep AS STRING)), %d, 1)) - 1"
+      val r = expr(s"(${hx.format(1)}) * 16 + (${hx.format(2)})")
+      docs(s, dir).select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("split",
+          when(r < 13, "test").when(r < 26, "val").otherwise("train"))
+        .select("doc_id", "rep", "split")
+    },
+
     // MinHash estimation error — the third evaluator next to d9 (candidate
     // recall) and d4 (exact verify): per LSH candidate pair, the
     // sketch-estimated Jaccard (fraction of agreeing signature components —
@@ -1647,6 +1672,23 @@ object Dedup {
          |  CAST((n_docs - n_dropped) * 1000000 // n_docs AS BIGINT)
          |    AS retention_ppm
          |FROM k""".stripMargin,
+
+    // the cluster CTEs + singleton fallback, t23's residue on the
+    // representative id
+    "d33_cluster_split" ->
+      s"""WITH RECURSIVE $sigSqlCte,
+         |$hashSetSqlCte,
+         |$clusterSqlCtes,
+         |rep AS (SELECT d.doc_id,
+         |          coalesce(c.cluster_id, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, rep,
+         |  CASE WHEN r < 13 THEN 'test'
+         |       WHEN r < 26 THEN 'val' ELSE 'train' END AS split
+         |FROM (SELECT doc_id, rep,
+         |        (instr('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + (instr('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 2, 1)) - 1) AS r
+         |      FROM rep) t""".stripMargin,
 
     "d14_minhash_estimate" ->
       s"""WITH $sigSqlCte,

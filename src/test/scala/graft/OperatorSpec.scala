@@ -1246,6 +1246,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("d33 cluster-aware split leaks NO verified near-dup pair (t23's would)") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = Dedup.defs("d4_jaccard_pairs")(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.5)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "premise: verified near-dup pairs must exist")
+    val split = Dedup.defs("d33_cluster_split")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val leaked = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(leaked.isEmpty, s"cluster-aware split leaked: ${leaked.take(5).toSeq}")
+    // the doc-hash split this replaces WOULD leak on the same pairs —
+    // the fix is load-bearing, not vacuous
+    def docSplit(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val r = Integer.parseInt(md.substring(0, 2), 16)
+      if (r < 13) "test" else if (r < 26) "val" else "train"
+    }
+    assert(pairs.exists { case (a, b) => docSplit(a) != docSplit(b) },
+      "premise: t23's per-doc split must straddle at least one pair")
+  }
+
   test("t30 applies the argmax merge greedily and recounts symbol pairs") {
     // vocabulary {banana x2, cab}: pair counts ba:2 an:4 na:4 ca:1 ab:1 —
     // the (n DESC, pair) argmax picks 'an' over the tied 'na'; greedy
