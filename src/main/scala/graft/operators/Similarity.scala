@@ -951,6 +951,57 @@ object Similarity {
           col("fused_rank"),
           col("r_lsh").isNotNull.cast(LongType).as("in_lsh"),
           col("r_ivf").isNotNull.cast(LongType).as("in_ivf"))
+    },
+
+    // ROCCHIO EXPANSION (pseudo-relevance feedback, SMART '71): retrieve,
+    // assume the top-5 are relevant, pull the query TOWARD their mean,
+    // re-rank — the classic one-round recall fix retrieval stacks still
+    // run. By dot-product linearity the expanded score needs NO expanded
+    // vector: score'(u) = dot(q, u) + mean_{t∈top5} dot(t, u), so the
+    // boost is a 5-row equi-join per candidate and the per-candidate mean
+    // goes through the davg decimal path (float Σ over an unordered agg
+    // never hash-gates — the dsum discipline); the final score is ONE
+    // IEEE add of two bit-stable terms. in_initial marks which of the
+    // final top-5 the first pass already had — the readout of what the
+    // feedback round actually changed. Scale: the scored frame is
+    // checkpointed (first-pass ranks + re-score read it once each); the
+    // boost join fans out exactly ×5 per candidate; at corpus scale the
+    // candidate set comes from the same IVF/LSH pruning as s2/s5, not
+    // the brute cross (the s1-vs-s2 split on the feedback axis).
+    "s28_rocchio_expand" -> { (s, dir) =>
+      val n = normalized(s, dir).localCheckpoint()
+      val q = n.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"))
+      val scored = n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("u"), dot(col("qu"), col("u")).as("sim0"))
+        .localCheckpoint()
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim0").desc, col("neighbor_id"))
+      val top5 = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("neighbor_id").as("rel_id"))
+      val relv = top5
+        .join(n.select(col("vec_id").as("rel_id"), col("u").as("ru")), "rel_id")
+      val boost = scored.select(col("query_id"), col("neighbor_id"), col("u"))
+        .join(relv, "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          dot(col("ru"), col("u")).as("d"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(graft.Exprs.davg(col("d"), 6).as("boost"))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      scored.join(boost, Seq("query_id", "neighbor_id"))
+        .withColumn("score", col("sim0") + col("boost").cast(DoubleType))
+        .withColumn("rnk", row_number().over(w2).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .join(top5.withColumn("in_initial", lit(1L))
+            .select(col("query_id"), col("rel_id").as("neighbor_id"),
+              col("in_initial")),
+          Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"),
+          coalesce(col("in_initial"), lit(0L)).as("in_initial"))
     }
   )
 
@@ -1539,6 +1590,42 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY rrf_ppb DESC, neighbor_id) AS fr FROM f) t
          |WHERE fr <= 5""".stripMargin
+    },
+
+    // same linearity trick (no expanded vector), same davg decimal mean
+    // over the 5 feedback dots, same one-IEEE-add final score
+    "s28_rocchio_expand" -> {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+         |      FROM (SELECT vec_id, v,
+         |              sqrt(list_sum(list_transform(v, p -> p*p))) AS nrm FROM e) t),
+         |q AS (SELECT vec_id AS query_id, u AS qu FROM n WHERE vec_id < 5),
+         |scored AS (SELECT query_id, n.vec_id AS neighbor_id, n.u,
+         |             ${d("qu", "n.u")} AS sim0
+         |           FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+         |top5 AS (SELECT query_id, neighbor_id AS rel_id FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY sim0 DESC, neighbor_id) AS rk
+         |           FROM scored) t WHERE rk <= 5),
+         |relv AS (SELECT t.query_id, n.u AS ru
+         |         FROM top5 t JOIN n ON t.rel_id = n.vec_id),
+         |boost AS (SELECT s.query_id, s.neighbor_id,
+         |            ${graft.Exprs.davgSql(s"${d("r.ru", "s.u")}", 6)} AS boost
+         |          FROM scored s JOIN relv r ON s.query_id = r.query_id
+         |          GROUP BY s.query_id, s.neighbor_id),
+         |re AS (SELECT s.query_id, s.neighbor_id,
+         |         s.sim0 + CAST(b.boost AS DOUBLE) AS score
+         |       FROM scored s JOIN boost b
+         |         ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY score DESC, neighbor_id) AS rnk FROM re)
+         |SELECT rr.query_id, rr.neighbor_id, CAST(rr.rnk AS BIGINT) AS rnk,
+         |  rr.score, CAST(t.rel_id IS NOT NULL AS BIGINT) AS in_initial
+         |FROM rr LEFT JOIN top5 t
+         |  ON rr.query_id = t.query_id AND rr.neighbor_id = t.rel_id
+         |WHERE rr.rnk <= 5""".stripMargin
     }
   )
 

@@ -1246,6 +1246,19 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("s28 rocchio keeps the near-parallel neighbor first; tiny-corpus feedback is closed") {
+    // 4-vector fixture: every query's top-5 IS the whole 3-neighbor
+    // corpus, so every final hit must carry in_initial = 1, and the
+    // feedback boost (same mean for all candidates per query) cannot
+    // reorder — query 0's winner stays the near-parallel vector 1
+    val rows = Similarity.defs("s28_rocchio_expand")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(rows.nonEmpty && rows.forall(_._4 == 1L),
+      s"all hits must be initial on a 3-neighbor corpus: ${rows.mkString(";")}")
+    val q0 = rows.filter(_._1 == 0L).sortBy(_._3)
+    assert(q0.head._2 == 1L, s"query 0 must keep vector 1 first: ${q0.toSeq}")
+  }
+
   test("d33 cluster-aware split leaks NO verified near-dup pair (t23's would)") {
     val sf = "/root/testdata/sf0.001"
     val pairs = Dedup.defs("d4_jaccard_pairs")(spark, sf).collect()
