@@ -1430,11 +1430,10 @@ object Dedup {
     // candidates, capped buckets, melt-join verify); the split map is a
     // key-only projection joined twice; the rollup is 6 rows.
     "d31_split_leakage" -> { (s, dir) =>
-      val hs0 = hashSets(s, dir).localCheckpoint()
-      val jac = withJaccard(
-        lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))),
-        hs0)
-        .filter(col("jaccard") >= 0.5)
+      // the ONE verified-edge spelling (shared with d11/d15/d32/d33) —
+      // the audit must grade the same pair set the policies act on
+      // (code-review r11: an inline copy here could silently drift)
+      val jac = neardupEdges(s, dir)
       val hx = "instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), %d, 1)) - 1"
       val r = expr(s"(${hx.format(1)}) * 16 + (${hx.format(2)})")
       val splits = docs(s, dir).select(col("doc_id"),

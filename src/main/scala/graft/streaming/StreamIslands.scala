@@ -53,22 +53,6 @@ object StreamIslands {
   final case class Island(event_type: String, start_us: Long, end_us: Long,
       n_events: Long)
 
-  /** Linear merge of two (ms, event_id, *)-sorted runs. */
-  private def merge(a: IndexedSeq[(Long, Long, Long)],
-      b: IndexedSeq[(Long, Long, Long)]): IndexedSeq[(Long, Long, Long)] = {
-    val out = Vector.newBuilder[(Long, Long, Long)]
-    out.sizeHint(a.size + b.size)
-    var i = 0; var j = 0
-    while (i < a.size && j < b.size) {
-      val x = a(i); val y = b(j)
-      if (x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2)) { out += x; i += 1 }
-      else { out += y; j += 1 }
-    }
-    while (i < a.size) { out += a(i); i += 1 }
-    while (j < b.size) { out += b(j); j += 1 }
-    out.result().toIndexedSeq
-  }
-
   def islands(events: Dataset[Iv]): Dataset[Island] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.event_type)
@@ -78,7 +62,7 @@ object StreamIslands {
           val prior = state.getOption.getOrElse(Buf(Seq.empty, Seq.empty))
           val fresh = it.map(o => (o.ms, o.event_id, o.dur_us))
             .toIndexedSeq.sortBy(o => (o._1, o._2))
-          val raw = merge(prior.raw.toIndexedSeq, fresh)
+          val raw = StreamOrder.merge(prior.raw.toIndexedSeq, fresh)
           val wm = state.getCurrentWatermarkMs()
           // events strictly below the watermark fold in event-time order;
           // the rest stay raw (an earlier event could still arrive)

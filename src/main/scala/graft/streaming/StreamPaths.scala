@@ -26,8 +26,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * merge-inserted batches, strict `<` cut, event-time timer re-armed at
   * the first pending successor); only the emission payload differs
   * (type pair + gap condition instead of value holds). State per user is
-  * the observations inside the watermark delay — the StreamTwa
-  * operational bound applies per user instead of per type.
+  * the observations inside the watermark delay, and — unlike StreamTwa,
+  * whose bounded type-keyed state legitimately persists — a lone
+  * predecessor EXPIRES once the watermark passes its time plus the gap
+  * (any later admissible event breaks the session, so the entry can emit
+  * nothing ever again) and its state is removed via a timer at
+  * `last + gap`; a churning user population therefore holds state only
+  * for users active inside the last watermark-delay-plus-gap.
   */
 object StreamPaths {
 
@@ -41,22 +46,6 @@ object StreamPaths {
 
   private val gapMs = 30L * 60 * 1000
 
-  /** Linear merge of two (ms, event_id, *)-sorted runs. */
-  private def merge(a: IndexedSeq[(Long, Long, String)],
-      b: IndexedSeq[(Long, Long, String)]): Seq[(Long, Long, String)] = {
-    val out = Vector.newBuilder[(Long, Long, String)]
-    out.sizeHint(a.size + b.size)
-    var i = 0; var j = 0
-    while (i < a.size && j < b.size) {
-      val x = a(i); val y = b(j)
-      if (x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2)) { out += x; i += 1 }
-      else { out += y; j += 1 }
-    }
-    while (i < a.size) { out += a(i); i += 1 }
-    while (j < b.size) { out += b(j); j += 1 }
-    out.result()
-  }
-
   def transitions(events: Dataset[Obs]): Dataset[Trans] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -67,7 +56,7 @@ object StreamPaths {
             .getOrElse(IndexedSeq.empty)
           val fresh = it.map(o => (o.ms, o.event_id, o.event_type))
             .toIndexedSeq.sortBy(o => (o._1, o._2))
-          val sorted = merge(prior, fresh)
+          val sorted = StreamOrder.merge(prior, fresh)
           val wm = state.getCurrentWatermarkMs()
           // StreamTwa's strict cut: pairs whose SUCCESSOR the watermark
           // strictly passed are decided — emit if within the session gap,
@@ -79,10 +68,24 @@ object StreamPaths {
             if (cm - pm <= gapMs) Some(Trans(uid, pt, ct, pm)) else None
           }
           val keep = sorted.drop(math.max(k - 1, 0))
-          if (keep.isEmpty) state.remove()
+          // STATE RECLAIM (code-review r11): unlike StreamTwa — whose
+          // kept head can anchor a hold arbitrarily far in the future and
+          // whose key space (event_type) is bounded — a session-path
+          // predecessor EXPIRES: once the watermark passes its time plus
+          // the gap, any admissible event (ms >= wm > last + 30 min)
+          // necessarily breaks the session and emits nothing, so the
+          // entry is dead weight. Without this, every user_id ever seen
+          // holds state forever on a churning population.
+          val expired = keep.size == 1 && wm > keep.head._1 + gapMs
+          if (keep.isEmpty || expired) state.remove()
           else {
             state.update(Buf(keep))
+            // wake at the next decision point: the first pending
+            // successor, or the lone predecessor's expiry. Both are
+            // >= wm here (the cut left keep(1) un-finalized; the expiry
+            // check just failed), so the timer is legal.
             if (keep.size >= 2) state.setTimeoutTimestamp(keep(1)._1)
+            else state.setTimeoutTimestamp(keep.head._1 + gapMs)
           }
           out.iterator
       }

@@ -79,23 +79,6 @@ object StreamTwa {
     (holds, sorted.drop(keepFrom))
   }
 
-  /** Linear merge of two (ms, event_id, *)-sorted runs — the buffer is
-    * kept sorted across triggers so only the fresh batch pays a sort. */
-  private def merge(a: IndexedSeq[(Long, Long, Long)],
-      b: IndexedSeq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
-    val out = Vector.newBuilder[(Long, Long, Long)]
-    out.sizeHint(a.size + b.size)
-    var i = 0; var j = 0
-    while (i < a.size && j < b.size) {
-      val x = a(i); val y = b(j)
-      if (x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2)) { out += x; i += 1 }
-      else { out += y; j += 1 }
-    }
-    while (i < a.size) { out += a(i); i += 1 }
-    while (j < b.size) { out += b(j); j += 1 }
-    out.result()
-  }
-
   def holds(events: Dataset[Obs]): Dataset[Hold] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.event_type)
@@ -107,7 +90,10 @@ object StreamTwa {
             .getOrElse(IndexedSeq.empty)
           val fresh = it.map(o => (o.ms, o.event_id, o.value_micro))
             .toIndexedSeq.sortBy(o => (o._1, o._2))
-          val sorted = merge(prior, fresh)
+          // kept buffer sorted across triggers: only the fresh batch pays
+          // a sort, then one linear merge (StreamOrder — the shared
+          // comparator)
+          val sorted = StreamOrder.merge(prior, fresh)
           val wm = state.getCurrentWatermarkMs()
           val (out, keep) = cut(ty, sorted, wm)
           if (keep.isEmpty) state.remove()
