@@ -1716,6 +1716,43 @@ object Relational {
           sum("n_transitions").over(Window.partitionBy("from_type")))
         .select(col("from_type"), col("to_type"), col("n_transitions"),
           expr("n_transitions * 1000000 div tot").as("share_ppm"))
+    },
+
+    // ROLLUP RECONCILIATION — the aggregate-lattice integrity audit a
+    // warehouse runs after building day/week/month/year materializations
+    // of the same measure: every grain's bucket totals must re-sum to the
+    // same grand total, or a grain dropped rows (a bad partition filter,
+    // a late-data window, a timezone bug at a bucket boundary). The
+    // measure is integer MICROS (the decimal-cast-then-scale discipline
+    // — exact, associative, order-independent), so the reconciliation is
+    // long equality, not float tolerance, and a single lost row trips
+    // it. ONE fact scan (checkpointed) feeds all four grains + the grand
+    // total; each grain is a two-stage agg (bucket, then bucket-total
+    // re-sum — deliberately the same partial/final shape a
+    // materialization pipeline runs); week buckets are ISO Monday in
+    // both engines.
+    "q71_rollup_reconciliation" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(to_date(col("l_shipdate")).as("d"),
+          expr("CAST(CAST(l_extendedprice * (1 - l_discount)" +
+            " AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("rev_micro"))
+        .localCheckpoint()
+      val grand = li.agg(sum("rev_micro").cast(LongType).as("grand"))
+      def grain(name: String, bucket: Column): DataFrame =
+        li.groupBy(bucket.as("b"))
+          .agg(sum("rev_micro").cast(LongType).as("bt"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum("bt").cast(LongType).as("total_micro"))
+          .select(lit(name).as("grain"), col("n_buckets"), col("total_micro"))
+      Seq(
+        grain("day", col("d")),
+        grain("week", date_trunc("week", col("d"))),
+        grain("month", date_trunc("month", col("d"))),
+        grain("year", date_trunc("year", col("d"))))
+        .reduce(_.unionAll(_))
+        .crossJoin(broadcast(grand))
+        .select(col("grain"), col("n_buckets"), col("total_micro"),
+          (col("total_micro") === col("grand")).cast(LongType).as("reconciles"))
     }
   )
 
@@ -2769,6 +2806,39 @@ object Relational {
         |  CAST(n_transitions * 1000000
         |    // (sum(n_transitions) OVER (PARTITION BY from_type))
         |    AS BIGINT) AS share_ppm
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // same integer micros, same two-stage per-grain shape, same ISO
+    // Monday weeks, long-equality reconciliation
+    "q71_rollup_reconciliation" ->
+      """WITH li AS (SELECT CAST(l_shipdate AS DATE) AS d,
+        |    CAST(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS rev_micro
+        |  FROM lineitem),
+        |g AS (SELECT CAST(sum(rev_micro) AS BIGINT) AS grand FROM li),
+        |dy AS (SELECT 'day' AS grain, count(*) AS n_buckets,
+        |         CAST(sum(bt) AS BIGINT) AS total_micro
+        |       FROM (SELECT d, CAST(sum(rev_micro) AS BIGINT) AS bt
+        |             FROM li GROUP BY d) t),
+        |wk AS (SELECT 'week', count(*),
+        |         CAST(sum(bt) AS BIGINT)
+        |       FROM (SELECT date_trunc('week', d) AS b,
+        |               CAST(sum(rev_micro) AS BIGINT) AS bt
+        |             FROM li GROUP BY 1) t),
+        |mo AS (SELECT 'month', count(*),
+        |         CAST(sum(bt) AS BIGINT)
+        |       FROM (SELECT date_trunc('month', d) AS b,
+        |               CAST(sum(rev_micro) AS BIGINT) AS bt
+        |             FROM li GROUP BY 1) t),
+        |yr AS (SELECT 'year', count(*),
+        |         CAST(sum(bt) AS BIGINT)
+        |       FROM (SELECT date_trunc('year', d) AS b,
+        |               CAST(sum(rev_micro) AS BIGINT) AS bt
+        |             FROM li GROUP BY 1) t),
+        |u AS (SELECT * FROM dy UNION ALL SELECT * FROM wk
+        |      UNION ALL SELECT * FROM mo UNION ALL SELECT * FROM yr)
+        |SELECT grain, n_buckets, total_micro,
+        |  CAST(total_micro = g.grand AS BIGINT) AS reconciles
+        |FROM u, g""".stripMargin
   )
 }

@@ -1246,6 +1246,20 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q71 every grain reconciles to one exact grand total; buckets coarsen monotonically") {
+    val got = Relational.defs("q71_rollup_reconciliation")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == Set("day", "week", "month", "year"), s"$got")
+    assert(got.values.forall(_._3 == 1L), s"all grains must reconcile: $got")
+    assert(got.values.map(_._2).toSet.size == 1,
+      s"one grand total across grains: $got")
+    val n = Seq("day", "week", "month", "year").map(got(_)._1)
+    assert(n == n.sorted.reverse && n.distinct == n,
+      s"bucket counts must strictly coarsen: $n")
+  }
+
   test("s28 rocchio keeps the near-parallel neighbor first; tiny-corpus feedback is closed") {
     // 4-vector fixture: every query's top-5 IS the whole 3-neighbor
     // corpus, so every final hit must carry in_initial = 1, and the
