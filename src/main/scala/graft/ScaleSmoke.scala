@@ -112,7 +112,10 @@ object ScaleSmoke {
         // islands: o_orderkey re-keyed on BOTH facts keeps the per-order
         // collapse intact while every customer carries factor× the
         // intervals — the per-customer window-depth stress
-        "q68_interval_islands")
+        "q68_interval_islands",
+        // reconciliation reads only lineitem; replication grows every
+        // bucket factor× deep at the same bucket count
+        "q71_rollup_reconciliation")
     val needsFacts = names.exists(relationalFactQs.contains)
     require(!(needsFacts && needsLineitem),
       "g-queries and relational fact queries replicate lineitem differently — run them separately")
