@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Planted-flood measurement for q67's HOT path (VERDICT r10 item 2).
+  *
+  * The uniform-replication ScaleSmoke row measures q67's COLD path only:
+  * replication moves the mean with the groups, so no key ever crosses the
+  * 3× hot threshold and the salted join runs as a plain SMJ. This tool
+  * makes the hot path's benefit a measured wall-clock delta instead of a
+  * definitional claim: it replicates the sf-base lineitem `factor`×
+  * (re-keyed order keys, the star-join facts-grow shape), then FLOODS one
+  * part key onto ~`floodPct`% of all fact rows via a deterministic row
+  * hash, and times three spellings of the identical join + rollup:
+  *
+  *  - `plain_unmitigated`: merge-hinted SMJ with AQE skew-split OFF — the
+  *    flood lands on one task; the straggler a naive plan ships.
+  *  - `plain_aqe`: the same SMJ with AQE skew handling ON (the session
+  *    default) — Spark re-splits the oversized partition at runtime, the
+  *    built-in rescue for pure shuffle-join skew.
+  *  - `salted`: q67's saltedSkewJoin — hot keys detected exactly
+  *    (skewJoinRecommend), their dim rows replicated ×8, fact rows spread
+  *    by deterministic salt. The mitigation that still works where AQE's
+  *    cannot (stateful co-grouping, single-key floods inside one
+  *    partition's key range).
+  *
+  * All three compute q67's per-brand revenue rollup and are forced through
+  * a noop sink; the result sets are identical by construction (salting is
+  * a physical rewrite — SkewJoinSpec pins parity). Prints one JSON line
+  * with the three medians-of-3, the planted hot rows, and the hot set
+  * skewJoinRecommend detects (must be exactly 1 key).
+  *
+  * Usage: runMain graft.SkewFloodSmoke [baseSfDir] [factor] [floodPct]
+  */
+object SkewFloodSmoke {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val factor = if (args.length > 1) args(1).toInt else 100
+    val floodPct = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      // the dim must not broadcast: the demonstrated plan is the 100 TB
+      // shape (q67's own merge-hint discipline made unconditional here)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = s"/tmp/graft-skewflood-$factor"
+    val hotKey = spark.read.parquet(s"$base/part.parquet")
+      .agg(min(col("p_partkey"))).head.getLong(0)
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until factor).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") * factor + i)
+    }.reduce(_ unionAll _)
+      // deterministic flood: ~floodPct% of ALL fact rows point at hotKey
+      .withColumn("l_partkey",
+        when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+          lit(100L)) < floodPct, lit(hotKey)).otherwise(col("l_partkey")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    spark.read.parquet(s"$base/part.parquet")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+
+    val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+    val dim = spark.read.parquet(s"$dir/part.parquet")
+    val hotRows = fact.filter(col("l_partkey") === hotKey).count()
+    val totRows = fact.count()
+    val hotSet = graft.operators.Relational
+      .skewJoinRecommend(fact, "l_partkey")
+      .collect().map(_.getLong(0)).toSeq
+
+    def rollup(joined: DataFrame): DataFrame = joined
+      .groupBy("p_brand")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+    val plain = rollup(fact.hint("merge")
+      .join(dim, col("l_partkey") === col("p_partkey")))
+    val salted = rollup(graft.operators.Relational.saltedSkewJoin(
+      fact, dim, "l_partkey", "p_partkey", saltR = 8,
+      factId = Seq(col("l_orderkey"), col("l_linenumber"))))
+
+    def timed(df: DataFrame, skewAqe: Boolean): Double = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewAqe.toString)
+      try {
+        def force(): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        force() // warm-up
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          force()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+      } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    }
+
+    val tPlainNoAqe = timed(plain, skewAqe = false)
+    val tPlainAqe = timed(plain, skewAqe = true)
+    val tSalted = timed(salted, skewAqe = false)
+
+    println(f"""{"metric":"skew_flood_smoke","factor":$factor,"base":"$base","hot_key":$hotKey,"hot_rows":$hotRows,"total_rows":$totRows,"hot_set_detected":${hotSet.mkString("[", ",", "]")},"plain_unmitigated_s":$tPlainNoAqe%.2f,"plain_aqe_s":$tPlainAqe%.2f,"salted_s":$tSalted%.2f}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+import graft.streaming.{StreamIslands, StreamPaths, StreamTwa, StreamingSessionize}
+
+/** Forward-scaling smoke for the STREAMING family — the batch ScaleSmoke's
+  * missing twin (VERDICT r10 item 1). The correctness gate replays ONE
+  * parquet file as ONE microbatch, so no gate row ever measures what a
+  * live job pays: per-trigger overhead, cross-trigger state growth, and
+  * watermark-driven eviction. This tool replicates events `factor`×,
+  * writes the result as `slices` TIME-CONTIGUOUS files with strictly
+  * increasing modtimes, and replays each selected query with
+  * `maxFilesPerTrigger=1` — `slices` real watermark-advancing triggers —
+  * while a [[StreamingQueryListener]] records per-trigger input rows,
+  * trigger wall, and state-store rows. The headline readouts per query:
+  * total wall, rows/s, trigger count, MAX state rows (the number that
+  * must stay bounded as the corpus grows), and max single-trigger wall.
+  *
+  * Replication shapes (each the matching batch-ScaleSmoke discipline):
+  *  - generic events (x25/x27/x28/x19a/x24a): user_id AND event_id
+  *    re-keyed → `factor` disjoint user populations on the SAME time
+  *    axis. Type-keyed state (x25/x27) sees `factor`× the per-type series
+  *    depth — the buffer stress; user/hour-keyed state (x28/x19a/x24a)
+  *    sees `factor`× the key domain — the eviction stress.
+  *  - PIT events (x26): event_id only re-keyed, user keys intact, the
+  *    customer dimension copied FIXED — q64's facts-grow-dims-don't shape,
+  *    so the broadcast probe rate is the original's at `factor`× volume.
+  *  - documents (x17a): the batch ScaleSmoke replica-prefix discipline
+  *    (volume-pure; replica tokens are prefixed so no cross-replica
+  *    structure appears). The static benchmark index is built from the
+  *    BASE corpus, so the intersect probes are full-cost but hit-free —
+  *    throughput is measured, verdict rates are the gate's concern.
+  *
+  * Usage: runMain graft.StreamScaleSmoke [baseSfDir] [factor] [slices] [q,...]
+  * Prints one JSON line: {"metric":"stream_scale_smoke",...,"queries":{...}}.
+  */
+object StreamScaleSmoke {
+
+  /** Per-run progress capture. Listener events post asynchronously; the
+    * harness sleeps briefly after each query before reading. */
+  private final class Capture extends StreamingQueryListener {
+    val triggers = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      // numRowsTotal counts state KEYS; for the buffered-value operators
+      // (x25/x27/x28 hold a per-key seq inside one value) memoryUsedBytes
+      // is the buffer-depth signal
+      val stateRows = Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+      val stateBytes = Option(p.stateOperators).map(_.map(_.memoryUsedBytes).sum).getOrElse(0L)
+      val wall = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)
+      triggers.add((p.numInputRows, wall, stateRows, stateBytes)): Unit
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val factor = if (args.length > 1) args(1).toInt else 100
+    val slices = if (args.length > 2) args(2).toInt else 16
+    val names = (if (args.length > 3) args(3) else
+      "x25_stream_twa,x27_stream_islands,x28_stream_paths,x19a_topk_append,x24a_kmv_append,x26_stream_pit_enrich,x17a_decontam_stateless")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** Write `df` as `slices` files keyed by contiguous ranges of `cutCol`
+      * (event time for watermarked streams, doc_id for stateless doc
+      * streams), in range order with strictly increasing modtimes, so a
+      * maxFilesPerTrigger=1 replay delivers them as that many
+      * watermark-advancing triggers. Boundaries are exact distinct
+      * percentiles — no global sort. */
+    def writeSliced(df: DataFrame, cutCol: org.apache.spark.sql.Column,
+        dir: java.io.File): Unit = {
+      val frame = df.withColumn("_cut", cutCol).localCheckpoint()
+      val qs = (1 until slices).map(_.toDouble / slices)
+      val bounds = frame.stat
+        .approxQuantile("_cut", qs.toArray, 0.001).distinct.sorted
+      val ranges = (Double.MinValue +: bounds) :+ Double.MaxValue
+      for (i <- 0 until ranges.length - 1) {
+        val sd = new java.io.File(dir, s"slice$i")
+        frame.filter(col("_cut") >= ranges(i) && col("_cut") < ranges(i + 1))
+          .drop("_cut").coalesce(1)
+          .write.parquet(sd.getAbsolutePath)
+        val part = sd.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dir, s"events$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(1700000000000L + i * 60000L))
+      }
+      frame.unpersist(): Unit
+    }
+
+    def replicate(df: DataFrame, rekey: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => rekey(df, i)).reduce(_ unionAll _)
+
+    // raw events, schema preserved (NTZ micros ts — the streaming reader's
+    // declared schema; the spec's timeSlicedDir discipline)
+    lazy val rawEvents = spark.read.parquet(s"$base/events.parquet")
+    lazy val msCol = expr("unix_millis(CAST(ts AS TIMESTAMP))").cast("double")
+
+    val needGeneric = names.exists(n => Set("x25_stream_twa",
+      "x27_stream_islands", "x28_stream_paths", "x19a_topk_append",
+      "x24a_kmv_append").contains(n))
+    val needPit = names.contains("x26_stream_pit_enrich")
+    val needDocs = names.contains("x17a_decontam_stateless")
+
+    lazy val dirGeneric = {
+      val d = java.nio.file.Files.createTempDirectory("graft-ssm-ev").toFile
+      writeSliced(replicate(rawEvents, (e, i) =>
+        e.withColumn("user_id", col("user_id") * factor + i)
+          .withColumn("event_id", col("event_id") * factor + i)), msCol, d)
+      d.getAbsolutePath
+    }
+    lazy val dirPit = {
+      val d = java.nio.file.Files.createTempDirectory("graft-ssm-pit").toFile
+      writeSliced(replicate(rawEvents, (e, i) =>
+        e.withColumn("event_id", col("event_id") * factor + i)), msCol, d)
+      spark.read.parquet(s"$base/customer.parquet")
+        .write.parquet(s"${d.getAbsolutePath}/customer.parquet")
+      d.getAbsolutePath
+    }
+    lazy val dirDocs = {
+      val d = java.nio.file.Files.createTempDirectory("graft-ssm-doc").toFile
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      writeSliced(replicate(docs, (dd, i) =>
+        dd.withColumn("doc_id", col("doc_id") * factor + i)
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
+          .withColumn("n_chars", length(col("text")).cast("long"))),
+        col("doc_id").cast("double"), d)
+      d.getAbsolutePath
+    }
+
+    val mb = Map("maxFilesPerTrigger" -> "1")
+    // each entry: () => the fully-consumed run (runToCompletion + force)
+    def run(dir: String, transform: DataFrame => DataFrame,
+        sink: String, sinkTransform: DataFrame => DataFrame = identity,
+        schema: org.apache.spark.sql.types.StructType = null): Unit = {
+      val out =
+        if (schema == null)
+          StreamingSessionize.runToCompletion(spark, dir, transform,
+            outputMode = "append", sinkName = sink, sourceOptions = mb,
+            sourceGlob = "events*.parquet", sinkTransform = sinkTransform)
+        else
+          StreamingSessionize.runToCompletion(spark, dir, transform,
+            outputMode = "append", sinkName = sink, sourceOptions = mb,
+            sourceGlob = "events*.parquet", sourceSchema = schema,
+            sinkTransform = sinkTransform)
+      out.write.format("noop").mode("overwrite").save()
+    }
+    val runs: Map[String, () => Unit] = Map(
+      "x25_stream_twa" -> (() => run(dirGeneric, StreamTwa.transform, "ssm-x25")),
+      "x27_stream_islands" -> (() => run(dirGeneric, StreamIslands.transform, "ssm-x27")),
+      "x28_stream_paths" -> (() => run(dirGeneric, StreamPaths.transform, "ssm-x28")),
+      "x19a_topk_append" -> (() =>
+        run(dirGeneric, StreamingSessionize.hourlyUserCounts(_), "ssm-x19a",
+          sinkTransform = StreamingSessionize.topkProjection)),
+      "x24a_kmv_append" -> (() =>
+        run(dirGeneric, StreamingSessionize.hourlyKmvHashes(_), "ssm-x24a",
+          sinkTransform = StreamingSessionize.kmvHourProjection)),
+      "x26_stream_pit_enrich" -> (() =>
+        run(dirPit, StreamingSessionize.pitEnrich(spark, dirPit), "ssm-x26")),
+      "x17a_decontam_stateless" -> (() =>
+        run(dirDocs, StreamingSessionize.statelessDecontam(spark, base),
+          "ssm-x17a", schema = StreamingSessionize.docSchema)))
+
+    val results = scala.collection.mutable.LinkedHashMap[String, String]()
+    names.foreach { name =>
+      val cap = new Capture
+      spark.streams.addListener(cap)
+      val t0 = System.nanoTime()
+      try runs(name)()
+      finally {
+        Thread.sleep(1500) // listener events post asynchronously
+        spark.streams.removeListener(cap)
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      val ts = cap.triggers.asScala.toSeq
+      val rowsIn = ts.map(_._1).sum
+      val nTrig = ts.count(_._1 > 0)
+      val maxState = if (ts.isEmpty) 0L else ts.map(_._3).max
+      val maxStateKb = if (ts.isEmpty) 0L else ts.map(_._4).max / 1024
+      val maxTrigS = if (ts.isEmpty) 0.0 else ts.map(_._2).max / 1e3
+      results(name) =
+        f"""{"wall_s":$wall%.2f,"rows_in":$rowsIn,"rows_per_s":${rowsIn / wall}%.0f,"n_triggers":$nTrig,"max_state_rows":$maxState,"max_state_kb":$maxStateKb,"max_trigger_s":$maxTrigS%.2f}"""
+    }
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream_scale_smoke","factor":$factor,"slices":$slices,"base":"$base","queries":$qs}""")
+    spark.stop()
+  }
+}

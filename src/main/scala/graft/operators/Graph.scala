@@ -97,6 +97,47 @@ object Graph {
       .select("x", "y")
   }
 
+  /** Batched per-seed multi-source BFS (g16's engine; VERDICT r10 item 3 —
+    * the s23-memberCap discipline applied to the seed axis): visited
+    * (seed, v, dist) rows over `rounds` frontier expansions, computed in
+    * deterministic seed-order slices of at most `seedBatch` seeds, unioned.
+    * Peak in-flight state is ≤ seedBatch × vertices no matter how many
+    * seeds the caller passes — a thousand hubs run as ⌈1000/B⌉ sequential
+    * waves, each the same edge-linear equi-join → distinct → anti-join
+    * rounds g15 takes, instead of a single 1000×-vertex frontier. Slicing
+    * is sound because per-seed BFS has no cross-seed state: each seed's
+    * reachable set is independent, so the union over slices is exactly the
+    * unbatched result (GraphSpec pins batched == unbatched at 64 seeds).
+    * `seeds`: one `seed` column, assumed small (hub sets, query sets);
+    * the count() sizing action is over that small frame only. */
+  private[graft] def perSeedBfs(sym: DataFrame, seeds: DataFrame,
+      rounds: Int, seedBatch: Int): DataFrame = {
+    val n = seeds.count()
+    val nBatches = math.max(1, ((n + seedBatch - 1) / seedBatch).toInt)
+    val ranked = seeds.withColumn("_b",
+      ((row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("seed")) - 1) / seedBatch).cast("int"))
+      .localCheckpoint()
+    (0 until nBatches).map { b =>
+      val ss = ranked.filter(col("_b") === b).select("seed")
+      var visited = ss
+        .select(col("seed"), col("seed").as("v"), lit(0L).as("dist"))
+        .localCheckpoint()
+      var frontier = visited.select("seed", "v")
+      for (i <- 1 to rounds) {
+        val next = sym
+          .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("seed"), col("dst").as("v")).distinct()
+          .join(visited.select("seed", "v"), Seq("seed", "v"), "left_anti")
+          .withColumn("dist", lit(i.toLong))
+          .localCheckpoint()
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next.select("seed", "v")
+      }
+      visited
+    }.reduce(_ unionAll _)
+  }
+
   val defs: Map[String, Q] = Map(
     // Multi-source BFS LAYERS from the hub products — the frontier-
     // expansion iterative shape the family's other loops don't cover
@@ -143,8 +184,10 @@ object Graph {
     // Σ 1/dist over 3 hops scaled ×6 (6/1, 6/2, 6/3 are integers), so
     // the row hash-gates where a float 1/3 sum never would. 100 TB
     // posture: per-seed BFS multiplies frontier volume by |seeds|, not
-    // rounds — the standard batched multi-source trick; a thousand seeds
-    // would batch the seed set instead.
+    // rounds — the standard batched multi-source trick — and the seed
+    // axis is BATCHED by perSeedBfs's seedBatch knob (VERDICT r10
+    // item 3): peak (seed, v) state stays ≤ seedBatch × vertices
+    // regardless of how many hubs the caller asks about.
     "g16_hub_closeness" -> { (s, dir) =>
       val e = coOrderEdges(t(s, dir, "lineitem"))
       val sym = e.select(col("a").as("src"), col("b").as("dst"))
@@ -152,21 +195,8 @@ object Graph {
         .localCheckpoint() // 3 rounds probe it
       val seeds = degrees(e).orderBy(col("d").desc, col("v")).limit(8)
         .select(col("v").as("seed")).localCheckpoint()
-      var visited = seeds
-        .select(col("seed"), col("seed").as("v"), lit(0L).as("dist"))
-        .localCheckpoint()
-      var frontier = visited.select("seed", "v")
-      for (i <- 1 to 3) {
-        val next = sym
-          .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
-          .select(col("seed"), col("dst").as("v")).distinct()
-          .join(visited.select("seed", "v"), Seq("seed", "v"), "left_anti")
-          .withColumn("dist", lit(i.toLong))
-          .localCheckpoint()
-        visited = visited.unionAll(next).localCheckpoint()
-        frontier = next.select("seed", "v")
-      }
-      visited.filter(col("dist") > 0)
+      perSeedBfs(sym, seeds, rounds = 3, seedBatch = 8)
+        .filter(col("dist") > 0)
         .groupBy("seed")
         .agg(count(lit(1)).as("n_reached"),
           sum(when(col("dist") === 1, 6L)

@@ -1760,18 +1760,33 @@ object Relational {
     * whose fact group size exceeds `hotFactor`× the mean spread over `saltR`
     * deterministic salt replicas. Returns the joined frame (all columns of
     * both inputs minus the helper salt columns). */
-  private[graft] def saltedSkewJoin(fact: DataFrame, dim: DataFrame,
-      factKey: String, dimKey: String, saltR: Int,
-      factId: Seq[Column], hotFactor: Long = 3L): DataFrame = {
+  /** The q66 → q67 ADVISORY (VERDICT r10 item 7): the exact hot-key set
+    * [[saltedSkewJoin]] would salt, as a standalone one-column (`hk`)
+    * frame — keys whose fact group exceeds `hotFactor`× the mean group
+    * size. Empty result = the key distribution is uniform enough that the
+    * plain join is the right plan; non-empty = pass the same
+    * (key, hotFactor) to [[saltedSkewJoin]], which derives the identical
+    * set (one predicate spelling — q66's audit, this advisory, and q67's
+    * mitigation can never disagree on what "hot" means). Cost: one
+    * map-side-combined count pass over the fact, the same pass q66's
+    * histogram already takes. */
+  private[graft] def skewJoinRecommend(fact: DataFrame, factKey: String,
+      hotFactor: Long = 3L): DataFrame = {
     val counts = fact.groupBy(col(factKey).as("hk"))
       .agg(count(lit(1)).as("c"))
     val tot = counts.agg(count(lit(1)).as("n_keys"),
       sum(col("c")).cast(LongType).as("n_rows"))
-    // tiny by construction (≤ n_keys / hotFactor rows); checkpointed once,
-    // probed from both sides of the join
-    val hotKeys = counts.crossJoin(broadcast(tot))
+    counts.crossJoin(broadcast(tot))
       .filter(col("c") * col("n_keys") > lit(hotFactor) * col("n_rows"))
       .select(col("hk"))
+  }
+
+  private[graft] def saltedSkewJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, saltR: Int,
+      factId: Seq[Column], hotFactor: Long = 3L): DataFrame = {
+    // tiny by construction (≤ n_keys / hotFactor rows); checkpointed once,
+    // probed from both sides of the join
+    val hotKeys = skewJoinRecommend(fact, factKey, hotFactor)
       .localCheckpoint()
     val saltedFact = fact
       .join(broadcast(hotKeys), col(factKey) === col("hk"), "left")

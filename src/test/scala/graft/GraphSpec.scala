@@ -611,4 +611,30 @@ class GraphSpec extends AnyFunSuite {
     assert(expect.nonEmpty, "premise: sf0.001 must have support-2 pairs")
     assert(got == expect, s"got ${got.size} parts, expect ${expect.size}")
   }
+
+  test("perSeedBfs: 64 seeds batched 8 at a time == one unbatched wave (seed-axis knob)") {
+    // VERDICT r10 item 3: the seed axis must be batchable with no result
+    // change. Fixture: a 2-row × 100-column grid (each vertex joined to its
+    // horizontal and vertical neighbors) — diameter large enough that every
+    // round expands, plus multi-path reachability so distinct/anti-join do
+    // real work. Seeds: 64 of the 200 vertices.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = (0L until 100L).flatMap { c =>
+      val top = c; val bot = c + 100L
+      Seq((top, bot)) ++ (if (c < 99) Seq((top, top + 1), (bot, bot + 1)) else Nil)
+    }
+    val sym = edges.toDF("src", "dst")
+      .unionAll(edges.map(_.swap).toDF("src", "dst"))
+      .localCheckpoint()
+    val seeds = (0L until 64L).map(_ * 3).toDF("seed").localCheckpoint()
+    def rows(b: Int) = Graph.perSeedBfs(sym, seeds, rounds = 3, seedBatch = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batched = rows(8)
+    val oneShot = rows(64)
+    assert(batched.nonEmpty && batched.exists(_._3 == 3L),
+      "premise: rounds must reach distance 3")
+    assert(batched == oneShot,
+      "seed-axis batching changed the per-seed BFS result")
+  }
 }

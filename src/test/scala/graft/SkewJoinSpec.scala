@@ -77,4 +77,20 @@ class SkewJoinSpec extends AnyFunSuite {
       .saltedSkewJoin(fact, dim, "k", "dk", saltR = 8, factId = Seq(col("id")))
     assert(salted.count() == 1000)
   }
+
+  test("skewJoinRecommend advisory: exactly the flooded key; empty on uniform data") {
+    // the q66 → q67 bridge (VERDICT r10 item 7): recommend() and
+    // saltedSkewJoin share ONE hot predicate spelling, so the advisory's
+    // verdict is by construction the mitigation's salt set
+    val flooded = spark.range(20000)
+      .select(col("id"), lit(0L).as("k"))
+      .union(spark.range(990).select((col("id") + 100000).as("id"),
+        (col("id") % 99 + 1).as("k")))
+    val hot = graft.operators.Relational.skewJoinRecommend(flooded, "k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hot == Seq(0L), s"expected exactly the flooded key, got $hot")
+    val uniform = spark.range(1000).select(col("id"), (col("id") % 50).as("k"))
+    assert(graft.operators.Relational.skewJoinRecommend(uniform, "k").isEmpty,
+      "uniform keys must recommend the plain join (empty hot set)")
+  }
 }

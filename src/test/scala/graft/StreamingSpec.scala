@@ -181,6 +181,36 @@ class StreamingSpec extends AnyFunSuite {
       "hold emissions diverge between sliced and one-shot replays")
   }
 
+  test("x25 drains per watermark: per-batch emissions successor-ordered, never overlapping") {
+    // VERDICT r10 item 1's prose-to-measurement conversion, spec side: a
+    // hold emits in the FIRST batch whose watermark strictly passes its
+    // successor (cut emits successor < wm; kept holds have successor >= wm
+    // and a timer armed at it), so across emitting batches the successor
+    // ranges must be disjoint and increasing — the buffer drains with the
+    // watermark instead of accumulating the corpus. StreamScaleSmoke's
+    // 100× replay records the matching memory bound (max state ~5 MB for
+    // a 1M-row replay).
+    val mb = timeSlicedDir(6)
+    val rows = StreamingSessionize.runToCompletion(spark, mb,
+        graft.streaming.StreamTwa.transform, "append", "x25-drain",
+        Map("maxFilesPerTrigger" -> "1"), "events*.parquet",
+        tagBatchId = true)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("batch_id")),
+        r.getLong(r.fieldIndex("start_ms")) + r.getLong(r.fieldIndex("hold_ms"))))
+    val byBatch = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, hs) => (b, hs.map(_._2).min, hs.map(_._2).max) }
+    assert(byBatch.size >= 3,
+      s"continuous drain expected, got ${byBatch.size} emitting batches")
+    byBatch.sliding(2).foreach {
+      case Seq((b1, _, max1), (b2, min2, _)) =>
+        assert(max1 < min2,
+          s"batch $b1 (max successor $max1) overlaps batch $b2 (min $min2): " +
+            "a hold outlived the watermark that finalized it")
+      case _ =>
+    }
+  }
+
   test("x27 island ledger over 3 slices == one-shot replay (interval merge across triggers)") {
     val mb = timeSlicedDir(3)
     def run(d: String, sink: String, opts: Map[String, String], glob: String) =
