@@ -63,7 +63,7 @@ object StreamScaleSmoke {
     val factor = if (args.length > 1) args(1).toInt else 100
     val slices = if (args.length > 2) args(2).toInt else 16
     val names = (if (args.length > 3) args(3) else
-      "x25_stream_twa,x27_stream_islands,x28_stream_paths,x19a_topk_append,x24a_kmv_append,x26_stream_pit_enrich,x17a_decontam_stateless")
+      "x25_stream_twa,x29_stream_twa_sharded,x27_stream_islands,x28_stream_paths,x19a_topk_append,x24a_kmv_append,x26_stream_pit_enrich,x17a_decontam_stateless")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -111,8 +111,8 @@ object StreamScaleSmoke {
     lazy val msCol = expr("unix_millis(CAST(ts AS TIMESTAMP))").cast("double")
 
     val needGeneric = names.exists(n => Set("x25_stream_twa",
-      "x27_stream_islands", "x28_stream_paths", "x19a_topk_append",
-      "x24a_kmv_append").contains(n))
+      "x29_stream_twa_sharded", "x27_stream_islands", "x28_stream_paths",
+      "x19a_topk_append", "x24a_kmv_append").contains(n))
     val needPit = names.contains("x26_stream_pit_enrich")
     val needDocs = names.contains("x17a_decontam_stateless")
 
@@ -162,6 +162,12 @@ object StreamScaleSmoke {
     }
     val runs: Map[String, () => Unit] = Map(
       "x25_stream_twa" -> (() => run(dirGeneric, StreamTwa.transform, "ssm-x25")),
+      // the sharded twin runs through its own wrapper (it scopes the
+      // multi-watermark policy + chained-stateful check overrides)
+      "x29_stream_twa_sharded" -> (() =>
+        graft.streaming.StreamTwaSharded.runToCompletion(spark, dirGeneric,
+            "ssm-x29", mb, "events*.parquet")
+          .write.format("noop").mode("overwrite").save()),
       "x27_stream_islands" -> (() => run(dirGeneric, StreamIslands.transform, "ssm-x27")),
       "x28_stream_paths" -> (() => run(dirGeneric, StreamPaths.transform, "ssm-x28")),
       "x19a_topk_append" -> (() =>

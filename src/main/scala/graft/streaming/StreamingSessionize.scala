@@ -788,6 +788,15 @@ object StreamingSessionize {
     // timers. See StreamTwa.scala for the cut/timer mechanics.
     "x25_stream_twa" -> { (s, dir) => StreamTwa.runToCompletion(s, dir) },
 
+    // x25's ledger with the per-type serial-state ceiling removed: the
+    // corpus-scale stage keyed by (type, epoch-hour) — q65's batch
+    // decomposition live — with a dashboard-sized per-type boundary
+    // stitch downstream. Two chained append-mode stateful stages; the
+    // emitted set is provably x25's (parity + slicing pinned, oracle
+    // shared verbatim). See StreamTwaSharded.scala.
+    "x29_stream_twa_sharded" -> { (s, dir) =>
+      StreamTwaSharded.runToCompletion(s, dir) },
+
     // GAPS-AND-ISLANDS live — q68's interval merge on the event stream
     // (events as duration-carrying spans, merged per type into busy
     // islands that close when the watermark strictly passes their end).
@@ -1075,6 +1084,27 @@ object StreamingSessionize {
        |FROM corpus c LEFT JOIN bench b ON c.h = b.h
        |GROUP BY c.doc_id""".stripMargin
 
+  /** batch q65's lead() spelling restricted to holds whose successor the
+    * final watermark (max event ms − 1 h) STRICTLY passed — the x25
+    * emission rule restated; the tail inside the delay stays buffered.
+    * Shared verbatim by x25 and its sharded twin x29. */
+  private val twaHoldLedgerSql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_ms(ts) AS ms,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |      AS value_micro
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, ms AS start_ms, value_micro,
+      |    lead(ms) OVER (PARTITION BY event_type ORDER BY ms, event_id)
+      |      AS next_ms
+      |  FROM e)
+      |SELECT event_type, start_ms, next_ms - start_ms AS hold_ms,
+      |  value_micro
+      |FROM x
+      |WHERE next_ms IS NOT NULL
+      |  AND next_ms < (SELECT max(ms) - 3600000 FROM e)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // d24's oracle verbatim — per-row verdicts are pure functions of the
     // static corpus state, so the streamed rows ARE the batch rows
@@ -1247,22 +1277,12 @@ object StreamingSessionize {
     // batch q65's lead() spelling restricted to holds whose successor the
     // final watermark (max event ms − 1 h) STRICTLY passed — the x25
     // emission rule restated; the tail inside the delay stays buffered
-    "x25_stream_twa" ->
-      """WITH e AS (
-        |  SELECT event_type, event_id, epoch_ms(ts) AS ms,
-        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
-        |      AS value_micro
-        |  FROM events),
-        |x AS (
-        |  SELECT event_type, ms AS start_ms, value_micro,
-        |    lead(ms) OVER (PARTITION BY event_type ORDER BY ms, event_id)
-        |      AS next_ms
-        |  FROM e)
-        |SELECT event_type, start_ms, next_ms - start_ms AS hold_ms,
-        |  value_micro
-        |FROM x
-        |WHERE next_ms IS NOT NULL
-        |  AND next_ms < (SELECT max(ms) - 3600000 FROM e)""".stripMargin,
+    "x25_stream_twa" -> twaHoldLedgerSql,
+
+    // x29 emits exactly x25's ledger (the sharding is a physical
+    // decomposition; StreamingSpec pins set equality) — ONE oracle
+    // spelling, so the two can never drift
+    "x29_stream_twa_sharded" -> twaHoldLedgerSql,
 
     // x27: q68's running-max-end window spelling over the same
     // (ms, event_id) total order; islands whose end the final watermark

@@ -181,6 +181,39 @@ class StreamingSpec extends AnyFunSuite {
       "hold emissions diverge between sliced and one-shot replays")
   }
 
+  test("x29 sharded TWA == x25 ledger (one-shot AND 3-slice; cross-hour holds stitched)") {
+    // VERDICT r10 item 4: the (type, hour) decomposition must be a pure
+    // physical rewrite — same emitted set as the type-keyed original,
+    // under any arrival slicing. The fixture premise matters: at least
+    // one hold must CROSS an hour boundary (start and successor in
+    // different hours), or the stage-2 stitch is untested.
+    val mb = timeSlicedDir(3)
+    def rows(d: String, tr: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        sink: String, opts: Map[String, String], glob: String) =
+      StreamingSessionize.runToCompletion(spark, d, tr, "append", sink, opts, glob)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def shardedRows(d: String, sink: String, opts: Map[String, String],
+        glob: String) =
+      graft.streaming.StreamTwaSharded.runToCompletion(spark, d, sink, opts, glob)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val unsharded = rows(dir, graft.streaming.StreamTwa.transform,
+      "x29-base", Map.empty, "events.parquet")
+    val shardedOne = shardedRows(dir, "x29-one", Map.empty, "events.parquet")
+    val shardedSliced = shardedRows(mb, "x29-mb",
+      Map("maxFilesPerTrigger" -> "1"), "events*.parquet")
+    assert(unsharded.nonEmpty, "test premise: some hold must finalize")
+    val cross = unsharded.count(t => t._2 / 3600000L != (t._2 + t._3) / 3600000L)
+    assert(cross > 0, "test premise: fixture must contain cross-hour holds")
+    assert(shardedOne.length == shardedOne.distinct.length,
+      "a hold must be emitted by exactly one stage, once")
+    assert(shardedOne.toSet == unsharded.toSet,
+      "sharded one-shot ledger diverges from the unsharded ledger")
+    assert(shardedSliced.toSet == unsharded.toSet,
+      "sharded sliced ledger diverges from the unsharded ledger")
+  }
+
   test("x25 drains per watermark: per-batch emissions successor-ordered, never overlapping") {
     // VERDICT r10 item 1's prose-to-measurement conversion, spec side: a
     // hold emits in the FIRST batch whose watermark strictly passes its
