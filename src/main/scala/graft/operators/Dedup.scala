@@ -959,6 +959,59 @@ object Dedup {
         .select("doc_id", "rep", "split")
     },
 
+    // EXACT set-similarity join via positional prefix filtering (the
+    // All-Pairs/PPJoin family, Bayardo WWW'07 / Xiao WWW'08) — the
+    // LOSSLESS alternative to d4's MinHash-LSH over the SAME shingle-hash
+    // sets and the same τ = 0.5: banding trades recall for candidate
+    // volume (d19 measures the miss rate); prefix filtering has recall
+    // 1.0 BY CONSTRUCTION, so d4 ⊆ d34 always (the pairs LSH happened to
+    // band together vs every pair above the bar). Shingle hashes get one
+    // global (df ASC, hash) order; each doc keeps only its
+    // p = n − ceil(τ·n) + 1 RAREST shingles as its prefix; any pair with
+    // J ≥ τ must share a prefix shingle (pigeonhole on the required
+    // overlap), so the prefix equi-join generates a candidate superset,
+    // the lossless length filter (τ·|a| ≤ |b| ≤ |a|/τ) prunes it, and
+    // exact verification keeps truth only. 100 TB posture: the equi-join
+    // key is the RAREST shingles — boilerplate-sized df never enters a
+    // prefix unless the doc is nearly all boilerplate, so bucket volume
+    // is df-of-rare-shingle bounded (the reason production exact joins
+    // use this instead of the all-postings join the oracle brute-forces
+    // at gate scale). The threshold is exact integers
+    // (3·|∩| ≥ n1+n2 ⟺ J ≥ 1/2); the reported jaccard divides two exact
+    // longs — d4's own gate-safe division. DedupSpec pins prefix-join ==
+    // brute-force on a crafted corpus and that the prefix candidates
+    // strictly under-count the all-postings candidates.
+    "d34_prefix_filter_join" -> { (s, dir) =>
+      // <3-token docs have empty shingle sets: J is 0/0 — excluded on
+      // both sides
+      val hs0 = hashSetsOf(docs(s, dir))
+        .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+        .filter(col("n") > 0)
+        .localCheckpoint() // feeds df counts, prefixes, AND the verify join
+      val melt = hs0.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+      val dfTab = melt.groupBy("h").agg(count(lit(1)).as("df"))
+      val pref = melt.join(dfTab, Seq("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+        .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+        .select(col("doc_id"), col("n"), col("h"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .filter(col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(hs0.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+          col("n").as("n1")), Seq("d1"))
+        .join(hs0.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+          col("n").as("n2")), Seq("d2"))
+        .withColumn("ic", size(array_intersect(col("hs1"), col("hs2"))))
+        .filter(col("ic") * 3 >= col("n1") + col("n2"))
+        .select(col("d1"), col("d2"),
+          (col("ic").cast("double") / (col("n1") + col("n2") - col("ic")))
+            .as("jaccard"))
+    },
+
     // MinHash estimation error — the third evaluator next to d9 (candidate
     // recall) and d4 (exact verify): per LSH candidate pair, the
     // sketch-estimated Jaccard (fraction of agreeing signature components —
@@ -1688,6 +1741,22 @@ object Dedup {
          |        (instr('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 1, 1)) - 1) * 16
          |      + (instr('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 2, 1)) - 1) AS r
          |      FROM rep) t""".stripMargin,
+
+    // the brute-force all-postings-overlap spelling over the shared
+    // shingle-hash sets: prefix filtering is LOSSLESS at tau = 1/2, so
+    // the exact join equals it by construction (the integer threshold
+    // 3*ic >= n1+n2 is J >= 1/2 exactly)
+    "d34_prefix_filter_join" ->
+      s"""WITH $hashSetSqlCte,
+         |post AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h
+         |         FROM sh WHERE len(hs) > 0),
+         |ov AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |         any_value(a.n) AS n1, any_value(b.n) AS n2,
+         |         count(*) AS ic
+         |       FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(ic AS DOUBLE) / (n1 + n2 - ic) AS jaccard
+         |FROM ov WHERE 3 * ic >= n1 + n2""".stripMargin,
 
     "d14_minhash_estimate" ->
       s"""WITH $sigSqlCte,

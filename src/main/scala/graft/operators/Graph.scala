@@ -139,6 +139,45 @@ object Graph {
   }
 
   val defs: Map[String, Q] = Map(
+    // Synchronous label-propagation community detection (Raghavan 2007's
+    // LPA, the deterministic synchronous variant), 3 unrolled rounds —
+    // the CHEAP community extractor next to g12's threshold+components
+    // (no support cut: every edge votes) and g5's pure connectivity.
+    // Each vertex starts as its own label; per round every vertex adopts
+    // the MODE of its neighbors' labels under the total
+    // (count DESC, label ASC) tie-break — fully deterministic, so three
+    // float-free integer rounds hash-gate cross-engine (async LPA's
+    // arrival-order nondeterminism is exactly what this spelling
+    // removes). Per round: ONE edge-linear equi-join against the label
+    // table, a (v, label) hash agg, and a degree-bounded per-vertex
+    // argmax window — the g2 rank-step shape with mode instead of sum;
+    // rounds checkpointed flat (the g2/g6 lineage discipline). 100 TB
+    // posture: state is one label per vertex, shuffles are edge-linear
+    // per round, nothing corpus-sized sorts. GraphSpec pins sequential
+    // parity on a crafted two-community graph.
+    "g20_label_propagation" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      var labels = sym.select(col("src").as("v")).distinct()
+        .withColumn("lbl", col("v")).localCheckpoint()
+      for (_ <- 1 to 3) {
+        labels = sym
+          .join(labels.select(col("v").as("dst"), col("lbl").as("nl")),
+            Seq("dst"))
+          .groupBy(col("src").as("v"), col("nl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("v")
+              .orderBy(col("c").desc, col("nl"))))
+          .filter(col("rk") === 1)
+          .select(col("v"), col("nl").as("lbl"))
+          .localCheckpoint()
+      }
+      labels
+    },
+
     // Multi-source BFS LAYERS from the hub products — the frontier-
     // expansion iterative shape the family's other loops don't cover
     // (g2 propagates rank, g5/g12 contract components, g6 peels): which
@@ -810,6 +849,34 @@ object Graph {
     // same graph, same (d DESC, v) seed order, three unrolled frontier
     // rounds with NOT-IN visited guards (all vertex ids non-null, so
     // NOT IN is safe)
+    // three synchronous mode-adoption rounds, each a join + group +
+    // row_number argmax under the SAME (count DESC, label ASC) total
+    // tie-break as the Spark window
+    "g20_label_propagation" ->
+      s"""WITH $graphSql,
+        |sym AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |l0 AS (SELECT v, v AS lbl FROM deg),
+        |l1 AS (SELECT v, nl AS lbl FROM (
+        |         SELECT s.src AS v, l.lbl AS nl, count(*) AS c,
+        |           row_number() OVER (PARTITION BY s.src
+        |             ORDER BY count(*) DESC, l.lbl) AS rk
+        |         FROM sym s JOIN l0 l ON s.dst = l.v
+        |         GROUP BY s.src, l.lbl) t WHERE rk = 1),
+        |l2 AS (SELECT v, nl AS lbl FROM (
+        |         SELECT s.src AS v, l.lbl AS nl, count(*) AS c,
+        |           row_number() OVER (PARTITION BY s.src
+        |             ORDER BY count(*) DESC, l.lbl) AS rk
+        |         FROM sym s JOIN l1 l ON s.dst = l.v
+        |         GROUP BY s.src, l.lbl) t WHERE rk = 1),
+        |l3 AS (SELECT v, nl AS lbl FROM (
+        |         SELECT s.src AS v, l.lbl AS nl, count(*) AS c,
+        |           row_number() OVER (PARTITION BY s.src
+        |             ORDER BY count(*) DESC, l.lbl) AS rk
+        |         FROM sym s JOIN l2 l ON s.dst = l.v
+        |         GROUP BY s.src, l.lbl) t WHERE rk = 1)
+        |SELECT v, lbl FROM l3""".stripMargin,
+
     "g15_bfs_layers" ->
       s"""WITH $graphSql,
         |sym AS (SELECT a AS src, b AS dst FROM edges

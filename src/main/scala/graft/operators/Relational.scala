@@ -1659,27 +1659,38 @@ object Relational {
     // hour) partial+final agg; the grid, windows, and fill all run on
     // |hours|·|types| rows — dashboard-sized at any corpus volume.
     "q69_gap_fill" -> { (s, dir) =>
-      val ev = t(s, dir, "events")
-        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
-          expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
-            .as("vm"))
-      val hc = ev.groupBy("event_type", "h")
-        .agg(expr("sum(vm) div count(1)").as("mean_micro"))
-        .localCheckpoint() // feeds the axis bounds + type set + grid join
-      val axis = hc.agg(min("h").as("lo"), max("h").as("hi"))
-        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
-      val grid = axis
-        .crossJoin(broadcast(hc.select("event_type").distinct()))
-        .join(hc, Seq("event_type", "h"), "left")
-      val w = Window.partitionBy("event_type").orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      grid
-        .withColumn("filled_micro",
-          last(col("mean_micro"), ignoreNulls = true).over(w))
+      locfGrid(s, dir)
         .select(col("event_type"),
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("filled_micro"),
           col("mean_micro").isNotNull.cast(LongType).as("was_observed"))
+    },
+
+    // EXPONENTIAL SMOOTHING over the LOCF series — the monitoring
+    // transform q69's raw fill feeds (alerting on a smoothed level, not
+    // single-hour noise). A true recursive EWMA never hash-gates (float
+    // recursion) and never distributes (unbounded serial fold), so this
+    // is the FINITE-window form: 8 terms with halving weights
+    // 128,64,…,1 over the filled hourly means, Σ term·w div 255 in exact
+    // integer micros — both engines compute identical longs, and the
+    // 8-lag unroll is a plain frame the optimizer fuses into ONE window
+    // pass. Hours with fewer than 8 filled predecessors (the type's
+    // first 7 observed-era hours, and everything before its first
+    // observation) emit nothing — no invented warm-up. Scale: the
+    // corpus-scale work is q69's (type, hour) agg; the lags run on the
+    // |types|×|hours| grid (dashboard-sized at any corpus — the q69/q66
+    // argument).
+    "q72_ewma_hourly" -> { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val num = (0 until 8).map(i =>
+        lag(col("filled_micro"), i).over(w) * lit(1L << (7 - i)))
+        .reduce(_ + _)
+      locfGrid(s, dir)
+        .withColumn("num", num)
+        .filter(col("num").isNotNull)
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          expr("num div 255").as("ewma_micro"))
     },
 
     // SESSION PATH transitions — the behavioral readout q16 (session
@@ -1770,6 +1781,31 @@ object Relational {
     * mitigation can never disagree on what "hot" means). Cost: one
     * map-side-combined count pass over the fact, the same pass q66's
     * histogram already takes. */
+  /** q69's LOCF-filled hourly grid, factored so q72's smoothing reads the
+    * IDENTICAL fill (one spelling — the fill and its consumer cannot
+    * drift): the zero-filled min..max hour axis × observed types, hourly
+    * integer-micro means attached, and `filled_micro` = running
+    * last-non-null per type. Columns: event_type, h (timestamp),
+    * mean_micro (nullable), filled_micro (nullable before first obs). */
+  private def locfGrid(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+          .as("vm"))
+    val hc = ev.groupBy("event_type", "h")
+      .agg(expr("sum(vm) div count(1)").as("mean_micro"))
+      .localCheckpoint() // feeds the axis bounds + type set + grid join
+    val axis = hc.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    axis
+      .crossJoin(broadcast(hc.select("event_type").distinct()))
+      .join(hc, Seq("event_type", "h"), "left")
+      .withColumn("filled_micro",
+        last(col("mean_micro"), ignoreNulls = true).over(w))
+  }
+
   private[graft] def skewJoinRecommend(fact: DataFrame, factKey: String,
       hotFactor: Long = 3L): DataFrame = {
     val counts = fact.groupBy(col(factKey).as("hk"))
@@ -2795,6 +2831,41 @@ object Relational {
         |    AS filled_micro,
         |  CAST(mean_micro IS NOT NULL AS BIGINT) AS was_observed
         |FROM grid""".stripMargin,
+
+    // q69's grid + fill restated, then the same 8-term halving-weight
+    // integer sum; num is NULL until 8 filled predecessors exist, and the
+    // // floor matches Spark's div on the non-negative operands
+    "q72_ewma_hourly" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |               AS vm
+        |           FROM events),
+        |hc AS (SELECT event_type, h,
+        |         CAST(sum(vm) // count(*) AS BIGINT) AS mean_micro
+        |       FROM e GROUP BY 1, 2),
+        |axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |         FROM (SELECT min(h) AS lo, max(h) AS hi FROM hc)),
+        |grid AS (SELECT t.event_type, axis.h, hc.mean_micro
+        |         FROM axis
+        |         CROSS JOIN (SELECT DISTINCT event_type FROM hc) t
+        |         LEFT JOIN hc ON hc.event_type = t.event_type
+        |           AND hc.h = axis.h),
+        |f AS (SELECT event_type, h,
+        |        last_value(mean_micro IGNORE NULLS) OVER (PARTITION BY
+        |          event_type ORDER BY h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS filled
+        |      FROM grid),
+        |s AS (SELECT event_type, h,
+        |        128 * lag(filled, 0) OVER w + 64 * lag(filled, 1) OVER w
+        |      + 32 * lag(filled, 2) OVER w + 16 * lag(filled, 3) OVER w
+        |      + 8 * lag(filled, 4) OVER w + 4 * lag(filled, 5) OVER w
+        |      + 2 * lag(filled, 6) OVER w + lag(filled, 7) OVER w AS num
+        |      FROM f
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY h))
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(num // 255 AS BIGINT) AS ewma_micro
+        |FROM s WHERE num IS NOT NULL""".stripMargin,
 
     // q16's exact break rule (gap > 30 min, (ms, event_id) total order),
     // one lead() in the (user, session) sub-partition, integer-ppm

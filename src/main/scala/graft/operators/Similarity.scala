@@ -425,6 +425,42 @@ object Similarity {
       bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
     },
 
+    // MAXIMUM-INNER-PRODUCT search via the augmented-vector reduction
+    // (Bachrach RecSys'14 / Shrivastava-Li NIPS'14): recommendation
+    // scores are raw DOTS (norm matters — a long vector IS a stronger
+    // item), which cosine indexes can't serve directly. The reduction:
+    // append sqrt(M² − |x|²) to every corpus vector (M = max corpus
+    // norm) and 0 to the query — every augmented corpus vector has norm
+    // exactly M, so cos(q̂, x̂) = dot(q, x) / (|q|·M) is a per-query
+    // monotone transform of the inner product, and ANY cosine-ANN
+    // machinery (s2's LSH, s5's IVF — unchanged) now answers MIPS. This
+    // query runs the reduction end-to-end exactly: the ranking column IS
+    // the augmented cosine (the appended component never enters it —
+    // the query side is zero — so the fold is bit-identical to the raw
+    // 64-dim dot both engines compute), the emitted ip is the raw inner
+    // product the recommender wants. Corpus-scale posture: M is ONE agg;
+    // at scale the probe side swaps the brute pass for the s2/s5 index
+    // over the augmented corpus — the whole point of the reduction.
+    // AnnIvfSpec pins argmax-by-augmented-cosine == argmax-by-raw-dot.
+    "s29_mips_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val mm = e.select(dot(col("v"), col("v")).as("ns"))
+        .agg(max("ns").as("mm"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          dot(col("v"), col("v")).as("qn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_aug").desc, col("neighbor_id"))
+      e.crossJoin(broadcast(q)).crossJoin(broadcast(mm))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          dot(col("qv"), col("v")).as("ip"), col("qn"), col("mm"))
+        .withColumn("cos_aug", col("ip") / (sqrt(col("qn")) * sqrt(col("mm"))))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "ip")
+    },
+
     // Dimension-TRUNCATION recall sweep — the Matryoshka question every
     // embedding store faces: how much neighbor quality survives keeping
     // only the first 16 / 32 of 64 dims (4×/2× less storage AND scan)?
@@ -1098,6 +1134,28 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM p) r
          |WHERE rnk <= 10""".stripMargin,
+
+    // the same augmented-cosine ranking fold (ip / (sqrt(qn)·sqrt(mm)))
+    // and the same raw-dot payload, operand for operand
+    "s29_mips_topk" -> {
+      val ipSql = "list_sum(list_transform(list_zip(qv, v), p -> p[1]*p[2]))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             list_sum(list_transform(embedding::DOUBLE[],
+         |               p -> p*p)) AS ns
+         |           FROM embeddings),
+         |mm AS (SELECT max(ns) AS mm FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, ns AS qn
+         |      FROM e WHERE vec_id < 5),
+         |sc AS (SELECT query_id, vec_id AS neighbor_id, $ipSql AS ip,
+         |         $ipSql / (sqrt(qn) * sqrt(mm)) AS cos_aug
+         |       FROM e CROSS JOIN q CROSS JOIN mm
+         |       WHERE vec_id <> query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ip FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_aug DESC, neighbor_id) AS rnk
+         |  FROM sc) r
+         |WHERE rnk <= 5""".stripMargin
+    },
 
     "s2_ann_lsh" -> {
       val probeList = ("qb" +: (0 until numPlanes).map(p => s"xor(qb, ${1 << p})"))

@@ -1306,6 +1306,38 @@ object TextOps {
           expr("n_docs * 1000000 div tot").as("corpus_ppm"))
     },
 
+    // Per-source LENGTH percentile profile — the corpus-shape audit a
+    // curation pipeline reads before setting chunking/packing thresholds
+    // (t20's 512 budget, t27's chunk width): exact p50/p90/p99/max doc
+    // length per source with NO corpus-wide sort — q66's histogram trick
+    // on the length axis. The only corpus-scale work is one (source,
+    // n_chars) hash agg; the cumulative window and ceiling-rank picks run
+    // over the |distinct lengths|-per-source histogram (KB-sized at any
+    // corpus). Percentile rank is the exact ceiling spelling (cum ≥
+    // ⌈p·n/100⌉), integers end to end.
+    "w20_length_profile" -> { (s, dir) =>
+      val h = docs(s, dir)
+        .groupBy(col("source"), col("n_chars").as("len"))
+        .agg(count(lit(1)).as("nd"))
+        .localCheckpoint() // totals + cumulative both read it
+      val tot = h.groupBy("source")
+        .agg(sum(col("nd")).cast(LongType).as("n_docs"))
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("len")
+        .rowsBetween(Long.MinValue, 0)
+      h.withColumn("cum", sum(col("nd")).over(cw))
+        .join(broadcast(tot), Seq("source"))
+        .groupBy("source")
+        .agg(min(col("n_docs")).as("n_docs"),
+          min(when(expr("cum >= (n_docs * 50 + 99) div 100"), col("len")))
+            .as("p50_chars"),
+          min(when(expr("cum >= (n_docs * 90 + 99) div 100"), col("len")))
+            .as("p90_chars"),
+          min(when(expr("cum >= (n_docs * 99 + 99) div 100"), col("len")))
+            .as("p99_chars"),
+          max(col("len")).as("max_chars"))
+    },
+
     // ONE BPE MERGE ROUND applied — the APPLY step t19 (pair statistics)
     // stops short of, and the loop body tokenizer training repeats: pick
     // the top pair by the (count DESC, pair) total order, merge it into a
@@ -2152,6 +2184,27 @@ object TextOps {
         |  CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM h) AS BIGINT)
         |    AS corpus_ppm
         |FROM h""".stripMargin,
+
+    // the same length histogram + cumulative ceiling-rank picks, exact
+    // integers end to end
+    "w20_length_profile" ->
+      """WITH h AS (SELECT source, n_chars AS len, count(*) AS nd
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(nd) AS BIGINT) AS n_docs
+        |      FROM h GROUP BY 1),
+        |c AS (SELECT h.source, len, n_docs,
+        |        sum(nd) OVER (PARTITION BY h.source ORDER BY len
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM h JOIN t ON h.source = t.source)
+        |SELECT source, min(n_docs) AS n_docs,
+        |  min(CASE WHEN cum >= (n_docs * 50 + 99) // 100 THEN len END)
+        |    AS p50_chars,
+        |  min(CASE WHEN cum >= (n_docs * 90 + 99) // 100 THEN len END)
+        |    AS p90_chars,
+        |  min(CASE WHEN cum >= (n_docs * 99 + 99) // 100 THEN len END)
+        |    AS p99_chars,
+        |  max(len) AS max_chars
+        |FROM c GROUP BY source""".stripMargin,
 
     // same (count DESC, pair) argmax, same replace-into-sentinel greedy
     // merge, same single-char symbol pairs with the sentinel expanded

@@ -11,6 +11,30 @@ class AnnIvfSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("s29: augmented-cosine ranking == raw inner-product ranking (the MIPS reduction)") {
+    // the reduction's theorem, checked empirically: ranking by
+    // cos(q-hat, x-hat) = ip / (|q|·M) must reproduce the top-5 by raw
+    // dot under the same (score DESC, neighbor_id) tie-break
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def ip(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val expect = (0L until 5L).flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, ip(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((id, s), i) => (qid, id, i + 1L, s) }
+    }.toSet
+    val got = Similarity.defs("s29_mips_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect, s"MIPS reduction diverged from raw-dot ranking: " +
+      s"${(got diff expect).take(3)} / ${(expect diff got).take(3)}")
+  }
+
   test("s5: 5 queries, ranks dense from 1, sims valid and non-increasing") {
     val rows = Similarity.defs("s5_ann_ivf")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -612,6 +612,32 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expect, s"got ${got.size} parts, expect ${expect.size}")
   }
 
+  test("g20 matches a sequential synchronous LPA on a random graph; communities form") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 150).map { _ =>
+      val a = rnd.nextInt(60) + 1L; val b = rnd.nextInt(60) + 1L
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val d = edgeFixture(edges, "lpa")
+    // sequential reference: 3 SYNCHRONOUS rounds, mode of neighbor labels
+    // under the (count DESC, label ASC) total tie-break
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (v, ns) =>
+        val votes = ns.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Graph.defs("g20_label_propagation")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.values.toSet.size < lbl.size,
+      "test premise: labels must coalesce into communities")
+    assert(got == lbl, s"distributed vs sequential mismatch: " +
+      s"${(got.toSet diff lbl.toSet).take(5)} / ${(lbl.toSet diff got.toSet).take(5)}")
+  }
+
   test("perSeedBfs: 64 seeds batched 8 at a time == one unbatched wave (seed-axis knob)") {
     // VERDICT r10 item 3: the seed axis must be batchable with no result
     // change. Fixture: a 2-row × 100-column grid (each vertex joined to its

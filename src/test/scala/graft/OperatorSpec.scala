@@ -1139,6 +1139,67 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expect, s"got ${got.size} customers, expect ${expect.size}")
   }
 
+  test("w20 length percentiles hand-compute on a 10-doc source (ceiling ranks)") {
+    // lengths 1..10 in source A: p50 = the len where cum >= ceil(10*50/100)
+    // = 5 -> 5; p90 -> cum >= 9 -> 9; p99 -> cum >= ceil(9.9) = 10 -> 10.
+    // Source B has one doc (all percentiles = its length).
+    val d = writeDocs(
+      (1 to 10).map(i => (i.toLong, "x" * i, "A")) :+ (11L, "x" * 7, "B"))
+    val got = TextOps.defs("w20_length_profile")(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == Map(
+      "A" -> ((10L, 5L, 9L, 10L, 10L)),
+      "B" -> ((1L, 7L, 7L, 7L, 7L))), s"got $got")
+  }
+
+  test("q72 EWMA recomputes from q69's filled series by a sequential 8-term fold") {
+    // one spelling of the fill (locfGrid) feeds both queries, so q72 must
+    // equal the hand fold over q69's own gated output: per type, ordered
+    // by hour, num = sum filled[t-i] * 2^(7-i), emitted only when all 8
+    // terms exist
+    val sf = "/root/testdata/sf0.001"
+    val filled = Relational.defs("q69_gap_fill")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val expect = filled.groupBy(_._1).flatMap { case (ty, rows) =>
+      val series = rows.sortBy(_._2)
+      series.indices.flatMap { t =>
+        val terms = (0 until 8).map(i =>
+          if (t - i >= 0) series(t - i)._3 else None)
+        if (terms.forall(_.isDefined))
+          Some((ty, series(t)._2,
+            terms.zipWithIndex.map { case (v, i) => v.get * (1L << (7 - i)) }
+              .sum / 255L))
+        else None
+      }
+    }.toSet
+    val got = Relational.defs("q72_ewma_hourly")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(expect.nonEmpty, "premise: the fixture must produce smoothed rows")
+    assert(got == expect, s"EWMA fold mismatch: " +
+      s"${(got diff expect).take(3)} / ${(expect diff got).take(3)}")
+  }
+
+  test("d34 prefix-filter join: hand-computed pairs, J=0.5 boundary inclusive, sub-threshold excluded") {
+    // shared 10-word run = 8 common shingles; A and B append 4 distinct
+    // words each (12 shingles per doc): ic=8, J = 8/(12+12-8) = 0.5
+    // EXACTLY — the inclusive-threshold boundary. E extends A by one word
+    // (13 shingles, 12 shared with A): J(A,E) = 12/13. J(B,E) = 8/17 —
+    // below the bar and must be absent even though the pair shares
+    // plenty of shingles. U shares nothing.
+    val common = (1 to 10).map(i => s"c$i").mkString(" ")
+    val d = writeDocs(Seq(
+      (1L, common + " a1 a2 a3 a4", "s"),
+      (2L, common + " b1 b2 b3 b4", "s"),
+      (3L, common + " a1 a2 a3 a4 a5", "s"),
+      (4L, "totally unrelated words only here now", "s")))
+    val got = Dedup.defs("d34_prefix_filter_join")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.5), (1L, 3L, 12.0 / 13.0)), s"got $got")
+  }
+
   test("d30 finds strict-prefix pairs only, and a flooded band is capped out") {
     val base = "aaaaaaaaaabbbbbbbbbbccccccccccdddddddddd" // 40 chars
     val long = base + " plus an extended tail here"
