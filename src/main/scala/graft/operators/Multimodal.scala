@@ -59,6 +59,24 @@ object Multimodal {
       "i -> substr(text, (i-1)*32 + 1, 32)) " +
       "ELSE CAST(array() AS ARRAY<STRING>) END"
 
+  /** Per-frame scene-run table (doc_id, frame_no, fm, run_id) — m10's
+    * lag-based run segmentation over the frame digests, factored so the
+    * run rollup (m10) and the keyframe pick (m12) read ONE spelling. */
+  private def frameRuns(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_no")
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    d.select(col("doc_id"), posexplode(expr(frameArraySql)))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("frame_no"),
+        md5(col("col")).as("fm"))
+      .withColumn("new_run",
+        when(lag("fm", 1).over(w).isNull
+          || col("fm") =!= lag("fm", 1).over(w), 1L).otherwise(0L))
+      .withColumn("run_id", sum("new_run").over(cum))
+  }
+
   /** m5's candidate pipeline (stub features → integer-exact two-threshold
     * quantizer → 16-bit codes → viral-code drop → hamming-1 probe
     * equi-join), factored so m8's corpus dedup consumes the same pairs.
@@ -141,24 +159,30 @@ object Multimodal {
     // riding the same doc_id partitioning. Nothing crosses items; payload
     // bytes never shuffle — only 32-byte frame digests.
     "m10_scene_runs" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("frame_no")
-      val cum = w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-      docs(s, dir)
-        .select(col("doc_id"), posexplode(expr(frameArraySql)))
-        .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("frame_no"),
-          md5(col("col")).as("fm"))
-        .withColumn("new_run",
-          when(lag("fm", 1).over(w).isNull
-            || col("fm") =!= lag("fm", 1).over(w), 1L).otherwise(0L))
-        .withColumn("run_id", sum("new_run").over(cum))
+      frameRuns(docs(s, dir))
         .groupBy("doc_id", "run_id").agg(count(lit(1)).as("run_len"))
         .groupBy("doc_id")
         .agg(sum("run_len").cast(LongType).as("n_frames"),
           count(lit(1)).as("n_runs"),
           max("run_len").cast(LongType).as("max_run"))
+    },
+
+    // KEYFRAME selection — the consumer of m10's run segmentation: one
+    // representative frame per scene run (its FIRST frame — deterministic,
+    // and the earliest is the natural thumbnail/contact-sheet pick),
+    // carrying the run's digest and length. The manifest a preview
+    // generator or frame-level dedup index materializes INSTEAD of all
+    // frames: output rows = runs (a freeze-frame heavy item collapses to
+    // its few distinct scenes). Same factored frameRuns spelling as m10 —
+    // the segmentation and its consumer cannot drift. All frames of a run
+    // share fm by construction, so min(fm) IS the run's digest; payload
+    // bytes never shuffle (32-byte digests + longs only).
+    "m12_keyframe_pick" -> { (s, dir) =>
+      frameRuns(docs(s, dir))
+        .groupBy("doc_id", "run_id")
+        .agg(min("frame_no").as("key_frame_no"),
+          min("fm").as("frame_md5"),
+          count(lit(1)).as("run_len"))
     },
 
     // Frame-overlap near-dup — the VIDEO twin of d20's containment dedup:
@@ -383,6 +407,29 @@ object Multimodal {
         |SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_frames,
         |  count(*) AS n_runs, CAST(max(run_len) AS BIGINT) AS max_run
         |FROM rl GROUP BY doc_id""".stripMargin,
+
+    // the same fr/b/r run segmentation with fm carried to the rollup:
+    // min(frame_no) is the keyframe, min(fm) the run digest (constant
+    // within a run)
+    "m12_keyframe_pick" ->
+      """WITH fr AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    md5(substr(text, (CAST(i AS INT)-1)*32 + 1, 32)) AS fm
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, CAST((n_chars + 31) // 32 AS INT))) AS i
+        |        FROM documents) t),
+        |b AS (SELECT doc_id, frame_no, fm,
+        |        CASE WHEN lag(fm) OVER w IS NULL OR fm <> lag(fm) OVER w
+        |             THEN 1 ELSE 0 END AS new_run
+        |      FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+        |r AS (SELECT doc_id, frame_no, fm,
+        |        sum(new_run) OVER (PARTITION BY doc_id ORDER BY frame_no
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |      FROM b)
+        |SELECT doc_id, CAST(run_id AS BIGINT) AS run_id,
+        |  min(frame_no) AS key_frame_no, min(fm) AS frame_md5,
+        |  count(*) AS run_len
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     // m3's frame CTE + d20's df-capped equi-self-join spelling
     "m9_frame_overlap" ->

@@ -768,6 +768,32 @@ class OperatorSpec extends AnyFunSuite {
       3L -> ((4L, 1L, 4L))), s"got $got")
   }
 
+  test("m12 keyframes: first frame of each run, digests match, reconciles with m10") {
+    val a = "a" * 32; val b = "b" * 32
+    val d = writeDocs(Seq(
+      (1L, a + a + b + a, "s"))) // runs: [A A](f1) [B](f3) [A](f4)
+    val got = graft.operators.Multimodal.defs("m12_keyframe_pick")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val md5a = java.security.MessageDigest.getInstance("MD5").digest(a.getBytes)
+      .map("%02x".format(_)).mkString
+    val md5b = java.security.MessageDigest.getInstance("MD5").digest(b.getBytes)
+      .map("%02x".format(_)).mkString
+    assert(got.toSet == Set(
+      (1L, 1L, 1L, md5a, 2L), (1L, 2L, 3L, md5b, 1L), (1L, 3L, 4L, md5a, 1L)),
+      s"got ${got.toSet}")
+    // reconciliation on real data: one keyframe per m10 run, lengths sum
+    // to the frame count
+    val sf = "/root/testdata/sf0.001"
+    val runs = graft.operators.Multimodal.defs("m10_scene_runs")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val keys = graft.operators.Multimodal.defs("m12_keyframe_pick")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> ((rs.map(_.getLong(4)).sum, rs.length.toLong)) }
+    assert(keys == runs, "keyframe manifest does not reconcile with m10's runs")
+  }
+
   test("t23 split assignment is stable under corpus growth (per-source counts unchanged)") {
     // the defining property of an md5-residue split: adding NEW docs (new
     // ids, new source) must not move ANY existing doc across a split
@@ -1289,6 +1315,38 @@ class OperatorSpec extends AnyFunSuite {
       ("A", "B") -> ((2L, 1000000L)),
       ("B", "A") -> ((1L, 500000L)),
       ("B", "C") -> ((1L, 500000L))), s"got $got")
+  }
+
+  test("q73 cohorts hand-compute on a two-cohort fixture (churn, return, late joiner)") {
+    val d = Files.createTempDirectory("graft-cohort-fx").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // 2024-01-01 is a Monday: weeks truncate to it cleanly
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    // cohort W1 (Jan 1): u1 active w1+w2+w3, u2 active w1 only, u3 w1+w3
+    // (skips w2 — the return case LOCF-style counting must NOT bridge);
+    // cohort W2 (Jan 8): u4 active w2+w3
+    val rows = Seq(
+      Row(1L, ts(1), 1L, "A", 1.0, "{}"), Row(2L, ts(9), 1L, "A", 1.0, "{}"),
+      Row(3L, ts(16), 1L, "A", 1.0, "{}"),
+      Row(4L, ts(2), 2L, "A", 1.0, "{}"),
+      Row(5L, ts(3), 3L, "A", 1.0, "{}"), Row(6L, ts(17), 3L, "A", 1.0, "{}"),
+      Row(7L, ts(8), 4L, "A", 1.0, "{}"), Row(8L, ts(15), 4L, "A", 1.0, "{}"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.defs("q73_retention_cohorts")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // W1 cohort size 3: offset0 = {1,2,3}, offset1 = {1} (u3 skipped w2),
+    // offset2 = {1,3}; W2 cohort size 1: offset0 = {4}, offset1 = {4}
+    assert(got == Map(
+      ("2024-01-01", 0L) -> ((3L, 1000000L)),
+      ("2024-01-01", 1L) -> ((1L, 333333L)),
+      ("2024-01-01", 2L) -> ((2L, 666666L)),
+      ("2024-01-08", 0L) -> ((1L, 1000000L)),
+      ("2024-01-08", 1L) -> ((1L, 1000000L))), s"got $got")
   }
 
   test("d32 survivorship reconciles exactly with the d15 corpus it audits") {
