@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.sources.Tables
 
@@ -176,6 +176,43 @@ object Graph {
           .localCheckpoint()
       }
       labels
+    },
+
+    // DEGREE ASSORTATIVITY — the one-number graph-health readout (Newman
+    // 2002): the Pearson correlation of endpoint degrees over directed
+    // (symmetrized) edges. Positive = hubs link hubs (social shape),
+    // negative = hubs link leaves (the hub-and-spoke catalog shape this
+    // co-order graph should show) — the diagnostic that says whether
+    // g2's rank mass concentrates or disperses BEFORE running it. The
+    // q63 exactness discipline: power sums in DECIMAL(38,0) over exact
+    // integer degrees, ONE final IEEE division — both engines compute
+    // the identical double, so a float correlation hash-gates. Plan: two
+    // vertex-sized degree joins onto the edge list, one global agg — no
+    // windows, no iteration; at 100 TB the degree table is the graph
+    // family's standard first materialization.
+    "g21_assortativity" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      val dg = degrees(e)
+      val agg = sym
+        .join(dg.select(col("v").as("src"), col("d").as("x0")), Seq("src"))
+        .join(dg.select(col("v").as("dst"), col("d").as("y0")), Seq("dst"))
+        .select(col("x0").cast(dec).as("x"), col("y0").cast(dec).as("y"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val dx = col("m") * col("sxx") - col("sx") * col("sx")
+      val dy = col("m") * col("syy") - col("sy") * col("sy")
+      val num = col("m") * col("sxy") - col("sx") * col("sy")
+      agg.select(col("m").as("n_edges_directed"),
+        when(dx <= 0 || dy <= 0, lit(null).cast(DoubleType))
+          .otherwise(num.cast(DoubleType)
+            / (sqrt(dx.cast(DoubleType)) * sqrt(dy.cast(DoubleType))))
+          .as("r"))
     },
 
     // Multi-source BFS LAYERS from the hub products — the frontier-
@@ -849,6 +886,26 @@ object Graph {
     // same graph, same (d DESC, v) seed order, three unrolled frontier
     // rounds with NOT-IN visited guards (all vertex ids non-null, so
     // NOT IN is safe)
+    // the same decimal power sums over the same symmetrized endpoint
+    // degrees, one final IEEE division
+    "g21_assortativity" ->
+      s"""WITH $graphSql,
+        |sym AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |xy AS (SELECT CAST(dx.d AS DECIMAL(38,0)) AS x,
+        |         CAST(dy.d AS DECIMAL(38,0)) AS y
+        |       FROM sym JOIN deg dx ON sym.src = dx.v
+        |                JOIN deg dy ON sym.dst = dy.v),
+        |a AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |      FROM xy)
+        |SELECT CAST(m AS BIGINT) AS n_edges_directed,
+        |  CASE WHEN m*sxx - sx*sx <= 0 OR m*syy - sy*sy <= 0 THEN NULL
+        |       ELSE CAST(m*sxy - sx*sy AS DOUBLE)
+        |         / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+        |            * sqrt(CAST(m*syy - sy*sy AS DOUBLE))) END AS r
+        |FROM a""".stripMargin,
+
     // three synchronous mode-adoption rounds, each a join + group +
     // row_number argmax under the SAME (count DESC, label ASC) total
     // tie-break as the Spark window

@@ -612,6 +612,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expect, s"got ${got.size} parts, expect ${expect.size}")
   }
 
+  test("g21 assortativity: star pins r = -1, regular graph pins NULL (zero variance)") {
+    // a star's directed endpoint-degree points are (n,1)×n and (1,n)×n —
+    // all on one negative-slope line, so r = -1 exactly (up to the one
+    // final IEEE division); K4 has constant degrees, so the variance
+    // guard must emit NULL, not a 0/0
+    val star = edgeFixture((2L to 6L).map(l => (1L, l)), "astar")
+    val sRow = Graph.defs("g21_assortativity")(spark, star).collect().head
+    assert(sRow.getLong(0) == 10L, s"directed edge count: ${sRow.getLong(0)}")
+    assert(math.abs(sRow.getDouble(1) + 1.0) < 1e-12,
+      s"star r must be -1, got ${sRow.getDouble(1)}")
+    val k4 = edgeFixture(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)), "ak4")
+    val kRow = Graph.defs("g21_assortativity")(spark, k4).collect().head
+    assert(kRow.isNullAt(1), "constant-degree graph must emit NULL r")
+  }
+
   test("g20 matches a sequential synchronous LPA on a random graph; communities form") {
     val rnd = new scala.util.Random(23)
     val edges = (1 to 150).map { _ =>
