@@ -80,17 +80,21 @@ object SkewFloodSmoke {
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"),
         count(lit(1)).as("n_items"))
-    val plain = rollup(fact.hint("merge")
+    // salted is a THUNK: saltedSkewJoin runs its hot-key detection pass
+    // eagerly at construction (skewJoinRecommend + localCheckpoint), so
+    // building it once outside the timer would exclude the detection scan
+    // the mitigation pays in production from salted_s (code-review r11)
+    def plain(): DataFrame = rollup(fact.hint("merge")
       .join(dim, col("l_partkey") === col("p_partkey")))
-    val salted = rollup(graft.operators.Relational.saltedSkewJoin(
+    def salted(): DataFrame = rollup(graft.operators.Relational.saltedSkewJoin(
       fact, dim, "l_partkey", "p_partkey", saltR = 8,
       factId = Seq(col("l_orderkey"), col("l_linenumber"))))
 
-    def timed(df: DataFrame, skewAqe: Boolean): Double = {
+    def timed(mk: () => DataFrame, skewAqe: Boolean): Double = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewAqe.toString)
       try {
         def force(): Unit =
-          df.write.format("noop").mode("overwrite").save()
+          mk().write.format("noop").mode("overwrite").save()
         force() // warm-up
         (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -100,9 +104,9 @@ object SkewFloodSmoke {
       } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     }
 
-    val tPlainNoAqe = timed(plain, skewAqe = false)
-    val tPlainAqe = timed(plain, skewAqe = true)
-    val tSalted = timed(salted, skewAqe = false)
+    val tPlainNoAqe = timed(() => plain(), skewAqe = false)
+    val tPlainAqe = timed(() => plain(), skewAqe = true)
+    val tSalted = timed(() => salted(), skewAqe = false)
 
     println(f"""{"metric":"skew_flood_smoke","factor":$factor,"base":"$base","hot_key":$hotKey,"hot_rows":$hotRows,"total_rows":$totRows,"hot_set_detected":${hotSet.mkString("[", ",", "]")},"plain_unmitigated_s":$tPlainNoAqe%.2f,"plain_aqe_s":$tPlainAqe%.2f,"salted_s":$tSalted%.2f}""")
     spark.stop()

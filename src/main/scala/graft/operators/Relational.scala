@@ -1797,20 +1797,6 @@ object Relational {
     }
   )
 
-  /** Hot-key salted join (q67): fact ⋈ dim on `factKey = dimKey`, with keys
-    * whose fact group size exceeds `hotFactor`× the mean spread over `saltR`
-    * deterministic salt replicas. Returns the joined frame (all columns of
-    * both inputs minus the helper salt columns). */
-  /** The q66 → q67 ADVISORY (VERDICT r10 item 7): the exact hot-key set
-    * [[saltedSkewJoin]] would salt, as a standalone one-column (`hk`)
-    * frame — keys whose fact group exceeds `hotFactor`× the mean group
-    * size. Empty result = the key distribution is uniform enough that the
-    * plain join is the right plan; non-empty = pass the same
-    * (key, hotFactor) to [[saltedSkewJoin]], which derives the identical
-    * set (one predicate spelling — q66's audit, this advisory, and q67's
-    * mitigation can never disagree on what "hot" means). Cost: one
-    * map-side-combined count pass over the fact, the same pass q66's
-    * histogram already takes. */
   /** q69's LOCF-filled hourly grid, factored so q72's smoothing reads the
     * IDENTICAL fill (one spelling — the fill and its consumer cannot
     * drift): the zero-filled min..max hour axis × observed types, hourly
@@ -1836,6 +1822,16 @@ object Relational {
         last(col("mean_micro"), ignoreNulls = true).over(w))
   }
 
+  /** The q66 → q67 ADVISORY (VERDICT r10 item 7): the exact hot-key set
+    * [[saltedSkewJoin]] would salt, as a standalone one-column (`hk`)
+    * frame — keys whose fact group exceeds `hotFactor`× the mean group
+    * size. Empty result = the key distribution is uniform enough that the
+    * plain join is the right plan; non-empty = pass the same
+    * (key, hotFactor) to [[saltedSkewJoin]], which derives the identical
+    * set (one predicate spelling — q66's audit, this advisory, and q67's
+    * mitigation can never disagree on what "hot" means). Cost: one
+    * map-side-combined count pass over the fact, the same pass q66's
+    * histogram already takes. */
   private[graft] def skewJoinRecommend(fact: DataFrame, factKey: String,
       hotFactor: Long = 3L): DataFrame = {
     val counts = fact.groupBy(col(factKey).as("hk"))
@@ -1847,6 +1843,10 @@ object Relational {
       .select(col("hk"))
   }
 
+  /** Hot-key salted join (q67): fact ⋈ dim on `factKey = dimKey`, with keys
+    * whose fact group size exceeds `hotFactor`× the mean spread over `saltR`
+    * deterministic salt replicas. Returns the joined frame (all columns of
+    * both inputs minus the helper salt columns). */
   private[graft] def saltedSkewJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, saltR: Int,
       factId: Seq[Column], hotFactor: Long = 3L): DataFrame = {

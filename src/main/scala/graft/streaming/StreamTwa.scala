@@ -48,6 +48,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * contract, so none is imposed. Values are integer micros and holds
   * integer ms (q65's exact-arithmetic discipline), so the emitted
   * ledger hash-gates bit-for-bit.
+  *
+  * PRODUCTION FORM at high per-type rates: x29 ([[StreamTwaSharded]]) —
+  * the same ledger keyed (type, epoch-hour) with a boundary stitch, so
+  * state parallelism is |types|×|hours| and shards are FREED at hour
+  * close where this operator's type keys live forever. At the local
+  * harness's scale (62k rows/trigger over 5 types) the two run in the
+  * same throughput band — the ceiling binds when one type's per-trigger
+  * volume saturates a core, i.e. at cluster rates. This type-keyed
+  * spelling stays the reference implementation the sharded twin is
+  * proven against.
   */
 object StreamTwa {
 

@@ -73,26 +73,6 @@ object StreamTwaSharded {
 
   private def stampOf(finalityMs: Long) = new java.sql.Timestamp(finalityMs + 1)
 
-  /** Stage-2 merge on (ms, event_id, ROLE) — one key wider than
-    * [[StreamOrder]]'s, because a single-observation hour emits the same
-    * (ms, event_id) under both boundary roles and the f,l alternation
-    * depends on role ordering the tie. */
-  private def merge3(a: IndexedSeq[(Long, Long, Long, Long)],
-      b: IndexedSeq[(Long, Long, Long, Long)]): IndexedSeq[(Long, Long, Long, Long)] = {
-    val out = Vector.newBuilder[(Long, Long, Long, Long)]
-    out.sizeHint(a.size + b.size)
-    var i = 0; var j = 0
-    while (i < a.size && j < b.size) {
-      val x = a(i); val y = b(j)
-      val le = x._1 < y._1 || (x._1 == y._1 &&
-        (x._2 < y._2 || (x._2 == y._2 && x._3 <= y._3)))
-      if (le) { out += x; i += 1 } else { out += y; j += 1 }
-    }
-    while (i < a.size) { out += a(i); i += 1 }
-    while (j < b.size) { out += b(j); j += 1 }
-    out.result()
-  }
-
   private def stage1(key: (String, Long), it: Iterator[Obs2],
       state: GroupState[Buf1]): Iterator[Mid] = {
     val (ty, hour) = key
@@ -153,7 +133,7 @@ object StreamTwaSharded {
     }
     val fresh = freshB.result().sortBy(o => (o._1, o._2, o._3))
     val prior = state.getOption.map(_.obs.toIndexedSeq).getOrElse(IndexedSeq.empty)
-    val sorted = merge3(prior, fresh)
+    val sorted = StreamOrder.merge3(prior, fresh)
     val wm = state.getCurrentWatermarkMs()
     val k = sorted.count(_._1 < wm)
     (1 until k).foreach { i =>
