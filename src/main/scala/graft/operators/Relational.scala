@@ -1666,36 +1666,6 @@ object Relational {
           col("mean_micro").isNotNull.cast(LongType).as("was_observed"))
     },
 
-    // RETENTION COHORTS — the user-lifecycle matrix every growth team
-    // reads, and the family's missing longitudinal member (q16 sees
-    // sessions, q70 sees transitions; neither says whether week-3 users
-    // COME BACK): cohort = the user's first active week, and each
-    // (cohort, offset) cell counts users still active offset weeks later,
-    // with retention as an exact integer-ppm share of the cohort's size.
-    // Plan: ONE (user, week) distinct + ONE user-keyed min — both ride
-    // the same user-key exchange — then everything else (the offset
-    // cells, the offset-0 base join) runs on the |weeks|²-bounded matrix.
-    // The offset-0 cell exists for every cohort by construction (a user
-    // is active in their own first week), so the base join never drops a
-    // row. Weeks are date_trunc both engines (Monday); offsets divide
-    // exact day counts by 7.
-    "q73_retention_cohorts" -> { (s, dir) =>
-      val act = t(s, dir, "events")
-        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
-        .distinct().localCheckpoint() // feeds the cohort min AND the cells
-      val first = act.groupBy("user_id").agg(min("wk").as("cohort"))
-      val cells = act.join(first, Seq("user_id"))
-        .withColumn("offset_weeks", expr("datediff(wk, cohort) div 7"))
-        .groupBy("cohort", "offset_weeks").agg(count(lit(1)).as("n_users"))
-        .localCheckpoint() // matrix-sized; read twice (cells + base)
-      val base = cells.filter(col("offset_weeks") === 0)
-        .select(col("cohort"), col("n_users").as("cohort_size"))
-      cells.join(broadcast(base), Seq("cohort"))
-        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
-          col("offset_weeks"), col("n_users"),
-          expr("n_users * 1000000 div cohort_size").as("retention_ppm"))
-    },
-
     // EXPONENTIAL SMOOTHING over the LOCF series — the monitoring
     // transform q69's raw fill feeds (alerting on a smoothed level, not
     // single-hour noise). A true recursive EWMA never hash-gates (float
@@ -2861,24 +2831,6 @@ object Relational {
         |    AS filled_micro,
         |  CAST(mean_micro IS NOT NULL AS BIGINT) AS was_observed
         |FROM grid""".stripMargin,
-
-    // the same (user, week) distinct -> cohort min -> matrix cells ->
-    // offset-0 base, exact day-count // 7 offsets and integer-ppm shares
-    "q73_retention_cohorts" ->
-      """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
-        |             FROM events),
-        |f AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY 1),
-        |cells AS (SELECT cohort,
-        |            date_diff('day', cohort, wk) // 7 AS offset_weeks,
-        |            count(*) AS n_users
-        |          FROM act JOIN f USING (user_id) GROUP BY 1, 2),
-        |b AS (SELECT cohort, n_users AS cohort_size FROM cells
-        |      WHERE offset_weeks = 0)
-        |SELECT strftime(cells.cohort, '%Y-%m-%d') AS cohort_week,
-        |  CAST(offset_weeks AS BIGINT) AS offset_weeks,
-        |  CAST(n_users AS BIGINT) AS n_users,
-        |  CAST(n_users * 1000000 // cohort_size AS BIGINT) AS retention_ppm
-        |FROM cells JOIN b ON cells.cohort = b.cohort""".stripMargin,
 
     // q69's grid + fill restated, then the same 8-term halving-weight
     // integer sum; num is NULL until 8 filled predecessors exist, and the

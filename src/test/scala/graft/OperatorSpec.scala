@@ -1317,7 +1317,7 @@ class OperatorSpec extends AnyFunSuite {
       ("B", "C") -> ((1L, 500000L))), s"got $got")
   }
 
-  test("q73 cohorts hand-compute on a two-cohort fixture (churn, return, late joiner)") {
+  test("q43 cohorts hand-compute on a two-cohort fixture (churn, return, late joiner)") {
     val d = Files.createTempDirectory("graft-cohort-fx").toString
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
@@ -1326,7 +1326,7 @@ class OperatorSpec extends AnyFunSuite {
     // 2024-01-01 is a Monday: weeks truncate to it cleanly
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
     // cohort W1 (Jan 1): u1 active w1+w2+w3, u2 active w1 only, u3 w1+w3
-    // (skips w2 — the return case LOCF-style counting must NOT bridge);
+    // (skips w2 — the return case week counting must NOT bridge);
     // cohort W2 (Jan 8): u4 active w2+w3
     val rows = Seq(
       Row(1L, ts(1), 1L, "A", 1.0, "{}"), Row(2L, ts(9), 1L, "A", 1.0, "{}"),
@@ -1336,17 +1336,17 @@ class OperatorSpec extends AnyFunSuite {
       Row(7L, ts(8), 4L, "A", 1.0, "{}"), Row(8L, ts(15), 4L, "A", 1.0, "{}"))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
       .write.mode("overwrite").parquet(s"$d/events.parquet")
-    val got = Relational.defs("q73_retention_cohorts")(spark, d).collect()
+    val got = Relational.defs("q43_retention_cohorts")(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3)))).toMap
     // W1 cohort size 3: offset0 = {1,2,3}, offset1 = {1} (u3 skipped w2),
     // offset2 = {1,3}; W2 cohort size 1: offset0 = {4}, offset1 = {4}
     assert(got == Map(
-      ("2024-01-01", 0L) -> ((3L, 1000000L)),
-      ("2024-01-01", 1L) -> ((1L, 333333L)),
-      ("2024-01-01", 2L) -> ((2L, 666666L)),
-      ("2024-01-08", 0L) -> ((1L, 1000000L)),
-      ("2024-01-08", 1L) -> ((1L, 1000000L))), s"got $got")
+      ("2024-01-01", 0L) -> ((3L, 3L)),
+      ("2024-01-01", 1L) -> ((1L, 3L)),
+      ("2024-01-01", 2L) -> ((2L, 3L)),
+      ("2024-01-08", 0L) -> ((1L, 1L)),
+      ("2024-01-08", 1L) -> ((1L, 1L))), s"got $got")
   }
 
   test("d32 survivorship reconciles exactly with the d15 corpus it audits") {
