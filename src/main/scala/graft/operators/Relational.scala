@@ -1666,6 +1666,39 @@ object Relational {
           col("mean_micro").isNotNull.cast(LongType).as("was_observed"))
     },
 
+    // CUMULATIVE UNIQUES — "total distinct users to date" per day, the
+    // growth curve every dashboard tops with. The naive spelling
+    // (count-distinct over an expanding window) is quadratic and
+    // unmergeable; the exact distributed spelling is the FIRST-EVENT
+    // trick: cumulative distinct users at day d ≡ users whose FIRST
+    // active day ≤ d, so one user-keyed min + a per-day new-user count
+    // + a running sum over the dashboard-sized day axis computes it
+    // exactly at any scale. Zero-filled day grid (q69's axis
+    // discipline): a day with events but no new users shows its traffic
+    // and a flat curve; a day with no events at all still carries the
+    // running total. The single-partition cumulative window runs over
+    // |days| rows — q66's histogram argument.
+    "q74_cumulative_uniques" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      val daily = ev.groupBy("d").agg(count(lit(1)).as("n_events"))
+        .localCheckpoint() // feeds the axis bounds AND the grid join
+      val firsts = ev.groupBy("user_id").agg(min("d").as("fd"))
+        .groupBy(col("fd").as("d")).agg(count(lit(1)).as("n_new"))
+      val axis = daily.agg(min("d").as("lo"), max("d").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      val cw = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      axis
+        .join(daily, Seq("d"), "left")
+        .join(firsts, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_new"), lit(0L)).as("n_new_users"))
+        .withColumn("cum_unique_users", sum(col("n_new_users")).over(cw))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n_events"), col("n_new_users"), col("cum_unique_users"))
+    },
+
     // EXPONENTIAL SMOOTHING over the LOCF series — the monitoring
     // transform q69's raw fill feeds (alerting on a smoothed level, not
     // single-hour noise). A true recursive EWMA never hash-gates (float
@@ -2831,6 +2864,26 @@ object Relational {
         |    AS filled_micro,
         |  CAST(mean_micro IS NOT NULL AS BIGINT) AS was_observed
         |FROM grid""".stripMargin,
+
+    // the same first-event trick: cumulative distinct ≡ running sum of
+    // per-day first-appearance counts over the zero-filled day grid
+    "q74_cumulative_uniques" ->
+      """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS d FROM events),
+        |daily AS (SELECT d, count(*) AS n_events FROM ev GROUP BY 1),
+        |firsts AS (SELECT fd AS d, count(*) AS n_new FROM
+        |             (SELECT user_id, min(d) AS fd FROM ev GROUP BY 1) t
+        |           GROUP BY 1),
+        |axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        |         FROM (SELECT min(d) AS lo, max(d) AS hi FROM daily))
+        |SELECT strftime(axis.d, '%Y-%m-%d') AS day,
+        |  CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new_users,
+        |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY axis.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_unique_users
+        |FROM axis
+        |LEFT JOIN daily ON axis.d = daily.d
+        |LEFT JOIN firsts ON axis.d = firsts.d""".stripMargin,
 
     // q69's grid + fill restated, then the same 8-term halving-weight
     // integer sum; num is NULL until 8 filled predecessors exist, and the

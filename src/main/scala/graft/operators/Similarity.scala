@@ -425,6 +425,58 @@ object Similarity {
       bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
     },
 
+    // s29's reduction COMPOSED WITH THE INDEX — the scale path the
+    // augmentation exists for: the augmented-normalized corpus
+    // u = v/√M ⊕ √(1−|v|²/M²) is unit-norm BY CONSTRUCTION, so s5's
+    // coarse IVF machinery serves MIPS completely unchanged (same
+    // centroid seeds, same argmax-cosine assign, same nprobe=2 probe) —
+    // only the QUERY side differs (q/|q| ⊕ 0: a query has no norm
+    // completion). Candidates come from probed lists instead of the
+    // corpus, exact augmented-cosine re-ranks them, and the emitted ip
+    // is the raw 64-dim dot of the ORIGINAL vectors. Inherits IVF's
+    // recall caveat exactly as s5 does (s7 measures it for cosine;
+    // AnnIvfSpec pins s30 ⊆ s29's exact candidate semantics here).
+    // At corpus scale this is the operative MIPS plan: one broadcast
+    // codebook pass + per-list probes, never the brute cross.
+    "s30_mips_ivf" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val withN = e.select(col("vec_id"), col("v"),
+        dot(col("v"), col("v")).as("ns"))
+      val mm = withN.agg(max("ns").as("mm"))
+      val n = withN.crossJoin(broadcast(mm))
+        .select(col("vec_id"), col("v"),
+          concat(expr("transform(v, x -> x / sqrt(mm))"),
+            array(sqrt(greatest(lit(0.0), lit(1.0) - col("ns") / col("mm")))))
+            .as("u"))
+        .localCheckpoint() // centroids + assign + verify all read it
+      val cent = n.filter(col("vec_id").between(100, 107))
+        .select((col("vec_id") - 100).as("cid"), col("u").as("cu"))
+      val asg = coarseAssign(n.select(col("vec_id"), col("u")), cent)
+      val qs = withN.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          concat(expr("transform(v, x -> x / sqrt(ns))"), array(lit(0.0)))
+            .as("qu"))
+      val pw = Window.partitionBy("query_id")
+        .orderBy(col("csim").desc, col("cid"))
+      val probes = qs.crossJoin(broadcast(cent))
+        .select(col("query_id"), col("qu"), col("qv"), col("cid"),
+          dot(col("qu"), col("cu")).as("csim"))
+        .withColumn("crk", row_number().over(pw))
+        .filter(col("crk") <= 2)
+        .select("query_id", "qu", "qv", "cid")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      asg.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(n.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          dot(col("qu"), col("u")).as("sim"),
+          dot(col("qv"), col("v")).as("ip"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "ip")
+    },
+
     // MAXIMUM-INNER-PRODUCT search via the augmented-vector reduction
     // (Bachrach RecSys'14 / Shrivastava-Li NIPS'14): recommendation
     // scores are raw DOTS (norm matters — a long vector IS a stronger
@@ -1134,6 +1186,46 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM p) r
          |WHERE rnk <= 10""".stripMargin,
+
+    // the same augmentation (u = v/√M ⊕ √(1−|v|²/M²), qu = q/|q| ⊕ 0),
+    // the same centroid seeds/assign/probe CTEs as s5, the same raw-dot
+    // payload — operand for operand
+    "s30_mips_ivf" -> {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             list_sum(list_transform(embedding::DOUBLE[],
+         |               p -> p*p)) AS ns
+         |           FROM embeddings),
+         |mm AS (SELECT max(ns) AS mm FROM e),
+         |n AS (SELECT vec_id, v,
+         |        list_transform(v, x -> x / sqrt(mm))
+         |          || [sqrt(greatest(0.0, 1.0 - ns / mm))] AS u
+         |      FROM e CROSS JOIN mm),
+         |cent AS (SELECT vec_id - 100 AS cid, u AS cu FROM n
+         |         WHERE vec_id BETWEEN 100 AND 107),
+         |asg AS (SELECT vec_id, u, v, cid FROM (
+         |    SELECT n.vec_id, n.u, n.v, cent.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d("n.u", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM n CROSS JOIN cent) t WHERE crk = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv,
+         |        list_transform(v, x -> x / sqrt(ns)) || [0.0] AS qu
+         |      FROM e WHERE vec_id < 5),
+         |probes AS (SELECT query_id, qu, qv, cid FROM (
+         |    SELECT q.query_id, q.qu, q.qv, cent.cid,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${d("q.qu", "cent.cu")} DESC, cent.cid) AS crk
+         |    FROM q CROSS JOIN cent) t WHERE crk <= 2),
+         |p AS (SELECT query_id, asg.vec_id AS neighbor_id,
+         |        ${d("qu", "asg.u")} AS sim, ${d("qv", "asg.v")} AS ip
+         |      FROM asg JOIN probes ON asg.cid = probes.cid
+         |      WHERE asg.vec_id <> probes.query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, ip FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p) r
+         |WHERE rnk <= 5""".stripMargin
+    },
 
     // the same augmented-cosine ranking fold (ip / (sqrt(qn)·sqrt(mm)))
     // and the same raw-dot payload, operand for operand

@@ -1306,6 +1306,36 @@ object TextOps {
           expr("n_docs * 1000000 div tot").as("corpus_ppm"))
     },
 
+    // Per-source-pair VOCABULARY overlap — the third axis of the
+    // source-similarity triangle: w12 compares token DISTRIBUTIONS (TV
+    // distance), d16 compares near-dup CONTENT, this compares vocabulary
+    // SETS (exact Jaccard over distinct tokens) — the signal that says
+    // two crawls cover the same domain even when their documents and
+    // token frequencies differ. One (source, token) distinct pass bounds
+    // everything: the token self-join fans out at most |sources| per
+    // token (the postings carry sources, never documents), the pair
+    // matrix is |sources|² rows, and the Jaccard divides two exact
+    // longs (d4's gate-safe division).
+    "w21_vocab_overlap" -> { (s, dir) =>
+      val st = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .distinct().localCheckpoint() // postings: sizes + pair join
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+      st.as("a").join(st.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("shared_vocab"))
+        .join(broadcast(sizes.select(col("source").as("s1"),
+          col("n").as("n1"))), Seq("s1"))
+        .join(broadcast(sizes.select(col("source").as("s2"),
+          col("n").as("n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          col("shared_vocab"),
+          (col("shared_vocab").cast("double")
+            / (col("n1") + col("n2") - col("shared_vocab")))
+            .as("vocab_jaccard"))
+    },
+
     // Per-source LENGTH percentile profile — the corpus-shape audit a
     // curation pipeline reads before setting chunking/packing thresholds
     // (t20's 512 budget, t27's chunk width): exact p50/p90/p99/max doc
@@ -2184,6 +2214,21 @@ object TextOps {
         |  CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM h) AS BIGINT)
         |    AS corpus_ppm
         |FROM h""".stripMargin,
+
+    // the same (source, token) distinct postings, pair counts, and exact
+    // long division
+    "w21_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, unnest(string_split(text, ' '))
+        |              AS tok
+        |            FROM documents),
+        |sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+        |pr AS (SELECT a.source AS s1, b.source AS s2, count(*) AS shared_vocab
+        |       FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT s1, s2, x.n AS n1, y.n AS n2, shared_vocab,
+        |  CAST(shared_vocab AS DOUBLE) / (x.n + y.n - shared_vocab)
+        |    AS vocab_jaccard
+        |FROM pr JOIN sz x ON s1 = x.source JOIN sz y ON s2 = y.source""".stripMargin,
 
     // the same length histogram + cumulative ceiling-rank picks, exact
     // integers end to end

@@ -35,6 +35,36 @@ class AnnIvfSpec extends AnyFunSuite {
       s"${(got diff expect).take(3)} / ${(expect diff got).take(3)}")
   }
 
+  test("s30: IVF MIPS agrees with exact MIPS order on shared pairs; ip non-increasing") {
+    // the reduction composed with the index: per query the ranking column
+    // is sim = ip / (|q|·M), so ip must be non-increasing with rank; and
+    // wherever s30's probed-list candidates intersect s29's exact top-5,
+    // the relative order must agree (IVF loses candidates, never reorders)
+    val ivf = Similarity.defs("s30_mips_ivf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exact = Similarity.defs("s29_mips_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = ivf.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { qs =>
+      val sorted = qs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq,
+        "ranks must be dense from 1")
+      assert(sorted.map(_._4).reverse.sorted.reverse.toSeq == sorted.map(_._4).toSeq,
+        "ip must be non-increasing with rank")
+    }
+    val exactRank = exact.map(t => (t._1, t._2) -> t._3).toMap
+    var shared = 0
+    byQ.foreach { case (q, qs) =>
+      val both = qs.filter(t => exactRank.contains((q, t._2))).sortBy(_._3)
+      shared += both.length
+      val exactOrder = both.sortBy(t => exactRank((q, t._2)))
+      assert(both.map(_._2).toSeq == exactOrder.map(_._2).toSeq,
+        s"query $q: IVF reordered pairs vs the exact MIPS ranking")
+    }
+    assert(shared > 0, "test premise: probed lists must hit some exact top-5")
+  }
+
   test("s5: 5 queries, ranks dense from 1, sims valid and non-increasing") {
     val rows = Similarity.defs("s5_ann_ivf")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

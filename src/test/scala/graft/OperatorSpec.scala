@@ -1317,6 +1317,45 @@ class OperatorSpec extends AnyFunSuite {
       ("B", "C") -> ((1L, 500000L))), s"got $got")
   }
 
+  test("w21 vocab overlap hand-computes; zero-overlap pairs are absent, not 0.0") {
+    // A={a,b,c}, B={b,c,d}: J = 2/4; C={x,y} shares nothing — the pair
+    // join must emit NO (A,C)/(B,C) row (absence IS the zero-overlap
+    // verdict; a dense matrix would cost |sources|² rows of nothing)
+    val d = writeDocs(Seq(
+      (1L, "a b", "A"), (2L, "b c", "A"),
+      (3L, "b c d", "B"),
+      (4L, "x y", "C")))
+    val got = TextOps.defs("w21_vocab_overlap")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == Map(("A", "B") -> ((3L, 3L, 2L, 0.5))), s"got $got")
+  }
+
+  test("q74 cumulative uniques: first-event trick hand-computes, gap day carries the total") {
+    val d = Files.createTempDirectory("graft-cumuniq-fx").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day}%02d 10:00:00")
+    // day1: u1,u2 new; day2: u1 returns (no new) ; day3: NO events (gap);
+    // day4: u3 new + u2 returns
+    val rows = Seq(
+      Row(1L, ts(1), 1L, "A", 1.0, "{}"), Row(2L, ts(1), 2L, "A", 1.0, "{}"),
+      Row(3L, ts(2), 1L, "A", 1.0, "{}"),
+      Row(4L, ts(4), 3L, "A", 1.0, "{}"), Row(5L, ts(4), 2L, "A", 1.0, "{}"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.defs("q74_cumulative_uniques")(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "2024-03-01" -> ((2L, 2L, 2L)),
+      "2024-03-02" -> ((1L, 0L, 2L)),
+      "2024-03-03" -> ((0L, 0L, 2L)),
+      "2024-03-04" -> ((2L, 1L, 3L))), s"got $got")
+  }
+
   test("q43 cohorts hand-compute on a two-cohort fixture (churn, return, late joiner)") {
     val d = Files.createTempDirectory("graft-cohort-fx").toString
     val schema = StructType(Seq(
