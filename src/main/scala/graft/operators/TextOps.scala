@@ -1306,6 +1306,32 @@ object TextOps {
           expr("n_docs * 1000000 div tot").as("corpus_ppm"))
     },
 
+    // Per-source SIMPSON DIVERSITY — the repeat-mass number beside w9's
+    // Zipf slope and w11's Heaps curve: the probability two tokens drawn
+    // without replacement from a source are THE SAME TYPE,
+    // Σ c_i(c_i−1) / (N(N−1)), in exact integer ppb. Entropy wants ln()
+    // (never portable cross-engine); Simpson's index is pure integer
+    // arithmetic, so it hash-gates — and 1/it is the "effective
+    // vocabulary" a mixture designer reads. Sums ride DECIMAL(38,0)
+    // (the q63/g21 overflow posture: token counts at 100 TB square past
+    // int64), the final ppb is one exact decimal division. Plan: ONE
+    // (source, token) count agg, then a |vocab|-sized second agg — w1's
+    // wordcount shape with a per-source axis.
+    "w22_simpson_diversity" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val tc = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      tc.groupBy("source")
+        .agg(sum(col("c")).cast(dec).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum((col("c").cast(dec)) * (col("c").cast(dec) - 1)).as("coll"))
+        .select(col("source"),
+          col("n_tokens").cast(LongType).as("n_tokens"), col("n_types"),
+          (col("coll") * lit(1000000000L) / (col("n_tokens") * (col("n_tokens") - 1)))
+            .cast(LongType).as("simpson_ppb"))
+    },
+
     // Per-source-pair VOCABULARY overlap — the third axis of the
     // source-similarity triangle: w12 compares token DISTRIBUTIONS (TV
     // distance), d16 compares near-dup CONTENT, this compares vocabulary
@@ -2214,6 +2240,23 @@ object TextOps {
         |  CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM h) AS BIGINT)
         |    AS corpus_ppm
         |FROM h""".stripMargin,
+
+    // the same count-of-counts arithmetic in HUGEINT, the same floor
+    // division on non-negative operands
+    "w22_simpson_diversity" ->
+      """WITH tc AS (SELECT source, tok, count(*) AS c
+        |            FROM (SELECT source, unnest(string_split(text, ' '))
+        |                    AS tok
+        |                  FROM documents) t
+        |            GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS HUGEINT) AS n,
+        |        count(*) AS n_types,
+        |        sum(CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) - 1)) AS coll
+        |      FROM tc GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(coll * 1000000000 // (n * (n - 1)) AS BIGINT) AS simpson_ppb
+        |FROM a""".stripMargin,
 
     // the same (source, token) distinct postings, pair counts, and exact
     // long division

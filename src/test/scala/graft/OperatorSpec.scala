@@ -1317,6 +1317,21 @@ class OperatorSpec extends AnyFunSuite {
       ("B", "C") -> ((1L, 500000L))), s"got $got")
   }
 
+  test("w22 Simpson diversity hand-computes: uniform source low, degenerate source high") {
+    // A: tokens a a b b (c = 2,2; N = 4): coll = 2+2 = 4, ppb = 4e9/12 =
+    // 333333333. B: x x x x (one type): coll = 12, ppb = 12e9/12 = 1e9 —
+    // the all-repeats ceiling.
+    val d = writeDocs(Seq(
+      (1L, "a a b b", "A"),
+      (2L, "x x x x", "B")))
+    val got = TextOps.defs("w22_simpson_diversity")(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "A" -> ((4L, 2L, 333333333L)),
+      "B" -> ((4L, 1L, 1000000000L))), s"got $got")
+  }
+
   test("w21 vocab overlap hand-computes; zero-overlap pairs are absent, not 0.0") {
     // A={a,b,c}, B={b,c,d}: J = 2/4; C={x,y} shares nothing — the pair
     // join must emit NO (A,C)/(B,C) row (absence IS the zero-overlap
