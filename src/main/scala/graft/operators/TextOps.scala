@@ -1306,6 +1306,40 @@ object TextOps {
           expr("n_docs * 1000000 div tot").as("corpus_ppm"))
     },
 
+    // EXACT-n STRATIFIED SAMPLE — the manifest "exactly 50 docs per
+    // language" that eval-set construction and human-review queues need,
+    // where t16/t21's Bernoulli residues give EXPECTED-n only. The naive
+    // exact spelling ranks every stratum end to end (a corpus-wide sort
+    // per language); this is the TWO-PHASE form that scales: a broadcast
+    // per-stratum residue cutoff keeps ~4n expected survivors per
+    // stratum (deterministic md5 hash — reproducible across retries and
+    // partitionings, t16's discipline), then the exact (hash, doc_id)
+    // rank runs over survivor sets only. The 4× safety factor makes a
+    // short stratum (< n survivors despite cn ≥ n) a ~10^-40 binomial
+    // tail — and for strata with cn ≤ 4n the cutoff caps at 2^32, so
+    // EVERY doc survives and exactness is by construction, not chance.
+    // Selection = the n smallest md5 hashes per stratum: a uniform
+    // random sample under any hash model, stable under corpus growth
+    // ONLY for surviving ids (new docs displace by hash order — the
+    // t23 stability property does not transfer, documented difference).
+    "t32_stratified_exact_sample" -> { (s, dir) =>
+      val n = 50
+      val base = docs(s, dir).select(col("doc_id"), col("lang"))
+      val cut = base.groupBy("lang").agg(count(lit(1)).as("cn"))
+        .withColumn("cutoff",
+          least(lit(4294967296L), expr(s"(4294967296 * ${4L * n}) div cn")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      base
+        .withColumn("h",
+          graft.functions.Md5Hash32.hash32(col("doc_id").cast("string")))
+        .join(broadcast(cut), Seq("lang"))
+        .filter(col("h") < col("cutoff"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= n)
+        .select(col("lang"), col("rk"), col("doc_id"))
+    },
+
     // Per-source SIMPSON DIVERSITY — the repeat-mass number beside w9's
     // Zipf slope and w11's Heaps curve: the probability two tokens drawn
     // without replacement from a source are THE SAME TYPE,
@@ -2240,6 +2274,26 @@ object TextOps {
         |  CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM h) AS BIGINT)
         |    AS corpus_ppm
         |FROM h""".stripMargin,
+
+    // the same 32-bit md5 hash (8-hex-digit chain), the same broadcast
+    // cutoff arithmetic, the same (h, doc_id) rank
+    "t32_stratified_exact_sample" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, lang, $hexToInt AS h
+         |           FROM (SELECT doc_id, lang,
+         |                   md5(CAST(doc_id AS VARCHAR)) AS m
+         |                 FROM documents) t),
+         |cut AS (SELECT lang,
+         |          least(4294967296, (4294967296 * 200) // count(*)) AS cutoff
+         |        FROM b GROUP BY lang)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+         |  SELECT b.lang, doc_id,
+         |    row_number() OVER (PARTITION BY b.lang ORDER BY h, doc_id) AS rk
+         |  FROM b JOIN cut ON b.lang = cut.lang WHERE h < cutoff) r
+         |WHERE rk <= 50""".stripMargin
+    },
 
     // the same count-of-counts arithmetic in HUGEINT, the same floor
     // division on non-negative operands

@@ -1317,6 +1317,31 @@ class OperatorSpec extends AnyFunSuite {
       ("B", "C") -> ((1L, 500000L))), s"got $got")
   }
 
+  test("t32 two-phase stratified sample == full single-phase rank (prefilter lossless)") {
+    // the exactness claim: the residue prefilter must never cost a
+    // selected doc — the two-phase result equals ranking EVERY stratum
+    // member by (md5-32 hash, doc_id) and taking the first 50
+    val sf = "/root/testdata/sf0.001"
+    def h32(id: Long): Long = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(m.take(8), 16)
+    }
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = all.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.toSeq.map(d => (d._1, h32(d._1))).sortBy { case (id, h) => (h, id) }
+        .take(50).zipWithIndex
+        .map { case ((id, _), i) => (lang, i + 1L, id) }
+    }.toSet
+    val got = TextOps.defs("t32_stratified_exact_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expect.nonEmpty && got == expect,
+      s"two-phase diverged from the full rank: ${(got diff expect).take(3)}" +
+        s" / ${(expect diff got).take(3)}")
+  }
+
   test("w22 Simpson diversity hand-computes: uniform source low, degenerate source high") {
     // A: tokens a a b b (c = 2,2; N = 4): coll = 2+2 = 4, ppb = 4e9/12 =
     // 333333333. B: x x x x (one type): coll = 12, ppb = 12e9/12 = 1e9 —
