@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 
-import graft.streaming.{StreamIslands, StreamPaths, StreamTwa, StreamingSessionize}
+import graft.streaming.{StreamFunnel, StreamIslands, StreamPaths, StreamTwa, StreamingSessionize}
 
 /** Forward-scaling smoke for the STREAMING family — the batch ScaleSmoke's
   * missing twin (VERDICT r10 item 1). The correctness gate replays ONE
@@ -21,11 +21,15 @@ import graft.streaming.{StreamIslands, StreamPaths, StreamTwa, StreamingSessioni
   * must stay bounded as the corpus grows), and max single-trigger wall.
   *
   * Replication shapes (each the matching batch-ScaleSmoke discipline):
-  *  - generic events (x25/x27/x28/x19a/x24a): user_id AND event_id
-  *    re-keyed → `factor` disjoint user populations on the SAME time
-  *    axis. Type-keyed state (x25/x27) sees `factor`× the per-type series
-  *    depth — the buffer stress; user/hour-keyed state (x28/x19a/x24a)
-  *    sees `factor`× the key domain — the eviction stress.
+  *  - generic events (x25/x27/x28/x19a/x24a, and the join/session family
+  *    x3/x8/x13/x11): user_id AND event_id re-keyed → `factor` disjoint
+  *    user populations on the SAME time axis. Type-keyed state (x25/x27)
+  *    sees `factor`× the per-type series depth — the buffer stress;
+  *    user/hour-keyed state (x28/x19a/x24a) sees `factor`× the key
+  *    domain — the eviction stress; two-sided join state (x3/x8/x13) and
+  *    fMGWS session state (x11) see `factor`× the concurrent key
+  *    population inside the watermark horizon — the memory-ceiling
+  *    stress a live join pipeline hits first.
   *  - PIT events (x26): event_id only re-keyed, user keys intact, the
   *    customer dimension copied FIXED — q64's facts-grow-dims-don't shape,
   *    so the broadcast probe rate is the original's at `factor`× volume.
@@ -63,7 +67,7 @@ object StreamScaleSmoke {
     val factor = if (args.length > 1) args(1).toInt else 100
     val slices = if (args.length > 2) args(2).toInt else 16
     val names = (if (args.length > 3) args(3) else
-      "x25_stream_twa,x29_stream_twa_sharded,x27_stream_islands,x28_stream_paths,x19a_topk_append,x24a_kmv_append,x26_stream_pit_enrich,x17a_decontam_stateless")
+      "x25_stream_twa,x29_stream_twa_sharded,x27_stream_islands,x28_stream_paths,x19a_topk_append,x24a_kmv_append,x26_stream_pit_enrich,x17a_decontam_stateless,x3_stream_interval_join,x8_stream_left_join,x13_stream_full_outer,x11_stream_funnel")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -112,7 +116,9 @@ object StreamScaleSmoke {
 
     val needGeneric = names.exists(n => Set("x25_stream_twa",
       "x29_stream_twa_sharded", "x27_stream_islands", "x28_stream_paths",
-      "x19a_topk_append", "x24a_kmv_append").contains(n))
+      "x19a_topk_append", "x24a_kmv_append", "x3_stream_interval_join",
+      "x8_stream_left_join", "x13_stream_full_outer",
+      "x11_stream_funnel").contains(n))
     val needPit = names.contains("x26_stream_pit_enrich")
     val needDocs = names.contains("x17a_decontam_stateless")
 
@@ -176,6 +182,23 @@ object StreamScaleSmoke {
       "x24a_kmv_append" -> (() =>
         run(dirGeneric, StreamingSessionize.hourlyKmvHashes(_), "ssm-x24a",
           sinkTransform = StreamingSessionize.kmvHourProjection)),
+      // the stream-stream JOIN family (VERDICT r11 item 1): two-sided
+      // buffered state with per-side eviction clocks — join state must
+      // track the WATERMARK HORIZON (views/clicks within the 1 h delay +
+      // 30 min lookback), not the corpus: the replicated run holds
+      // factor× the per-slice key population but the same time axis, so
+      // max_state_rows is the standing answer to a bench-wobble
+      // adjudication (r11's x13 episode)
+      "x3_stream_interval_join" -> (() =>
+        run(dirGeneric, StreamingSessionize.clickViewJoin, "ssm-x3")),
+      "x8_stream_left_join" -> (() =>
+        run(dirGeneric, StreamingSessionize.clickViewLeftJoin, "ssm-x8")),
+      "x13_stream_full_outer" -> (() =>
+        run(dirGeneric, StreamingSessionize.clickViewFullJoin, "ssm-x13")),
+      // fMGWS session state: four longs per ACTIVE (non-quiesced) user;
+      // timeout eviction means state tracks the active-user horizon
+      "x11_stream_funnel" -> (() =>
+        run(dirGeneric, StreamFunnel.transform, "ssm-x11")),
       "x26_stream_pit_enrich" -> (() =>
         run(dirPit, StreamingSessionize.pitEnrich(spark, dirPit), "ssm-x26")),
       "x17a_decontam_stateless" -> (() =>
@@ -199,8 +222,19 @@ object StreamScaleSmoke {
       val wall = try { runs(name)(); (System.nanoTime() - t0) / 1e9 }
       finally {
         // wall is captured BEFORE this drain: the listener posts
-        // asynchronously, but the query itself has already completed
-        Thread.sleep(1500)
+        // asynchronously, but the query itself has already completed.
+        // Drain by polling until the captured trigger count is stable
+        // across two consecutive 250 ms checks (ADVICE r11: a fixed
+        // sleep can under-count late-posting events on a loaded host),
+        // with a 15 s ceiling so a wedged bus can't hang the harness.
+        var prev = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 2 && waited < 15000) {
+          Thread.sleep(250); waited += 250
+          val n = cap.triggers.size
+          if (n == prev) stable += 1 else { stable = 0; prev = n }
+        }
         spark.streams.removeListener(cap)
       }
       import scala.jdk.CollectionConverters._

@@ -229,6 +229,27 @@ object Dedup {
   private def hashSets(s: SparkSession, dir: String): DataFrame =
     hashSetsOf(docs(s, dir))
 
+  /** d34's candidate stage, factored from the (doc_id, hs, n) projection
+    * so DedupScaleSpec's boilerplate-flood pin measures the REAL candidate
+    * volume (not just the verified output, which the exact-verify stage
+    * would sanitize regardless): prefix = the n − ⌈n/2⌉ + 1 rarest
+    * shingles by (df ASC, h) rank, candidates = the prefix equi-join
+    * under the lossless τ = 1/2 length filter. */
+  private[graft] def prefixCandidatesOf(hs0: DataFrame): DataFrame = {
+    val melt = hs0.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    val dfTab = melt.groupBy("h").agg(count(lit(1)).as("df"))
+    val pref = melt.join(dfTab, Seq("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+      .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("doc_id"), col("n"), col("h"))
+    pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** The (doc_id, hs) sorted-distinct shingle-hash projection over ANY
     * documents-schema frame — factored so x17's streaming probe computes
     * exactly the hash sets d12's batch gate does (the x16/t17 factored-twin
@@ -988,19 +1009,7 @@ object Dedup {
         .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
         .filter(col("n") > 0)
         .localCheckpoint() // feeds df counts, prefixes, AND the verify join
-      val melt = hs0.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-      val dfTab = melt.groupBy("h").agg(count(lit(1)).as("df"))
-      val pref = melt.join(dfTab, Seq("h"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
-        .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
-        .select(col("doc_id"), col("n"), col("h"))
-      val cand = pref.as("a").join(pref.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .filter(col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      cand
+      prefixCandidatesOf(hs0)
         .join(hs0.select(col("doc_id").as("d1"), col("hs").as("hs1"),
           col("n").as("n1")), Seq("d1"))
         .join(hs0.select(col("doc_id").as("d2"), col("hs").as("hs2"),

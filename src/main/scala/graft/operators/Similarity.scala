@@ -61,6 +61,16 @@ object Similarity {
   private val numPlanes = 4
   private val dims = 64
 
+  /** s31's graph-ANN knobs: out-degree of the k-NN graph, beam width, and
+    * fixed unroll depth. 6 rounds ≥ the bucket hypercube's diameter (4) +
+    * slack, so the walk can reach any bucket from the entry point; the
+    * (8, 12) degree/beam point came from a measured sweep (recall@5 at
+    * sf0.001/0.01/0.1: 0.72/0.56/0.52 vs 0.52/0.44/0.36 for (6, 8) with
+    * a global entry — the bucket-local entry is worth ~0.1 alone). */
+  private[graft] val graphDegree = 8
+  private[graft] val beamWidth = 12
+  private[graft] val beamRounds = 6
+
   /** Random-hyperplane ±1 components derived from md5("p_d"). The planes are
     * CONSTANTS: computed once driver-side (same md5 → same values the DuckDB
     * oracle derives in SQL) and shipped as array literals — not recomputed as
@@ -1090,6 +1100,87 @@ object Similarity {
           Seq("query_id", "neighbor_id"), "left")
         .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"),
           coalesce(col("in_initial"), lit(0L)).as("in_initial"))
+    },
+
+    // GRAPH-ANN — the navigable-graph retrieval mode (the HNSW-class
+    // family real stacks lean on hardest) next to the bucket (s2), list
+    // (s5), and code (s9) indexes: deterministic BEAM SEARCH over a k-NN
+    // graph. Index build: edges come from the MULTI-PROBE bucketed
+    // candidates (s2's probe set — own bucket + the 4 hamming-1 flips),
+    // never all-pairs: per node, exact cosine over its probed-bucket
+    // candidates, keep the top-[[graphDegree]] by (sim desc, id) — the
+    // LSH-seeded k-NN-graph construction (NN-descent's seeding step). The
+    // probe flips are what make the graph navigable ACROSS buckets: bucket
+    // codes form a hypercube and every edge set spans its hamming-1
+    // neighborhood, so a walk can cross hyperplanes a pure-bucket build
+    // would wall off. Search: from a QUERY-ADAPTIVE entry point (the
+    // min-id node in the query's own bucket — the deterministic stand-in
+    // for HNSW's top-layer descent: start in the right region, then walk;
+    // a measured +0.1 recall over a single global entry), unroll
+    // [[beamRounds]] frontier rounds: candidates = beam ∪ beam's
+    // out-neighbors (one frontier×edges equi-join — g15's BFS discipline
+    // applied to retrieval), score against the query, keep the
+    // top-[[beamWidth]] by the (sim desc, id) total order. Every round is
+    // monotone in that order, every tiebreak total, and cosine doubles
+    // are bit-identical across engines (the s1 fold), so the whole walk
+    // hash-gates — greedy beam search with zero nondeterminism.
+    // 100 TB posture: the edge build is df-bounded bucket joins (s2's
+    // posture — at corpus scale the bucket key grows planes, buckets stay
+    // bounded); the edge table is N·K rows equi-partitioned by src; each
+    // search round touches ≤ beam·degree candidate rows per query — the
+    // corpus is scanned ONCE at build, never at search. AnnIvfSpec pins
+    // recall@5 vs s1's exact baseline and the beam-invariance property.
+    "s31_ann_graph_beam" -> { (s, dir) =>
+      val e = emb(s, dir).select(col("vec_id"), col("v")).localCheckpoint()
+      val b = bucketed(s, dir).select(col("vec_id"), col("v"), col("bucket"))
+      val probes = col("bucket") +: (0 until numPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1 << p)))
+      val srcs = b.select(col("vec_id").as("src"), col("v").as("sv"),
+        explode(array(probes: _*)).as("probe"))
+      val we = Window.partitionBy("src").orderBy(col("esim").desc, col("dst"))
+      val edges = b.join(srcs,
+          col("bucket") === col("probe") && col("vec_id") =!= col("src"))
+        .select(col("src"), col("vec_id").as("dst"),
+          cosine(col("sv"), col("v")).as("esim"))
+        .withColumn("erk", row_number().over(we))
+        .filter(col("erk") <= graphDegree)
+        .select("src", "dst")
+        .localCheckpoint() // read once per round — never rebuilt
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val entry = b.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("bucket").as("qbk"))
+        .join(b.select(col("vec_id"), col("bucket")), col("bucket") === col("qbk"))
+        .groupBy("query_id").agg(min("vec_id").as("node"))
+      val wb = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("node"))
+      var beam = q.join(broadcast(entry), "query_id")
+        .join(e, col("node") === col("vec_id"))
+        .select(col("query_id"), col("node"),
+          cosine(col("qv"), col("v")).as("sim"))
+        .localCheckpoint()
+      for (_ <- 1 to beamRounds) {
+        val cand = beam.select("query_id", "node")
+          .unionAll(beam.select(col("query_id"), col("node"))
+            .join(broadcast(edges), col("node") === col("src"))
+            .select(col("query_id"), col("dst").as("node")))
+          .distinct()
+        beam = cand.join(e, cand("node") === e("vec_id"))
+          .join(broadcast(q), "query_id")
+          .select(col("query_id"), col("node"),
+            cosine(col("qv"), col("v")).as("sim"))
+          .withColumn("brk", row_number().over(wb))
+          .filter(col("brk") <= beamWidth)
+          .select("query_id", "node", "sim")
+          .localCheckpoint() // keeps the 6-round lineage flat (s20's idiom)
+      }
+      val wf = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      beam.filter(col("node") =!= col("query_id"))
+        .select(col("query_id"), col("node").as("neighbor_id"), col("sim"))
+        .withColumn("rnk", row_number().over(wf).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "sim")
     }
   )
 
@@ -1186,6 +1277,53 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM p) r
          |WHERE rnk <= 10""".stripMargin,
+
+    // the same multi-probe bucket build (s2's plane bits + hamming-1
+    // flips), the same k-NN edge cut, and the beam rounds unrolled as
+    // nested CTEs (s20's idiom) — every tiebreak and fold restated
+    "s31_ann_graph_beam" -> {
+      val rounds = (1 to beamRounds).map { r =>
+        val prev = if (r == 1) "f0" else s"f${r - 1}"
+        s"""c$r AS (SELECT DISTINCT query_id, node FROM (
+           |    SELECT query_id, node FROM $prev
+           |    UNION ALL
+           |    SELECT p.query_id, ed.dst AS node
+           |    FROM $prev p JOIN ed ON ed.src = p.node) u),
+           |s$r AS (SELECT c.query_id, c.node, ${cosSql("q.qv", "e.v")} AS sim
+           |        FROM c$r c JOIN e ON e.vec_id = c.node
+           |        JOIN q ON q.query_id = c.query_id),
+           |f$r AS (SELECT query_id, node, sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY sim DESC, node) AS brk
+           |    FROM s$r) t WHERE brk <= $beamWidth)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+         |pr AS (SELECT b.vec_id AS src, b.v AS sv, u.probe
+         |       FROM b, LATERAL unnest([b.bucket,
+         |         xor(b.bucket, 1), xor(b.bucket, 2),
+         |         xor(b.bucket, 4), xor(b.bucket, 8)]) AS u(probe)),
+         |ce AS (SELECT pr.src, b.vec_id AS dst, ${cosSql("pr.sv", "b.v")} AS esim
+         |       FROM pr JOIN b ON b.bucket = pr.probe AND b.vec_id <> pr.src),
+         |ed AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |        ORDER BY esim DESC, dst) AS erk
+         |    FROM ce) t WHERE erk <= $graphDegree),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |qb AS (SELECT vec_id AS query_id, bucket AS qbk FROM b WHERE vec_id < 5),
+         |en AS (SELECT qb.query_id, min(b.vec_id) AS node
+         |       FROM qb JOIN b ON b.bucket = qb.qbk GROUP BY qb.query_id),
+         |f0 AS (SELECT en.query_id, en.node, ${cosSql("q.qv", "e.v")} AS sim
+         |       FROM en JOIN e ON e.vec_id = en.node
+         |       JOIN q ON q.query_id = en.query_id),
+         |$rounds
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, sim FROM (
+         |  SELECT query_id, node AS neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, node) AS rnk
+         |  FROM f$beamRounds WHERE node <> query_id) t
+         |WHERE rnk <= 5""".stripMargin
+    },
 
     // the same augmentation (u = v/√M ⊕ √(1−|v|²/M²), qu = q/|q| ⊕ 0),
     // the same centroid seeds/assign/probe CTEs as s5, the same raw-dot

@@ -25,6 +25,28 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** t33's JSONL staging dir — ONE per JVM, overwritten per call (ADVICE
+    * r4's temp-dir discipline: a bench session runs each query 4×; fresh
+    * dirs per call would leak a corpus copy each run). */
+  private lazy val jsonlStage: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-t33-jsonl").toFile
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(d)
+    }
+    d.getAbsolutePath
+  }
+
+  /** The explicit ingestion contract for raw-crawl JSONL — schema-on-read
+    * with a DECLARED schema, never inference (inference is a full extra
+    * pass over 100 TB and a schema lottery per shard). */
+  private val crawlSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   /** Function words for the stopword-ratio heuristics (shared with oracles
     * and with the d10 corpus pipeline). */
   private[operators] val stopwords = Seq("the", "a", "of", "to", "in", "and", "is")
@@ -1348,7 +1370,11 @@ object TextOps {
     // arithmetic, so it hash-gates — and 1/it is the "effective
     // vocabulary" a mixture designer reads. Sums ride DECIMAL(38,0)
     // (the q63/g21 overflow posture: token counts at 100 TB square past
-    // int64), the final ppb is one exact decimal division. Plan: ONE
+    // int64), the final ppb is one exact integral floor division
+    // (`div`, Spark's IntegralDivide — the same floor the DuckDB oracle's
+    // `//` computes; fractional decimal division would round HALF_UP
+    // before the cast and can disagree by 1 ppb on a quotient just
+    // under an integer — the w19/t29/q70/d32 discipline). Plan: ONE
     // (source, token) count agg, then a |vocab|-sized second agg — w1's
     // wordcount shape with a per-source axis.
     "w22_simpson_diversity" -> { (s, dir) =>
@@ -1362,8 +1388,34 @@ object TextOps {
           sum((col("c").cast(dec)) * (col("c").cast(dec) - 1)).as("coll"))
         .select(col("source"),
           col("n_tokens").cast(LongType).as("n_tokens"), col("n_types"),
-          (col("coll") * lit(1000000000L) / (col("n_tokens") * (col("n_tokens") - 1)))
-            .cast(LongType).as("simpson_ppb"))
+          expr("CAST((coll * 1000000000) div (n_tokens * (n_tokens - 1)) AS BIGINT)")
+            .as("simpson_ppb"))
+    },
+
+    // JSONL INGESTION end-to-end (VERDICT r11 item 6) — the raw-crawl
+    // shape: corpora arrive as line-delimited JSON, not parquet, and
+    // SourceFormatSpec's round-trip pin alone left the format surface a
+    // spec, not a gated capability. The query stages the documents table
+    // as real JSONL files, reads them back through the EXPLICIT-schema
+    // reader (schema-on-read with a declared contract — inference is a
+    // full extra pass at 100 TB and nondeterministic across shards), and
+    // applies the standard arrival normalization: contract filter
+    // (non-null id, non-empty text), lang canonicalized, token count
+    // stamped. The oracle states the same normalization over the parquet
+    // twin — JSONL is lossless for long/string columns, so equality IS
+    // the round-trip proof, now hash-gated per row. Scale: the JSON scan
+    // is splittable line-format (partition-parallel like any text
+    // source); the normalization is one codegen'd projection, no shuffle.
+    "t33_jsonl_ingest" -> { (s, dir) =>
+      val stage = jsonlStage
+      docs(s, dir).write.mode("overwrite").json(stage)
+      s.read.schema(crawlSchema).json(stage)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), lower(trim(col("lang"))).as("lang"),
+          col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          col("n_chars"))
     },
 
     // Per-source-pair VOCABULARY overlap — the third axis of the
@@ -2311,6 +2363,16 @@ object TextOps {
         |  CAST(n_types AS BIGINT) AS n_types,
         |  CAST(coll * 1000000000 // (n * (n - 1)) AS BIGINT) AS simpson_ppb
         |FROM a""".stripMargin,
+
+    // the same normalization over the parquet twin of the staged JSONL —
+    // lossless round trip for long/string columns, so row equality IS the
+    // ingestion proof
+    "t33_jsonl_ingest" ->
+      """SELECT doc_id, lower(trim(lang)) AS lang, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  AND length(text) > 0""".stripMargin,
 
     // the same (source, token) distinct postings, pair counts, and exact
     // long division

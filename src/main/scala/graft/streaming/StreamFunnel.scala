@@ -95,17 +95,22 @@ object StreamFunnel {
       }
   }
 
+  /** The DataFrame→DataFrame spelling of the whole pipeline (watermark +
+    * typed fold), factored so replay harnesses (StreamScaleSmoke) can run
+    * it with their own source options and slice discipline. */
+  def transform(raw: DataFrame): DataFrame = {
+    import raw.sparkSession.implicits._
+    funnel(
+      raw.withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"),
+          unix_millis(col("ts")).as("ms"), col("event_type"))
+        .as[FEv]).toDF()
+  }
+
   /** Run over `dir`/events.parquet to completion; returns the funnel rows
     * of every user the final watermark quiesced. */
   def runToCompletion(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    import spark.implicits._
-    StreamingSessionize.runToCompletion(spark, dir, raw =>
-      funnel(
-        raw.withWatermark("ts", "1 hour")
-          .select(col("user_id"), col("ts"),
-            unix_millis(col("ts")).as("ms"), col("event_type"))
-          .as[FEv]).toDF(),
+      dir: String): DataFrame =
+    StreamingSessionize.runToCompletion(spark, dir, transform,
       outputMode = "append", sinkName = "funnel")
-  }
 }

@@ -65,6 +65,39 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(shared > 0, "test premise: probed lists must hit some exact top-5")
   }
 
+  test("s31: graph beam — dense ranks, exact cosines, recall@5 floor vs s1") {
+    val exact = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exact5 = exact.filter(_._3 <= 5).map(t => (t._1, t._2)).toSet
+    val exactSim = exact.map(t => (t._1, t._2) -> t._4).toMap
+    val got = Similarity.defs("s31_ann_graph_beam")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { qs =>
+      val sorted = qs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq,
+        "ranks must be dense from 1")
+      assert(sorted.map(_._4).reverse.sorted.reverse.toSeq == sorted.map(_._4).toSeq,
+        "sims must be non-increasing with rank")
+      qs.foreach { case (q, n, _, sim) =>
+        assert(n != q, "self must be excluded")
+        assert(sim >= -1.0000001 && sim <= 1.0000001)
+      }
+    }
+    // the beam scores candidates with the EXACT cosine (no quantization):
+    // wherever s1's top-10 ranked the same pair, the doubles agree
+    got.foreach { case (q, n, _, sim) =>
+      exactSim.get((q, n)).foreach(es => assert(math.abs(es - sim) < 1e-12))
+    }
+    // recall floor: measured 0.72 mean at sf0.001 with (degree, beam,
+    // rounds) = (8, 12, 6) and bucket-local entries; 0.4 is the alarm
+    // line — a walk stuck at its entry bucket scores well below it
+    val rec = byQ.map { case (q, qs) => qs.count(t => exact5((q, t._2))) / 5.0 }
+    assert(rec.sum / rec.size >= 0.4,
+      s"mean recall@5 ${rec.sum / rec.size} fell below the pinned floor")
+  }
+
   test("s5: 5 queries, ranks dense from 1, sims valid and non-increasing") {
     val rows = Similarity.defs("s5_ann_ivf")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -270,6 +270,51 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(c2 < 0.5, s"the long doc's containment must be low: $c2")
   }
 
+  test("d34 prefix filter: a boilerplate flood never enters prefixes — candidate volume is bounded") {
+    // 200 docs share a 10-token boilerplate head (df 200 for every boiler
+    // shingle) but each carries MORE df-1 unique-tail shingles than its
+    // prefix is wide (15 unique+boundary vs a ⌈n/2⌉+1 ≈ 12-wide prefix),
+    // so the (df ASC, h) prefix rank fills entirely with unique shingles
+    // and the flood contributes ZERO candidate pairs — the df-bounded-
+    // bucket claim (Dedup.scala d34 scaladoc) measured on the CANDIDATE
+    // stage itself, not on the verified output (exact verify would
+    // sanitize flood pairs regardless, hiding a candidate explosion).
+    // Without prefix filtering, the all-postings join would expand toward
+    // C(200,2) = 19,900 pairs on the boiler shingles alone. The planted
+    // exact-dup pair (301, 302) must still surface with J = 1.
+    import org.apache.spark.sql.functions._
+    val d = Files.createTempDirectory("graft-d34flood").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val boiler = "subscribe to our newsletter for updates terms of service apply"
+    val rare = "catalyst whole stage codegen fuses narrow operators into one tight loop"
+    val rows = (1 to 200).map { i =>
+      val t = boiler + " " + (1 to 15).map(j => s"tok${i}x$j").mkString(" ")
+      Row(i.toLong, t, "en", "s", t.length.toLong)
+    } ++ Seq(Row(301L, rare, "en", "s", rare.length.toLong),
+      Row(302L, rare, "en", "s", rare.length.toLong))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val docsDf = spark.read.parquet(s"$d/documents.parquet")
+    val hs0 = Dedup.hashSetsOf(docsDf)
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+      .filter(col("n") > 0).localCheckpoint()
+    // premise: the boiler shingles really are a df-200 flood
+    val maxDf = hs0.select(explode(col("hs")).as("h"))
+      .groupBy("h").count().agg(max("count")).collect().head.getLong(0)
+    assert(maxDf == 200L, s"test premise: boiler shingle df must be 200, got $maxDf")
+    val cand = Dedup.prefixCandidatesOf(hs0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((301L, 302L)),
+      s"flood must contribute zero CANDIDATES, got ${cand.size} pairs: ${cand.take(5)}")
+    val out = Dedup.defs("d34_prefix_filter_join")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((301L, 302L, 1.0)),
+      s"the planted exact-dup pair must verify at J=1: ${out.toSeq}")
+  }
+
   test("d20 drops shingle-less candidate pairs (0/0 containment diverges cross-engine)") {
     // two identical 2-token docs: they share a CDC chunk (df 2, in the
     // cap window) so the pair reaches the verify stage, but a doc under 3
