@@ -1699,6 +1699,50 @@ object Relational {
           col("n_events"), col("n_new_users"), col("cum_unique_users"))
     },
 
+    // NEAREST-AS-OF JOIN — the bidirectional twin of q64's backward PIT
+    // join (pandas merge_asof direction='nearest'; the sensor-fusion /
+    // clickstream-reconciliation primitive): each purchase matches the
+    // SAME USER's nearest click within ±30 min, either direction, under
+    // the (|gap| ASC, c_ms ASC, c_id ASC) total order — ties at equal
+    // distance go to the EARLIER (backward) click, then to the smaller
+    // id, so the match is deterministic and hash-gates. The range join
+    // is q59's binned equi-join with a symmetric probe: purchases
+    // explode to bins {b−1, b, b+1} (fixed 3× fan-out — never a per-user
+    // history cross product), clicks key by their own bin, the |gap| ≤ W
+    // residual prunes the corners. Unmatched purchases keep a NULL match
+    // (the full asof contract — silently dropping them hides exactly the
+    // rows a reconciler needs to see). Scale: the fan-out is a constant
+    // 3×, the join shuffles on (user, bin) — time-partitioned like the
+    // production layout — and the per-purchase rank window runs over the
+    // few candidates inside one ±30 min window, never a user's history.
+    "q75_asof_nearest" -> { (s, dir) =>
+      val W = 1800000L
+      val ev = t(s, dir, "events")
+      // feeds the probe join AND the final left join (q59's checkpoint
+      // discipline: two consumers, one events scan)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"),
+          expr(s"unix_millis(ts) div $W").as("bin"))
+        .localCheckpoint()
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          unix_millis(col("ts")).as("c_ms"),
+          expr(s"unix_millis(ts) div $W").as("cbin"))
+      val best = p
+        .withColumn("cbin",
+          explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
+        .join(c, Seq("user_id", "cbin"))
+        .filter(abs(col("c_ms") - col("p_ms")) <= W)
+        .withColumn("rn", row_number().over(Window.partitionBy("p_id")
+          .orderBy(abs(col("c_ms") - col("p_ms")), col("c_ms"), col("c_id"))))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("c_id"), (col("c_ms") - col("p_ms")).as("gap_ms"))
+      p.select(col("p_id"), col("user_id"))
+        .join(best, Seq("p_id"), "left")
+        .select(col("p_id"), col("user_id"), col("c_id"), col("gap_ms"))
+    },
+
     // EXPONENTIAL SMOOTHING over the LOCF series — the monitoring
     // transform q69's raw fill feeds (alerting on a smoothed level, not
     // single-hour noise). A true recursive EWMA never hash-gates (float
@@ -2535,6 +2579,22 @@ object Relational {
         |       WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
         |       GROUP BY 1)
         |SELECT * FROM att UNION ALL SELECT * FROM un""".stripMargin,
+
+    // the same symmetric window, rank order, and NULL-keeping left join;
+    // the oracle skips the bin decomposition (a pure candidate-pruning
+    // device — the |gap| residual defines the match set on both sides)
+    "q75_asof_nearest" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, epoch_ms(ts) AS c_ms
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.p_id, c.c_id, c.c_ms - p.p_ms AS gap_ms,
+        |        row_number() OVER (PARTITION BY p.p_id
+        |          ORDER BY abs(c.c_ms - p.p_ms), c.c_ms, c.c_id) AS rn
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND abs(c.c_ms - p.p_ms) <= 1800000)
+        |SELECT p.p_id, p.user_id, m.c_id, m.gap_ms
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.p_id = p.p_id""".stripMargin,
 
     // same md5 uniforms, same literal thresholds, same decimal means
     "q57_poisson_bootstrap" -> {

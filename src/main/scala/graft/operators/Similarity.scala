@@ -71,6 +71,19 @@ object Similarity {
   private[graft] val beamWidth = 12
   private[graft] val beamRounds = 6
 
+  /** s31's per-bucket candidate cap for the edge BUILD: with a fixed
+    * plane count, bucket population grows linearly with the corpus and
+    * the probe join quadratically — the first 100× smoke ran into
+    * exactly that (a 780M-pair edge shuffle). Capping the TARGET side of
+    * each probe bucket at 256 deterministically-ranked members
+    * ((md5(id), id) — d30's band-cap idiom, mirrored in the oracle)
+    * bounds build volume at N·5·256 pairs, linear in N. INACTIVE at
+    * every gate SF (max bucket 169 at sf0.1), so gate results and the
+    * measured recalls are unchanged; at true corpus scale the real
+    * lever is growing the plane count with log(N) — the cap is the
+    * backstop that keeps a mis-sized plane count from going quadratic. */
+  private[graft] val beamBucketCap = 256
+
   /** Random-hyperplane ±1 components derived from md5("p_d"). The planes are
     * CONSTANTS: computed once driver-side (same md5 → same values the DuckDB
     * oracle derives in SQL) and shipped as array literals — not recomputed as
@@ -1137,8 +1150,15 @@ object Similarity {
         col("bucket").bitwiseXOR(lit(1 << p)))
       val srcs = b.select(col("vec_id").as("src"), col("v").as("sv"),
         explode(array(probes: _*)).as("probe"))
+      // target side capped per bucket (see beamBucketCap) — every node
+      // still SOURCES edges; only megabucket targets are thinned
+      val bc = b.withColumn("crk", row_number().over(
+          Window.partitionBy("bucket")
+            .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))))
+        .filter(col("crk") <= beamBucketCap)
+        .select(col("vec_id"), col("v"), col("bucket"))
       val we = Window.partitionBy("src").orderBy(col("esim").desc, col("dst"))
-      val edges = b.join(srcs,
+      val edges = bc.join(srcs,
           col("bucket") === col("probe") && col("vec_id") =!= col("src"))
         .select(col("src"), col("vec_id").as("dst"),
           cosine(col("sv"), col("v")).as("esim"))
@@ -1303,8 +1323,12 @@ object Similarity {
          |       FROM b, LATERAL unnest([b.bucket,
          |         xor(b.bucket, 1), xor(b.bucket, 2),
          |         xor(b.bucket, 4), xor(b.bucket, 8)]) AS u(probe)),
-         |ce AS (SELECT pr.src, b.vec_id AS dst, ${cosSql("pr.sv", "b.v")} AS esim
-         |       FROM pr JOIN b ON b.bucket = pr.probe AND b.vec_id <> pr.src),
+         |bc AS (SELECT vec_id, v, bucket FROM (
+         |    SELECT vec_id, v, bucket, row_number() OVER (PARTITION BY bucket
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
+         |    FROM b) t WHERE crk <= $beamBucketCap),
+         |ce AS (SELECT pr.src, bc.vec_id AS dst, ${cosSql("pr.sv", "bc.v")} AS esim
+         |       FROM pr JOIN bc ON bc.bucket = pr.probe AND bc.vec_id <> pr.src),
          |ed AS (SELECT src, dst FROM (
          |    SELECT src, dst, row_number() OVER (PARTITION BY src
          |        ORDER BY esim DESC, dst) AS erk

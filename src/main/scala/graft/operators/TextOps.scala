@@ -1392,6 +1392,69 @@ object TextOps {
             .as("simpson_ppb"))
     },
 
+    // SOURCE×LANG CONTINGENCY LIFT — the composition-independence audit
+    // beside w12/w16's distribution distances: per (source, lang) cell,
+    // observed count vs the independence expectation src_total ×
+    // lang_total / total, as an exact integer-ppm lift (1e6 =
+    // independent; ≫1e6 = the source specializes in the language). The
+    // number a mixture designer checks before treating "source" and
+    // "lang" as separable sampling axes (t16 reweighs by lang alone —
+    // this is the audit that says whether that leaks source skew).
+    // Plan: ONE corpus agg to the |sources|×|langs| cell table
+    // (checkpointed — margins and the final select both read it), then
+    // dashboard-sized margin joins. Products ride DECIMAL(38,0) (the
+    // w22 posture: cell×total squares past int64 at corpus scale);
+    // div floors identically to the oracle's //.
+    "w23_source_lang_lift" -> { (s, dir) =>
+      val cell = docs(s, dir).groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val srcTot = cell.groupBy("source").agg(sum("n").as("src_total"))
+      val langTot = cell.groupBy("lang").agg(sum("n").as("lang_total"))
+      val tot = cell.agg(sum("n").as("total"))
+      cell.join(srcTot, "source").join(langTot, "lang")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n"),
+          col("src_total"), col("lang_total"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * total * 1000000)" +
+            " div (CAST(src_total AS DECIMAL(38,0)) * lang_total) AS BIGINT)")
+            .as("lift_ppm"))
+    },
+
+    // CONTEXT-LENGTH TRUNCATION AUDIT — the "which max_seq_len do we
+    // train at" table: for each candidate context length, exact token
+    // accounting under one-doc-per-sequence batching — kept tokens
+    // (min(n, L)), truncated-away mass, and padding waste — as integer
+    // ppm of the corpus. t20 PACKS sequences to amortize the padding;
+    // this is the audit that quantifies what packing saves and what
+    // truncation costs at each L, from ONE token-count scan (the 3×
+    // config fan-out explodes inside the scan stage and the partial agg
+    // collapses it before the 3-row shuffle — q57's discipline). Sums
+    // ride DECIMAL(38,0) (corpus token counts); the ppm divisions floor
+    // via div on exact integers.
+    "t34_context_audit" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      docs(s, dir)
+        .select(size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .select(col("n_tokens"),
+          explode(array(lit(128L), lit(256L), lit(512L))).as("ctx_len"))
+        .groupBy("ctx_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast(dec)).as("total_tokens"),
+          sum(least(col("n_tokens"), col("ctx_len")).cast(dec)).as("kept"),
+          sum(greatest(col("n_tokens") - col("ctx_len"), lit(0L)).cast(dec))
+            .as("truncated"),
+          sum(greatest(col("ctx_len") - col("n_tokens"), lit(0L)).cast(dec))
+            .as("pad"))
+        .select(col("ctx_len"), col("n_docs"),
+          col("total_tokens").cast(LongType).as("total_tokens"),
+          col("kept").cast(LongType).as("kept_tokens"),
+          expr("CAST((truncated * 1000000) div total_tokens AS BIGINT)")
+            .as("truncated_ppm"),
+          expr("CAST((pad * 1000000) div (CAST(n_docs AS DECIMAL(38,0)) * ctx_len) AS BIGINT)")
+            .as("pad_ppm"))
+    },
+
     // JSONL INGESTION end-to-end (VERDICT r11 item 6) — the raw-crawl
     // shape: corpora arrive as line-delimited JSON, not parquet, and
     // SourceFormatSpec's round-trip pin alone left the format surface a
@@ -2362,6 +2425,42 @@ object TextOps {
         |SELECT source, CAST(n AS BIGINT) AS n_tokens,
         |  CAST(n_types AS BIGINT) AS n_types,
         |  CAST(coll * 1000000000 // (n * (n - 1)) AS BIGINT) AS simpson_ppb
+        |FROM a""".stripMargin,
+
+    // the same cell/margin joins in HUGEINT, the same floor division
+    "w23_source_lang_lift" ->
+      """WITH cell AS (SELECT source, lang, count(*) AS n
+        |              FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, sum(n) AS src_total FROM cell GROUP BY 1),
+        |lt AS (SELECT lang, sum(n) AS lang_total FROM cell GROUP BY 1),
+        |tt AS (SELECT sum(n) AS total FROM cell)
+        |SELECT source, lang, n,
+        |  CAST(src_total AS BIGINT) AS src_total,
+        |  CAST(lang_total AS BIGINT) AS lang_total,
+        |  CAST(CAST(n AS HUGEINT) * total * 1000000
+        |    // (CAST(src_total AS HUGEINT) * lang_total) AS BIGINT) AS lift_ppm
+        |FROM cell JOIN st USING (source) JOIN lt USING (lang)
+        |CROSS JOIN tt""".stripMargin,
+
+    // the same min/max token accounting in HUGEINT, the same ppm floors
+    "t34_context_audit" ->
+      """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+        |             AS n_tokens FROM documents),
+        |x AS (SELECT n_tokens, CAST(u.l AS BIGINT) AS ctx_len
+        |      FROM n, LATERAL unnest([128, 256, 512]) AS u(l)),
+        |a AS (SELECT ctx_len, count(*) AS n_docs,
+        |        sum(CAST(n_tokens AS HUGEINT)) AS total_tokens,
+        |        sum(CAST(least(n_tokens, ctx_len) AS HUGEINT)) AS kept,
+        |        sum(CAST(greatest(n_tokens - ctx_len, 0) AS HUGEINT))
+        |          AS truncated,
+        |        sum(CAST(greatest(ctx_len - n_tokens, 0) AS HUGEINT)) AS pad
+        |      FROM x GROUP BY 1)
+        |SELECT ctx_len, n_docs,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(kept AS BIGINT) AS kept_tokens,
+        |  CAST(truncated * 1000000 // total_tokens AS BIGINT) AS truncated_ppm,
+        |  CAST(pad * 1000000 // (CAST(n_docs AS HUGEINT) * ctx_len) AS BIGINT)
+        |    AS pad_ppm
         |FROM a""".stripMargin,
 
     // the same normalization over the parquet twin of the staged JSONL —
