@@ -107,8 +107,12 @@ object Bench {
       }
     }
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // explicit-locale formatting: the default-locale f-interpolator emits
+    // comma decimal separators on some JVMs — invalid JSON (ADVICE r12)
     val sp = spreads.map { case (k, v) =>
-      s""""$k":[${v.map(d => f"$d%.3f").mkString(",")}]""" }
+      val nums = v.map(d =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(d)))
+      s""""$k":[${nums.mkString(",")}]""" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
@@ -122,6 +126,13 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: could not write $outPath: ${e.getMessage}") }
+    // The driver's stdout capture keeps only the LAST ~4 KB, which cuts
+    // the HEAD off the full line above once the per-query map passes ~60
+    // queries (BENCH_r12's tail starts mid-map, parsed:null). Print a
+    // compact headline LAST so the truncated capture always ends with one
+    // parseable JSON line carrying the totals (VERDICT r12 item 8); the
+    // full per-query map lives in BENCH_FULL.json either way.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

@@ -211,6 +211,12 @@ object ScaleSmoke {
     }
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","factor":$factor,"base":"$base","queries":$qs}""")
+    // persist as a committed, diffable artifact keyed query@factor
+    // (VERDICT r12 item 6) — accumulates across per-family invocations
+    SmokeArtifact.merge(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_FULL.json"),
+      timings.toSeq.map { case (k, v) =>
+        s"$k@${factor}x" -> s"""{"sec":$v,"base":"$base"}""" })
     spark.stop()
   }
 }

@@ -251,6 +251,14 @@ object StreamScaleSmoke {
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_scale_smoke","factor":$factor,"slices":$slices,"base":"$base","queries":$qs}""")
+    // persist as a committed, diffable artifact keyed query@factor
+    // (VERDICT r12 item 6) — accumulates across per-family invocations
+    SmokeArtifact.merge(
+      sys.env.getOrElse("SPARK_GRAFT_STREAMSCALE_OUT", "STREAMSCALE_FULL.json"),
+      results.toSeq.map { case (k, v) =>
+        val stats = v.stripPrefix("{")
+        s"$k@${factor}x" ->
+          s"""{"slices":$slices,"base":"$base",$stats""" })
     spark.stop()
   }
 }

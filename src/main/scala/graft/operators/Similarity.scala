@@ -103,15 +103,103 @@ object Similarity {
   }
 
   /** Integer bucket code: bit p set iff the vector is on plane p's positive
-    * side. Integer codes make multi-probe neighbors plain xor bit flips. */
-  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    * side. Integer codes make multi-probe neighbors plain xor bit flips.
+    * `planes` is the scale knob (VERDICT r12 item 7): bucket count is
+    * 2^planes, so the right policy at corpus scale is planes ≈ log2(N/B)
+    * for a target bucket population B — s31 runs the fixed default, s32
+    * gates the knob at planes = 6 and the recall sweep in PLANS.md
+    * measures the curve. */
+  private def bucketed(s: SparkSession, dir: String,
+      planes: Int = numPlanes): DataFrame =
     emb(s, dir).withColumn("bucket",
-      (0 until numPlanes).map { p =>
+      (0 until planes).map { p =>
         when(dot(col("v"), typedLit(planeSigns(p))) >= 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _))
 
-  private val bucketSql: String =
-    (0 until numPlanes).map(planeBitSql).mkString(" + ")
+  private def bucketSqlFor(planes: Int): String =
+    (0 until planes).map(planeBitSql).mkString(" + ")
+
+  private val bucketSql: String = bucketSqlFor(numPlanes)
+
+  /** One beam-expansion round: frontier ∪ frontier's out-neighbors. The
+    * FRONTIER side broadcasts (≤ |queries|·beamWidth rows by the round
+    * invariant); the corpus-sized k-NN edge table (N·graphDegree rows)
+    * stays partitioned and streams through the hash join. Hinting the
+    * broadcast the other way was round 12's one plan defect — at corpus
+    * scale an 8·N-row build side is un-broadcastable (VERDICT r12 item 1).
+    * PlanSpec pins the build side by asserting no BroadcastExchange in
+    * the round plan ever outputs the edge table's columns. */
+  private[graft] def beamExpand(beam: DataFrame, edges: DataFrame): DataFrame = {
+    val frontier = beam.select("query_id", "node")
+    frontier.unionAll(
+      broadcast(frontier).join(edges, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node")))
+      .distinct()
+  }
+
+  /** s31/s32's shared graph-ANN build + beam search, parameterized by
+    * hyperplane count — the scale knob (see [[bucketed]]): bucket
+    * population is N/2^planes, so growing planes with log2(N) keeps the
+    * df-capped edge build linear AND recall flat (measured curve in
+    * PLANS.md round 13); [[beamBucketCap]] is the backstop for a
+    * mis-sized plane count. Plan shape and determinism are identical at
+    * every plane count — s31 gates the default, s32 gates planes = 6. */
+  private[graft] def graphBeam(s: SparkSession, dir: String,
+      planes: Int): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v")).localCheckpoint()
+    val b = bucketed(s, dir, planes).select(col("vec_id"), col("v"), col("bucket"))
+    val probes = col("bucket") +: (0 until planes).map(p =>
+      col("bucket").bitwiseXOR(lit(1 << p)))
+    val srcs = b.select(col("vec_id").as("src"), col("v").as("sv"),
+      explode(array(probes: _*)).as("probe"))
+    // target side capped per bucket (see beamBucketCap) — every node
+    // still SOURCES edges; only megabucket targets are thinned
+    val bc = b.withColumn("crk", row_number().over(
+        Window.partitionBy("bucket")
+          .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))))
+      .filter(col("crk") <= beamBucketCap)
+      .select(col("vec_id"), col("v"), col("bucket"))
+    val we = Window.partitionBy("src").orderBy(col("esim").desc, col("dst"))
+    val edges = bc.join(srcs,
+        col("bucket") === col("probe") && col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        cosine(col("sv"), col("v")).as("esim"))
+      .withColumn("erk", row_number().over(we))
+      .filter(col("erk") <= graphDegree)
+      .select("src", "dst")
+      .localCheckpoint() // read once per round — never rebuilt
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val entry = b.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("bucket").as("qbk"))
+      .join(b.select(col("vec_id"), col("bucket")), col("bucket") === col("qbk"))
+      .groupBy("query_id").agg(min("vec_id").as("node"))
+    val wb = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("node"))
+    var beam = q.join(broadcast(entry), "query_id")
+      .join(e, col("node") === col("vec_id"))
+      .select(col("query_id"), col("node"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .localCheckpoint()
+    for (_ <- 1 to beamRounds) {
+      val cand = beamExpand(beam, edges)
+      beam = cand.join(e, cand("node") === e("vec_id"))
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("node"),
+          cosine(col("qv"), col("v")).as("sim"))
+        .withColumn("brk", row_number().over(wb))
+        .filter(col("brk") <= beamWidth)
+        .select("query_id", "node", "sim")
+        .localCheckpoint() // keeps the 6-round lineage flat (s20's idiom)
+    }
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    beam.filter(col("node") =!= col("query_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"), col("sim"))
+      .withColumn("rnk", row_number().over(wf).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
 
   /** Unit-normalized (vec_id, u) projection, CHECKPOINTED — every caller
     * (s5/s9/s11) fans it into 3+ consumers which would each re-scan
@@ -1139,70 +1227,76 @@ object Similarity {
     // hash-gates — greedy beam search with zero nondeterminism.
     // 100 TB posture: the edge build is df-bounded bucket joins (s2's
     // posture — at corpus scale the bucket key grows planes, buckets stay
-    // bounded); the edge table is N·K rows equi-partitioned by src; each
-    // search round touches ≤ beam·degree candidate rows per query — the
-    // corpus is scanned ONCE at build, never at search. AnnIvfSpec pins
-    // recall@5 vs s1's exact baseline and the beam-invariance property.
-    "s31_ann_graph_beam" -> { (s, dir) =>
-      val e = emb(s, dir).select(col("vec_id"), col("v")).localCheckpoint()
-      val b = bucketed(s, dir).select(col("vec_id"), col("v"), col("bucket"))
-      val probes = col("bucket") +: (0 until numPlanes).map(p =>
-        col("bucket").bitwiseXOR(lit(1 << p)))
-      val srcs = b.select(col("vec_id").as("src"), col("v").as("sv"),
-        explode(array(probes: _*)).as("probe"))
-      // target side capped per bucket (see beamBucketCap) — every node
-      // still SOURCES edges; only megabucket targets are thinned
-      val bc = b.withColumn("crk", row_number().over(
-          Window.partitionBy("bucket")
-            .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))))
-        .filter(col("crk") <= beamBucketCap)
-        .select(col("vec_id"), col("v"), col("bucket"))
-      val we = Window.partitionBy("src").orderBy(col("esim").desc, col("dst"))
-      val edges = bc.join(srcs,
-          col("bucket") === col("probe") && col("vec_id") =!= col("src"))
-        .select(col("src"), col("vec_id").as("dst"),
-          cosine(col("sv"), col("v")).as("esim"))
-        .withColumn("erk", row_number().over(we))
-        .filter(col("erk") <= graphDegree)
-        .select("src", "dst")
-        .localCheckpoint() // read once per round — never rebuilt
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val entry = b.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("bucket").as("qbk"))
-        .join(b.select(col("vec_id"), col("bucket")), col("bucket") === col("qbk"))
-        .groupBy("query_id").agg(min("vec_id").as("node"))
-      val wb = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("node"))
-      var beam = q.join(broadcast(entry), "query_id")
-        .join(e, col("node") === col("vec_id"))
-        .select(col("query_id"), col("node"),
-          cosine(col("qv"), col("v")).as("sim"))
-        .localCheckpoint()
-      for (_ <- 1 to beamRounds) {
-        val cand = beam.select("query_id", "node")
-          .unionAll(beam.select(col("query_id"), col("node"))
-            .join(broadcast(edges), col("node") === col("src"))
-            .select(col("query_id"), col("dst").as("node")))
-          .distinct()
-        beam = cand.join(e, cand("node") === e("vec_id"))
-          .join(broadcast(q), "query_id")
-          .select(col("query_id"), col("node"),
-            cosine(col("qv"), col("v")).as("sim"))
-          .withColumn("brk", row_number().over(wb))
-          .filter(col("brk") <= beamWidth)
-          .select("query_id", "node", "sim")
-          .localCheckpoint() // keeps the 6-round lineage flat (s20's idiom)
-      }
-      val wf = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      beam.filter(col("node") =!= col("query_id"))
-        .select(col("query_id"), col("node").as("neighbor_id"), col("sim"))
-        .withColumn("rnk", row_number().over(wf).cast(LongType))
-        .filter(col("rnk") <= 5)
-        .select("query_id", "neighbor_id", "rnk", "sim")
-    }
+    // bounded); the edge table is N·K rows equi-partitioned by src and
+    // NEVER broadcast — each search round broadcasts the tiny frontier
+    // instead (see beamExpand) and touches ≤ beam·degree candidate rows
+    // per query; the corpus is scanned ONCE at build, never at search.
+    // AnnIvfSpec pins recall@5 vs s1's exact baseline; PlanSpec pins the
+    // frontier-side broadcast; the post-fix 100× smoke row is in PLANS.md.
+    "s31_ann_graph_beam" -> ((s, dir) => graphBeam(s, dir, numPlanes)),
+
+    // The PLANE-COUNT KNOB, oracle-gated (VERDICT r12 item 7): the same
+    // graph-ANN build + search at planes = 6 (64 buckets), proving the
+    // "grow planes with log2(N)" policy is a parameter, not a rewrite —
+    // same plan shape, same determinism, same hash-gate, only the bucket
+    // geometry changes. The sf0.1 recall sweep (PLANS.md round 13)
+    // measures what the knob buys: smaller buckets sharpen the edge
+    // build's candidate pool as N grows.
+    "s32_ann_beam_planes6" -> ((s, dir) => graphBeam(s, dir, 6))
   )
+
+  /** s31/s32's oracle, generated from the SAME plane count as the Spark
+    * side (graphBeam): the probe unnest list, bucket-bit sum, and all caps
+    * derive from the one parameter, so changing `planes` can never
+    * desynchronize the engines (ADVICE r12). Beam rounds unroll as nested
+    * CTEs (s20's idiom); every tiebreak and cosine fold restated. */
+  private def graphBeamSql(planes: Int): String = {
+    val rounds = (1 to beamRounds).map { r =>
+      val prev = if (r == 1) "f0" else s"f${r - 1}"
+      s"""c$r AS (SELECT DISTINCT query_id, node FROM (
+         |    SELECT query_id, node FROM $prev
+         |    UNION ALL
+         |    SELECT p.query_id, ed.dst AS node
+         |    FROM $prev p JOIN ed ON ed.src = p.node) u),
+         |s$r AS (SELECT c.query_id, c.node, ${cosSql("q.qv", "e.v")} AS sim
+         |        FROM c$r c JOIN e ON e.vec_id = c.node
+         |        JOIN q ON q.query_id = c.query_id),
+         |f$r AS (SELECT query_id, node, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, node) AS brk
+         |    FROM s$r) t WHERE brk <= $beamWidth)""".stripMargin
+    }.mkString(",\n")
+    val probeList = ("b.bucket" +: (0 until planes).map(p =>
+      s"xor(b.bucket, ${1 << p})")).mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSqlFor(planes)} AS bucket FROM e),
+       |pr AS (SELECT b.vec_id AS src, b.v AS sv, u.probe
+       |       FROM b, LATERAL unnest([$probeList]) AS u(probe)),
+       |bc AS (SELECT vec_id, v, bucket FROM (
+       |    SELECT vec_id, v, bucket, row_number() OVER (PARTITION BY bucket
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
+       |    FROM b) t WHERE crk <= $beamBucketCap),
+       |ce AS (SELECT pr.src, bc.vec_id AS dst, ${cosSql("pr.sv", "bc.v")} AS esim
+       |       FROM pr JOIN bc ON bc.bucket = pr.probe AND bc.vec_id <> pr.src),
+       |ed AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |        ORDER BY esim DESC, dst) AS erk
+       |    FROM ce) t WHERE erk <= $graphDegree),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |qb AS (SELECT vec_id AS query_id, bucket AS qbk FROM b WHERE vec_id < 5),
+       |en AS (SELECT qb.query_id, min(b.vec_id) AS node
+       |       FROM qb JOIN b ON b.bucket = qb.qbk GROUP BY qb.query_id),
+       |f0 AS (SELECT en.query_id, en.node, ${cosSql("q.qv", "e.v")} AS sim
+       |       FROM en JOIN e ON e.vec_id = en.node
+       |       JOIN q ON q.query_id = en.query_id),
+       |$rounds
+       |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, sim FROM (
+       |  SELECT query_id, node AS neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, node) AS rnk
+       |  FROM f$beamRounds WHERE node <> query_id) t
+       |WHERE rnk <= 5""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // the greedy rounds as nested CTEs: each ch<r> accumulates the chosen
@@ -1300,54 +1394,13 @@ object Similarity {
 
     // the same multi-probe bucket build (s2's plane bits + hamming-1
     // flips), the same k-NN edge cut, and the beam rounds unrolled as
-    // nested CTEs (s20's idiom) — every tiebreak and fold restated
-    "s31_ann_graph_beam" -> {
-      val rounds = (1 to beamRounds).map { r =>
-        val prev = if (r == 1) "f0" else s"f${r - 1}"
-        s"""c$r AS (SELECT DISTINCT query_id, node FROM (
-           |    SELECT query_id, node FROM $prev
-           |    UNION ALL
-           |    SELECT p.query_id, ed.dst AS node
-           |    FROM $prev p JOIN ed ON ed.src = p.node) u),
-           |s$r AS (SELECT c.query_id, c.node, ${cosSql("q.qv", "e.v")} AS sim
-           |        FROM c$r c JOIN e ON e.vec_id = c.node
-           |        JOIN q ON q.query_id = c.query_id),
-           |f$r AS (SELECT query_id, node, sim FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY query_id
-           |        ORDER BY sim DESC, node) AS brk
-           |    FROM s$r) t WHERE brk <= $beamWidth)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
-         |pr AS (SELECT b.vec_id AS src, b.v AS sv, u.probe
-         |       FROM b, LATERAL unnest([b.bucket,
-         |         xor(b.bucket, 1), xor(b.bucket, 2),
-         |         xor(b.bucket, 4), xor(b.bucket, 8)]) AS u(probe)),
-         |bc AS (SELECT vec_id, v, bucket FROM (
-         |    SELECT vec_id, v, bucket, row_number() OVER (PARTITION BY bucket
-         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
-         |    FROM b) t WHERE crk <= $beamBucketCap),
-         |ce AS (SELECT pr.src, bc.vec_id AS dst, ${cosSql("pr.sv", "bc.v")} AS esim
-         |       FROM pr JOIN bc ON bc.bucket = pr.probe AND bc.vec_id <> pr.src),
-         |ed AS (SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src
-         |        ORDER BY esim DESC, dst) AS erk
-         |    FROM ce) t WHERE erk <= $graphDegree),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-         |qb AS (SELECT vec_id AS query_id, bucket AS qbk FROM b WHERE vec_id < 5),
-         |en AS (SELECT qb.query_id, min(b.vec_id) AS node
-         |       FROM qb JOIN b ON b.bucket = qb.qbk GROUP BY qb.query_id),
-         |f0 AS (SELECT en.query_id, en.node, ${cosSql("q.qv", "e.v")} AS sim
-         |       FROM en JOIN e ON e.vec_id = en.node
-         |       JOIN q ON q.query_id = en.query_id),
-         |$rounds
-         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, sim FROM (
-         |  SELECT query_id, node AS neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, node) AS rnk
-         |  FROM f$beamRounds WHERE node <> query_id) t
-         |WHERE rnk <= 5""".stripMargin
-    },
+    // nested CTEs (s20's idiom) — every tiebreak and fold restated;
+    // generated from the SAME plane count as the Spark side, so the two
+    // engines can never desynchronize on the probe set (ADVICE r12)
+    "s31_ann_graph_beam" -> graphBeamSql(numPlanes),
+
+    // the knob restated: identical SQL generator at planes = 6
+    "s32_ann_beam_planes6" -> graphBeamSql(6),
 
     // the same augmentation (u = v/√M ⊕ √(1−|v|²/M²), qu = q/|q| ⊕ 0),
     // the same centroid seeds/assign/probe CTEs as s5, the same raw-dot

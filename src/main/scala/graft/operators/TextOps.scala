@@ -25,19 +25,51 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** t33's JSONL staging dir — ONE per JVM, overwritten per call (ADVICE
-    * r4's temp-dir discipline: a bench session runs each query 4×; fresh
-    * dirs per call would leak a corpus copy each run). */
-  private lazy val jsonlStage: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-t33-jsonl").toFile
+  /** t33/t35's JSONL staging root — ONE per JVM (ADVICE r4's temp-dir
+    * discipline: a bench session runs each query 4×; fresh dirs per call
+    * would leak a corpus copy each run). */
+  private lazy val jsonlStageRoot: java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
       rm(d)
     }
-    d.getAbsolutePath
+    d
   }
+
+  /** Per-(corpus dir, tag) staging subdir: keying by the input dir keeps a
+    * still-held lazy reader valid when another scale factor is staged in
+    * the same JVM — a shared overwrite-mode dir would silently swap what
+    * it reads (ADVICE r12). */
+  private def jsonlStage(dir: String, tag: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    new java.io.File(jsonlStageRoot, s"$tag-$key").getAbsolutePath
+  }
+
+  /** t33/t35's shared oracle: the same normalization over the parquet twin
+    * of the staged JSONL — lossless round trip for long/string columns, so
+    * row equality IS the ingestion proof. */
+  private val crawlIngestSql: String =
+    """SELECT doc_id, lower(trim(lang)) AS lang, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+      |FROM documents
+      |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |  AND length(text) > 0""".stripMargin
+
+  /** t33/t35's shared arrival normalization: contract filter (non-null id,
+    * non-empty text), lang canonicalized, token count stamped — ONE
+    * definition so the two ingestion formats can never drift (they share
+    * the oracle too). One codegen'd projection, no shuffle. */
+  private def crawlNormalize(raw: DataFrame): DataFrame = raw
+    .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+      length(col("text")) > 0)
+    .select(col("doc_id"), lower(trim(col("lang"))).as("lang"),
+      col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      col("n_chars"))
 
   /** The explicit ingestion contract for raw-crawl JSONL — schema-on-read
     * with a DECLARED schema, never inference (inference is a full extra
@@ -1470,15 +1502,28 @@ object TextOps {
     // is splittable line-format (partition-parallel like any text
     // source); the normalization is one codegen'd projection, no shuffle.
     "t33_jsonl_ingest" -> { (s, dir) =>
-      val stage = jsonlStage
+      val stage = jsonlStage(dir, "t33")
       docs(s, dir).write.mode("overwrite").json(stage)
-      s.read.schema(crawlSchema).json(stage)
-        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
-          length(col("text")) > 0)
-        .select(col("doc_id"), lower(trim(col("lang"))).as("lang"),
-          col("source"),
-          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
-          col("n_chars"))
+      crawlNormalize(s.read.schema(crawlSchema).json(stage))
+    },
+
+    // The SECOND arrival format through the SAME normalization contract
+    // (VERDICT r12 item 5): raw crawls ship overwhelmingly as
+    // gzip-compressed JSONL shards, and gzip changes the scale calculus —
+    // a .gz file is NOT splittable, so parallelism equals shard count,
+    // not byte ranges. The honest 100 TB posture is therefore
+    // many-small-shards: keep each shard at the target partition size and
+    // the scan parallelizes per-file exactly like the uncompressed scan
+    // parallelizes per-split; one giant .gz would serialize the read (the
+    // repartition after read is the recovery, paid as one shuffle). The
+    // normalization, contract filter, and oracle are t33's verbatim —
+    // compression must be invisible to semantics, and the shared hash
+    // gate is that proof.
+    "t35_jsonl_gzip_ingest" -> { (s, dir) =>
+      val stage = jsonlStage(dir, "t35")
+      docs(s, dir).write.mode("overwrite")
+        .option("compression", "gzip").json(stage)
+      crawlNormalize(s.read.schema(crawlSchema).json(stage))
     },
 
     // Per-source-pair VOCABULARY overlap — the third axis of the
@@ -2466,12 +2511,11 @@ object TextOps {
     // the same normalization over the parquet twin of the staged JSONL —
     // lossless round trip for long/string columns, so row equality IS the
     // ingestion proof
-    "t33_jsonl_ingest" ->
-      """SELECT doc_id, lower(trim(lang)) AS lang, source,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
-        |FROM documents
-        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
-        |  AND length(text) > 0""".stripMargin,
+    "t33_jsonl_ingest" -> crawlIngestSql,
+
+    // the SAME oracle as t33 — compression must be invisible to semantics,
+    // and the shared hash gate is the proof
+    "t35_jsonl_gzip_ingest" -> crawlIngestSql,
 
     // the same (source, token) distinct postings, pair counts, and exact
     // long division

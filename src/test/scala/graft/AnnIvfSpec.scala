@@ -98,6 +98,31 @@ class AnnIvfSpec extends AnyFunSuite {
       s"mean recall@5 ${rec.sum / rec.size} fell below the pinned floor")
   }
 
+  test("s32: plane-count knob — planes=6 walk stays dense, exact, self-free") {
+    val got = Similarity.defs("s32_ann_beam_planes6")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { qs =>
+      val sorted = qs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq,
+        "ranks must be dense from 1")
+      assert(sorted.map(_._4).reverse.sorted.reverse.toSeq == sorted.map(_._4).toSeq,
+        "sims must be non-increasing with rank")
+      qs.foreach { case (q, n, _, sim) =>
+        assert(n != q, "self must be excluded")
+        assert(sim >= -1.0000001 && sim <= 1.0000001)
+      }
+    }
+    // the knob changes bucket geometry, not scoring: wherever s1 ranked
+    // the same pair, the exact-cosine doubles agree bit-for-bit
+    val exactSim = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    got.foreach { case (q, n, _, sim) =>
+      exactSim.get((q, n)).foreach(es => assert(math.abs(es - sim) < 1e-12))
+    }
+  }
+
   test("s5: 5 queries, ranks dense from 1, sims valid and non-increasing") {
     val rows = Similarity.defs("s5_ann_ivf")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
@@ -434,5 +435,33 @@ class PlanSpec extends AnyFunSuite {
     // one modality-partitioned running-sum window, nothing else shuffles
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
       s"m11 is one window exchange:\n$p")
+  }
+
+  test("s31/s32: the beam round broadcasts the FRONTIER, never the edge table") {
+    // VERDICT r12 item 1: the corpus-sized k-NN edge table (8·N rows) must
+    // stay partitioned; only the |queries|·beamWidth frontier may build a
+    // broadcast. Pin at the physical level: no BroadcastExchange in the
+    // round plan may output the edge table's columns. s31's returned plan
+    // can't carry this (each round is localCheckpoint'd away), so the pin
+    // targets the extracted round operator itself.
+    import spark.implicits._
+    val beam = Seq((0L, 1L, 0.9), (1L, 2L, 0.8)).toDF("query_id", "node", "sim")
+    val edges = spark.range(0, 100000)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val df = Similarity.beamExpand(beam, edges)
+    val phys = df.queryExecution.sparkPlan
+    val joins = phys.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"the round join must be a broadcast hash join:\n$phys")
+    joins.foreach { j =>
+      val build = (j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case _ => j.right
+      }).output.map(_.name)
+      assert(build.contains("node") && !build.contains("dst") &&
+        !build.contains("src"),
+        s"the BUILD side must be the frontier, got columns $build:\n$phys")
+    }
   }
 }
