@@ -1021,6 +1021,36 @@ object Dedup {
             .as("jaccard"))
     },
 
+    // CROSS-LANGUAGE SHARED-SHINGLE AUDIT — the translation/boilerplate
+    // leak signal: exact-dup fingerprints essentially never cross a
+    // language boundary (verified empty at the gate SFs), but 3-gram
+    // SHINGLES do — navigation chrome, code blocks, templated headers,
+    // and copy-pasted passages shared verbatim across language-labeled
+    // partitions. Per lang pair: shared distinct shingle-hash count and
+    // the containment ppm against the SMALLER side's shingle vocabulary
+    // (the direction a leak flows). The w21 postings discipline on the
+    // d13 shingle axis: ONE (lang, shingle-hash) distinct pass bounds
+    // everything — the hash self-join fans out at most |langs| per
+    // shingle (postings carry langs, never documents), the pair matrix
+    // is |langs|² rows, and the ppm is an exact integral floor.
+    "d35_cross_lang_shingles" -> { (s, dir) =>
+      val lh = docs(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("w"))
+        .select(col("lang"), explode(hvOf(shinglesOf(col("w")))).as("h"))
+        .distinct().localCheckpoint() // postings: sizes + the pair join
+      val sizes = lh.groupBy("lang").agg(count(lit(1)).as("n"))
+      lh.as("a").join(lh.as("b"),
+          col("a.h") === col("b.h") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang1"), col("b.lang").as("lang2"))
+        .agg(count(lit(1)).as("shared_shingles"))
+        .join(sizes.select(col("lang").as("lang1"), col("n").as("n1")), "lang1")
+        .join(sizes.select(col("lang").as("lang2"), col("n").as("n2")), "lang2")
+        .select(col("lang1"), col("lang2"), col("n1"), col("n2"),
+          col("shared_shingles"),
+          expr("CAST((CAST(shared_shingles AS DECIMAL(38,0)) * 1000000)" +
+            " div least(n1, n2) AS BIGINT)").as("containment_ppm"))
+    },
+
     // MinHash estimation error — the third evaluator next to d9 (candidate
     // recall) and d4 (exact verify): per LSH candidate pair, the
     // sketch-estimated Jaccard (fraction of agreeing signature components —
@@ -1766,6 +1796,23 @@ object Dedup {
          |       GROUP BY 1, 2)
          |SELECT d1, d2, CAST(ic AS DOUBLE) / (n1 + n2 - ic) AS jaccard
          |FROM ov WHERE 3 * ic >= n1 + n2""".stripMargin,
+
+    // the same shingle → hash32 pipeline keyed by lang, the same distinct
+    // postings, pair counts, and exact floor division
+    "d35_cross_lang_shingles" ->
+      s"""WITH $hashSetSqlCte,
+         |lh AS (SELECT DISTINCT d.lang, u.h
+         |       FROM sh JOIN documents d USING (doc_id),
+         |         LATERAL unnest(sh.hs) AS u(h)),
+         |sz AS (SELECT lang, count(*) AS n FROM lh GROUP BY 1),
+         |pr AS (SELECT a.lang AS lang1, b.lang AS lang2,
+         |         count(*) AS shared_shingles
+         |       FROM lh a JOIN lh b ON a.h = b.h AND a.lang < b.lang
+         |       GROUP BY 1, 2)
+         |SELECT lang1, lang2, x.n AS n1, y.n AS n2, shared_shingles,
+         |  CAST((CAST(shared_shingles AS HUGEINT) * 1000000)
+         |    // least(x.n, y.n) AS BIGINT) AS containment_ppm
+         |FROM pr JOIN sz x ON lang1 = x.lang JOIN sz y ON lang2 = y.lang""".stripMargin,
 
     "d14_minhash_estimate" ->
       s"""WITH $sigSqlCte,

@@ -764,6 +764,34 @@ object Graph {
           .select("a", "b").localCheckpoint()
       }
       supportOf(e)
+    },
+
+    // COMPONENT-SIZE HISTOGRAM — the connectivity-shape readout over g5's
+    // labels (g8's histogram discipline on the component axis): how many
+    // components exist at each size, each size class's exact vertex-share
+    // ppm, and the giant-component share — the one number that says
+    // whether this graph is "one blob plus dust" (percolated: component-
+    // local algorithms degenerate to whole-graph) or genuinely clustered.
+    // Plan: the corpus-scale work is g5's pipeline (edge build + min-label
+    // rounds); everything after is a |components|-row agg, a |distinct
+    // sizes|-row histogram, and a 1-row total broadcast. Products ride
+    // DECIMAL(38,0) (size × count squares past int64 at corpus scale);
+    // ppm floors via div match the oracle's // exactly.
+    "g22_component_sizes" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val sizes = Components.minLabel(e)
+        .groupBy(col("lbl").as("component_id"))
+        .agg(count(lit(1)).as("comp_size"))
+        .localCheckpoint() // feeds the histogram AND the totals
+      val tot = sizes.agg(sum("comp_size").as("n_vertices"),
+        max("comp_size").as("giant"))
+      sizes.groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+        .crossJoin(broadcast(tot))
+        .select(col("comp_size"), col("n_components"),
+          expr("CAST((CAST(comp_size AS DECIMAL(38,0)) * n_components" +
+            " * 1000000) div n_vertices AS BIGINT)").as("vertex_share_ppm"),
+          expr("CAST((CAST(giant AS DECIMAL(38,0)) * 1000000)" +
+            " div n_vertices AS BIGINT)").as("giant_share_ppm"))
     }
   )
 
@@ -1141,6 +1169,28 @@ object Graph {
         |sz AS (SELECT component_id, count(*) AS comp_size FROM cl GROUP BY component_id)
         |SELECT cl.v, cl.component_id, sz.comp_size
         |FROM cl JOIN sz USING (component_id)""".stripMargin,
+
+    // g5's labels, then histogram + totals; HUGEINT products and // floors
+    // mirror the Spark side's DECIMAL(38,0) div exactly
+    "g22_component_sizes" ->
+      s"""WITH RECURSIVE $graphSql,
+        |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.v),
+        |cl AS (SELECT v, min(r) AS component_id FROM reach GROUP BY v),
+        |sz AS (SELECT component_id, count(*) AS comp_size FROM cl
+        |       GROUP BY component_id),
+        |tot AS (SELECT CAST(sum(comp_size) AS BIGINT) AS n_vertices,
+        |          CAST(max(comp_size) AS BIGINT) AS giant FROM sz),
+        |h AS (SELECT comp_size, count(*) AS n_components FROM sz GROUP BY 1)
+        |SELECT comp_size, n_components,
+        |  CAST((CAST(comp_size AS HUGEINT) * n_components * 1000000)
+        |    // n_vertices AS BIGINT) AS vertex_share_ppm,
+        |  CAST((CAST(giant AS HUGEINT) * 1000000)
+        |    // n_vertices AS BIGINT) AS giant_share_ppm
+        |FROM h CROSS JOIN tot""".stripMargin,
 
     // symmetrized marginals coincide → the sqrt cancels; HUGEINT products
     // mirror the Spark side's DECIMAL(38,0) exactly

@@ -1743,6 +1743,47 @@ object Relational {
         .select(col("p_id"), col("user_id"), col("c_id"), col("gap_ms"))
     },
 
+    // 2-D SKYLINE (Pareto frontier) — the dominance query (Börzsönyi et
+    // al., ICDE'01): parts no other part beats on BOTH axes (price lower-
+    // or-equal, size higher-or-equal, one strict) — the "efficient
+    // frontier" readout behind any cost/quality trade (cheapest part at
+    // each capability level). The textbook spelling is a running max over
+    // ONE GLOBAL ORDER (price ASC, size DESC, key ASC) — a single-
+    // partition window, the q66-class scale-killer. This is the TWO-PHASE
+    // form: rows bin by integer price range; per-bin max sizes (tiny agg)
+    // feed a |bins|-row prefix-max window (dashboard-sized — the
+    // histogram-window discipline); each row then checks against
+    // max(prior-bin prefix, within-bin running max) in a BIN-PARTITIONED
+    // window. Bins respect the global order (bin is monotone in price and
+    // ties stay in-bin), so the two-phase result is IDENTICAL to the
+    // global sweep the oracle states — same frontier, one bounded window
+    // per bin instead of one unbounded window per corpus. Bin width is
+    // the scale knob (here 100 price units; at corpus scale pick width so
+    // |bins| stays dashboard-sized while bins stay partition-sized).
+    "q76_skyline" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast(LongType).as("p_size"))
+        .withColumn("bin",
+          expr("CAST(floor(p_retailprice) AS BIGINT) div 100"))
+        .localCheckpoint() // feeds the bin maxes AND the final filter
+      val binMax = p.groupBy("bin").agg(max("p_size").as("bmax"))
+      val wpre = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = binMax
+        .withColumn("pmax", max("bmax").over(wpre))
+        .select(col("bin"), col("pmax"))
+      val wbin = Window.partitionBy("bin")
+        .orderBy(col("p_retailprice").asc, col("p_size").desc, col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      p.join(broadcast(prefix), "bin")
+        .withColumn("rmax",
+          greatest(coalesce(max("p_size").over(wbin), lit(-1L)),
+            coalesce(col("pmax"), lit(-1L))))
+        .filter(col("p_size") > col("rmax"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    },
+
     // EXPONENTIAL SMOOTHING over the LOCF series — the monitoring
     // transform q69's raw fill feeds (alerting on a smoothed level, not
     // single-hour noise). A true recursive EWMA never hash-gates (float
@@ -2595,6 +2636,18 @@ object Relational {
         |        AND abs(c.c_ms - p.p_ms) <= 1800000)
         |SELECT p.p_id, p.user_id, m.c_id, m.gap_ms
         |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.p_id = p.p_id""".stripMargin,
+
+    // the textbook single-sweep spelling: one global running max over
+    // (price ASC, size DESC, key ASC) — provably identical to the Spark
+    // side's two-phase binned form because bins are monotone in price
+    "q76_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM (
+        |  SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size,
+        |    max(CAST(p_size AS BIGINT)) OVER (
+        |      ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+        |  FROM part) t
+        |WHERE p_size > coalesce(rmax, -1)""".stripMargin,
 
     // same md5 uniforms, same literal thresholds, same decimal means
     "q57_poisson_bootstrap" -> {

@@ -73,15 +73,20 @@ object Similarity {
 
   /** s31's per-bucket candidate cap for the edge BUILD: with a fixed
     * plane count, bucket population grows linearly with the corpus and
-    * the probe join quadratically — the first 100× smoke ran into
-    * exactly that (a 780M-pair edge shuffle). Capping the TARGET side of
-    * each probe bucket at 256 deterministically-ranked members
-    * ((md5(id), id) — d30's band-cap idiom, mirrored in the oracle)
-    * bounds build volume at N·5·256 pairs, linear in N. INACTIVE at
-    * every gate SF (max bucket 169 at sf0.1), so gate results and the
-    * measured recalls are unchanged; at true corpus scale the real
-    * lever is growing the plane count with log(N) — the cap is the
-    * backstop that keeps a mis-sized plane count from going quadratic. */
+    * the probe join quadratically. Capping the TARGET side of each probe
+    * bucket at 256 deterministically-ranked members ((md5(id), id) —
+    * d30's band-cap idiom, mirrored in the oracle) bounds build volume
+    * at N·(planes+1)·256 pairs, linear in N — measured: the 100×
+    * ScaleSmoke (200k vectors, cap active) runs 78 s vs 15 s at 10× vs
+    * 3.3 s at 1×, i.e. ~5× wall per 10× rows (SCALE_FULL.json
+    * s31_ann_graph_beam@100x; PLANS.md round 13). INACTIVE at every gate
+    * SF (max bucket 169 at sf0.1), so gate results are unchanged. The
+    * cap trades recall for boundedness once buckets overflow it — the
+    * recall lever is the PLANE-COUNT knob (graphBeam's `planes`,
+    * measured curve in PLANS.md: at N=20k recall@5 goes 0.16→1.0 from
+    * planes 4→8 as population falls back under the cap; at N=2k planes=4
+    * is already optimal and more planes only shed candidates). Policy:
+    * planes ≈ log2(N / targetPop) with targetPop ≲ this cap. */
   private[graft] val beamBucketCap = 256
 
   /** Random-hyperplane ±1 components derived from md5("p_d"). The planes are

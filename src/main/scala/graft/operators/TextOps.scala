@@ -1526,6 +1526,34 @@ object TextOps {
       crawlNormalize(s.read.schema(crawlSchema).json(stage))
     },
 
+    // QUALITY×DUPLICATION CALIBRATION — the cross-signal audit the two
+    // curation axes need before being applied together: does low quality
+    // PREDICT duplication (boilerplate is both low-quality and viral), or
+    // are the filters independent? Per stopword-ratio decile (exact
+    // integer ppm, floored to the 100k bucket — never a float boundary),
+    // the exact-dup rate in ppm. A strong gradient says the quality gate
+    // already removes much of what dedup would; a flat line says the two
+    // passes earn their keep separately — the pipeline-ordering decision
+    // (t26 runs quality THEN dedup) quantified. Plan: one narrow
+    // (doc_id, fp, bucket) projection (Dedup.fpCol — the d1 spelling, so
+    // this audit can never drift from the dedup it predicts), one fp
+    // count agg + join back (the only corpus shuffles), then an
+    // ≤11-row bucket rollup with exact integral ppm floors.
+    "t36_quality_dup_calibration" -> { (s, dir) =>
+      val base = withQualityCols(docs(s, dir))
+        .withColumn("fp", graft.operators.Dedup.fpCol)
+        .select(col("doc_id"), col("fp"),
+          expr("((n_stop * 1000000) div n_tokens) div 100000").as("bucket"))
+      val fc = base.groupBy("fp").agg(count(lit(1)).as("c"))
+      base.join(fc, "fp")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(col("bucket"), col("n_docs"), col("n_dup_docs"),
+          expr("CAST((n_dup_docs * 1000000) div n_docs AS BIGINT)")
+            .as("dup_ppm"))
+    },
+
     // Per-source-pair VOCABULARY overlap — the third axis of the
     // source-similarity triangle: w12 compares token DISTRIBUTIONS (TV
     // distance), d16 compares near-dup CONTENT, this compares vocabulary
@@ -2516,6 +2544,23 @@ object TextOps {
     // the SAME oracle as t33 — compression must be invisible to semantics,
     // and the shared hash gate is the proof
     "t35_jsonl_gzip_ingest" -> crawlIngestSql,
+
+    // the same d1 fingerprint spelling, the same integer stop-ppm decile,
+    // the same exact floors
+    "t36_quality_dup_calibration" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g')))) AS fp,
+         |    ((CAST(len(list_filter(w, x -> x IN ($stopSqlList))) AS BIGINT)
+         |       * 1000000) // CAST(len(w) AS BIGINT)) // 100000 AS bucket
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+         |        FROM documents) t),
+         |fc AS (SELECT fp, count(*) AS c FROM b GROUP BY 1)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST((sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS dup_ppm
+         |FROM b JOIN fc USING (fp)
+         |GROUP BY bucket""".stripMargin,
 
     // the same (source, token) distinct postings, pair counts, and exact
     // long division

@@ -1530,4 +1530,72 @@ class OperatorSpec extends AnyFunSuite {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     assert(got == expect, s"got ${got.size} fused rows, expect ${expect.size}")
   }
+
+  test("q76 skyline: kept points undominated, dropped points covered — brute check") {
+    val sf = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+    val kept = Relational.defs("q76_skyline")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(kept.nonEmpty && kept.length < all.length)
+    def dominates(a: (Long, Double, Long), b: (Long, Double, Long)) =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    // no point (frontier or not) strictly dominates a kept point
+    kept.foreach { k =>
+      assert(!all.exists(p => p._1 != k._1 && dominates(p, k)),
+        s"kept ${k._1} is dominated")
+    }
+    // every dropped point is dominated by (or duplicates) a kept point
+    val keptIds = kept.map(_._1).toSet
+    all.filterNot(p => keptIds(p._1)).foreach { p =>
+      assert(kept.exists(k => k._2 <= p._2 && k._3 >= p._3),
+        s"dropped ${p._1} has no covering frontier point")
+    }
+  }
+
+  test("d35 cross-lang shingles: ordered pairs, bounded shares, exact floors") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.defs("d35_cross_lang_shingles")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty, "test premise: the corpus has cross-lang boilerplate")
+    rows.foreach { case (l1, l2, n1, n2, sh, ppm) =>
+      assert(l1 < l2, "pairs must be ordered once, never mirrored")
+      assert(sh >= 1 && sh <= math.min(n1, n2),
+        s"shared $sh outside [1, min($n1, $n2)]")
+      assert(ppm == sh * 1000000L / math.min(n1, n2), "ppm must floor exactly")
+    }
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+  }
+
+  test("t36 calibration: buckets partition the corpus, dup ppm floors exact") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextOps.defs("t36_quality_dup_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum == corpus, "every doc lands in exactly one bucket")
+    rows.foreach { case (b, nd, dup, ppm) =>
+      assert(b >= 0 && b <= 10, s"stop-ppm decile $b out of range")
+      assert(dup >= 0 && dup <= nd)
+      assert(ppm == dup * 1000000L / nd, "dup ppm must floor exactly")
+    }
+  }
+
+  test("g22 histogram reconciles against g5's per-vertex labels") {
+    val sf = "/root/testdata/sf0.001"
+    val g5 = graft.operators.Graph.defs("g5_components")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hist = graft.operators.Graph.defs("g22_component_sizes")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nV = g5.length.toLong
+    assert(hist.map(t => t._1 * t._2).sum == nV,
+      "size × count must cover every vertex exactly once")
+    val giant = g5.map(_._3).max
+    assert(hist.map(_._1).max == giant, "giant component must top the histogram")
+    hist.foreach { case (size, n, share, gshare) =>
+      assert(share == size * n * 1000000L / nV)
+      assert(gshare == giant * 1000000L / nV)
+    }
+  }
 }
