@@ -1247,7 +1247,25 @@ object Similarity {
     // geometry changes. The sf0.1 recall sweep (PLANS.md round 13)
     // measures what the knob buys: smaller buckets sharpen the edge
     // build's candidate pool as N grows.
-    "s32_ann_beam_planes6" -> ((s, dir) => graphBeam(s, dir, 6))
+    "s32_ann_beam_planes6" -> ((s, dir) => graphBeam(s, dir, 6)),
+
+    // GRAPH-ANN RECALL — the missing member of the recall-evaluator
+    // family (s4 grades LSH, s7 IVF, s10 PQ, s12 IVF·PQ; this grades the
+    // beam walk): per query, the exact share of s1's true top-5 the beam
+    // returns. The evaluator is corpus-invariant like s4 — both inputs
+    // are k·|queries| rows however big the corpus — and the division by
+    // the literal 5.0 on exact integer hits produces identical doubles
+    // in both engines (the s4 discipline). The STANDING measurement
+    // RecallSweep snapshots per plane count, now hash-gated per round.
+    "s33_beam_recall" -> { (s, dir) =>
+      val exact5 = bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
+        .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
+      val beam5 = graphBeam(s, dir, numPlanes)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact5.join(beam5, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
+    }
   )
 
   /** s31/s32's oracle, generated from the SAME plane count as the Spark
@@ -1406,6 +1424,25 @@ object Similarity {
 
     // the knob restated: identical SQL generator at planes = 6
     "s32_ann_beam_planes6" -> graphBeamSql(6),
+
+    // s4's recall join with the beam subquery inlined (a derived table
+    // carrying its own WITH — names scoped inside, no collision with the
+    // outer CTEs)
+    "s33_beam_recall" ->
+      s"""WITH ex AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qx AS (SELECT vec_id AS query_id, v AS qv FROM ex WHERE vec_id < 5),
+         |px AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |       FROM ex CROSS JOIN qx WHERE vec_id <> query_id),
+         |e5 AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY sim DESC, neighbor_id) AS rnk
+         |         FROM px) r WHERE rnk <= 5),
+         |beam AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |${graphBeamSql(numPlanes)}) gb)
+         |SELECT e5.query_id, sum(coalesce(beam.hit, 0)) / 5.0 AS recall_at_5
+         |FROM e5 LEFT JOIN beam
+         |  ON e5.query_id = beam.query_id AND e5.neighbor_id = beam.neighbor_id
+         |GROUP BY e5.query_id""".stripMargin,
 
     // the same augmentation (u = v/√M ⊕ √(1−|v|²/M²), qu = q/|q| ⊕ 0),
     // the same centroid seeds/assign/probe CTEs as s5, the same raw-dot

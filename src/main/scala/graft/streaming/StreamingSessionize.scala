@@ -812,6 +812,14 @@ object StreamingSessionize {
     "x28_stream_paths" -> { (s, dir) =>
       StreamPaths.runToCompletion(s, dir) },
 
+    // NEAREST-AS-OF ledger live — q75's bidirectional ±30 min match as an
+    // append stream: a purchase is decided only when the watermark
+    // strictly passes its FORWARD window edge (the backward-only PIT join
+    // x26 is stateless; 'nearest' genuinely waits on clicks still to
+    // come). NULL-preserving like the batch twin. See StreamAsof.scala.
+    "x30_stream_asof_nearest" -> { (s, dir) =>
+      StreamAsof.runToCompletion(s, dir) },
+
     // POINT-IN-TIME stream enrichment — q64 at the place a PIT join runs
     // in production (ingest): each arriving event picks the dimension
     // VERSION valid at its EVENT time, not the current row (which would
@@ -1327,6 +1335,27 @@ object StreamingSessionize {
         |FROM x
         |WHERE to_ms IS NOT NULL AND to_ms - from_ms <= 1800000
         |  AND to_ms < (SELECT max(ms) - 3600000 FROM e)""".stripMargin,
+
+    // x30: q75's nearest match verbatim, cut to purchases whose FORWARD
+    // window edge (p_ms + W) the final watermark strictly passed; the
+    // watermark max is over the FILTERED (click/purchase) stream — the
+    // clock the operator actually runs on (see StreamAsof.transform)
+    "x30_stream_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |           FROM events
+        |           WHERE event_type IN ('purchase', 'click')),
+        |p AS (SELECT event_id AS p_id, user_id, ms AS p_ms FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, ms AS c_ms FROM e
+        |      WHERE event_type = 'click'),
+        |m AS (SELECT p.p_id, c.c_id, c.c_ms - p.p_ms AS gap_ms,
+        |        row_number() OVER (PARTITION BY p.p_id
+        |          ORDER BY abs(c.c_ms - p.p_ms), c.c_ms, c.c_id) AS rn
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND abs(c.c_ms - p.p_ms) <= 1800000)
+        |SELECT p.p_id, p.user_id, m.c_id, m.gap_ms
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.p_id = p.p_id
+        |WHERE p.p_ms + 1800000 < (SELECT max(ms) - 3600000 FROM e)""".stripMargin,
 
     // x26: q64's PIT join, row-level — the stream is stateless so the
     // oracle is exactly the batch join (no emission cutoff to restate)

@@ -283,6 +283,31 @@ class StreamingSpec extends AnyFunSuite {
       "transition emissions diverge between sliced and one-shot replays")
   }
 
+  test("x30 asof ledger over 3 slices == one-shot replay (bidirectional window decided once)") {
+    val mb = timeSlicedDir(3)
+    def run(d: String, sink: String, opts: Map[String, String], glob: String) =
+      StreamingSessionize.runToCompletion(spark, d,
+          graft.streaming.StreamAsof.transform, "append", sink, opts, glob)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val sliced = run(mb, "x30-mb", Map("maxFilesPerTrigger" -> "1"),
+      "events*.parquet")
+    val oneShot = run(dir, "x30-oneshot", Map.empty, "events.parquet")
+    assert(sliced.nonEmpty, "test premise: some purchase must be decided")
+    // a purchase whose backward click arrived in an earlier slice and
+    // whose forward window closed in a later one must emit exactly once,
+    // with the same nearest click either way — the bidirectional buffer
+    // survived the trigger boundary
+    assert(sliced.length == sliced.distinct.length,
+      "a purchase must be decided by exactly one microbatch")
+    assert(sliced.toSet == oneShot.toSet,
+      "asof matches diverge between sliced and one-shot replays")
+    // the NULL-preserving contract must survive slicing too
+    assert(sliced.exists(_._3.isEmpty) == oneShot.exists(_._3.isEmpty))
+  }
+
   test("x26 PIT enrichment over 3 slices == one-shot replay (stateless, static dim)") {
     val mb = timeSlicedDir(3)
     val enrich = StreamingSessionize.pitEnrich(spark, dir)
