@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Measure the graph-ANN plane-count knob (VERDICT r12 item 7): recall@5
+  * of graphBeam at each requested hyperplane count against s1's exact
+  * brute-force top-5, on a real data dir. The knob's policy is
+  * planes ≈ log2(N / targetBucketPop) — this harness produces the measured
+  * curve that justifies it (recall flattens once buckets are small enough
+  * for the df-capped edge build to see every true neighbor candidate).
+  * Results merge into SCALE_FULL.json keyed `s31_recall@<dir>@p<planes>`.
+  *
+  * Usage: runMain graft.RecallSweep [sfDir] [p1,p2,...]
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val planes = (if (args.length > 1) args(1) else "4,6,8")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val exact5 = graft.operators.Similarity.defs("s1_knn_brute")(spark, dir)
+      .collect().filter(_.getLong(2) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQueries = exact5.map(_._1).size
+    val sfTag = dir.split('/').last
+    val entries = planes.map { p =>
+      val got = graft.operators.Similarity.graphBeam(spark, dir, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val recall = got.count(exact5) / (5.0 * nQueries)
+      println(s"""{"metric":"ann_recall","dir":"$dir","planes":$p,"recall_at_5":$recall}""")
+      s"s31_recall@$sfTag@p$p" ->
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(recall))
+    }
+    SmokeArtifact.merge(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_FULL.json"), entries)
+    spark.stop()
+  }
+}
