@@ -1051,6 +1051,34 @@ object Dedup {
             " div least(n1, n2) AS BIGINT)").as("containment_ppm"))
     },
 
+    // CLUSTER COHESION AUDIT — the transitivity-gap readout over the d15
+    // cluster pipeline: connected components merge near-dup pairs
+    // TRANSITIVELY, so a cluster can contain members that were never
+    // directly verified similar (A~B, B~C chains pull in A–C). Per
+    // cluster: members, directly-verified edges, and the exact ppm of
+    // possible pairs those edges cover — cohesion 1e6 means a clique
+    // (every merge is pairwise-verified); low cohesion flags chain-merged
+    // clusters where the keep-best policy may be collapsing genuinely
+    // different documents (the known failure mode of closure-based dedup
+    // at corpus scale, where one boilerplate bridge chains families
+    // together). Plan: the corpus-scale work IS the d15 edge pipeline
+    // (checkpointed once — components and the edge count read the same
+    // frame); everything after is |clusters|-row aggs and exact integer
+    // floors.
+    "d36_cluster_cohesion" -> { (s, dir) =>
+      val edges = neardupEdges(s, dir).localCheckpoint()
+      val cl = Components.minLabel(edges)
+        .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      val members = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      val ec = edges.join(cl.withColumnRenamed("doc_id", "d1"), "d1")
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+      members.join(ec, Seq("cluster_id"))
+        .select(col("cluster_id"), col("n_members"), col("n_edges"),
+          expr("CAST((n_edges * 1000000)" +
+            " div ((n_members * (n_members - 1)) div 2) AS BIGINT)")
+            .as("cohesion_ppm"))
+    },
+
     // MinHash estimation error — the third evaluator next to d9 (candidate
     // recall) and d4 (exact verify): per LSH candidate pair, the
     // sketch-estimated Jaccard (fraction of agreeing signature components —
@@ -1813,6 +1841,20 @@ object Dedup {
          |  CAST((CAST(shared_shingles AS HUGEINT) * 1000000)
          |    // least(x.n, y.n) AS BIGINT) AS containment_ppm
          |FROM pr JOIN sz x ON lang1 = x.lang JOIN sz y ON lang2 = y.lang""".stripMargin,
+
+    // d11's cluster CTEs + per-cluster member/edge counts and the exact
+    // pair-coverage floor
+    "d36_cluster_cohesion" ->
+      s"""WITH RECURSIVE $sigSqlCte,
+         |$hashSetSqlCte,
+         |$clusterSqlCtes,
+         |mem AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY 1),
+         |ec AS (SELECT cl.cluster_id, count(*) AS n_edges
+         |       FROM edges JOIN cl ON edges.d1 = cl.doc_id GROUP BY 1)
+         |SELECT cluster_id, n_members, n_edges,
+         |  CAST((n_edges * 1000000)
+         |    // ((n_members * (n_members - 1)) // 2) AS BIGINT) AS cohesion_ppm
+         |FROM mem JOIN ec USING (cluster_id)""".stripMargin,
 
     "d14_minhash_estimate" ->
       s"""WITH $sigSqlCte,

@@ -1784,6 +1784,33 @@ object Relational {
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
     },
 
+    // CDC APPLY — the change-log compaction every lakehouse MERGE
+    // materializes (Delta/Hudi/Iceberg "latest snapshot"): fold an
+    // ordered per-key change stream into final table state under
+    // LAST-WRITER-WINS with DELETE TOMBSTONES. The events stream is read
+    // as the log: every event upserts the user's row to its value;
+    // 'error' is the tombstone (the row is GONE from the final state, not
+    // NULLed — the semantic difference between a delete and an update the
+    // compactor must preserve). The (ms, event_id) total order makes the
+    // winner deterministic under timestamp ties. Plan: ONE user-key
+    // exchange carries both windows (last-change rank + change count —
+    // same clustering, no re-shuffle); at corpus scale this is the
+    // nightly compaction shape: shuffle on the primary key, window depth
+    // = that key's change count, never a global sort.
+    "q77_cdc_apply" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type"), col("value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w))
+        .withColumn("n_changes",
+          count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("value").as("last_value"),
+          col("ms").as("last_ms"), col("n_changes"))
+    },
+
     // EXPONENTIAL SMOOTHING over the LOCF series — the monitoring
     // transform q69's raw fill feeds (alerting on a smoothed level, not
     // single-hour noise). A true recursive EWMA never hash-gates (float
@@ -2648,6 +2675,20 @@ object Relational {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
         |  FROM part) t
         |WHERE p_size > coalesce(rmax, -1)""".stripMargin,
+
+    // the same (ms DESC, event_id DESC) winner and per-key change count;
+    // tombstoned keys are absent, not NULLed
+    "q77_cdc_apply" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |             event_type, value
+        |           FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ms DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n_changes
+        |      FROM e)
+        |SELECT user_id, value AS last_value, ms AS last_ms, n_changes
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     // same md5 uniforms, same literal thresholds, same decimal means
     "q57_poisson_bootstrap" -> {

@@ -1265,6 +1265,90 @@ object Similarity {
       exact5.join(beam5, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
+    },
+
+    // FILTERED ANN — the metadata-predicate vector search every
+    // production retrieval stack needs (tenant/language/license scoping):
+    // top-5 under a label predicate via the PRE-FILTER strategy — the
+    // predicate restricts the INDEX side before the probe, so recall
+    // within the filtered subset equals unfiltered s2 recall by
+    // construction. The alternative (post-filter: search unfiltered,
+    // then drop) silently starves k when the predicate is selective —
+    // candidates already spent on excluded vectors; pre-filter is the
+    // correct default whenever the predicate is known at index/probe
+    // time, and at corpus scale it is a bucket-key-plus-predicate scan
+    // (partition pruning does the filtering for free on a
+    // label-partitioned layout). Same multi-probe set, same exact-cosine
+    // rerank, same total order as s2 — only the candidate universe
+    // changes, so the hash gate isolates exactly the filter semantics.
+    "s34_ann_filtered" -> { (s, dir) =>
+      val b = bucketed(s, dir)
+      val probes = col("qb") +: (0 until numPlanes).map(p =>
+        col("qb").bitwiseXOR(lit(1 << p)))
+      val q = b.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("bucket").as("qb"))
+        .select(col("query_id"), col("qv"),
+          explode(array(probes: _*)).as("probe"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      b.filter(col("label") % 2 === 0)
+        .join(broadcast(q), col("bucket") === col("probe")
+          && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("label"), cosine(col("qv"), col("v")).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "label", "rnk", "sim")
+    },
+
+    // MMR DIVERSITY RE-RANK (maximal marginal relevance, Carbonell-
+    // Goldstein SIGIR'98) — the redundancy-aware head of a retrieval
+    // stack (RAG context assembly: three near-duplicate top hits waste
+    // two context slots): greedily pick k = 3 from s1's top-10
+    // candidates, each round maximizing λ·sim(q,d) − (1−λ)·max_{c∈chosen}
+    // sim(d,c) at λ = 1/2. Deterministic end to end: halving is an exact
+    // float op, the pairwise max is over the same bit-identical cosine
+    // fold both engines compute, and every argmax tie-breaks by id — so
+    // the greedy trace hash-gates (s20's unrolled-rounds idiom). Scale:
+    // candidates are k·|queries| rows from the ANN index (the corpus
+    // never enters), so each round is a ≤|chosen|-way fan-out over a
+    // tiny frame — re-ranking cost is independent of corpus size, the
+    // property that lets MMR sit above any of the s2/s5/s31 indexes.
+    "s35_mmr_rerank" -> { (s, dir) =>
+      val e = emb(s, dir).select(col("vec_id"), col("v"))
+      val cand = bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+          "neighbor_id")
+        .localCheckpoint() // feeds every greedy round
+      val w1 = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      val p1 = cand.withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          (col("sim") / 2).as("mmr"), col("nv"), lit(1L).as("mmr_rank"))
+      def round(chosen: DataFrame, r: Int): DataFrame = {
+        val rem = cand.join(
+          chosen.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        val mp = rem
+          .join(chosen.select(col("query_id"), col("nv").as("cv")), "query_id")
+          .groupBy("query_id", "neighbor_id")
+          .agg(max(cosine(col("nv"), col("cv"))).as("mp"))
+        val wk = Window.partitionBy("query_id")
+          .orderBy(col("mmr").desc, col("neighbor_id"))
+        val pick = mp.join(cand, Seq("query_id", "neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (col("sim") / 2 - col("mp") / 2).as("mmr"), col("nv"))
+          .withColumn("rn", row_number().over(wk))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("neighbor_id"), col("mmr"),
+            col("nv"), lit(r.toLong).as("mmr_rank"))
+        chosen.unionByName(pick)
+      }
+      round(round(p1, 2), 3)
+        .select("query_id", "neighbor_id", "mmr_rank", "mmr")
     }
   )
 
@@ -1518,6 +1602,74 @@ object Similarity {
          |      FROM b JOIN q ON b.bucket = q.probe AND b.vec_id <> q.query_id)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM p) r
+         |WHERE rnk <= 5""".stripMargin
+    },
+
+    // the greedy MMR trace unrolled as nested CTEs (s20's idiom): the
+    // same top-10 candidates, the same λ=1/2 halving, the same pairwise
+    // cosine fold, every argmax tie-broken by id
+    "s35_mmr_rerank" -> {
+      def roundSql(r: Int): String = {
+        val prev = s"ch${r - 1}"
+        s"""m$r AS (SELECT c.query_id, c.neighbor_id, c.sim,
+           |         max(${cosSql("ev.v", "eg.v")}) AS mp
+           |       FROM cand c
+           |       JOIN $prev g ON g.query_id = c.query_id
+           |       JOIN e ev ON ev.vec_id = c.neighbor_id
+           |       JOIN e eg ON eg.vec_id = g.neighbor_id
+           |       WHERE NOT EXISTS (SELECT 1 FROM $prev x
+           |         WHERE x.query_id = c.query_id
+           |           AND x.neighbor_id = c.neighbor_id)
+           |       GROUP BY 1, 2, 3),
+           |p$r AS (SELECT query_id, neighbor_id, mmr FROM (
+           |    SELECT query_id, neighbor_id, sim / 2 - mp / 2 AS mmr,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY sim / 2 - mp / 2 DESC, neighbor_id) AS rn
+           |    FROM m$r) t WHERE rn = 1),
+           |ch$r AS (SELECT query_id, neighbor_id FROM $prev
+           |         UNION ALL SELECT query_id, neighbor_id FROM p$r)""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |p AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |      FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         |cand AS (SELECT query_id, neighbor_id, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM p) r WHERE rnk <= 10),
+         |c1 AS (SELECT query_id, neighbor_id, sim / 2 AS mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rn
+         |    FROM cand) t WHERE rn = 1),
+         |ch1 AS (SELECT query_id, neighbor_id FROM c1),
+         |${roundSql(2)},
+         |${roundSql(3)}
+         |SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS mmr_rank, mmr
+         |FROM c1
+         |UNION ALL SELECT query_id, neighbor_id, 2, mmr FROM p2
+         |UNION ALL SELECT query_id, neighbor_id, 3, mmr FROM p3""".stripMargin
+    },
+
+    // s2's probe restated with the label predicate on the CANDIDATE side
+    // only (queries are unconstrained) — the pre-filter strategy verbatim
+    "s34_ann_filtered" -> {
+      val probeList = ("qb" +: (0 until numPlanes).map(p => s"xor(qb, ${1 << p})"))
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, label, v, $bucketSql AS bucket FROM e),
+         |q AS (SELECT query_id, qv, unnest($probeList) AS probe FROM (
+         |        SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b
+         |        WHERE vec_id < 5) q0),
+         |p AS (SELECT query_id, vec_id AS neighbor_id, label,
+         |        ${cosSql("qv", "v")} AS sim
+         |      FROM b JOIN q ON b.bucket = q.probe AND b.vec_id <> q.query_id
+         |      WHERE b.label % 2 = 0)
+         |SELECT query_id, neighbor_id, label, CAST(rnk AS BIGINT) AS rnk, sim
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM p) r
          |WHERE rnk <= 5""".stripMargin
     },

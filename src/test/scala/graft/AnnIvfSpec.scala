@@ -123,6 +123,60 @@ class AnnIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("s34: filtered ANN — predicate strictly enforced, exact cosines, dense ranks") {
+    val got = Similarity.defs("s34_ann_filtered")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, label, _, sim) =>
+      assert(label % 2 == 0, s"neighbor $n of query $q violates the predicate")
+      assert(n != q, "self must be excluded")
+      assert(sim >= -1.0000001 && sim <= 1.0000001)
+    }
+    got.groupBy(_._1).values.foreach { qs =>
+      val sorted = qs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq,
+        "ranks must be dense from 1")
+      assert(sorted.map(_._5).reverse.sorted.reverse.toSeq == sorted.map(_._5).toSeq,
+        "sims must be non-increasing with rank")
+    }
+    // pre-filter changes the candidate universe, not the scoring: shared
+    // pairs agree with s1's exact cosine bit-for-bit
+    val exactSim = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    got.foreach { case (q, n, _, _, sim) =>
+      exactSim.get((q, n)).foreach(es => assert(math.abs(es - sim) < 1e-12))
+    }
+  }
+
+  test("s35: MMR — rank1 is the relevance argmax, picks distinct from top-10, scores non-increasing") {
+    val exact = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val top10 = exact.map(t => (t._1, t._2)).toSet
+    val rank1 = exact.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    val sim1 = exact.filter(_._3 == 1L).map(t => t._1 -> t._4).toMap
+    val got = Similarity.defs("s35_mmr_rerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, qs) =>
+      assert(qs.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L), "exactly ranks 1..3")
+      assert(qs.map(_._2).distinct.length == 3, "picks must be distinct")
+      qs.foreach(t => assert(top10((q, t._2)), "picks come from the candidate set"))
+      // greedy round 1 is pure relevance: s1's rank-1, scored at sim/2 exactly
+      val first = qs.find(_._3 == 1L).get
+      assert(first._2 == rank1(q), "rank 1 must be the relevance argmax")
+      assert(first._4 == sim1(q) / 2, "rank-1 MMR is exactly sim/2")
+      // round 3's score cannot exceed round 2's: each candidate's marginal
+      // score is non-increasing as the chosen set grows, and round 3
+      // maximizes over a strict subset. (Rank 1 → rank 2 CAN rise — a
+      // NEGATIVE max-cosine to the chosen set adds to the score — so the
+      // pin deliberately starts at round 2.)
+      val scores = qs.sortBy(_._3).map(_._4)
+      assert(scores(1) >= scores(2),
+        s"round-3 MMR exceeded round 2: ${scores.toSeq}")
+    }
+  }
+
   test("s5: 5 queries, ranks dense from 1, sims valid and non-increasing") {
     val rows = Similarity.defs("s5_ann_ivf")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -1582,6 +1582,42 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q77 cdc apply matches a sequential per-user log replay exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val log = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS ms",
+        "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val expect = log.groupBy(_._1).flatMap { case (uid, ch) =>
+      val last = ch.maxBy(c => (c._3, c._2))
+      if (last._4 == "error") None // tombstone: the key is GONE
+      else Some(uid -> ((last._5, last._3, ch.length.toLong)))
+    }.toMap
+    val got = Relational.defs("q77_cdc_apply")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, s"got ${got.size} keys, expect ${expect.size}")
+    assert(expect.size < log.map(_._1).distinct.length,
+      "test premise: at least one key must be tombstoned")
+  }
+
+  test("d36 cohesion: edges bounded by possible pairs, floors exact, members reconcile") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.defs("d36_cluster_cohesion")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, e, ppm) =>
+      assert(n >= 2, "a cluster is at least a verified pair")
+      val possible = n * (n - 1) / 2
+      assert(e >= n - 1 && e <= possible,
+        s"$e edges outside [spanning, clique] for $n members")
+      assert(ppm == e * 1000000L / possible, "cohesion must floor exactly")
+    }
+    val clustered = Dedup.defs("d11_neardup_clusters")(spark, sf).count()
+    assert(rows.map(_._2).sum == clustered,
+      "cluster members must reconcile with d11's assignment")
+  }
+
   test("g22 histogram reconciles against g5's per-vertex labels") {
     val sf = "/root/testdata/sf0.001"
     val g5 = graft.operators.Graph.defs("g5_components")(spark, sf).collect()
