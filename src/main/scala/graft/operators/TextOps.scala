@@ -1544,6 +1544,7 @@ object TextOps {
         .withColumn("fp", graft.operators.Dedup.fpCol)
         .select(col("doc_id"), col("fp"),
           expr("((n_stop * 1000000) div n_tokens) div 100000").as("bucket"))
+        .localCheckpoint() // ONE corpus scan feeds the count agg AND the join
       val fc = base.groupBy("fp").agg(count(lit(1)).as("c"))
       base.join(fc, "fp")
         .groupBy("bucket")

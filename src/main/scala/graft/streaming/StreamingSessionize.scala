@@ -820,6 +820,30 @@ object StreamingSessionize {
     "x30_stream_asof_nearest" -> { (s, dir) =>
       StreamAsof.runToCompletion(s, dir) },
 
+    // CDC APPLY live — q77's last-writer-wins compaction as a maintained
+    // UPDATE-mode table (x14a's pattern: per-trigger the stream emits
+    // only TOUCHED keys; the keyed sink resolves latest-upsert per key by
+    // batch id). The running agg carries max(struct(ms, event_id, type,
+    // value)) — the (ms, event_id) total order as one orderable struct —
+    // plus the change count; TOMBSTONE filtering happens AFTER the
+    // latest-per-key resolution, batch-side, because a key whose final
+    // change is a delete must OVERRIDE its earlier upserts in the sink
+    // (filtering inside the stream would leave the stale upsert standing
+    // — the delete/update distinction q77's scaladoc pins, live). State
+    // is one row per live key — which IS the materialized table, the
+    // honest cost of CDC materialization (x14's complete-mode argument);
+    // no watermark, so arrival order and slicing provably cannot change
+    // the final state (max and count are commutative monoids).
+    "x31_stream_cdc_apply" -> { (s, dir) =>
+      val upserts = runToCompletion(s, dir, streamCdcApply,
+        outputMode = "update", sinkName = "x31", tagBatchId = true)
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("batch_id").desc)
+      upserts.withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1 && col("last_type") =!= "error")
+        .select("user_id", "last_value", "last_ms", "n_changes")
+    },
+
     // POINT-IN-TIME stream enrichment — q64 at the place a PIT join runs
     // in production (ingest): each arriving event picks the dimension
     // VERSION valid at its EVENT time, not the current row (which would
@@ -995,6 +1019,24 @@ object StreamingSessionize {
       .filter(col("word") =!= "")
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
+
+  /** x31's running per-key CDC state: the (ms, event_id) total order as
+    * ONE orderable struct, so the last-writer max and the change count
+    * are both commutative monoids — arrival slicing provably cannot
+    * change the converged state. The tombstone STAYS in the emitted row
+    * (`last_type`): the sink resolution must see a final delete to
+    * override earlier upserts. */
+  private[graft] def streamCdcApply(stream: DataFrame): DataFrame =
+    stream
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ms"), col("event_id"), col("event_type"),
+          col("value"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"), col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"), col("last.ms").as("last_ms"),
+        col("n_changes"))
 
   /** x12's stream transform, factored so the multi-batch replay spec can
     * drive it over a SLICED copy of the stream while the static corpus
@@ -1356,6 +1398,11 @@ object StreamingSessionize {
         |SELECT p.p_id, p.user_id, m.c_id, m.gap_ms
         |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.p_id = p.p_id
         |WHERE p.p_ms + 1800000 < (SELECT max(ms) - 3600000 FROM e)""".stripMargin,
+
+    // x31: the converged CDC state is exactly batch q77 — a running
+    // max/count has no watermark cutoff to restate
+    "x31_stream_cdc_apply" ->
+      graft.operators.Relational.oracles("q77_cdc_apply"),
 
     // x26: q64's PIT join, row-level — the stream is stateless so the
     // oracle is exactly the batch join (no emission cutoff to restate)

@@ -308,6 +308,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(sliced.exists(_._3.isEmpty) == oneShot.exists(_._3.isEmpty))
   }
 
+  test("x31 CDC state over 3 slices == one-shot replay (tombstones override across batches)") {
+    val mb = timeSlicedDir(3)
+    import org.apache.spark.sql.functions.{col, row_number}
+    def run(d: String, sink: String, opts: Map[String, String], glob: String) = {
+      val upserts = StreamingSessionize.runToCompletion(spark, d,
+        StreamingSessionize.streamCdcApply, "update", sink, opts, glob,
+        tagBatchId = true)
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("batch_id").desc)
+      upserts.withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1 && col("last_type") =!= "error")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    }
+    val sliced = run(mb, "x31-mb", Map("maxFilesPerTrigger" -> "1"),
+      "events*.parquet")
+    val oneShot = run(dir, "x31-oneshot", Map.empty, "events.parquet")
+    assert(sliced.nonEmpty, "test premise: some key must survive compaction")
+    // a key upserted in slice 1 and tombstoned in slice 3 must be ABSENT
+    // (the later batch's emission overrides at resolution); counts must
+    // accumulate across batches
+    assert(sliced.toSet == oneShot.toSet,
+      "CDC final state diverges between sliced and one-shot replays")
+  }
+
   test("x26 PIT enrichment over 3 slices == one-shot replay (stateless, static dim)") {
     val mb = timeSlicedDir(3)
     val enrich = StreamingSessionize.pitEnrich(spark, dir)
