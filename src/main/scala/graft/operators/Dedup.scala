@@ -1115,6 +1115,46 @@ object Dedup {
           abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
     },
 
+    // B-BIT MINHASH (Li-König WWW'10) — the storage-optimal sketch:
+    // keep only the LOWEST BIT of each minhash component (16 bits per
+    // doc where d2/d14 store 16×32), and correct the bias exactly —
+    // random bits agree half the time, so E[agree/k] = (1+J)/2 and
+    // Ĵ = 2·(agree/k) − 1. At 100 TB the 32× sketch shrink is the
+    // difference between a broadcast-able dedup index and a shuffled
+    // one, bought with variance the estimator column quantifies against
+    // the exact Jaccard on the same candidates (d14's harness, one bit
+    // deep). Integer agreement count, one exact float correction —
+    // hash-gates like d14. Same candidate set, same signature pipeline
+    // (ONE checkpointed hash-set scan), only the comparison bit-slices.
+    "d37_bbit_minhash" -> { (s, dir) =>
+      val hs0 = hashSets(s, dir).localCheckpoint()
+      val sigs0 = sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))
+        .localCheckpoint()
+      val sg = sigs0.select(col("doc_id"),
+        array((0 until numHashes).map(j => col(s"s$j")): _*).as("sa"))
+      val cand = lshPairsFrom(sigs0)
+      val est = cand
+        .select(col("d1"), col("d2"), explode(array(
+          struct(lit(1).as("side"), col("d1").as("doc_id")),
+          struct(lit(2).as("side"), col("d2").as("doc_id")))).as("e"))
+        .select(col("d1"), col("d2"), col("e.side").as("side"),
+          col("e.doc_id").as("doc_id"))
+        .join(sg, "doc_id")
+        .groupBy("d1", "d2")
+        .agg(max(when(col("side") === 1, col("sa"))).as("sa1"),
+          max(when(col("side") === 2, col("sa"))).as("sa2"))
+        .select(col("d1"), col("d2"),
+          expr("CAST(size(filter(zip_with(sa1, sa2," +
+            " (x, y) -> (x % 2) = (y % 2)), v -> v)) AS BIGINT)")
+            .as("bbit_agree"))
+        .withColumn("est_bbit",
+          (lit(2.0) * col("bbit_agree") - numHashes) / numHashes)
+      withJaccard(cand, hs0)
+        .join(est, Seq("d1", "d2"))
+        .select(col("d1"), col("d2"), col("bbit_agree"), col("est_bbit"),
+          col("jaccard"), abs(col("est_bbit") - col("jaccard")).as("abs_err"))
+    },
+
     // Substring-level duplication diagnostic — the shingle-granularity form
     // of exact-substring dedup ("Deduplicating Training Data Makes Language
     // Models Better": duplicated n-grams, not just duplicated documents,
@@ -1872,6 +1912,27 @@ object Dedup {
          |  FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id)
          |SELECT est.d1, est.d2, est_jaccard, jaccard,
          |  abs(est_jaccard - jaccard) AS abs_err
+         |FROM est JOIN ex ON est.d1 = ex.d1 AND est.d2 = ex.d2""".stripMargin,
+
+    // the same signature pipeline, compared one bit deep, with the
+    // 2·(agree/k) − 1 bias correction stated on the same exact integers
+    "d37_bbit_minhash" ->
+      s"""WITH $sigSqlCte,
+         |$hashSetSqlCte,
+         |sa AS (SELECT doc_id, [${(0 until numHashes).map(j => s"s$j").mkString(", ")}] AS sa FROM sigs),
+         |est AS (
+         |  SELECT d1, d2,
+         |    CAST(len(list_filter(list_zip(a.sa, b.sa),
+         |      p -> (p[1] % 2) = (p[2] % 2))) AS BIGINT) AS bbit_agree
+         |  FROM cand JOIN sa a ON cand.d1 = a.doc_id JOIN sa b ON cand.d2 = b.doc_id),
+         |ex AS (
+         |  SELECT d1, d2,
+         |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |      / len(list_distinct(x.hs || y.hs)) AS jaccard
+         |  FROM cand JOIN sh x ON cand.d1 = x.doc_id JOIN sh y ON cand.d2 = y.doc_id)
+         |SELECT est.d1, est.d2, bbit_agree,
+         |  (2.0 * bbit_agree - $numHashes) / $numHashes AS est_bbit, jaccard,
+         |  abs((2.0 * bbit_agree - $numHashes) / $numHashes - jaccard) AS abs_err
          |FROM est JOIN ex ON est.d1 = ex.d1 AND est.d2 = ex.d2""".stripMargin,
 
     "d13_dup_shingles" ->

@@ -792,6 +792,37 @@ object Graph {
             " * 1000000) div n_vertices AS BIGINT)").as("vertex_share_ppm"),
           expr("CAST((CAST(giant AS DECIMAL(38,0)) * 1000000)" +
             " div n_vertices AS BIGINT)").as("giant_share_ppm"))
+    },
+
+    // WEIGHTED SINGLE-SOURCE SHORTEST PATHS — the min-plus semiring
+    // iteration the graph family lacked (g15's BFS is the unweighted
+    // special case): edge cost = 1e6 div co-order support, so strongly
+    // tied parts are CLOSE and the distance reads as relationship
+    // strength along the best path (the recommendation-radius number).
+    // Four Bellman-Ford rounds unrolled (g2's fixed-round discipline —
+    // min-plus relaxation is monotone non-increasing, so each round is a
+    // contraction toward the fixpoint and the oracle restates the same
+    // four rounds operand for operand; integer costs make min exact).
+    // Scale: each round is ONE frontier⋈edges equi-join + a min agg —
+    // edge-linear like g2's rank step, distances-table-sized state,
+    // checkpointed rounds keep the lineage flat. Source = the min-id
+    // vertex (deterministic, oracle-restated).
+    "g23_weighted_sssp" -> { (s, dir) =>
+      val e = coOrderEdgesW(t(s, dir, "lineitem"))
+        .select(col("a"), col("b"), expr("CAST(1000000 div c AS BIGINT)").as("cost"))
+      val und = e.unionAll(
+        e.select(col("b").as("a"), col("a").as("b"), col("cost")))
+        .localCheckpoint() // read once per round
+      val src = und.agg(min("a").as("v")).select(col("v"), lit(0L).as("dist"))
+      var dist = src.localCheckpoint()
+      for (_ <- 1 to 4) {
+        dist = dist.unionAll(
+            dist.join(und, dist("v") === und("a"))
+              .select(und("b").as("v"), (dist("dist") + und("cost")).as("dist")))
+          .groupBy("v").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      dist.select(col("v"), col("dist").as("dist_units"))
     }
   )
 
@@ -1169,6 +1200,31 @@ object Graph {
         |sz AS (SELECT component_id, count(*) AS comp_size FROM cl GROUP BY component_id)
         |SELECT cl.v, cl.component_id, sz.comp_size
         |FROM cl JOIN sz USING (component_id)""".stripMargin,
+
+    // the same weighted edges, the same 1e6 // support costs, the same
+    // four min-plus rounds unrolled from the same min-id source
+    "g23_weighted_sssp" -> {
+      val rounds = (1 to 4).map { r =>
+        val prev = s"d${r - 1}"
+        s"""d$r AS (SELECT v, min(dist) AS dist FROM (
+           |    SELECT v, dist FROM $prev
+           |    UNION ALL
+           |    SELECT de.dst AS v, p.dist + de.cost AS dist
+           |    FROM $prev p JOIN de ON de.src = p.v) u
+           |  GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphSql,
+        |ew AS (SELECT a, b, count(*) AS c FROM pairs GROUP BY a, b
+        |       HAVING count(*) >= 2),
+        |de AS (SELECT a AS src, b AS dst, CAST(1000000 // c AS BIGINT) AS cost
+        |       FROM ew
+        |       UNION ALL
+        |       SELECT b AS src, a AS dst, CAST(1000000 // c AS BIGINT) AS cost
+        |       FROM ew),
+        |d0 AS (SELECT min(src) AS v, CAST(0 AS BIGINT) AS dist FROM de),
+        |$rounds
+        |SELECT v, dist AS dist_units FROM d4""".stripMargin
+    },
 
     // g5's labels, then histogram + totals; HUGEINT products and // floors
     // mirror the Spark side's DECIMAL(38,0) div exactly

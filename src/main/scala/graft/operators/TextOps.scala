@@ -1453,6 +1453,41 @@ object TextOps {
             .as("lift_ppm"))
     },
 
+    // PER-SOURCE LENGTH GINI — the inequality number beside w20's
+    // percentiles: two sources with the same p50/p99 can still differ in
+    // how document MASS concentrates (a few megadocs carrying most
+    // characters vs an even spread), and that concentration decides
+    // packing efficiency, shard balance, and whether length-capped
+    // sampling biases content. Exact integer Gini over the LENGTH
+    // HISTOGRAM (never a corpus-wide sort — q66/w20's discipline): with
+    // ascending groups (len, count c) and p = docs in strictly-shorter
+    // groups, Σ i·x_i = Σ len·(c·p + c(c+1)/2) because ranks within a tie
+    // group are consecutive and the group sum is tie-order invariant; the
+    // Gini is then (2·S − (n+1)·T) / (n·T), floored to exact ppb on
+    // DECIMAL(38,0) operands (1e9·n·T ≤ 1e33 at 100 TB — inside 38
+    // digits). The cumulative window runs over |distinct lengths| rows
+    // per source, nothing corpus-sized sorts. */
+    "w24_length_gini" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val h = docs(s, dir).groupBy(col("source"), col("n_chars").as("len"))
+        .agg(count(lit(1)).as("nd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("len")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      h.withColumn("p", coalesce(sum("nd").over(w), lit(0L)))
+        .groupBy("source")
+        .agg(sum(col("nd")).as("n_docs"),
+          sum(col("len").cast(dec) * col("nd").cast(dec)).as("t"),
+          sum(col("len").cast(dec) * (col("nd").cast(dec) * col("p").cast(dec)
+            + expr("CAST((nd * (nd + 1)) div 2 AS DECIMAL(38,0))")))
+            .as("srank"))
+        .select(col("source"), col("n_docs"),
+          col("t").cast(LongType).as("total_chars"),
+          expr("CAST((1000000000 * (2 * srank - (n_docs + 1) * t))" +
+            " div (CAST(n_docs AS DECIMAL(38,0)) * t) AS BIGINT)")
+            .as("gini_ppb"))
+    },
+
     // CONTEXT-LENGTH TRUNCATION AUDIT — the "which max_seq_len do we
     // train at" table: for each candidate context length, exact token
     // accounting under one-doc-per-sequence batching — kept tokens
@@ -2545,6 +2580,25 @@ object TextOps {
     // the SAME oracle as t33 — compression must be invisible to semantics,
     // and the shared hash gate is the proof
     "t35_jsonl_gzip_ingest" -> crawlIngestSql,
+
+    // the same histogram, tie-group rank sums, and exact ppb floor —
+    // HUGEINT mirrors DECIMAL(38,0)
+    "w24_length_gini" ->
+      """WITH h AS (SELECT source, n_chars AS len, count(*) AS nd
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, len, nd,
+        |        coalesce(sum(nd) OVER (PARTITION BY source ORDER BY len
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        |      FROM h),
+        |a AS (SELECT source, CAST(sum(nd) AS BIGINT) AS n_docs,
+        |        sum(CAST(len AS HUGEINT) * nd) AS t,
+        |        sum(CAST(len AS HUGEINT)
+        |          * (CAST(nd AS HUGEINT) * p + (nd * (nd + 1)) // 2)) AS srank
+        |      FROM c GROUP BY 1)
+        |SELECT source, n_docs, CAST(t AS BIGINT) AS total_chars,
+        |  CAST((1000000000 * (2 * srank - (n_docs + 1) * t))
+        |    // (CAST(n_docs AS HUGEINT) * t) AS BIGINT) AS gini_ppb
+        |FROM a""".stripMargin,
 
     // the same d1 fingerprint spelling, the same integer stop-ppm decile,
     // the same exact floors

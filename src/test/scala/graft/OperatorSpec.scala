@@ -1618,6 +1618,82 @@ class OperatorSpec extends AnyFunSuite {
       "cluster members must reconcile with d11's assignment")
   }
 
+  test("d37 b-bit estimator: exact bias correction, perfect on exact dups") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.defs("d37_bbit_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, agree, est, j, err) =>
+      assert(agree >= 0 && agree <= 16)
+      assert(est == (2.0 * agree - 16) / 16, "bias correction must be exact")
+      assert(err == math.abs(est - j))
+      // identical sets have identical signatures, so every bit agrees
+      if (j == 1.0) assert(agree == 16L && est == 1.0,
+        "an exact dup must agree on all 16 bits")
+    }
+    // cross-sketch invariant vs d14 on the SAME candidate pairs: a full
+    // 32-bit component agreement implies its low bit agrees, so
+    // bbit_agree ≥ 16 · est_jaccard, pair for pair
+    val full = Dedup.defs("d14_minhash_estimate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.nonEmpty && full.nonEmpty)
+    rows.foreach { case (d1, d2, agree, _, _, _) =>
+      val fullAgree = math.round(full((d1, d2)) * 16)
+      assert(agree >= fullAgree,
+        s"pair ($d1,$d2): $agree bit-agreements < $fullAgree full agreements")
+    }
+  }
+
+  test("w24 gini hand-recomputes from per-source sorted lengths (BigInt exact)") {
+    val sf = "/root/testdata/sf0.001"
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val got = TextOps.defs("w24_length_gini")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == lens.keySet)
+    lens.foreach { case (src, xs) =>
+      val n = BigInt(xs.length)
+      val t = xs.map(BigInt(_)).sum
+      val srank = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val ppb = (BigInt(1000000000) * (2 * srank - (n + 1) * t)) / (n * t)
+      val (gn, gt, gppb) = got(src)
+      assert(gn == xs.length && gt == t.toLong)
+      assert(gppb == ppb.toLong, s"$src: gini $gppb != hand $ppb")
+    }
+  }
+
+  test("g23 distances match a sequential 4-round Bellman-Ford replay") {
+    val sf = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq
+    val ew = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2)
+      .map { case ((a, b), c) => (a, b, 1000000L / c) }.toSeq
+    val und = ew ++ ew.map(e => (e._2, e._1, e._3))
+    val src = und.map(_._1).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = und.flatMap { case (a, b, cost) =>
+        dist.get(a).map(d => b -> (d + cost))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val got = graft.operators.Graph.defs("g23_weighted_sssp")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist, s"got ${got.size} vertices, expect ${dist.size}")
+    assert(got(src) == 0L)
+  }
+
   test("g22 histogram reconciles against g5's per-vertex labels") {
     val sf = "/root/testdata/sf0.001"
     val g5 = graft.operators.Graph.defs("g5_components")(spark, sf).collect()
