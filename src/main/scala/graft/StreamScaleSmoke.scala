@@ -118,7 +118,8 @@ object StreamScaleSmoke {
       "x29_stream_twa_sharded", "x27_stream_islands", "x28_stream_paths",
       "x19a_topk_append", "x24a_kmv_append", "x3_stream_interval_join",
       "x8_stream_left_join", "x13_stream_full_outer",
-      "x11_stream_funnel").contains(n))
+      "x11_stream_funnel", "x30_stream_asof_nearest",
+      "x31_stream_cdc_apply").contains(n))
     val needPit = names.contains("x26_stream_pit_enrich")
     val needDocs = names.contains("x17a_decontam_stateless")
 
@@ -199,6 +200,19 @@ object StreamScaleSmoke {
       // timeout eviction means state tracks the active-user horizon
       "x11_stream_funnel" -> (() =>
         run(dirGeneric, StreamFunnel.transform, "ssm-x11")),
+      // bidirectional asof buffer: state tracks the 2W + delay horizon
+      // per user, decided purchases leave at emission
+      "x30_stream_asof_nearest" -> (() =>
+        run(dirGeneric, graft.streaming.StreamAsof.transform, "ssm-x30")),
+      // CDC materialization: state is one row per live key BY DESIGN —
+      // the readout quantifies the maintained-table cost, not a leak
+      "x31_stream_cdc_apply" -> (() => {
+        StreamingSessionize.runToCompletion(spark, dirGeneric,
+            StreamingSessionize.streamCdcApply, outputMode = "update",
+            sinkName = "ssm-x31", sourceOptions = mb,
+            sourceGlob = "events*.parquet", tagBatchId = true)
+          .write.format("noop").mode("overwrite").save()
+      }),
       "x26_stream_pit_enrich" -> (() =>
         run(dirPit, StreamingSessionize.pitEnrich(spark, dirPit), "ssm-x26")),
       "x17a_decontam_stateless" -> (() =>

@@ -1561,6 +1561,29 @@ object TextOps {
       crawlNormalize(s.read.schema(crawlSchema).json(stage))
     },
 
+    // CSV INGESTION — the third arrival format through the SAME
+    // normalization contract, completing the format matrix (parquet
+    // native, JSONL t33, gzip-JSONL t35, CSV here): tabular exports and
+    // legacy crawls ship CSV, and CSV's failure mode is QUOTING — free
+    // text containing the delimiter, quotes, or leading/trailing space
+    // must survive the round trip byte-exactly or every downstream
+    // fingerprint/shingle/token count silently shifts. The stage writes
+    // with explicit quote-all + header, reads back with the DECLARED
+    // schema (t33's no-inference rule) and the matching quote options;
+    // the shared oracle + hash gate make "quoting is lossless on this
+    // corpus" a verified fact per round, not an assumption. Scale: an
+    // uncompressed CSV scan is splittable like any line format (quoted
+    // newlines would break that — the writer never emits them here);
+    // normalization is the same single codegen'd projection.
+    "t37_csv_ingest" -> { (s, dir) =>
+      val stage = jsonlStage(dir, "t37")
+      docs(s, dir).write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .csv(stage)
+      crawlNormalize(
+        s.read.schema(crawlSchema).option("header", "true").csv(stage))
+    },
+
     // QUALITY×DUPLICATION CALIBRATION — the cross-signal audit the two
     // curation axes need before being applied together: does low quality
     // PREDICT duplication (boilerplate is both low-quality and viral), or
@@ -2580,6 +2603,10 @@ object TextOps {
     // the SAME oracle as t33 — compression must be invisible to semantics,
     // and the shared hash gate is the proof
     "t35_jsonl_gzip_ingest" -> crawlIngestSql,
+
+    // the SAME oracle again — CSV quoting must be byte-lossless on free
+    // text, and the shared hash gate is the proof
+    "t37_csv_ingest" -> crawlIngestSql,
 
     // the same histogram, tie-group rank sums, and exact ppb floor —
     // HUGEINT mirrors DECIMAL(38,0)
