@@ -823,6 +823,41 @@ object Graph {
           .localCheckpoint()
       }
       dist.select(col("v"), col("dist").as("dist_units"))
+    },
+
+    // PERSONALIZED PAGERANK — g2's integer machinery with the teleport
+    // mass CONCENTRATED on a seed set (the 3 min-id vertices) instead of
+    // uniform: rank measures proximity-weighted reachability FROM the
+    // seeds — the "related items" recommender primitive (Pixie-style
+    // retrieval) and the localized-importance score uniform PageRank
+    // cannot express. Mass spreads as a SPARSE frontier: only vertices
+    // reached by round r carry rows, so early rounds touch the seed
+    // neighborhood, not the graph (the locality that makes PPR cheap at
+    // corpus scale — cost tracks the personalized neighborhood, never
+    // N). Same scaled-integer arithmetic as g2 (S = 1e12, 15/85 damping,
+    // div floors) so three rounds hash-gate; vertices whose rank floors
+    // to zero drop out, oracle-mirrored. */
+    "g24_personalized_pagerank" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val deg = degrees(e).localCheckpoint() // 3 iterations re-join it
+      val de = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      val tele = deg.orderBy("v").limit(3)
+        .select(col("v"), lit(333333333333L).as("t"))
+        .localCheckpoint() // seeds: teleport term in every round
+      var r = tele.select(col("v"), col("t").as("pr"))
+      for (_ <- 1 to 3) {
+        val rc = r.join(deg, "v")
+          .select(col("v").as("src"), expr("pr div d").as("c"))
+        r = de.join(rc, "src")
+          .groupBy(col("dst").as("v")).agg(sum(col("c")).as("sc"))
+          .join(tele, Seq("v"), "full_outer")
+          .select(col("v"), expr("CAST((15 * coalesce(t, 0)) div 100" +
+            " + (85 * coalesce(sc, 0)) div 100 AS BIGINT)").as("pr"))
+          .filter(col("pr") > 0)
+          .localCheckpoint()
+      }
+      r.select(col("v"), col("pr").as("ppr"))
     }
   )
 
@@ -1200,6 +1235,32 @@ object Graph {
         |sz AS (SELECT component_id, count(*) AS comp_size FROM cl GROUP BY component_id)
         |SELECT cl.v, cl.component_id, sz.comp_size
         |FROM cl JOIN sz USING (component_id)""".stripMargin,
+
+    // the same seed teleport, contribution floors, and 15/85 damping —
+    // three rounds unrolled, zero-rank rows dropped both sides
+    "g24_personalized_pagerank" -> {
+      val rounds = (1 to 3).map { r =>
+        val prev = s"r${r - 1}"
+        s"""s$r AS (SELECT de.dst AS v, CAST(sum(p.pr // deg.d) AS BIGINT) AS sc
+           |       FROM de JOIN $prev p ON de.src = p.v
+           |       JOIN deg ON deg.v = p.v
+           |       GROUP BY 1),
+           |r$r AS (SELECT v, pr FROM (
+           |    SELECT coalesce(s$r.v, tele.v) AS v,
+           |      CAST((15 * coalesce(t, 0)) // 100
+           |        + (85 * coalesce(sc, 0)) // 100 AS BIGINT) AS pr
+           |    FROM s$r FULL OUTER JOIN tele ON s$r.v = tele.v) q
+           |  WHERE pr > 0)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphSql,
+        |de AS (SELECT a AS src, b AS dst FROM edges
+        |       UNION ALL SELECT b, a FROM edges),
+        |tele AS (SELECT v, CAST(333333333333 AS BIGINT) AS t
+        |         FROM (SELECT v FROM deg ORDER BY v LIMIT 3) s),
+        |r0 AS (SELECT v, t AS pr FROM tele),
+        |$rounds
+        |SELECT v, pr AS ppr FROM r3""".stripMargin
+    },
 
     // the same weighted edges, the same 1e6 // support costs, the same
     // four min-plus rounds unrolled from the same min-id source

@@ -1694,6 +1694,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(src) == 0L)
   }
 
+  test("g24 ppr: seed teleport floor, positivity, 3-hop locality") {
+    val sf = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keySet.toSeq.sorted.take(3).toSet
+    var reach = seeds
+    for (_ <- 1 to 3) reach = reach ++ reach.flatMap(v => adj.getOrElse(v, Set()))
+    val got = graft.operators.Graph.defs("g24_personalized_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // every ranked vertex sits inside the seeds' 3-hop neighborhood —
+    // the locality that makes PPR cheap (mass cannot outrun the rounds)
+    got.keys.foreach(v => assert(reach(v), s"vertex $v outside 3 hops"))
+    got.values.foreach(pr => assert(pr > 0))
+    // a seed always keeps at least its teleport floor
+    seeds.foreach { sd =>
+      assert(got.contains(sd) && got(sd) >= 15L * 333333333333L / 100,
+        s"seed $sd below the teleport floor")
+    }
+  }
+
   test("g22 histogram reconciles against g5's per-vertex labels") {
     val sf = "/root/testdata/sf0.001"
     val g5 = graft.operators.Graph.defs("g5_components")(spark, sf).collect()

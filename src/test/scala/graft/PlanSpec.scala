@@ -437,6 +437,23 @@ class PlanSpec extends AnyFunSuite {
       s"m11 is one window exchange:\n$p")
   }
 
+  test("q76: the only single-partition window runs on the bin histogram") {
+    val p = plan(Relational.defs("q76_skyline")(spark, dir))
+    // the skyline's global prefix-max must be the |bins|-row window, and
+    // exactly one — a second SinglePartition exchange would mean the
+    // corpus-wide textbook sweep crept back in
+    assert("SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q77: one user-key exchange carries both CDC windows") {
+    val p = plan(Relational.defs("q77_cdc_apply")(spark, dir))
+    // rank + change count share the user clustering — a second exchange
+    // would mean the count window re-shuffled what the rank already keyed
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("s31/s32: the beam round broadcasts the FRONTIER, never the edge table") {
     // VERDICT r12 item 1: the corpus-sized k-NN edge table (8·N rows) must
     // stay partitioned; only the |queries|·beamWidth frontier may build a
