@@ -31,12 +31,14 @@ object RecallSweep {
     val exact5 = graft.operators.Similarity.defs("s1_knn_brute")(spark, dir)
       .collect().filter(_.getLong(2) <= 5)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val nQueries = exact5.map(_._1).size
     val sfTag = dir.split('/').last
     val entries = planes.map { p =>
       val got = graft.operators.Similarity.graphBeam(spark, dir, p)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val recall = got.count(exact5) / (5.0 * nQueries)
+      // denominator is the exact ground-truth PAIR COUNT, not 5·|queries|:
+      // on a tiny data dir a query can have < 5 neighbors, and assuming 5
+      // silently understates recall (ADVICE r13)
+      val recall = got.count(exact5) / exact5.size.toDouble
       println(s"""{"metric":"ann_recall","dir":"$dir","planes":$p,"recall_at_5":$recall}""")
       s"s31_recall@$sfTag@p$p" ->
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(recall))

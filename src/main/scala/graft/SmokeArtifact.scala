@@ -20,6 +20,15 @@ object SmokeArtifact {
     val f = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(f)) {
       val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+      // ABORT (never silently start fresh) when a non-empty existing file
+      // fails the object-shape check — a truncated or hand-mangled artifact
+      // means accumulated history would be discarded by a blind overwrite
+      // (ADVICE r13). An empty file is a legitimate fresh start.
+      if (s.nonEmpty && !(s.startsWith("{") && s.endsWith("}")))
+        throw new IllegalStateException(
+          s"$path exists but is not a JSON object (truncated write or hand " +
+            "edit?) — refusing to overwrite accumulated smoke history. " +
+            "Repair or delete the file, then re-run.")
       if (s.startsWith("{") && s.endsWith("}"))
         splitTopLevel(s.substring(1, s.length - 1)).foreach { part =>
           part.split(":", 2) match {
@@ -33,8 +42,20 @@ object SmokeArtifact {
     entries.foreach { case (k, v) => existing(k) = v }
     val line = existing.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    java.nio.file.Files.write(f,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // temp-file + atomic rename: a crash mid-write must never leave a
+    // truncated artifact for the next invocation's guard to reject
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
   }
 
   /** Split a JSON object body at depth-0 commas (string-literal aware). */

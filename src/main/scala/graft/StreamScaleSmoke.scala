@@ -260,8 +260,15 @@ object StreamScaleSmoke {
       val maxState = if (ts.isEmpty) 0L else ts.map(_._3).max
       val maxStateKb = if (ts.isEmpty) 0L else ts.map(_._4).max / 1024
       val maxTrigS = if (ts.isEmpty) 0.0 else ts.map(_._2).max / 1e3
-      results(name) =
-        f"""{"wall_s":$wall%.2f,"rows_in":$rowsIn,"rows_per_s":${rowsIn / wall}%.0f,"n_triggers":$nTrig,"max_state_rows":$maxState,"max_state_kb":$maxStateKb,"max_trigger_s":$maxTrigS%.2f}"""
+      // Locale.ROOT explicitly: these strings are persisted into the
+      // committed STREAMSCALE_FULL.json via SmokeArtifact.merge, and a
+      // default-locale f"%.2f" on a comma-decimal JVM would write invalid
+      // JSON — the same defect class Bench.scala fixed (ADVICE r12/r13).
+      results(name) = String.format(java.util.Locale.ROOT,
+        """{"wall_s":%.2f,"rows_in":%d,"rows_per_s":%.0f,"n_triggers":%d,"max_state_rows":%d,"max_state_kb":%d,"max_trigger_s":%.2f}""",
+        Double.box(wall), Long.box(rowsIn), Double.box(rowsIn / wall),
+        Int.box(nTrig), Long.box(maxState), Long.box(maxStateKb),
+        Double.box(maxTrigS))
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_scale_smoke","factor":$factor,"slices":$slices,"base":"$base","queries":$qs}""")

@@ -77,17 +77,32 @@ object WordCountJob {
     *  - a token is emitted only when a following space exists (hw4.cc:460-465),
     *    so each chunk's final token is silently dropped;
     *  - consecutive spaces emit empty-string tokens (quirk 3), which count
-    *    like any key.
-    * Quirk 2 (`chunk_size == 1` captures only the first line) is NOT
-    * replicated — chunks here are exact for every chunkSize >= 1.
+    *    like any key;
+    *  - `chunk_size == 1` captures ONLY THE FIRST LINE of the whole file
+    *    (quirk 2, hw4.cc:66-79): the reader pushes a new chunk only at
+    *    `cnt == 1` and the `cnt <= chunk_size` append branch that would
+    *    reset `cnt` back to 1 is unreachable when chunk_size is 1, so `cnt`
+    *    grows forever and every line after the first is discarded. The
+    *    intended path ([[counts]]) reads every line at any chunk size —
+    *    this branch exists only so golden-output diffs against the
+    *    reference reproduce byte-for-byte in the broken regime too
+    *    (SURVEY.md §1 scopes FidelityMode as quirks 1-3).
     * RDD path: chunk assembly is genuinely order-dependent imperative logic. */
   def fidelityCounts(spark: SparkSession, inputPath: String, chunkSize: Int): DataFrame = {
     import spark.implicits._
-    val chunks = spark.sparkContext.textFile(inputPath)
+    val allChunks = spark.sparkContext.textFile(inputPath)
       .zipWithIndex()
       .map { case (line, i) => (i / chunkSize, (i, line)) }
       .groupByKey()
       .map { case (_, ls) => ls.toSeq.sortBy(_._1).map(_._2).mkString("") }
+    val chunks =
+      if (chunkSize == 1)
+        // quirk 2: the whole input collapses to the first line (each
+        // "chunk" above is one line, so keeping global line 0 IS the
+        // reference's surviving chunk vector)
+        spark.sparkContext.textFile(inputPath).zipWithIndex()
+          .filter(_._2 == 0L).map(_._1)
+      else allChunks
     chunks.flatMap { chunk =>
       val out = scala.collection.mutable.ArrayBuffer[String]()
       var rest = chunk

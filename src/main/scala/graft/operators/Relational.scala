@@ -1760,6 +1760,15 @@ object Relational {
     // per bin instead of one unbounded window per corpus. Bin width is
     // the scale knob (here 100 price units; at corpus scale pick width so
     // |bins| stays dashboard-sized while bins stay partition-sized).
+    // DUPLICATE-POINT SEMANTICS (deliberate, ADVICE r13): rows with equal
+    // (price, size) do not dominate each other under strict dominance, so
+    // the textbook frontier would keep ALL of them; this operator collapses
+    // each duplicate point to its lowest p_partkey (the within-bin running
+    // max uses `>`, so a later equal point sees its twin's size and fails
+    // the strict test). The oracle states the same collapsed variant — the
+    // frontier as a SET OF POINTS with one representative row each, the
+    // readout a cost/quality dashboard wants (rank-with-ties is the
+    // alternative spelling if every tied row must surface).
     "q76_skyline" -> { (s, dir) =>
       val p = t(s, dir, "part")
         .select(col("p_partkey"), col("p_retailprice"),

@@ -29,12 +29,12 @@ class WordCountJobSpec extends AnyFunSuite {
   }
 
   private def runJob(text: String, r: Int, fidelity: Boolean = false,
-      fidelityTok: Boolean = false): Seq[Path] = {
+      fidelityTok: Boolean = false, chunkSize: Int = 2): Seq[Path] = {
     val in = writeInput(text)
     val out = Files.createTempDirectory("wc-out")
     WordCountJob.run(spark, WordCountJob.Config(
       jobName = "t", numReducer = r, delay = 0, inputPath = in.toString,
-      chunkSize = 2, localityConfigPath = "unused", outputDir = out.toString,
+      chunkSize = chunkSize, localityConfigPath = "unused", outputDir = out.toString,
       fidelityPartitioner = fidelity, fidelityTokenizer = fidelityTok))
   }
 
@@ -102,6 +102,24 @@ class WordCountJobSpec extends AnyFunSuite {
     // chunk1 = "ee" → no space → no tokens at all.
     val files = runJob("aa bb\ncc dd\nee", 1, fidelityTok = true)
     assert(parse(files).toMap == Map("aa" -> 1L, "bbcc" -> 1L))
+  }
+
+  test("fidelity tokenizer replicates quirk 2: chunk_size=1 keeps only the first line") {
+    // hw4.cc:66-79 — with chunk_size == 1 the append branch that resets the
+    // line counter is unreachable, so `cnt` grows past 1 forever and every
+    // line after the first is silently discarded: the whole input collapses
+    // to line 1 ("aa bb" → token "aa"; "bb" is quirk 1's trailing drop).
+    val files = runJob("aa bb\ncc dd\nee ff", 1, fidelityTok = true, chunkSize = 1)
+    assert(parse(files).toMap == Map("aa" -> 1L))
+  }
+
+  test("quirk 2 pin: intended semantics read every line at chunk_size=1") {
+    // the divergence documented: the DEFAULT path is chunk-size-invariant
+    // (chunking is an I/O granularity, never a semantics knob), so the same
+    // input at chunk_size=1 counts all six words.
+    val files = runJob("aa bb\ncc dd\nee ff", 1, chunkSize = 1)
+    assert(parse(files).toMap ==
+      Map("aa" -> 1L, "bb" -> 1L, "cc" -> 1L, "dd" -> 1L, "ee" -> 1L, "ff" -> 1L))
   }
 
   test("fidelity tokenizer replicates quirk 3: empty tokens between spaces") {
