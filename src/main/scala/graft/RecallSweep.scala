@@ -11,12 +11,14 @@ import org.apache.spark.sql.SparkSession
   * Results merge into SCALE_FULL.json keyed `s31_recall@<dir>@p<planes>`.
   *
   * Usage: runMain graft.RecallSweep [sfDir] [p1,p2,...]
+  * A token `auto` derives the count from the corpus via the s36 policy
+  * (Similarity.autoPlanes) and keys the artifact row `...@pauto<derived>`.
   */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val planes = (if (args.length > 1) args(1) else "4,6,8")
-      .split(",").map(_.trim.toInt).toSeq
+    val tokens = (if (args.length > 1) args(1) else "4,6,8")
+      .split(",").map(_.trim).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -32,7 +34,11 @@ object RecallSweep {
       .collect().filter(_.getLong(2) <= 5)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val sfTag = dir.split('/').last
-    val entries = planes.map { p =>
+    lazy val derived = graft.operators.Similarity.autoPlanes(
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+    val entries = tokens.map { tok =>
+      val (p, label) =
+        if (tok == "auto") (derived, s"auto$derived") else (tok.toInt, tok)
       val got = graft.operators.Similarity.graphBeam(spark, dir, p)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       // denominator is the exact ground-truth PAIR COUNT, not 5·|queries|:
@@ -40,7 +46,7 @@ object RecallSweep {
       // silently understates recall (ADVICE r13)
       val recall = got.count(exact5) / exact5.size.toDouble
       println(s"""{"metric":"ann_recall","dir":"$dir","planes":$p,"recall_at_5":$recall}""")
-      s"s31_recall@$sfTag@p$p" ->
+      s"s31_recall@$sfTag@p$label" ->
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(recall))
     }
     SmokeArtifact.merge(

@@ -89,6 +89,31 @@ object Similarity {
     * planes ≈ log2(N / targetPop) with targetPop ≲ this cap. */
   private[graft] val beamBucketCap = 256
 
+  /** The plane-count POLICY as code (VERDICT r13 item 1): the smallest
+    * plane count ≥ [[numPlanes]] whose expected bucket population
+    * N / 2^planes stays within [[beamBucketCap]] — i.e. the documented
+    * `planes ≈ log2(N / targetPop)` formula, spelled in EXACT integer
+    * arithmetic (`n ≤ cap · 2^p`, never a float log whose rounding could
+    * diverge between engines at a power-of-two boundary). Measured basis
+    * (SCALE_FULL.json, PLANS.md round 13): at 10× N the fixed default
+    * planes=4 reads recall 0.16 because buckets overflow the cap and the
+    * edge build thins them, while the first cap-respecting count reads
+    * ≥ 0.9 — the knob is a QUALITY cliff, so s36 derives it from the
+    * corpus instead of trusting a constant. Unbounded above (a 100 TB
+    * corpus keeps growing planes with log2 N); the ORACLE's restatement
+    * saturates at [[maxOraclePlanes]], far beyond any gate corpus. */
+  private[graft] def autoPlanes(n: Long): Int = {
+    var p = numPlanes
+    while (n > (beamBucketCap.toLong << p)) p += 1
+    p
+  }
+
+  /** Upper bound on the plane terms materialized in s36's SQL oracle
+    * (12 planes covers N ≤ 256·2^12 ≈ 1M vectors — three orders of
+    * magnitude above the largest gate corpus). SQL needs a static term
+    * list; the Scala policy has no such bound. */
+  private[graft] val maxOraclePlanes = 12
+
   /** Random-hyperplane ±1 components derived from md5("p_d"). The planes are
     * CONSTANTS: computed once driver-side (same md5 → same values the DuckDB
     * oracle derives in SQL) and shipped as array literals — not recomputed as
@@ -1249,6 +1274,21 @@ object Similarity {
     // build's candidate pool as N grows.
     "s32_ann_beam_planes6" -> ((s, dir) => graphBeam(s, dir, 6)),
 
+    // AUTO-PLANES graph-ANN — the plane-count POLICY as the default
+    // (VERDICT r13 item 1): derive the count from the corpus via
+    // [[autoPlanes]] (smallest p ≥ 4 with N ≤ 256·2^p) instead of
+    // trusting a constant that silently loses recall as N grows
+    // (measured: the fixed planes=4 default reads recall 0.16 at 10× N
+    // where the derived count reads ≥ 0.9 — SCALE_FULL.json). The count()
+    // driving the derivation is ONE metadata-cheap scan; everything else
+    // is graphBeam verbatim at the derived count. The oracle restates the
+    // derivation in-SQL (a pure-integer CASE ladder over count(*) with
+    // the identical cap<<p thresholds), so BOTH engines compute the
+    // parameter from the data — the s32 "oracle generated from the
+    // parameter" technique, upgraded from a constant to a policy.
+    "s36_ann_beam_autoplanes" -> ((s, dir) =>
+      graphBeam(s, dir, autoPlanes(emb(s, dir).count()))),
+
     // GRAPH-ANN RECALL — the missing member of the recall-evaluator
     // family (s4 grades LSH, s7 IVF, s10 PQ, s12 IVF·PQ; this grades the
     // beam walk): per query, the exact share of s1's true top-5 the beam
@@ -1358,6 +1398,47 @@ object Similarity {
     * desynchronize the engines (ADVICE r12). Beam rounds unroll as nested
     * CTEs (s20's idiom); every tiebreak and cosine fold restated. */
   private def graphBeamSql(planes: Int): String = {
+    val probeList = ("b.bucket" +: (0 until planes).map(p =>
+      s"xor(b.bucket, ${1 << p})")).mkString(",\n         ")
+    graphBeamSqlCore(
+      s"b AS (SELECT vec_id, v, ${bucketSqlFor(planes)} AS bucket FROM e)",
+      s"""pr AS (SELECT b.vec_id AS src, b.v AS sv, u.probe
+         |       FROM b, LATERAL unnest([$probeList]) AS u(probe))""".stripMargin)
+  }
+
+  /** s36's oracle: the SAME beam-search body with the plane count DERIVED
+    * FROM THE DATA inside the SQL — a `dp` CTE restates [[autoPlanes]] as
+    * a pure-integer CASE ladder over count(*) (thresholds are the
+    * identical `cap << p` constants, so the two engines cannot disagree
+    * at a boundary), the bucket sum materializes [[maxOraclePlanes]]
+    * plane terms each gated on `p < dp.p`, and the probe list unnests
+    * generate_series(0, dp.p). At every plane count the active terms are
+    * exactly [[bucketSqlFor]]'s — the auto spelling IS the fixed spelling
+    * at the derived count, proven by the shared core. */
+  private def graphBeamAutoSql: String = {
+    val ladder = (numPlanes until maxOraclePlanes).map(p =>
+      s"WHEN count(*) <= ${beamBucketCap.toLong << p} THEN $p")
+      .mkString("\n           ")
+    val terms = (0 until maxOraclePlanes).map { p =>
+      if (p < numPlanes) s"(${planeBitSql(p)})" // always active: dp.p >= numPlanes
+      else s"(CASE WHEN $p < dp.p THEN ${planeBitSql(p)} ELSE 0 END)"
+    }.mkString("\n         + ")
+    graphBeamSqlCore(
+      s"""dp AS (SELECT (CASE $ladder
+         |           ELSE $maxOraclePlanes END) AS p FROM e),
+         |b AS (SELECT vec_id, v, $terms AS bucket FROM e, dp)""".stripMargin,
+      s"""pr AS (SELECT b.vec_id AS src, b.v AS sv,
+         |         CASE WHEN g.i = 0 THEN CAST(b.bucket AS BIGINT)
+         |              ELSE xor(CAST(b.bucket AS BIGINT), CAST(1 AS BIGINT) << (g.i - 1)) END AS probe
+         |       FROM b, dp, LATERAL unnest(generate_series(0, CAST(dp.p AS BIGINT))) AS g(i))""".stripMargin)
+  }
+
+  /** The plane-count-independent body shared by [[graphBeamSql]] (static
+    * count) and [[graphBeamAutoSql]] (count derived in a `dp` CTE): edge
+    * cut, entry points, unrolled beam rounds, final top-5 — everything
+    * after the bucket/probe prelude is one spelling, so the knob and the
+    * policy can never drift apart. */
+  private def graphBeamSqlCore(bCte: String, prCte: String): String = {
     val rounds = (1 to beamRounds).map { r =>
       val prev = if (r == 1) "f0" else s"f${r - 1}"
       s"""c$r AS (SELECT DISTINCT query_id, node FROM (
@@ -1373,12 +1454,9 @@ object Similarity {
          |        ORDER BY sim DESC, node) AS brk
          |    FROM s$r) t WHERE brk <= $beamWidth)""".stripMargin
     }.mkString(",\n")
-    val probeList = ("b.bucket" +: (0 until planes).map(p =>
-      s"xor(b.bucket, ${1 << p})")).mkString(",\n         ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |b AS (SELECT vec_id, v, ${bucketSqlFor(planes)} AS bucket FROM e),
-       |pr AS (SELECT b.vec_id AS src, b.v AS sv, u.probe
-       |       FROM b, LATERAL unnest([$probeList]) AS u(probe)),
+       |$bCte,
+       |$prCte,
        |bc AS (SELECT vec_id, v, bucket FROM (
        |    SELECT vec_id, v, bucket, row_number() OVER (PARTITION BY bucket
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
@@ -1508,6 +1586,10 @@ object Similarity {
 
     // the knob restated: identical SQL generator at planes = 6
     "s32_ann_beam_planes6" -> graphBeamSql(6),
+
+    // the POLICY restated: plane count derived from count(*) inside the
+    // SQL via the same integer CASE ladder autoPlanes computes
+    "s36_ann_beam_autoplanes" -> graphBeamAutoSql,
 
     // s4's recall join with the beam subquery inlined (a derived table
     // carrying its own WITH — names scoped inside, no collision with the

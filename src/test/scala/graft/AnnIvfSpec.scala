@@ -123,6 +123,40 @@ class AnnIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("s36: autoPlanes policy — exact integer boundaries, monotone, cap-respecting") {
+    // the formula: smallest p >= 4 with n <= 256 * 2^p — pinned at the
+    // exact power-of-two boundaries a float log2 would wobble on
+    assert(Similarity.autoPlanes(1L) == 4)
+    assert(Similarity.autoPlanes(2000L) == 4)    // sf0.1: the gate corpus
+    assert(Similarity.autoPlanes(4096L) == 4)    // exactly 256 << 4
+    assert(Similarity.autoPlanes(4097L) == 5)
+    assert(Similarity.autoPlanes(8192L) == 5)
+    assert(Similarity.autoPlanes(20000L) == 7)   // the 10x fixture
+    assert(Similarity.autoPlanes(200000L) == 10) // the 100x fixture
+    assert(Similarity.autoPlanes(256L << 12) == 12)      // oracle saturation point
+    assert(Similarity.autoPlanes((256L << 12) + 1) == 13) // Scala keeps growing
+    // cap-respecting by construction: expected population never exceeds it
+    Seq(1L, 100L, 5000L, 123456L, 10000000L).foreach { n =>
+      val p = Similarity.autoPlanes(n)
+      assert(n <= (Similarity.beamBucketCap.toLong << p),
+        s"n=$n planes=$p overflows the bucket cap")
+      if (p > 4) // minimality: one fewer plane would overflow
+        assert(n > (Similarity.beamBucketCap.toLong << (p - 1)),
+          s"n=$n planes=$p is not minimal")
+    }
+  }
+
+  test("s36: auto spelling == fixed spelling at the derived count (gate corpus)") {
+    // at every gate SF the derived count is 4, so s36 must be s31
+    // row-for-row — the policy changes WHEN planes grow, never WHAT a
+    // given plane count computes (the shared-core argument, executed)
+    val auto = Similarity.defs("s36_ann_beam_autoplanes")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val fixed = Similarity.defs("s31_ann_graph_beam")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(auto == fixed)
+  }
+
   test("s34: filtered ANN — predicate strictly enforced, exact cosines, dense ranks") {
     val got = Similarity.defs("s34_ann_filtered")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
