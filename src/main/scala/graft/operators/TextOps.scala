@@ -1584,6 +1584,48 @@ object TextOps {
         s.read.schema(crawlSchema).option("header", "true").csv(stage))
     },
 
+    // MALFORMED-RECORD INGESTION AUDIT (VERDICT r13 item 3) — t33/t35/t37
+    // read declared schemas over well-formed lines; real crawl JSONL has
+    // broken lines, and the engine's contract on them must be COUNTED,
+    // NEVER SILENTLY DROPPED. The stage injects deterministic corruption
+    // (every doc with doc_id % 7 == 3 ships as its JSON line truncated to
+    // half length — an unterminated object, the torn-write/split-range
+    // shape real crawls produce); the read is text + from_json in
+    // PERMISSIVE mode with an explicit _corrupt_record column, and a line
+    // is corrupt iff that column is set — NOT "some field is null", which
+    // partial-results parsing (spark.sql.json.enablePartialResults) would
+    // misclassify when the fields before the tear still parse. The audit
+    // emits exact counts plus two content checksums over the valid rows,
+    // so "every well-formed line parsed fully and every torn line was
+    // counted" is one hash-gated row. The oracle restates the counts from
+    // the parquet twin via the injection rule. Scale: the text scan is
+    // splittable, from_json is one codegen'd projection, and the audit is
+    // a single partial+final aggregate — no shuffle wider than 1 row.
+    "t38_malformed_audit" -> { (s, dir) =>
+      val stage = jsonlStage(dir, "t38")
+      docs(s, dir)
+        .withColumn("js", to_json(struct(col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))))
+        .select(when(col("doc_id") % 7 === 3,
+            expr("substr(js, 1, greatest(length(js) div 2, 1))"))
+          .otherwise(col("js")).as("value"))
+        .write.mode("overwrite").text(stage)
+      val parseSchema = crawlSchema.add("_corrupt_record", StringType)
+      s.read.text(stage)
+        .select(from_json(col("value"), parseSchema, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("r._corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_valid"),
+          sum(when(col("r._corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("r._corrupt_record").isNull, col("r.n_chars"))
+            .otherwise(0L)).as("valid_chars"),
+          sum(when(col("r._corrupt_record").isNull, col("r.doc_id"))
+            .otherwise(0L)).as("valid_id_sum"))
+    },
+
     // QUALITY×DUPLICATION CALIBRATION — the cross-signal audit the two
     // curation axes need before being applied together: does low quality
     // PREDICT duplication (boilerplate is both low-quality and viral), or
@@ -2607,6 +2649,16 @@ object TextOps {
     // the SAME oracle again — CSV quoting must be byte-lossless on free
     // text, and the shared hash gate is the proof
     "t37_csv_ingest" -> crawlIngestSql,
+
+    // the injection rule restated over the parquet twin: corrupt iff
+    // doc_id % 7 == 3, every other line parses fully (checksummed)
+    "t38_malformed_audit" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN n_chars ELSE 0 END) AS BIGINT) AS valid_chars,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN doc_id ELSE 0 END) AS BIGINT) AS valid_id_sum
+        |FROM documents""".stripMargin,
 
     // the same histogram, tie-group rank sums, and exact ppb floor —
     // HUGEINT mirrors DECIMAL(38,0)

@@ -61,4 +61,82 @@ class SourceFormatSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]"),
       s"expected ORC pushdown in:\n$plan")
   }
+
+  /** Stage a 10-line JSONL shard where lines 3 and 7 are torn mid-object —
+    * the t38 corruption shape, tiny enough to reason about by hand. */
+  private def tornJsonl(): (String, Int, Int) = {
+    val good = (0 until 10).map(i =>
+      s"""{"doc_id":$i,"text":"line $i text","lang":"en","source":"s${i % 2}","n_chars":${10 + i}}""")
+    val lines = good.zipWithIndex.map { case (l, i) =>
+      if (i == 3 || i == 7) l.substring(0, l.length / 2) else l
+    }
+    val d = Files.createTempDirectory("torn-jsonl")
+    Files.writeString(d.resolve("part-0.json"), lines.mkString("\n"))
+    (d.toString, 10, 2)
+  }
+
+  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
+
+  test("PERMISSIVE JSON reader counts malformed lines — never drops them silently (t38)") {
+    // VERDICT r13 item 3: the reader-API path (DataFrameReader.json with a
+    // declared schema + _corrupt_record). Spark requires caching the parsed
+    // frame before the corrupt column is referenced — pin that recipe too.
+    val (d, total, torn) = tornJsonl()
+    val schema = docSchema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(d).cache()
+    try {
+      assert(parsed.count() == total, "PERMISSIVE must keep every input line")
+      val corrupt = parsed.filter(col("_corrupt_record").isNotNull).collect()
+      assert(corrupt.length == torn, s"expected $torn corrupt rows")
+      // the raw torn line is preserved verbatim for quarantine/replay
+      assert(corrupt.forall(_.getAs[String]("_corrupt_record").startsWith("{\"doc_id\":")))
+      // every non-torn line parses FULLY (partial-results can't leak nulls)
+      val valid = parsed.filter(col("_corrupt_record").isNull).collect()
+      assert(valid.length == total - torn)
+      assert(valid.forall(r => !r.isNullAt(r.fieldIndex("doc_id")) &&
+        !r.isNullAt(r.fieldIndex("n_chars"))))
+    } finally parsed.unpersist(): Unit
+  }
+
+  test("from_json classification (the t38 gate spelling) agrees with the reader path") {
+    // corrupt iff _corrupt_record set — robust to partial-results parsing,
+    // which may populate fields that precede the tear (classifying by
+    // "some field is null" would be wrong on exactly those rows)
+    val (d, total, torn) = tornJsonl()
+    val schema = docSchema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.text(d)
+      .select(from_json(col("value"), schema, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+    val agg = parsed.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("r._corrupt_record").isNotNull, 1L).otherwise(0L)).as("c"))
+      .collect().head
+    assert(agg.getLong(0) == total && agg.getLong(1) == torn)
+  }
+
+  test("DROPMALFORMED is the silent-drop alternative the default path refuses") {
+    // document the failure mode the audit exists to prevent: DROPMALFORMED
+    // returns only the well-formed rows and the torn lines vanish without
+    // a trace — correct row content, unaccounted loss
+    val (d, total, torn) = tornJsonl()
+    val dropped = spark.read.schema(docSchema)
+      .option("mode", "DROPMALFORMED").json(d)
+    assert(dropped.count() == total - torn)
+  }
 }
