@@ -118,7 +118,14 @@ object StreamAsof {
     * match ledger (purchases whose forward window the final watermark has
     * not strictly passed stay pending, exactly as a live job would — the
     * oracle restates that cut). */
-  def runToCompletion(spark: SparkSession, dir: String): DataFrame =
+  def runToCompletion(spark: SparkSession, dir: String,
+      sinkName: String = "stream-asof",
+      sourceOptions: Map[String, String] = Map.empty,
+      sourceGlob: String = "events.parquet",
+      checkpointLoc: Option[String] = None,
+      clearSink: Boolean = true): DataFrame =
     StreamingSessionize.runToCompletion(spark, dir, transform,
-      outputMode = "append", sinkName = "stream-asof")
+      outputMode = "append", sinkName = sinkName,
+      sourceOptions = sourceOptions, sourceGlob = sourceGlob,
+      checkpointLoc = checkpointLoc, clearSink = clearSink)
 }

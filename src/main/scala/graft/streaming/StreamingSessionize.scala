@@ -290,7 +290,13 @@ object StreamingSessionize {
       sourceGlob: String = "events.parquet",
       sourceSchema: StructType = rawSchema,
       sinkTransform: DataFrame => DataFrame = identity,
-      tagBatchId: Boolean = false): DataFrame = {
+      tagBatchId: Boolean = false,
+      // checkpointLoc + clearSink=false are the KILL-AND-RESUME knobs
+      // (StreamingRestartSpec): an explicit checkpoint makes a second
+      // invocation resume offsets/state/batch-ids from the first instead
+      // of replaying, and the sink must then keep the first run's rows
+      checkpointLoc: Option[String] = None,
+      clearSink: Boolean = true): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A streaming query fixes its state-store layout at start: with the
     // session's batch-oriented shuffle.partitions (32 on the driver) every
@@ -302,7 +308,7 @@ object StreamingSessionize {
     // must not leave the shared session at 4 partitions.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val out = Sink.dirFor(sinkName)
+    val out = Sink.dirFor(sinkName, clear = clearSink)
     try {
       // sourceOptions lets tests drive MULTI-microbatch replays
       // (maxFilesPerTrigger=1 over several time-ordered files) — the
@@ -337,8 +343,9 @@ object StreamingSessionize {
       val schema = sinkTransform(spark.createDataFrame(
         new java.util.ArrayList[Row](), rowSchema)).schema
       val saveMode = if (outputMode == "complete") "overwrite" else "append"
-      val q = transformed.writeStream
-        .outputMode(outputMode)
+      val writer0 = transformed.writeStream.outputMode(outputMode)
+      val q = checkpointLoc.foldLeft(writer0)(
+        (w, loc) => w.option("checkpointLocation", loc))
         .foreachBatch { (batch: Dataset[Row], bid: Long) =>
           val tagged =
             if (tagBatchId) batch.withColumn("batch_id", lit(bid)) else batch
@@ -373,12 +380,15 @@ object StreamingSessionize {
     sys.addShutdownHook {
       dirs.synchronized(dirs.values.foreach(rm))
     }
-    def dirFor(name: String): java.io.File = dirs.synchronized {
-      val d = dirs.getOrElseUpdate(name,
-        Files.createTempDirectory(s"graft-stream-sink-$name-").toFile)
-      Option(d.listFiles()).foreach(_.foreach(rm))
-      d
-    }
+    def dirFor(name: String, clear: Boolean = true): java.io.File =
+      dirs.synchronized {
+        val d = dirs.getOrElseUpdate(name,
+          Files.createTempDirectory(s"graft-stream-sink-$name-").toFile)
+        // clear=false is the resume path: a restarted query must append to
+        // the rows its pre-kill run already committed
+        if (clear) Option(d.listFiles()).foreach(_.foreach(rm))
+        d
+      }
   }
 
   type Q = (SparkSession, String) => DataFrame
