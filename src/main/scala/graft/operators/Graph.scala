@@ -837,6 +837,39 @@ object Graph {
     // N). Same scaled-integer arithmetic as g2 (S = 1e12, 15/85 damping,
     // div floors) so three rounds hash-gate; vertices whose rank floors
     // to zero drop out, oracle-mirrored. */
+    // HITS (Kleinberg's hubs-and-authorities) on the DIRECTED bipartite
+    // purchase graph customer → part — the other classic eigenvector
+    // ranking next to PageRank (g2), and the one that distinguishes
+    // ENDORSERS from ENDORSED: a hub is a customer whose basket spans
+    // authoritative parts, an authority is a part bought by strong hubs.
+    // Two UNNORMALIZED power rounds in exact integer arithmetic (h0 = 1;
+    // a1 = in-degree; h1 = Σ a1 over the customer's parts; a2 = Σ h1
+    // over the part's buyers) — normalization only rescales, the RANKING
+    // is identical, and integer sums hash-gate where per-round float
+    // division would drift. Plan: the distinct edge build is the one
+    // corpus shuffle (orders⋈lineitem on the order key, then (c, p)
+    // distinct); each round is one edge-linear equi-join + hash agg on
+    // the vertex key — the g2/g23 iterative posture; the top-20 readout
+    // is TakeOrdered (no global window, ranks stamped on 20 rows).
+    "g25_hits" -> { (s, dir) =>
+      val ed = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint() // read by all three rounds
+      val a1 = ed.groupBy("p").agg(count(lit(1)).as("a"))
+      val h1 = ed.join(a1, "p").groupBy("c").agg(sum("a").as("h"))
+      val a2 = ed.join(h1, "c").groupBy("p").agg(sum("h").as("a"))
+      a2.orderBy(col("a").desc, col("p")).limit(20)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("a").desc, col("p")))
+            .cast(LongType))
+        .select(col("p").as("part_id"), col("a").cast(LongType).as("authority"),
+          col("rnk"))
+    },
+
     "g24_personalized_pagerank" -> { (s, dir) =>
       val e = coOrderEdges(t(s, dir, "lineitem"))
       val deg = degrees(e).localCheckpoint() // 3 iterations re-join it
@@ -1235,6 +1268,19 @@ object Graph {
         |sz AS (SELECT component_id, count(*) AS comp_size FROM cl GROUP BY component_id)
         |SELECT cl.v, cl.component_id, sz.comp_size
         |FROM cl JOIN sz USING (component_id)""".stripMargin,
+
+    // same distinct edge build, same integer power rounds, rank stamped
+    // after the LIMIT under the identical total order
+    "g25_hits" ->
+      """WITH ed AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |a1 AS (SELECT p, count(*) AS a FROM ed GROUP BY p),
+        |h1 AS (SELECT ed.c, sum(a1.a) AS h FROM ed JOIN a1 USING (p) GROUP BY ed.c),
+        |a2 AS (SELECT ed.p, CAST(sum(h1.h) AS BIGINT) AS a
+        |       FROM ed JOIN h1 USING (c) GROUP BY ed.p)
+        |SELECT p AS part_id, a AS authority,
+        |  CAST(row_number() OVER (ORDER BY a DESC, p) AS BIGINT) AS rnk
+        |FROM a2 ORDER BY a DESC, p LIMIT 20""".stripMargin,
 
     // the same seed teleport, contribution floors, and 15/85 damping —
     // three rounds unrolled, zero-rank rows dropped both sides

@@ -1793,6 +1793,37 @@ object Relational {
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
     },
 
+    // SEQUENCE PATTERN MATCH — MATCH_RECOGNIZE's core (row-pattern
+    // matching over ordered event streams; SQL:2016, Flink CEP's batch
+    // twin) without the single-partition ORDER the standard implies: per
+    // user, the event-type sequence under the (ms, event_id) total order
+    // becomes one compact string of type initials (all five types start
+    // with distinct letters), and the pattern — view, any clicks, then
+    // purchase with nothing between: `vc*p` — is counted by
+    // leftmost-non-overlapping regex scan, identical semantics in Java
+    // regex and RE2 for an alternation-free pattern. q42's funnel counts
+    // STAGES reached; this counts strict CONTIGUOUS conversions, the
+    // signal an attribution model wants uncontaminated by interleaved
+    // noise events. Plan: ONE user-key exchange (object hash agg
+    // building the per-user sorted journey — buffers bounded by a user's
+    // event count, the q44/q70 per-entity bound), then every regex and
+    // length is a per-row projection; no window, no second shuffle.
+    "q78_sequence_match" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"),
+          struct(unix_millis(col("ts")).as("ms"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("i")).as("o"))
+      e.groupBy("user_id")
+        .agg(array_sort(collect_list(col("o"))).as("arr"))
+        .select(col("user_id"),
+          concat_ws("", expr("transform(arr, x -> x.i)")).as("j"))
+        .select(col("user_id"),
+          length(col("j")).cast(LongType).as("n_events"),
+          // idx=0 (the whole match): Spark defaults to group 1, DuckDB to 0
+          expr("CAST(size(regexp_extract_all(j, 'vc*p', 0)) AS BIGINT)")
+            .as("n_conv"))
+    },
+
     // CDC APPLY — the change-log compaction every lakehouse MERGE
     // materializes (Delta/Hudi/Iceberg "latest snapshot"): fold an
     // ordered per-key change stream into final table state under
@@ -2698,6 +2729,19 @@ object Relational {
         |      FROM e)
         |SELECT user_id, value AS last_value, ms AS last_ms, n_changes
         |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // the journey restated as an ordered string_agg; leftmost
+    // non-overlapping regex counting is engine-identical for an
+    // alternation-free pattern
+    "q78_sequence_match" ->
+      """WITH e AS (SELECT user_id, substr(event_type, 1, 1) AS i,
+        |             epoch_ms(ts) AS ms, event_id
+        |           FROM events),
+        |j AS (SELECT user_id, string_agg(i, '' ORDER BY ms, event_id) AS j
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(length(j) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(j, 'vc*p')) AS BIGINT) AS n_conv
+        |FROM j""".stripMargin,
 
     // same md5 uniforms, same literal thresholds, same decimal means
     "q57_poisson_bootstrap" -> {

@@ -74,7 +74,7 @@ object TextOps {
   /** The explicit ingestion contract for raw-crawl JSONL — schema-on-read
     * with a DECLARED schema, never inference (inference is a full extra
     * pass over 100 TB and a schema lottery per shard). */
-  private val crawlSchema = StructType(Seq(
+  private[graft] val crawlSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
@@ -1626,6 +1626,46 @@ object TextOps {
             .otherwise(0L)).as("valid_id_sum"))
     },
 
+    // MALFORMED-CSV AUDIT — t38's torn-line audit on the CSV arrival
+    // format, where the failure shape is DIFFERENT in kind: a torn JSONL
+    // line is an unterminated object, but a torn CSV line is either an
+    // unterminated QUOTE or a balanced SHORT RECORD. This Spark flags
+    // both (pinned in SourceFormatSpec) — while ALSO partially filling
+    // the fields before the tear, so validity can never be inferred from
+    // field presence. The classification is therefore parser-flag OR
+    // CONTRACT violation (n_chars, the LAST column, is null — a
+    // half-line tear provably loses it, and the corpus itself is fully
+    // non-null at every gate SF): correct on this Spark and still
+    // correct on the historical behavior where short records were
+    // silently nulled without a flag. Same injected rule, same audit
+    // columns, same shared oracle as t38 — the tear must be visible
+    // through BOTH formats' failure modes. Scale: identical to t38
+    // (splittable text scan, one codegen'd from_csv projection, 1-row
+    // aggregate).
+    "t39_csv_malformed_audit" -> { (s, dir) =>
+      val stage = jsonlStage(dir, "t39")
+      docs(s, dir)
+        .withColumn("cs", to_csv(struct(col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")),
+          new java.util.HashMap(scala.jdk.CollectionConverters.MapHasAsJava(
+            Map("quoteAll" -> "true")).asJava)))
+        .select(when(col("doc_id") % 7 === 3,
+            expr("substr(cs, 1, greatest(length(cs) div 2, 1))"))
+          .otherwise(col("cs")).as("value"))
+        .write.mode("overwrite").text(stage)
+      val parseSchema = crawlSchema.add("_corrupt_record", StringType)
+      val bad = col("r._corrupt_record").isNotNull || col("r.n_chars").isNull
+      s.read.text(stage)
+        .select(from_csv(col("value"), parseSchema, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(bad, 0L).otherwise(1L)).as("n_valid"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(bad, 0L).otherwise(col("r.n_chars"))).as("valid_chars"),
+          sum(when(bad, 0L).otherwise(col("r.doc_id"))).as("valid_id_sum"))
+    },
+
     // QUALITY×DUPLICATION CALIBRATION — the cross-signal audit the two
     // curation axes need before being applied together: does low quality
     // PREDICT duplication (boilerplate is both low-quality and viral), or
@@ -2653,6 +2693,16 @@ object TextOps {
     // the injection rule restated over the parquet twin: corrupt iff
     // doc_id % 7 == 3, every other line parses fully (checksummed)
     "t38_malformed_audit" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN n_chars ELSE 0 END) AS BIGINT) AS valid_chars,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN doc_id ELSE 0 END) AS BIGINT) AS valid_id_sum
+        |FROM documents""".stripMargin,
+
+    // the SAME oracle — the tear must be visible through CSV's
+    // short-record failure mode exactly as through JSONL's parser flag
+    "t39_csv_malformed_audit" ->
       """SELECT count(*) AS n_lines,
         |  CAST(sum(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
         |  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,

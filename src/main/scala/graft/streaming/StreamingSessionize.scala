@@ -844,6 +844,22 @@ object StreamingSessionize {
     // honest cost of CDC materialization (x14's complete-mode argument);
     // no watermark, so arrival order and slicing provably cannot change
     // the final state (max and count are commutative monoids).
+    // MALFORMED-PAYLOAD AUDIT LIVE — t38's ingest-health contract at the
+    // place it runs in production (the stream): every arriving record
+    // carries an opaque line, PERMISSIVE from_json classifies it
+    // (corrupt iff _corrupt_record set — partial-results-proof), and the
+    // complete-mode sink maintains the running totals dashboard. Torn
+    // lines are COUNTED the moment they arrive, never silently dropped —
+    // on a stream there is no second pass to notice the loss. State is
+    // one 5-long row; the oracle is t38's verbatim (the totals must not
+    // depend on whether the audit ran batch or streaming).
+    "x32_stream_malformed_audit" -> { (s, dir) =>
+      val stage = malformedStage(s, dir)
+      runToCompletion(s, stage, malformedAudit,
+        outputMode = "complete", sinkName = "x32", sourceGlob = "*.parquet",
+        sourceSchema = StructType(Seq(StructField("value", StringType))))
+    },
+
     "x31_stream_cdc_apply" -> { (s, dir) =>
       val upserts = runToCompletion(s, dir, streamCdcApply,
         outputMode = "update", sinkName = "x31", tagBatchId = true)
@@ -1047,6 +1063,63 @@ object StreamingSessionize {
       .select(col("user_id"), col("last.event_type").as("last_type"),
         col("last.value").as("last_value"), col("last.ms").as("last_ms"),
         col("n_changes"))
+
+  /** x32's staging: the documents corpus as raw JSONL-payload rows with
+    * t38's deterministic corruption (doc_id % 7 == 3 torn to half length),
+    * written as a one-string-column parquet so the standard stream harness
+    * replays it — the unit under test is malformed PAYLOAD handling
+    * in-stream (the message-queue arrival shape, where each record carries
+    * an opaque line), not the text container t38 already gates. Keyed per
+    * corpus dir like TextOps' staging (a shared overwrite dir would
+    * silently swap under a still-held reader when another SF stages). */
+  private lazy val malformedStageRoot: java.io.File = {
+    val d = Files.createTempDirectory("graft-x32-stage").toFile
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(d)
+    }
+    d
+  }
+
+  private def malformedStage(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stage = new java.io.File(malformedStageRoot, key).getAbsolutePath
+    graft.sources.Tables.load(s, dir, "documents")
+      .withColumn("js", to_json(struct(col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))))
+      .select(when(col("doc_id") % 7 === 3,
+          expr("substr(js, 1, greatest(length(js) div 2, 1))"))
+        .otherwise(col("js")).as("value"))
+      .write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  /** x32's transform: t38's PERMISSIVE from_json classification as a
+    * complete-mode global aggregate — per trigger the sink holds the
+    * running (lines, valid, corrupt, checksums) totals, i.e. the live
+    * ingest-health dashboard. Corrupt iff _corrupt_record is set (t38's
+    * partial-results-proof rule); state is ONE row of five longs, so the
+    * aggregate is as cheap as streaming state gets. */
+  private[graft] def malformedAudit(stream: DataFrame): DataFrame = {
+    val parseSchema = graft.operators.TextOps.crawlSchema
+      .add("_corrupt_record", StringType)
+    stream
+      .select(from_json(col("value"), parseSchema, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("r._corrupt_record").isNull, 1L).otherwise(0L))
+          .as("n_valid"),
+        sum(when(col("r._corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(when(col("r._corrupt_record").isNull, col("r.n_chars"))
+          .otherwise(0L)).as("valid_chars"),
+        sum(when(col("r._corrupt_record").isNull, col("r.doc_id"))
+          .otherwise(0L)).as("valid_id_sum"))
+  }
 
   /** x12's stream transform, factored so the multi-batch replay spec can
     * drive it over a SLICED copy of the stream while the static corpus
@@ -1413,6 +1486,11 @@ object StreamingSessionize {
     // max/count has no watermark cutoff to restate
     "x31_stream_cdc_apply" ->
       graft.operators.Relational.oracles("q77_cdc_apply"),
+
+    // x32: the converged totals are exactly batch t38 — count monoids
+    // have no cutoff, and batch-vs-stream must not change the audit
+    "x32_stream_malformed_audit" ->
+      graft.operators.TextOps.oracles("t38_malformed_audit"),
 
     // x26: q64's PIT join, row-level — the stream is stateless so the
     // oracle is exactly the batch join (no emission cutoff to restate)

@@ -573,6 +573,31 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 2L), s"K4 is its own 4-truss: $got")
   }
 
+  test("g25 HITS authorities match a sequential two-round power iteration") {
+    // independent spelling: plain-Scala maps over the collected bipartite
+    // edge set, exactly h0=1 / a1=in-degree / h1 / a2 — then the top-20
+    // under (score DESC, part ASC) must be g25's rows verbatim
+    val sf = "/root/testdata/sf0.001"
+    val ords = graft.sources.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .flatMap(r => ords.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .distinct
+    val a1 = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val h1 = edges.groupBy(_._1).view
+      .mapValues(_.map(e => a1(e._2)).sum).toMap
+    val a2 = edges.groupBy(_._2).view
+      .mapValues(_.map(e => h1(e._1)).sum).toMap
+    val expected = a2.toSeq.sortBy { case (p, a) => (-a, p) }.take(20)
+      .zipWithIndex.map { case ((p, a), i) => (p, a, i + 1L) }
+    val got = Graph.defs("g25_hits")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.head._2 > got.last._2, "test premise: scores separate")
+  }
+
   test("g19 reached fixpoint at sf0.001: one more peel round removes nothing") {
     val rows = Graph.defs("g19_ktruss")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

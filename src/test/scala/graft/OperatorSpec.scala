@@ -207,6 +207,36 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) == direct(r.getLong(0)), r.toString))
   }
 
+  test("q78 conversion counts match a hand-rolled sequential scanner per user") {
+    val dir001 = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.load(spark, dir001, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_millis(col("ts")).as("ms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // independent spelling: no regex — an explicit leftmost-non-overlapping
+    // scan for "v, then clicks, then p, nothing between"
+    def scanConv(j: String): Long = {
+      var i = 0; var n = 0L
+      while (i < j.length) {
+        if (j(i) == 'v') {
+          var k = i + 1
+          while (k < j.length && j(k) == 'c') k += 1
+          if (k < j.length && j(k) == 'p') { n += 1; i = k + 1 }
+          else i += 1
+        } else i += 1
+      }
+      n
+    }
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      val j = es.sortBy(e => (e._4, e._2)).map(_._3.head).mkString
+      (u, (j.length.toLong, scanConv(j)))
+    }
+    val got = Relational.defs("q78_sequence_match")(spark, dir001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0L), "test premise: some conversion exists")
+  }
+
   test("q45 SCD2 history matches a sequential per-user replay exactly") {
     val dir001 = "/root/testdata/sf0.001"
     val ev = graft.sources.Tables.load(spark, dir001, "events")

@@ -130,6 +130,42 @@ class SourceFormatSpec extends AnyFunSuite {
     assert(agg.getLong(0) == total && agg.getLong(1) == torn)
   }
 
+  test("PERMISSIVE CSV flags short records but PARTIALLY FILLS them — the t39 contract rule") {
+    // pinned behavior on this Spark: a balanced short record (the tear
+    // landed on a field boundary) gets _corrupt_record SET *and* its
+    // leading fields populated. Two consequences t39 encodes: (a) validity
+    // can never be "some field is non-null" — torn rows carry real-looking
+    // doc_id/text; (b) the contract column (n_chars, last) is null on every
+    // torn row, so the parser-flag-OR-contract-null rule stays correct even
+    // on a Spark that reverts to the old silent short-record nulling.
+    val lines = Seq(
+      """"1","full line","en","s0","11"""",
+      """"2","torn"""",                 // boundary tear: 2 of 5 columns, quotes balanced
+      """"3","another full","en","s1","12"""")
+    val d = Files.createTempDirectory("torn-csv")
+    Files.writeString(d.resolve("part-0.csv"), lines.mkString("\n"))
+    val schema = docSchema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.text(d.toString)
+      .select(from_csv(col("value"), schema, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+      .select("r.*").collect()
+    assert(parsed.length == 3, "PERMISSIVE must keep every line")
+    val torn = parsed.find(_.getLong(0) == 2L).get
+    // flagged — the raw line is preserved for quarantine…
+    assert(!torn.isNullAt(torn.fieldIndex("_corrupt_record")))
+    // …AND partially filled: the fields before the tear look legitimate
+    assert(torn.getString(torn.fieldIndex("text")) == "torn")
+    // the contract column is null on the torn row — the format-agnostic
+    // validity signal t39 checks alongside the flag
+    assert(torn.isNullAt(torn.fieldIndex("n_chars")))
+    // full lines parse completely and unflagged
+    assert(parsed.filter(r => r.getLong(0) != 2L).forall(r =>
+      !r.isNullAt(r.fieldIndex("n_chars")) &&
+        r.isNullAt(r.fieldIndex("_corrupt_record"))))
+  }
+
   test("DROPMALFORMED is the silent-drop alternative the default path refuses") {
     // document the failure mode the audit exists to prevent: DROPMALFORMED
     // returns only the well-formed rows and the torn lines vanish without

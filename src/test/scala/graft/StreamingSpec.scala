@@ -333,6 +333,21 @@ class StreamingSpec extends AnyFunSuite {
       "CDC final state diverges between sliced and one-shot replays")
   }
 
+  test("x32 streaming malformed audit converges to batch t38's exact totals") {
+    // counts and checksums are commutative monoids: whether the torn
+    // corpus arrives as one batch (t38) or a stream of triggers (x32),
+    // the final totals must be identical — and non-trivial (some lines
+    // really are torn, some really parse)
+    val streamRow = StreamingSessionize.defs("x32_stream_malformed_audit")(spark, dir)
+      .collect().head
+    val batchRow = graft.operators.TextOps.defs("t38_malformed_audit")(spark, dir)
+      .collect().head
+    val s5 = (0 until 5).map(streamRow.getLong)
+    val b5 = (0 until 5).map(batchRow.getLong)
+    assert(s5 == b5, s"stream totals $s5 diverge from batch totals $b5")
+    assert(s5(2) > 0 && s5(1) > 0, "test premise: both torn and valid lines exist")
+  }
+
   test("x26 PIT enrichment over 3 slices == one-shot replay (stateless, static dim)") {
     val mb = timeSlicedDir(3)
     val enrich = StreamingSessionize.pitEnrich(spark, dir)
