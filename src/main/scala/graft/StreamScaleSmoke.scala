@@ -122,6 +122,7 @@ object StreamScaleSmoke {
       "x31_stream_cdc_apply").contains(n))
     val needPit = names.contains("x26_stream_pit_enrich")
     val needDocs = names.contains("x17a_decontam_stateless")
+    val needMalformed = names.contains("x32_stream_malformed_audit")
 
     lazy val dirGeneric = {
       val d = java.nio.file.Files.createTempDirectory("graft-ssm-ev").toFile
@@ -147,6 +148,26 @@ object StreamScaleSmoke {
             regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
           .withColumn("n_chars", length(col("text")).cast("long"))),
         col("doc_id").cast("double"), d)
+      d.getAbsolutePath
+    }
+
+    // x32's corrupted-payload stream: replicate docs on re-keyed doc_id
+    // (volume-pure for an audit that keys on nothing), apply t38's tear
+    // rule, slice by doc_id — each trigger carries a mix of torn and
+    // well-formed lines, exactly the crawl-feed arrival shape
+    lazy val dirMalformed = {
+      val d = java.nio.file.Files.createTempDirectory("graft-ssm-mal").toFile
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val payload = replicate(docs, (dd, i) =>
+        dd.withColumn("doc_id", col("doc_id") * factor + i))
+        .withColumn("js", to_json(struct(col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))))
+        .select(
+          when(col("doc_id") % 7 === 3,
+            expr("substr(js, 1, greatest(length(js) div 2, 1))"))
+            .otherwise(col("js")).as("value"),
+          col("doc_id"))
+      writeSliced(payload, col("doc_id").cast("double"), d)
       d.getAbsolutePath
     }
 
@@ -215,6 +236,18 @@ object StreamScaleSmoke {
       }),
       "x26_stream_pit_enrich" -> (() =>
         run(dirPit, StreamingSessionize.pitEnrich(spark, dirPit), "ssm-x26")),
+      // ingest-health totals: state is ONE 5-long row at any volume —
+      // the readout proves the audit adds no per-record state
+      "x32_stream_malformed_audit" -> (() => {
+        StreamingSessionize.runToCompletion(spark, dirMalformed,
+            StreamingSessionize.malformedAudit, outputMode = "complete",
+            sinkName = "ssm-x32", sourceOptions = mb,
+            sourceGlob = "events*.parquet",
+            sourceSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("value",
+                org.apache.spark.sql.types.StringType))))
+          .write.format("noop").mode("overwrite").save()
+      }),
       "x17a_decontam_stateless" -> (() =>
         run(dirDocs, StreamingSessionize.statelessDecontam(spark, base),
           "ssm-x17a", schema = StreamingSessionize.docSchema)))
@@ -227,6 +260,7 @@ object StreamScaleSmoke {
     if (needGeneric) { dirGeneric: Unit }
     if (needPit) { dirPit: Unit }
     if (needDocs) { dirDocs: Unit }
+    if (needMalformed) { dirMalformed: Unit }
 
     val results = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>

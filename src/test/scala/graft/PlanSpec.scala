@@ -117,6 +117,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q78's journey build is one user_id exchange; regex and lengths run post-agg") {
+    val p = plan(Relational.defs("q78_sequence_match")(spark, dir))
+    // q44's posture on the events axis: partial+final object hash agg
+    // around exactly one exchange; the per-user string, regex count, and
+    // length are projections — no window, no join, no second shuffle
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("g25's top-20 readout is a TakeOrdered heap; power rounds stay equi-joined") {
+    val p = plan(graft.operators.Graph.defs("g25_hits")(spark, dir))
+    // the |parts|-row authority table must never globally sort (TakeOrdered
+    // is the heap) and no round may degrade to a nested-loop/cartesian;
+    // the post-limit rank window runs on 20 rows (dashboard-sized)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q44's basket build is the plan's only shuffle; every lambda runs post-agg") {
     val p = plan(Relational.defs("q44_array_hof")(spark, dir))
     // partial+final object hash agg around exactly one exchange; the HOF
