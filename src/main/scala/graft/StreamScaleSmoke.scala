@@ -119,7 +119,7 @@ object StreamScaleSmoke {
       "x19a_topk_append", "x24a_kmv_append", "x3_stream_interval_join",
       "x8_stream_left_join", "x13_stream_full_outer",
       "x11_stream_funnel", "x30_stream_asof_nearest",
-      "x31_stream_cdc_apply").contains(n))
+      "x31_stream_cdc_apply", "x33_stream_dedup_bounded").contains(n))
     val needPit = names.contains("x26_stream_pit_enrich")
     val needDocs = names.contains("x17a_decontam_stateless")
     val needMalformed = names.contains("x32_stream_malformed_audit")
@@ -225,6 +225,11 @@ object StreamScaleSmoke {
       // per user, decided purchases leave at emission
       "x30_stream_asof_nearest" -> (() =>
         run(dirGeneric, graft.streaming.StreamAsof.transform, "ssm-x30")),
+      // watermark-evicted dedup: max_state_rows reads the HORIZON's key
+      // population, not the stream's — the measured answer to x4's
+      // keys-forever caveat
+      "x33_stream_dedup_bounded" -> (() =>
+        run(dirGeneric, StreamingSessionize.streamDedupBounded(_), "ssm-x33")),
       // CDC materialization: state is one row per live key BY DESIGN —
       // the readout quantifies the maintained-table cost, not a leak
       "x31_stream_cdc_apply" -> (() => {

@@ -129,6 +129,40 @@ object Multimodal {
           hex(substring(col("text"), 1, 8).cast(BinaryType)).as("hdr_hex"))
     },
 
+    // PAYLOAD INTEGRITY AUDIT — the object-store health check a 100 TB
+    // media lake runs before training touches a byte: recompute each
+    // arrived payload's digest/length and compare against the manifest
+    // (here the same row carries both — at scale the manifest attaches by
+    // one equi-join on the object id; the comparison plan is unchanged).
+    // Two injected failure classes, t38's torn-input discipline on the
+    // binary axis: TORN objects (doc_id % 9 == 4, payload truncated to
+    // half — length AND digest fail, the partial-upload/range-read shape)
+    // and BITROT (doc_id % 9 == 2, first byte flipped to '~' — digest
+    // fails at intact length, the silent-corruption shape a length check
+    // alone waves through). The operator COMPUTES the mismatches from
+    // md5/length; only the oracle predicts them from the injection rule.
+    // Per-source counts + intact byte mass; one scan, one tiny agg.
+    "m13_payload_integrity" -> { (s, dir) =>
+      val torn = col("doc_id") % 9 === 4 && col("n_chars") >= 2
+      val rot = col("doc_id") % 9 === 2 && col("n_chars") >= 1 &&
+        expr("substr(text, 1, 1)") =!= "~" // residues 2 and 4 are disjoint
+      docs(s, dir)
+        .select(col("source"), col("n_chars").as("decl_len"),
+          md5(col("text")).as("decl_digest"),
+          when(torn, expr("substr(text, 1, greatest(length(text) div 2, 1))"))
+            .when(rot, concat(lit("~"), expr("substr(text, 2, length(text))")))
+            .otherwise(col("text")).as("payload"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_objects"),
+          sum(when(length(col("payload")).cast(LongType) =!= col("decl_len"),
+            1L).otherwise(0L)).as("n_torn"),
+          sum(when(md5(col("payload")) =!= col("decl_digest") &&
+            length(col("payload")).cast(LongType) === col("decl_len"),
+            1L).otherwise(0L)).as("n_bitrot"),
+          sum(when(md5(col("payload")) === col("decl_digest"),
+            col("decl_len")).otherwise(0L)).as("intact_bytes"))
+    },
+
     // STUB feature extraction: 8 deterministic 16-bit features per payload.
     // Narrow projection, whole-stage codegen, zero shuffle.
     "m2_feature_stub" -> { (s, dir) =>
@@ -379,6 +413,20 @@ object Multimodal {
     "m2_feature_stub" ->
       s"""SELECT doc_id, ${(0 until numFeatures).map(i => s"${featureSql(i)} AS f$i").mkString(", ")}
          |FROM documents""".stripMargin,
+
+    // the injection rule restated: torn iff %9==4 (len >= 2), bitrot iff
+    // %9==2 at intact length with a genuinely flipped first byte
+    "m13_payload_integrity" ->
+      """SELECT source, count(*) AS n_objects,
+        |  CAST(sum(CASE WHEN doc_id % 9 = 4 AND n_chars >= 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_torn,
+        |  CAST(sum(CASE WHEN doc_id % 9 = 2
+        |    AND n_chars >= 1 AND substr(text, 1, 1) <> '~'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bitrot,
+        |  CAST(sum(CASE WHEN NOT (doc_id % 9 = 4 AND n_chars >= 2)
+        |    AND NOT (doc_id % 9 = 2 AND n_chars >= 1 AND substr(text, 1, 1) <> '~')
+        |    THEN n_chars ELSE 0 END) AS BIGINT) AS intact_bytes
+        |FROM documents GROUP BY source""".stripMargin,
 
     "m3_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_no,

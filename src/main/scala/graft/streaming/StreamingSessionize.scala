@@ -130,6 +130,27 @@ object StreamingSessionize {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
+  /** x33: exact dedup with BOUNDED state — dropDuplicatesWithinWatermark,
+    * the production spelling x4's plain dropDuplicates scaladoc points at:
+    * x4's state is one entry per distinct key FOREVER (fine for a small
+    * key domain, a leak for an unbounded one), while here the event time
+    * joins the key (hour bucket) and the watermark EVICTS state once no
+    * duplicate can still arrive — state tracks the horizon, not history.
+    * Correctness window: all duplicates of a (user, type, hour) key are
+    * at most 59:59 apart, inside the 1 h delay, so Spark's guarantee
+    * ("no duplicate emission for records within the delay of the first")
+    * makes the emitted key set EXACTLY batch DISTINCT at any slicing —
+    * the deterministic contract the oracle states. Only key columns are
+    * emitted (which physical row won is order-dependent, x4's argument). */
+  private[graft] def streamDedupBounded(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"))
+
   /** Hourly tumbling-window rollup — the streaming twin of the batch q15:
     * watermark + window() + partial/final streaming aggregate. */
   def hourlyRollup(events: DataFrame): DataFrame =
@@ -405,6 +426,14 @@ object StreamingSessionize {
     },
     "x4_stream_dedup" -> { (s, dir) =>
       runToCompletion(s, dir, streamDedup, outputMode = "append", sinkName = "x4")
+    },
+
+    // BOUNDED-STATE streaming dedup (see streamDedupBounded): the
+    // watermark evicts dedup state, so a year-long stream holds hours of
+    // keys, not a year of them — the 100 TB answer to x4's leak caveat
+    "x33_stream_dedup_bounded" -> { (s, dir) =>
+      runToCompletion(s, dir, streamDedupBounded,
+        outputMode = "append", sinkName = "x33")
     },
 
     // Left-outer stream-stream join: inner matches stream immediately;
@@ -1319,6 +1348,13 @@ object StreamingSessionize {
 
     "x4_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // the bounded variant's emitted key set is exactly batch DISTINCT
+    // (every duplicate of an hour-bucketed key arrives inside the delay)
+    "x33_stream_dedup_bounded" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts
+        |FROM events""".stripMargin,
 
     // Inner matches = the batch join; null-extended rows = unmatched clicks
     // STRICTLY below the final global watermark (min over the two sides'

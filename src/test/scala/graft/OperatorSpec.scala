@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions.{col, sum}
 
-import graft.operators.{Dedup, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
 
 /** Semantic unit tests for the dedup / similarity / text operators on crafted
   * fixtures with known answers (the DuckDB gate checks engine parity; these
@@ -205,6 +205,21 @@ class OperatorSpec extends AnyFunSuite {
       .agg(sum(col("l_quantity").cast("long")).as("tq"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(2) == direct(r.getLong(0)), r.toString))
+  }
+
+  test("m13 classifies torn vs bitrot vs intact exactly on the known fixture") {
+    // fixture doc_ids 1..6, one source: %9==4 -> doc 4 torn (length+digest
+    // fail), %9==2 -> doc 2 bitrot (digest fails at intact length), rest
+    // intact — the two failure classes must not bleed into each other
+    val rows = Multimodal.defs("m13_payload_integrity")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val lens = docTexts.toMap.view.mapValues(_.length.toLong)
+    assert(r.getString(0) == "src0")
+    assert(r.getLong(1) == 6L, "n_objects")
+    assert(r.getLong(2) == 1L, "n_torn (doc 4)")
+    assert(r.getLong(3) == 1L, "n_bitrot (doc 2)")
+    assert(r.getLong(4) == Seq(1L, 3L, 5L, 6L).map(lens(_)).sum, "intact_bytes")
   }
 
   test("q78 conversion counts match a hand-rolled sequential scanner per user") {

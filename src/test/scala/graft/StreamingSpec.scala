@@ -333,6 +333,31 @@ class StreamingSpec extends AnyFunSuite {
       "CDC final state diverges between sliced and one-shot replays")
   }
 
+  test("x33 bounded dedup over 4 slices emits exactly the batch-distinct hour-keyed set") {
+    // the state-evicting variant must keep x4's exactness contract: every
+    // (user, type, hour) key emitted by exactly one microbatch, and the
+    // union equals batch DISTINCT — the watermark bounds STATE, never the
+    // answer (all duplicates of an hour key arrive inside the 1 h delay)
+    val mb = timeSlicedDir(4)
+    val streamed = StreamingSessionize.runToCompletion(spark, mb,
+        StreamingSessionize.streamDedupBounded(_), "append", "multibatch-x33",
+        Map("maxFilesPerTrigger" -> "1"), "events*.parquet")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val batch = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"),
+          date_format(date_trunc("hour", expr("CAST(ts AS TIMESTAMP)")),
+            "yyyy-MM-dd HH:mm:ss").as("h"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    }
+    assert(streamed.length == streamed.distinct.length,
+      "a key must be emitted by exactly one microbatch")
+    assert(streamed.toSet == batch.toSet,
+      "bounded dedup key set diverges from batch DISTINCT")
+  }
+
   test("x32 streaming malformed audit converges to batch t38's exact totals") {
     // counts and checksums are commutative monoids: whether the torn
     // corpus arrives as one batch (t38) or a stream of triggers (x32),
