@@ -101,6 +101,39 @@ class StreamingRestartSpec extends AnyFunSuite {
       "resumed ledger diverges from the uninterrupted run")
   }
 
+  test("x33 dedup state: kill after 2 of 4 slices, resume suppresses pre-kill keys") {
+    // the third state shape: dropDuplicatesWithinWatermark's key store.
+    // A restart that lost it would re-emit every key already emitted
+    // before the kill the moment its duplicate arrives in phase 2.
+    val slices = sliceFiles(4)
+    val watched = Files.createTempDirectory("graft-restart-x33").toFile
+    val ckpt = Files.createTempDirectory("graft-ckpt-x33").toString
+    val opts = Map("maxFilesPerTrigger" -> "1")
+    def run(clear: Boolean) =
+      StreamingSessionize.runToCompletion(spark, watched.getAbsolutePath,
+        StreamingSessionize.streamDedupBounded(_), "append", "x33-restart",
+        opts, "events*.parquet", checkpointLoc = Some(ckpt), clearSink = clear)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    stage(watched, slices.take(2), 0)
+    val phase1 = run(clear = true)
+    stage(watched, slices.drop(2), 2)
+    val resumed = run(clear = false)
+
+    val oneShot = StreamingSessionize.runToCompletion(spark,
+      watched.getAbsolutePath, StreamingSessionize.streamDedupBounded(_),
+      "append", "x33-oneshot-r", opts, "events*.parquet")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    assert(phase1.nonEmpty && resumed.length > phase1.length,
+      "test premise: keys on both sides of the kill")
+    assert(resumed.length == resumed.distinct.length,
+      "a key must be emitted exactly once across the kill (state restored)")
+    assert(phase1.toSet.subsetOf(resumed.toSet))
+    assert(resumed.toSet == oneShot.toSet,
+      "resumed dedup key set diverges from the uninterrupted run")
+  }
+
   test("x31 running-agg state: kill after 2 of 4 slices, resume == uninterrupted (batch ids continue)") {
     val slices = sliceFiles(4)
     val watched = Files.createTempDirectory("graft-restart-x31").toFile
