@@ -891,6 +891,57 @@ object Graph {
           .localCheckpoint()
       }
       r.select(col("v"), col("pr").as("ppr"))
+    },
+
+    // MODULARITY — the community-QUALITY readout the graph family lacked
+    // (s23's silhouette grades metric clusters; nothing graded graph
+    // communities): Newman's Q, per community, for the partition g13's
+    // LPA round produces — Q_c = m_c/m − (D_c/2m)², where m is the edge
+    // count, m_c the intra-community edges, and D_c the community's
+    // degree mass. Σ_c Q_c is THE number that says whether the detected
+    // communities beat the configuration-model null (Q near 0 = the
+    // partition explains nothing; this is how a 100 TB pipeline decides
+    // whether to trust LPA labels before sharding by them). Exact
+    // integer arithmetic end to end: both ppb terms floor via div on
+    // DECIMAL(38,0) products (D_c² · 1e9 squares past int64 — g22's
+    // decimal discipline), so the subtraction of two floored terms
+    // hash-gates. Scale: the corpus work is g13's one vote shuffle plus
+    // two edge-linear equi-joins on the vertex key (edge → endpoint
+    // communities); everything after is |communities|-row with a 1-row
+    // broadcast m — LPA costs one pass, its audit costs two.
+    "g26_modularity" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val lbl = t(s, dir, "part")
+        .select(col("p_partkey").as("v"), col("p_brand").as("lbl"))
+      val votes = und.join(lbl, "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("u").orderBy(col("c").desc, col("lbl"))
+      val comm = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("u").as("v"), col("lbl").as("community"))
+        .localCheckpoint() // the intra-edge and degree joins both read it
+      val m = e.agg(count(lit(1)).as("m"))
+      val intra = e
+        .join(comm.select(col("v").as("a"), col("community").as("ca")), "a")
+        .join(comm.select(col("v").as("b"), col("community").as("cb")), "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val degc = degrees(e).join(comm, "v")
+        .groupBy("community")
+        .agg(count(lit(1)).as("n_vertices"),
+          sum("d").cast(LongType).as("deg_sum"))
+      degc.join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("n_vertices"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("deg_sum"),
+          expr("CAST((CAST(coalesce(intra_edges, 0) AS DECIMAL(38,0))" +
+            " * 1000000000) div m" +
+            " - (CAST(deg_sum AS DECIMAL(38,0)) * deg_sum * 1000000000)" +
+            " div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)").as("q_ppb"))
     }
   )
 
@@ -1281,6 +1332,37 @@ object Graph {
         |SELECT p AS part_id, a AS authority,
         |  CAST(row_number() OVER (ORDER BY a DESC, p) AS BIGINT) AS rnk
         |FROM a2 ORDER BY a DESC, p LIMIT 20""".stripMargin,
+
+    // the same LPA vote round, intra-edge count, degree mass, and
+    // HUGEINT floor-divided ppb terms (Spark's DECIMAL(38,0) twin)
+    "g26_modularity" ->
+      s"""WITH $graphSql,
+        |und AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |votes AS (SELECT und.u, p.p_brand AS lbl, count(*) AS c
+        |          FROM und JOIN part p ON und.v = p.p_partkey
+        |          GROUP BY und.u, p.p_brand),
+        |comm AS (SELECT u AS v, lbl AS community FROM (
+        |           SELECT u, lbl,
+        |             row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rk
+        |           FROM votes) t WHERE rk = 1),
+        |m AS (SELECT count(*) AS m FROM edges),
+        |intra AS (SELECT ca.community, count(*) AS intra_edges
+        |          FROM edges e JOIN comm ca ON e.a = ca.v
+        |                       JOIN comm cb ON e.b = cb.v
+        |          WHERE ca.community = cb.community
+        |          GROUP BY ca.community),
+        |degc AS (SELECT comm.community, count(*) AS n_vertices,
+        |           CAST(sum(deg.d) AS BIGINT) AS deg_sum
+        |         FROM deg JOIN comm ON deg.v = comm.v
+        |         GROUP BY comm.community)
+        |SELECT degc.community, degc.n_vertices,
+        |  CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+        |  degc.deg_sum,
+        |  CAST((CAST(coalesce(intra.intra_edges, 0) AS HUGEINT) * 1000000000) // m.m
+        |    - (CAST(degc.deg_sum AS HUGEINT) * degc.deg_sum * 1000000000)
+        |      // (4 * CAST(m.m AS HUGEINT) * m.m) AS BIGINT) AS q_ppb
+        |FROM degc LEFT JOIN intra USING (community) CROSS JOIN m""".stripMargin,
 
     // the same seed teleport, contribution floors, and 15/85 damping —
     // three rounds unrolled, zero-rank rows dropped both sides

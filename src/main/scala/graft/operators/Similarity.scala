@@ -1389,8 +1389,87 @@ object Similarity {
       }
       round(round(p1, 2), 3)
         .select("query_id", "neighbor_id", "mmr_rank", "mmr")
+    },
+
+    // SCALAR (INT8) QUANTIZATION ANN — the per-dimension code axis of the
+    // compression family (PQ s9 quantizes SUBSPACES to codebook ids, dim
+    // truncation s25 DROPS dimensions; SQ8 keeps every dimension at 1/4
+    // the bytes): code_d = half-up-round(v_d / scale_d · 127) with the
+    // symmetric per-dim scale scale_d = max|v_d| over the corpus — the
+    // FAISS-SQ8 scheme. Ranking runs on the DEQUANTIZED vectors
+    // (code_d · scale_d; the constant /127 cancels inside cosine), so the
+    // emitted top-5 is exactly what an int8 store would serve and s38
+    // measures what the 4× byte shrink costs in recall. Determinism: the
+    // scale is a max (no float summation), the quantizer is
+    // floor(x/s·127 + ½) — exact half-up rounding both engines spell
+    // identically on exact doubles — and the rerank is the s1 cosine fold
+    // over bit-identical dequantized doubles, so the walk hash-gates.
+    // Scale: the scale vector is ONE 64-accumulator agg broadcast back;
+    // quantize+dequantize is one corpus-linear zip_with projection. At
+    // 100 TB the int8 codes are what's STORED (4× less scan than float32)
+    // and the probe plugs into any of the s2/s5/s31 indexes — the gate's
+    // brute probe isolates quantization error from index error (s29's
+    // stand-in discipline).
+    "s37_sq8_topk" -> ((s, dir) => sq8TopK(s, dir)),
+
+    // SQ8 RECALL — the recall evaluator for the scalar-quantized rerank
+    // (the s4/s7/s10/s12/s33 family member for s37): per query, the share
+    // of s1's exact float top-5 the int8 store returns. Both inputs are
+    // k·|queries| rows however big the corpus, and the division by the
+    // literal 5.0 on exact integer hits matches across engines (the s4
+    // discipline). Reads 1.0 at every gate SF — the "4× cheaper store
+    // loses nothing HERE" row; the sweep axis at larger N is s25's.
+    "s38_sq8_recall" -> { (s, dir) =>
+      val exact5 = bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
+        .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
+      val sq5 = sq8TopK(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact5.join(sq5, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
     }
   )
+
+  /** s37's pipeline, factored for s38's evaluator: per-dim symmetric
+    * scales (one 64-accumulator max agg — floored at 1e-12 so an all-zero
+    * dim can't divide by zero — broadcast back as an array literal-shaped
+    * row), half-up int8 quantization, dequantized-cosine top-5 per query
+    * under the (sim desc, id) total order. */
+  private[graft] def sq8TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val sc = e.agg(array((0 until dims).map(d =>
+      greatest(max(abs(col("v").getItem(d))), lit(1e-12))): _*).as("sc"))
+    val deq = e.crossJoin(broadcast(sc))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("sc"),
+          (x, sd) => floor(x / sd * lit(127.0) + lit(0.5)) * sd).as("dv"))
+      .localCheckpoint() // corpus side + query side both read it
+    val q = deq.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("dv").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    deq.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("dv")).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk", "sim")
+  }
+
+  /** s37/s38's dequantized-corpus CTEs: per-dim symmetric scales (max|v_d|
+    * floored at 1e-12), half-up int8 quantization, dequantized vectors —
+    * operand-for-operand the Spark [[sq8TopK]] pipeline. */
+  private def sq8DeqSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc AS (SELECT list(mx ORDER BY d) AS sc FROM (
+       |  SELECT g.d AS d, greatest(max(abs(v[g.d])), 1e-12) AS mx
+       |  FROM e, LATERAL unnest(generate_series(1, $dims)) AS g(d)
+       |  GROUP BY g.d) t),
+       |dq AS (SELECT vec_id,
+       |         list_transform(list_zip(v, sc.sc),
+       |           p -> floor(p[1] / p[2] * 127.0 + 0.5) * p[2]) AS dv
+       |       FROM e, sc)""".stripMargin
 
   /** s31/s32's oracle, generated from the SAME plane count as the Spark
     * side (graphBeam): the probe unnest list, bucket-bit sum, and all caps
@@ -1576,6 +1655,39 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM p) r
          |WHERE rnk <= 10""".stripMargin,
+
+    // the same per-dim max scales, half-up quantizer, dequantized cosine
+    // fold, and (sim desc, id) cut — generated from the shared dq CTEs
+    "s37_sq8_topk" ->
+      s"""WITH $sq8DeqSql,
+         |q AS (SELECT vec_id AS query_id, dv AS qv FROM dq WHERE vec_id < 5),
+         |p AS (SELECT query_id, dq.vec_id AS neighbor_id, ${cosSql("qv", "dv")} AS sim
+         |      FROM dq CROSS JOIN q WHERE dq.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM p) r
+         |WHERE rnk <= 5""".stripMargin,
+
+    // s4's recall join with the approximate side swapped for the
+    // dequantized-store top-5 (same dq CTEs as s37's oracle)
+    "s38_sq8_recall" ->
+      s"""WITH $sq8DeqSql,
+         |q1 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |p1 AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "v")} AS sim
+         |       FROM e CROSS JOIN q1 WHERE vec_id <> query_id),
+         |e5 AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |         FROM p1) r WHERE rnk <= 5),
+         |q2 AS (SELECT vec_id AS query_id, dv AS qv2 FROM dq WHERE vec_id < 5),
+         |p2 AS (SELECT query_id, dq.vec_id AS neighbor_id, ${cosSql("qv2", "dv")} AS sim
+         |       FROM dq CROSS JOIN q2 WHERE dq.vec_id <> q2.query_id),
+         |a5 AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |         FROM p2) r WHERE rnk <= 5)
+         |SELECT e5.query_id, sum(coalesce(a5.hit, 0)) / 5.0 AS recall_at_5
+         |FROM e5 LEFT JOIN a5
+         |  ON e5.query_id = a5.query_id AND e5.neighbor_id = a5.neighbor_id
+         |GROUP BY e5.query_id""".stripMargin,
 
     // the same multi-probe bucket build (s2's plane bits + hamming-1
     // flips), the same k-NN edge cut, and the beam rounds unrolled as

@@ -1584,6 +1584,26 @@ object TextOps {
         s.read.schema(crawlSchema).option("header", "true").csv(stage))
     },
 
+    // ORC INGESTION — the fourth arrival format through the SAME
+    // normalization contract, closing the format matrix on the COLUMNAR
+    // axis (parquet native, JSONL t33, gzip-JSONL t35, CSV t37, ORC
+    // here): Hive-era lakes ship ORC, and unlike the line formats it is
+    // self-describing — the declared-schema read here is a CONTRACT
+    // CHECK against the embedded schema rather than a parse instruction,
+    // which is exactly the posture a 100 TB migration wants (drift
+    // between the contract and a shard's embedded schema should fail the
+    // read, not silently coerce). Same shared oracle + hash gate as
+    // t33/t35/t37: the container format must be invisible to semantics.
+    // Scale: ORC stripes are splittable like parquet row groups, carry
+    // min/max indexes for predicate pushdown, and the normalization
+    // stays one codegen'd projection — the scan-side economics of the
+    // parquet path, unchanged.
+    "t40_orc_ingest" -> { (s, dir) =>
+      val stage = jsonlStage(dir, "t40")
+      docs(s, dir).write.mode("overwrite").orc(stage)
+      crawlNormalize(s.read.schema(crawlSchema).orc(stage))
+    },
+
     // MALFORMED-RECORD INGESTION AUDIT (VERDICT r13 item 3) — t33/t35/t37
     // read declared schemas over well-formed lines; real crawl JSONL has
     // broken lines, and the engine's contract on them must be COUNTED,
@@ -2689,6 +2709,7 @@ object TextOps {
     // the SAME oracle again — CSV quoting must be byte-lossless on free
     // text, and the shared hash gate is the proof
     "t37_csv_ingest" -> crawlIngestSql,
+    "t40_orc_ingest" -> crawlIngestSql,
 
     // the injection rule restated over the parquet twin: corrupt iff
     // doc_id % 7 == 3, every other line parses fully (checksummed)

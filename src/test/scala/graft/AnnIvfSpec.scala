@@ -482,4 +482,57 @@ class AnnIvfSpec extends AnyFunSuite {
       assert(math.abs(samp(c)._3 - full(c)._3) < 1e-12, s"min_sil cluster $c")
     }
   }
+
+  test("s37/s38: SQ8 matches a sequential quantize-dequantize-rerank reference; recall floor") {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val nd = rows.head._2.length
+    val sc = (0 until nd).map(d =>
+      math.max(rows.map(r => math.abs(r._2(d))).max, 1e-12)).toArray
+    // the exact quantizer: half-up int8 code, dequantized as code * scale
+    def deq(v: Array[Double]): Array[Double] =
+      Array.tabulate(nd)(d => math.floor(v(d) / sc(d) * 127.0 + 0.5) * sc(d))
+    def dotp(a: Array[Double], b: Array[Double]): Double =
+      (0 until nd).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dotp(a, b) / (math.sqrt(dotp(a, a)) * math.sqrt(dotp(b, b)))
+    val dq = rows.map { case (id, v) => id -> deq(v) }.toMap
+    // every code must fit int8's symmetric range — the 4x-bytes claim
+    rows.foreach { case (_, v) =>
+      (0 until nd).foreach { d =>
+        val code = math.floor(v(d) / sc(d) * 127.0 + 0.5)
+        assert(code >= -127.0 && code <= 127.0, s"code $code out of int8 range")
+      }
+    }
+    val want = (0L until 5L).flatMap { q =>
+      rows.filter(_._1 != q)
+        .map { case (id, _) => (id, cos(dq(q), dq(id))) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, s), i) => (q, id, (i + 1).toLong, s) }
+    }.toSet
+    val got = Similarity.defs("s37_sq8_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)),
+      s"distributed vs sequential SQ8 top-5 mismatch: " +
+        s"${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    val wantSim = want.map(t => (t._1, t._2) -> t._4).toMap
+    got.foreach { case (q, n, _, s) =>
+      assert(math.abs(s - wantSim((q, n))) < 1e-12, s"sim drift on ($q, $n)")
+    }
+    // s38 must equal the recall of s37's pairs vs s1's float top-5, and the
+    // 4x-smaller store should lose little at gate scale (alarm line 0.8)
+    val exact5 = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 <= 5).map(t => (t._1, t._2)).toSet
+    val rec = Similarity.defs("s38_sq8_recall")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantRec = (0L until 5L).map { q =>
+      q -> got.count(t => t._1 == q && exact5((q, t._2))) / 5.0
+    }.toMap
+    assert(rec == wantRec, "s38 must equal s37-vs-s1 recall exactly")
+    assert(rec.values.sum / rec.size >= 0.8,
+      s"SQ8 mean recall ${rec.values.sum / rec.size} fell below the alarm line")
+  }
 }

@@ -704,4 +704,54 @@ class GraphSpec extends AnyFunSuite {
     assert(batched == oneShot,
       "seed-axis batching changed the per-seed BFS result")
   }
+
+  test("g26 matches a sequential modularity reference on a random labeled graph") {
+    val rnd = new scala.util.Random(31)
+    val edges = (1 to 150).map { _ =>
+      val a = rnd.nextInt(60) + 1L; val b = rnd.nextInt(60) + 1L
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val d = Files.createTempDirectory("graft-mod").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    val rows = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(7000000L + 2 * i, 7000001L + 2 * i).flatMap(ok => Seq(Row(ok, a), Row(ok, b)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 5), schema)
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val pschema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_brand", StringType)))
+    val prows = (1L to 60L).map(v => Row(v, s"B${v % 3}"))
+    spark.createDataFrame(spark.sparkContext.parallelize(prows, 2), pschema)
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    val got = Graph.defs("g26_modularity")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // sequential reference: the same one-round LPA vote (count DESC, label
+    // ASC argmax), then Newman's Q per community in BigInt floor division
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val brand = (1L to 60L).map(v => v -> s"B${v % 3}").toMap
+    val comm = adj.map { case (u, nbrs) =>
+      val cnt = nbrs.groupBy(brand).view.mapValues(_.size).toMap
+      u -> cnt.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+    }
+    val m = edges.size.toLong
+    val want = comm.groupBy(_._2).map { case (c, vs) =>
+      val members = vs.keySet
+      val intra = edges.count(e =>
+        comm(e._1) == c && comm(e._2) == c).toLong
+      val degSum = members.toSeq.map(v => adj(v).size.toLong).sum
+      val q = (BigInt(intra) * BigInt(1000000000)) / BigInt(m) -
+        (BigInt(degSum) * BigInt(degSum) * BigInt(1000000000)) /
+          (BigInt(4) * BigInt(m) * BigInt(m))
+      (c, members.size.toLong, intra, degSum, q.toLong)
+    }.toSet
+    assert(got == want, s"distributed vs sequential modularity mismatch: " +
+      s"${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    // identities: Σ_c D_c = 2m, Σ_c m_c <= m
+    assert(got.toSeq.map(_._4).sum == 2 * m, "degree mass must total 2m")
+    assert(got.toSeq.map(_._3).sum <= m, "intra edges cannot exceed m")
+  }
 }

@@ -62,6 +62,24 @@ class SourceFormatSpec extends AnyFunSuite {
       s"expected ORC pushdown in:\n$plan")
   }
 
+  test("declared-schema ORC read (the t40 contract) prunes by name and survives wider shards") {
+    // a shard that carries MORE columns than the contract: the declared
+    // read must project exactly the contract columns by name, not ordinal
+    val out = Files.createTempDirectory("orc-contract").toString
+    nationKeyed
+      .withColumn("extra_col", lit("noise"))
+      .select("extra_col", "n_nationkey", "n_name", "n_regionkey") // reorder
+      .write.mode("overwrite").orc(out)
+    val contract = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    val back = spark.read.schema(contract).orc(out)
+    assert(back.schema == contract, "declared schema must win over embedded")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nationKeyed.orderBy("n_nationkey").collect().toSeq,
+      "extra/reordered embedded columns must be invisible to the contract")
+  }
+
   /** Stage a 10-line JSONL shard where lines 3 and 7 are torn mid-object —
     * the t38 corruption shape, tiny enough to reason about by hand. */
   private def tornJsonl(): (String, Int, Int) = {
