@@ -94,6 +94,19 @@ object ScaleSmoke {
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     }
+    // g26 joins part for its LPA seed labels: replicate part on the SAME
+    // re-key as the g-branch lineitem so every replicated vertex keeps its
+    // brand — factor disjoint copies of the labeled graph. Communities
+    // merge by brand NAME across copies, so the output stays
+    // |brands|-sized while every community carries factor× the vertices.
+    if (names.contains("g26_modularity")) {
+      val part = spark.read.parquet(s"$base/part.parquet")
+        .select(col("p_partkey"), col("p_brand"))
+      (0 until factor).map { i =>
+        part.withColumn("p_partkey", col("p_partkey") * factor + i)
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    }
     // TPC-H star-join facts (q53/q55/q61 — VERDICT r9 item 3): replicate
     // lineitem and orders with re-keyed ORDER keys only; dimensions
     // (customer/nation/region) stay fixed — the realistic 100 TB shape

@@ -1604,6 +1604,31 @@ object TextOps {
       crawlNormalize(s.read.schema(crawlSchema).orc(stage))
     },
 
+    // PARTITIONED-LAYOUT INGESTION — the WRITE-side axis the format
+    // matrix (t33/t35/t37/t40) doesn't touch: the corpus staged
+    // hive-partitioned by lang (the layout a 100 TB store actually
+    // uses for its highest-selectivity column), then read back through
+    // the same declared schema + normalization with a lang predicate.
+    // The point is PARTITION PRUNING as a gated capability, not a spec
+    // assertion: the filter lands in the scan's PartitionFilters (pinned
+    // in PartitionPruningSpec), so the read LISTS only the lang=en
+    // directory — at corpus scale the other ~4/5 of the bytes are never
+    // opened, the pruning equivalent of q2's column pruning. The oracle
+    // restates the predicate over the unpartitioned parquet twin, so the
+    // hash gate proves layout is semantics-invisible exactly like
+    // compression (t35) and container format (t40) are. Scale: the
+    // partitioned write is one shuffle-free pass (5 directories); the
+    // pruned read is file-listing-proportional to the SELECTED partition
+    // only.
+    "t41_partitioned_ingest" -> { (s, dir) =>
+      val stage = jsonlStage(dir, "t41")
+      docs(s, dir).write.mode("overwrite")
+        .partitionBy("lang").parquet(stage)
+      crawlNormalize(
+        s.read.schema(crawlSchema).parquet(stage)
+          .filter(col("lang") === "en"))
+    },
+
     // MALFORMED-RECORD INGESTION AUDIT (VERDICT r13 item 3) — t33/t35/t37
     // read declared schemas over well-formed lines; real crawl JSONL has
     // broken lines, and the engine's contract on them must be COUNTED,
@@ -2710,6 +2735,15 @@ object TextOps {
     // text, and the shared hash gate is the proof
     "t37_csv_ingest" -> crawlIngestSql,
     "t40_orc_ingest" -> crawlIngestSql,
+
+    // the shared normalization with the partition predicate restated over
+    // the unpartitioned twin — layout must be semantics-invisible
+    "t41_partitioned_ingest" ->
+      """SELECT doc_id, lower(trim(lang)) AS lang, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  AND length(text) > 0 AND lang = 'en'""".stripMargin,
 
     // the injection rule restated over the parquet twin: corrupt iff
     // doc_id % 7 == 3, every other line parses fully (checksummed)

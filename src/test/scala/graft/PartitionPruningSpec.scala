@@ -38,4 +38,20 @@ class PartitionPruningSpec extends AnyFunSuite {
       .exists(l => l.contains("event_date")), p)
     assert(q.count() > 0)
   }
+
+  test("t41's lang predicate prunes the hive layout — PartitionFilters, not a row filter") {
+    val df = graft.operators.TextOps.defs("t41_partitioned_ingest")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("lang")),
+      s"lang equality must land in PartitionFilters:\n$p")
+    // the predicate must NOT survive as a post-scan row filter: pruning
+    // already guarantees every surviving row has lang = en
+    assert(!p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("lang")),
+      s"lang must prune directories, not push into the row scan:\n$p")
+    val langs = df.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en"), s"only the selected partition: ${langs.toSeq}")
+  }
 }
