@@ -51,5 +51,12 @@ object GraftExtensions {
         require(args.length == 2,
           s"morton16 requires exactly 2 arguments, got ${args.length}")
         MortonCode(args.head, args(1))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"nfc_normalize requires exactly 1 argument, got ${args.length}")
+        NfcNormalize(args.head)
       }))
 }

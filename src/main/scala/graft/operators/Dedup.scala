@@ -50,8 +50,13 @@ object Dedup {
 
   /** Whitespace-normalized lowercase md5 fingerprint (shared with TextOps.t4
     * and t21's dup-weighted sampling). */
-  private[graft] val fpCol: Column =
-    md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " "))))
+  private[graft] val fpCol: Column = fpOf(col("text"))
+
+  /** d1's fingerprint over an arbitrary text expression — factored so d38's
+    * canonicalization ladder applies the IDENTICAL spelling to the
+    * NFC-normalized text (the t36 can't-drift discipline). */
+  private[graft] def fpOf(c: Column): Column =
+    md5(lower(trim(regexp_replace(c, "[ \\t\\n\\r\\f]+", " "))))
 
   /** The keep-best policy in ONE place (d7/d8/d10): within each exact-dup
     * fingerprint group keep the HIGHEST-quality doc (longest, ties to lowest
@@ -1606,6 +1611,52 @@ object Dedup {
         .agg(count(lit(1)).as("n_neardup_pairs"))
         .withColumn("crosses_split",
           (col("split_a") =!= col("split_b")).cast(LongType))
+    },
+
+    // CANONICALIZATION LADDER — what each normalization step UNLOCKS for
+    // exact dedup, as a 3-level table over one augmented corpus: l1_raw
+    // groups byte-identical text; l2_canon is d1's production fingerprint
+    // (lowercase + whitespace collapse — fpOf, shared VERBATIM so the
+    // audit can't drift from the dedup it predicts); l3_nfc prepends
+    // Unicode NFC via the native NfcNormalize expression — a composed "é"
+    // and its decomposed "e"+U+0301 twin are byte-DIFFERENT,
+    // render-identical, and invisible to l1/l2's fingerprints. The corpus
+    // is ASCII (already NFC), so the fixture injects both miss classes
+    // deterministically: a case variant (doc_id%17==2, upper) l2 catches,
+    // and an NFC twin pair (doc_id%17==9, "cafe"+combining-acute vs
+    // "café") only l3 collapses. The oracle COMPUTES the same ladder via
+    // DuckDB's nfc_normalize — both engines implementing TR15 NFC
+    // identically is exactly what the hash gate proves. Scale: the
+    // variant fan-out and the 3× level fan-out are in-row explodes on ONE
+    // corpus scan (never 4 scans — q57's discipline); each level is d1's
+    // hash-agg; the readout is 3 rows.
+    "d38_canonical_ladder" -> { (s, dir) =>
+      val aug = docs(s, dir).select(explode(array(
+          struct(col("doc_id").as("id"), col("text").as("t")),
+          struct(when(col("doc_id") % 17 === 2, col("doc_id") + 1000000000L)
+            .as("id"), upper(col("text")).as("t")),
+          struct(when(col("doc_id") % 17 === 9, col("doc_id") + 2000000000L)
+            .as("id"), concat(col("text"), lit(" cafe\u0301")).as("t")),
+          struct(when(col("doc_id") % 17 === 9, col("doc_id") + 3000000000L)
+            .as("id"), concat(col("text"), lit(" caf\u00e9")).as("t"))))
+          .as("v"))
+        .filter(col("v.id").isNotNull)
+        .select(col("v.t").as("text"))
+      val lv = aug.select(explode(array(
+          struct(lit("l1_raw").as("level"), md5(col("text")).as("fp")),
+          struct(lit("l2_canon").as("level"), fpOf(col("text")).as("fp")),
+          struct(lit("l3_nfc").as("level"),
+            fpOf(graft.functions.NfcNormalize.nfc(col("text"))).as("fp"))))
+          .as("e"))
+        .select(col("e.level").as("level"), col("e.fp").as("fp"))
+      lv.groupBy("level", "fp").agg(count(lit(1)).as("n"))
+        .groupBy("level")
+        .agg(sum("n").cast(LongType).as("n_docs"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_multi_groups"),
+          sum(when(col("n") > 1, col("n")).otherwise(0L)).cast(LongType)
+            .as("n_dup_docs"),
+          (sum("n") - count(lit(1))).cast(LongType).as("n_excess"))
     }
   )
 
@@ -2203,6 +2254,32 @@ object Dedup {
          |FROM jac JOIN sp a ON jac.d1 = a.doc_id
          |         JOIN sp b ON jac.d2 = b.doc_id
          |WHERE jac.jaccard >= 0.5
-         |GROUP BY 1, 2, 4""".stripMargin
+         |GROUP BY 1, 2, 4""".stripMargin,
+
+    // the same injected variants (chr(769) = U+0301 combining acute,
+    // chr(233) = U+00E9 composed é), the same three fingerprint levels —
+    // l2 is d1's spelling verbatim, l3 computes NFC via nfc_normalize
+    "d38_canonical_ladder" ->
+      """WITH aug AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT upper(text) FROM documents WHERE doc_id % 17 = 2
+        |  UNION ALL
+        |  SELECT text || ' cafe' || chr(769) FROM documents WHERE doc_id % 17 = 9
+        |  UNION ALL
+        |  SELECT text || ' caf' || chr(233) FROM documents WHERE doc_id % 17 = 9),
+        |fp AS (
+        |  SELECT 'l1_raw' AS level, md5(text) AS fp FROM aug
+        |  UNION ALL
+        |  SELECT 'l2_canon', md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) FROM aug
+        |  UNION ALL
+        |  SELECT 'l3_nfc', md5(lower(trim(regexp_replace(nfc_normalize(text), '[ \t\n\r\f]+', ' ', 'g')))) FROM aug),
+        |g AS (SELECT level, fp, count(*) AS n FROM fp GROUP BY 1, 2)
+        |SELECT level, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_groups,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS n_excess
+        |FROM g GROUP BY level""".stripMargin
   )
 }

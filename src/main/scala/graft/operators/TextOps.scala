@@ -1629,6 +1629,40 @@ object TextOps {
           .filter(col("lang") === "en"))
     },
 
+    // UNICODE NORMALIZATION AUDIT — the hostile-input discipline
+    // (t38 torn lines, m13 bitrot) on the ENCODING axis: a composed "é"
+    // (U+00E9) and its decomposed twin "e"+U+0301 are byte-different,
+    // render identically, and silently split every downstream
+    // fingerprint/shingle/token statistic. This audit measures the
+    // exposure per source — how many docs are not NFC, how many code
+    // points normalization saves, and a doc-id checksum over the hits —
+    // using the native codegen'd NfcNormalize expression (Spark has no
+    // builtin; a UDF would break codegen on a corpus-linear pass). The
+    // corpus is ASCII (= already NFC, the fast path), so the fixture
+    // injects decomposed sequences deterministically (doc_id%13==5) and
+    // the oracle COMPUTES the same audit through DuckDB's nfc_normalize —
+    // the hash gate is the cross-engine TR15-agreement proof (d38's
+    // ladder then measures what normalization unlocks for dedup). Scale:
+    // one codegen'd projection + a |sources|-row partial+final agg; the
+    // already-NFC fast path returns the input zero-copy.
+    "t42_unicode_audit" -> { (s, dir) =>
+      val aug = docs(s, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 5,
+          concat(col("text"), lit(" cafe\u0301")))
+          .otherwise(col("text")).as("text"))
+      aug.select(col("source"), col("doc_id"), col("text"),
+          graft.functions.NfcNormalize.nfc(col("text")).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nt") =!= col("text"), 1L).otherwise(0L))
+            .as("n_nonnfc"),
+          sum(when(col("nt") =!= col("text"),
+            length(col("text")) - length(col("nt"))).otherwise(0))
+            .cast(LongType).as("chars_saved"),
+          sum(when(col("nt") =!= col("text"), col("doc_id")).otherwise(0L))
+            .as("nonnfc_id_sum"))
+    },
+
     // MALFORMED-RECORD INGESTION AUDIT (VERDICT r13 item 3) — t33/t35/t37
     // read declared schemas over well-formed lines; real crawl JSONL has
     // broken lines, and the engine's contract on them must be COUNTED,
@@ -2744,6 +2778,21 @@ object TextOps {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |  AND length(text) > 0 AND lang = 'en'""".stripMargin,
+
+    // the same injection (chr(769) = U+0301 combining acute) and the same
+    // audit COMPUTED through DuckDB's nfc_normalize — cross-engine TR15
+    // agreement is what the gate proves
+    "t42_unicode_audit" ->
+      """WITH aug AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 5 THEN text || ' cafe' || chr(769)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |n AS (SELECT source, doc_id, text, nfc_normalize(text) AS nt FROM aug)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_nonnfc,
+        |  CAST(sum(CASE WHEN nt <> text THEN length(text) - length(nt) ELSE 0 END) AS BIGINT) AS chars_saved,
+        |  CAST(sum(CASE WHEN nt <> text THEN doc_id ELSE 0 END) AS BIGINT) AS nonnfc_id_sum
+        |FROM n GROUP BY source""".stripMargin,
 
     // the injection rule restated over the parquet twin: corrupt iff
     // doc_id % 7 == 3, every other line parses fully (checksummed)
