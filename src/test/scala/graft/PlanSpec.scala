@@ -501,4 +501,47 @@ class PlanSpec extends AnyFunSuite {
         s"the BUILD side must be the frontier, got columns $build:\n$phys")
     }
   }
+
+  test("s37: the SQ8 probe broadcasts the query side, never the dequantized corpus") {
+    // the dequantized corpus (N rows of 64 doubles) must stream through the
+    // probe while only the |queries|-row side builds a broadcast — the s31
+    // build-side discipline on the quantized store
+    val phys = Similarity.defs("s37_sq8_topk")(spark, dir)
+      .queryExecution.sparkPlan
+    val builds = phys.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        (j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }).output.map(_.name)
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        (j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }).output.map(_.name)
+    }
+    assert(builds.nonEmpty, s"the probe must broadcast a side:\n$phys")
+    builds.foreach { b =>
+      assert(!b.contains("dv") && !b.contains("vec_id"),
+        s"a broadcast build side carries the corpus columns $b:\n$phys")
+    }
+  }
+
+  test("g26: no cartesian product; the only nested-loop build is the 1-row m") {
+    val df = graft.operators.Graph.defs("g26_modularity")(spark, dir)
+    val phys = df.queryExecution.sparkPlan
+    assert(phys.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no cartesian on any side:\n$phys")
+    phys.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        (j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }).output.map(_.name)
+    }.foreach { b =>
+      assert(b == Seq("m"),
+        s"the only nested-loop broadcast is the 1-row edge count, got $b:\n$phys")
+    }
+  }
 }
