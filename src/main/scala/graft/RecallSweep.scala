@@ -37,17 +37,28 @@ object RecallSweep {
     lazy val derived = graft.operators.Similarity.autoPlanes(
       spark.read.parquet(s"$dir/embeddings.parquet").count())
     val entries = tokens.map { tok =>
-      val (p, label) =
-        if (tok == "auto") (derived, s"auto$derived") else (tok.toInt, tok)
-      val got = graft.operators.Similarity.graphBeam(spark, dir, p)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // token "sq8" measures the scalar-quantized store (s37) instead of
+      // the beam walk — quantization recall should be corpus-size-
+      // INDEPENDENT (per-dim rounding error doesn't grow with N), and the
+      // volume-pure fixture rows are the evidence
+      val (got, key, tag) =
+        if (tok == "sq8") {
+          val g = graft.operators.Similarity.sq8TopK(spark, dir)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          (g, s"s37_recall@$sfTag", """"store":"sq8"""")
+        } else {
+          val (p, label) =
+            if (tok == "auto") (derived, s"auto$derived") else (tok.toInt, tok)
+          val g = graft.operators.Similarity.graphBeam(spark, dir, p)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          (g, s"s31_recall@$sfTag@p$label", s""""planes":$p""")
+        }
       // denominator is the exact ground-truth PAIR COUNT, not 5·|queries|:
       // on a tiny data dir a query can have < 5 neighbors, and assuming 5
       // silently understates recall (ADVICE r13)
       val recall = got.count(exact5) / exact5.size.toDouble
-      println(s"""{"metric":"ann_recall","dir":"$dir","planes":$p,"recall_at_5":$recall}""")
-      s"s31_recall@$sfTag@p$label" ->
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(recall))
+      println(s"""{"metric":"ann_recall","dir":"$dir",$tag,"recall_at_5":$recall}""")
+      key -> String.format(java.util.Locale.ROOT, "%.3f", Double.box(recall))
     }
     SmokeArtifact.merge(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_FULL.json"), entries)
