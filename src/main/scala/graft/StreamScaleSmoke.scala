@@ -171,6 +171,22 @@ object StreamScaleSmoke {
       d.getAbsolutePath
     }
 
+    // x34's encoding-health stream: the same volume-pure doc replication
+    // with t42's decomposed-suffix injection, sliced by doc_id — each
+    // trigger carries a mix of NFC and non-NFC docs, the crawl-feed shape
+    lazy val dirUnicode = {
+      val d = java.nio.file.Files.createTempDirectory("graft-ssm-nfc").toFile
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val payload = replicate(docs, (dd, i) =>
+        dd.withColumn("doc_id", col("doc_id") * factor + i))
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 13 === 5,
+            concat(col("text"), lit(" cafe\u0301")))
+            .otherwise(col("text")).as("text"))
+      writeSliced(payload, col("doc_id").cast("double"), d)
+      d.getAbsolutePath
+    }
+
     val mb = Map("maxFilesPerTrigger" -> "1")
     // each entry: () => the fully-consumed run (runToCompletion + force)
     def run(dir: String, transform: DataFrame => DataFrame,
@@ -255,7 +271,23 @@ object StreamScaleSmoke {
       }),
       "x17a_decontam_stateless" -> (() =>
         run(dirDocs, StreamingSessionize.statelessDecontam(spark, base),
-          "ssm-x17a", schema = StreamingSessionize.docSchema)))
+          "ssm-x17a", schema = StreamingSessionize.docSchema)),
+      // encoding-health totals: state is |sources| 4-long rows at any
+      // volume — the NFC projection adds no per-record state
+      "x34_stream_unicode_audit" -> (() => {
+        StreamingSessionize.runToCompletion(spark, dirUnicode,
+            StreamingSessionize.unicodeAudit, outputMode = "complete",
+            sinkName = "ssm-x34", sourceOptions = mb,
+            sourceGlob = "events*.parquet",
+            sourceSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("source",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType))))
+          .write.format("noop").mode("overwrite").save()
+      }))
 
     // force corpus preparation OUTSIDE the timed windows: the dirs are
     // lazy, and dereferencing one inside runs(name)() would bill the
@@ -266,6 +298,7 @@ object StreamScaleSmoke {
     if (needPit) { dirPit: Unit }
     if (needDocs) { dirDocs: Unit }
     if (needMalformed) { dirMalformed: Unit }
+    if (names.contains("x34_stream_unicode_audit")) { dirUnicode: Unit }
 
     val results = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>

@@ -889,6 +889,22 @@ object StreamingSessionize {
         sourceSchema = StructType(Seq(StructField("value", StringType))))
     },
 
+    // ENCODING-HEALTH on the stream — t42's Unicode-NFC audit live,
+    // completing the hostile-input pair beside x32 (torn records / broken
+    // encoding forms are the two ways crawl bytes lie): per trigger the
+    // sink holds the running per-source non-NFC exposure, computed by the
+    // same native NfcNormalize the batch audit uses, so the dashboard and
+    // the batch number can never disagree (shared oracle = the proof).
+    // On a stream there is no second pass — normalization debt must be
+    // seen at arrival, before fingerprints diverge downstream.
+    "x34_stream_unicode_audit" -> { (s, dir) =>
+      val stage = unicodeStage(s, dir)
+      runToCompletion(s, stage, unicodeAudit,
+        outputMode = "complete", sinkName = "x34", sourceGlob = "*.parquet",
+        sourceSchema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("source", StringType), StructField("text", StringType))))
+    },
+
     "x31_stream_cdc_apply" -> { (s, dir) =>
       val upserts = runToCompletion(s, dir, streamCdcApply,
         outputMode = "update", sinkName = "x31", tagBatchId = true)
@@ -1125,6 +1141,43 @@ object StreamingSessionize {
       .write.mode("overwrite").parquet(stage)
     stage
   }
+
+  /** x34's staged corpus: the t42 injection (decomposed suffix on
+    * doc_id%13==5) materialized as a (doc_id, source, text) stream source
+    * — the same rule the shared oracle restates, keyed beside x32's stage
+    * so the two hostile-input streams never collide. */
+  private def unicodeStage(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stage = new java.io.File(malformedStageRoot, key + "-u").getAbsolutePath
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 5,
+          concat(col("text"), lit(" cafe\u0301")))
+          .otherwise(col("text")).as("text"))
+      .write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  /** x34's transform: t42's NFC audit at the place it runs in production
+    * (arrival) — per trigger, one codegen'd NfcNormalize projection (the
+    * already-NFC fast path makes clean batches near-free) into
+    * complete-mode per-source totals. Counts are commutative monoids, so
+    * the converged totals equal batch t42 at any arrival slicing (shared
+    * oracle); state is |sources| rows of four longs. */
+  private[graft] def unicodeAudit(stream: DataFrame): DataFrame =
+    stream
+      .select(col("source"), col("doc_id"), col("text"),
+        graft.functions.NfcNormalize.nfc(col("text")).as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") =!= col("text"), 1L).otherwise(0L))
+          .as("n_nonnfc"),
+        sum(when(col("nt") =!= col("text"),
+          length(col("text")) - length(col("nt"))).otherwise(0))
+          .cast(LongType).as("chars_saved"),
+        sum(when(col("nt") =!= col("text"), col("doc_id")).otherwise(0L))
+          .as("nonnfc_id_sum"))
 
   /** x32's transform: t38's PERMISSIVE from_json classification as a
     * complete-mode global aggregate — per trigger the sink holds the
@@ -1527,6 +1580,11 @@ object StreamingSessionize {
     // have no cutoff, and batch-vs-stream must not change the audit
     "x32_stream_malformed_audit" ->
       graft.operators.TextOps.oracles("t38_malformed_audit"),
+
+    // x34: the converged per-source totals are exactly batch t42 — the
+    // same injection, the same NFC computation, monoid counts
+    "x34_stream_unicode_audit" ->
+      graft.operators.TextOps.oracles("t42_unicode_audit"),
 
     // x26: q64's PIT join, row-level — the stream is stateless so the
     // oracle is exactly the batch join (no emission cutoff to restate)

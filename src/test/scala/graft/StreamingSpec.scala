@@ -373,6 +373,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(s5(2) > 0 && s5(1) > 0, "test premise: both torn and valid lines exist")
   }
 
+  test("x34 streaming unicode audit converges to batch t42's per-source rows") {
+    // the same NFC computation (native NfcNormalize) on both sides: the
+    // stream's converged per-source totals must equal the batch audit
+    // row-for-row, and the injection must be live (some docs non-NFC)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val stream = StreamingSessionize.defs("x34_stream_unicode_audit")(spark, dir)
+      .collect().map(key).toSet
+    val batch = graft.operators.TextOps.defs("t42_unicode_audit")(spark, dir)
+      .collect().map(key).toSet
+    assert(stream == batch, s"stream rows diverge from batch: " +
+      s"${(stream diff batch).take(3)} / ${(batch diff stream).take(3)}")
+    assert(stream.exists(_._3 > 0), "test premise: some doc must be non-NFC")
+    assert(stream.exists(t => t._2 > t._3), "test premise: some docs stay NFC")
+  }
+
   test("x26 PIT enrichment over 3 slices == one-shot replay (stateless, static dim)") {
     val mb = timeSlicedDir(3)
     val enrich = StreamingSessionize.pitEnrich(spark, dir)
