@@ -45,7 +45,9 @@ object RecallSweep {
         if (tok == "sq8") {
           val g = graft.operators.Similarity.sq8TopK(spark, dir)
             .collect().map(r => (r.getLong(0), r.getLong(1)))
-          (g, s"s37_recall@$sfTag", """"store":"sq8"""")
+          // keyed by the EVALUATOR's query id (s38 grades the s37 store),
+          // so artifact keys map 1:1 to gate query ids (ADVICE r14)
+          (g, s"s38_recall@$sfTag", """"store":"sq8"""")
         } else {
           val (p, label) =
             if (tok == "auto") (derived, s"auto$derived") else (tok.toInt, tok)

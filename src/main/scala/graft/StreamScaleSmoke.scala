@@ -171,14 +171,20 @@ object StreamScaleSmoke {
       d.getAbsolutePath
     }
 
-    // x34's encoding-health stream: the same volume-pure doc replication
-    // with t42's decomposed-suffix injection, sliced by doc_id — each
-    // trigger carries a mix of NFC and non-NFC docs, the crawl-feed shape
+    // x34's encoding-health stream: VOLUME-PURE doc replication in the
+    // repo's established sense — each replica re-keys doc_id AND rewrites
+    // its text with an r{i}_ token prefix (ScaleSmoke's documents rule,
+    // ADVICE r14: key-only replication would stream byte-identical text
+    // N×), then t42's decomposed-suffix injection, sliced by doc_id —
+    // each trigger carries a mix of NFC and non-NFC docs, the crawl-feed
+    // arrival shape
     lazy val dirUnicode = {
       val d = java.nio.file.Files.createTempDirectory("graft-ssm-nfc").toFile
       val docs = spark.read.parquet(s"$base/documents.parquet")
       val payload = replicate(docs, (dd, i) =>
-        dd.withColumn("doc_id", col("doc_id") * factor + i))
+        dd.withColumn("doc_id", col("doc_id") * factor + i)
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")))
         .select(col("doc_id"), col("source"),
           when(col("doc_id") % 13 === 5,
             concat(col("text"), lit(" cafe\u0301")))

@@ -47,11 +47,36 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalize {
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Three tiers, each
+    * bounding the work the tier above would waste (the x34 streaming
+    * audit pays this per arriving document, so the clean and the
+    * almost-clean cases must both be near-free):
+    *  1. pure-ASCII input (the overwhelming case in a crawl corpus) is
+    *     NFC by construction — one byte scan, no String allocation;
+    *  2. code points below U+0300 are NFC-inert (NFC_QC=Yes, ccc=0, and
+    *     never the second element of a canonical composition — the same
+    *     fact ICU's Latin fast path relies on), so a maximal inert
+    *     prefix is already normalized and nothing composes or reorders
+    *     across a boundary placed one char before the first non-inert
+    *     char (that one backed-up starter joins the tail so a leading
+    *     combining mark still finds it);
+    *  3. only the tail from that boundary is quick-checked and, when
+    *     non-NFC, normalized — O(|tail|) allocation instead of O(|doc|)
+    *     for the common "long clean document, short hostile suffix"
+    *     shape (measured: x34's decomposed-suffix injection).
+    */
   def nfc(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
     val str = s.toString
-    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
-    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+    var j = 0
+    val n = str.length
+    while (j < n && str.charAt(j) < 0x300) j += 1
+    if (j == n) return s
+    val cut = if (j == 0) 0 else j - 1
+    val tail = if (cut == 0) str else str.substring(cut)
+    if (Normalizer.isNormalized(tail, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      str.substring(0, cut) + Normalizer.normalize(tail, Normalizer.Form.NFC))
   }
 
   /** Column-DSL wrapper. */

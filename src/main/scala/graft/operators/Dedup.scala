@@ -1631,8 +1631,14 @@ object Dedup {
     // corpus scan (never 4 scans — q57's discipline); each level is d1's
     // hash-agg; the readout is 3 rows.
     "d38_canonical_ladder" -> { (s, dir) =>
+      // the base struct's id is a non-null sentinel, NOT doc_id itself:
+      // the isNotNull filter below exists to drop the un-selected VARIANT
+      // structs (their `when` has no otherwise), and a null doc_id in the
+      // corpus must not take the base row with it — the oracle's
+      // `SELECT text FROM documents` keeps every row (ADVICE r14)
       val aug = docs(s, dir).select(explode(array(
-          struct(col("doc_id").as("id"), col("text").as("t")),
+          struct(coalesce(col("doc_id"), lit(-1L)).as("id"),
+            col("text").as("t")),
           struct(when(col("doc_id") % 17 === 2, col("doc_id") + 1000000000L)
             .as("id"), upper(col("text")).as("t")),
           struct(when(col("doc_id") % 17 === 9, col("doc_id") + 2000000000L)

@@ -49,6 +49,30 @@ class NfcNormalizeSpec extends AnyFunSuite {
     assert(nr.head.isNullAt(0))
   }
 
+  test("prefix-split slow path matches whole-string normalization") {
+    // the tiered fast path (ASCII scan → inert-prefix split → tail
+    // normalize) must be observationally identical to normalizing the
+    // whole string, including when the non-inert region starts at index
+    // 0, follows a potential composition partner, or sits mid-string
+    val longClean = "the quick brown fox " * 200
+    val cases = Seq(
+      longClean + "cafe\u0301",  // long clean doc, hostile suffix (x34's shape)
+      "\u0301leading mark",      // non-inert at index 0 (cut == 0)
+      "e\u0301",                 // backed-up starter composes with the mark
+      "ab e\u0301 cd o\u0308 tail", // multiple non-NFC runs past the cut
+      "caf\u00e9 then e\u0301 later", // inert non-ASCII prefix before the split
+      "\u1100\u1161",           // Hangul L+V jamo compose in the tail
+      longClean + "caf\u00e9")   // non-ASCII but already-NFC tail
+    cases.foreach { s =>
+      val got = NfcNormalize.nfc(UTF8String.fromString(s)).toString
+      val want = Normalizer.normalize(s, Normalizer.Form.NFC)
+      assert(got == want, s"prefix-split diverges on ${s.take(40)}")
+    }
+    // already-NFC non-ASCII tail keeps the zero-copy guarantee
+    val u = UTF8String.fromString(longClean + "caf\u00e9")
+    assert(NfcNormalize.nfc(u) eq u)
+  }
+
   test("SQL name resolves when registered via GraftExtensions; arity enforced") {
     graft.functions.GraftExtensions.functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
