@@ -136,9 +136,9 @@ object Similarity {
     * side. Integer codes make multi-probe neighbors plain xor bit flips.
     * `planes` is the scale knob (VERDICT r12 item 7): bucket count is
     * 2^planes, so the right policy at corpus scale is planes ≈ log2(N/B)
-    * for a target bucket population B — s31 runs the fixed default, s32
-    * gates the knob at planes = 6 and the recall sweep in PLANS.md
-    * measures the curve. */
+    * for a target bucket population B — s31 runs that policy as the
+    * DEFAULT (autoPlanes-derived count), s32 gates the knob at a fixed
+    * planes = 6 and the recall sweep in PLANS.md measures the curve. */
   private def bucketed(s: SparkSession, dir: String,
       planes: Int = numPlanes): DataFrame =
     emb(s, dir).withColumn("bucket",
@@ -173,7 +173,8 @@ object Similarity {
     * df-capped edge build linear AND recall flat (measured curve in
     * PLANS.md round 13); [[beamBucketCap]] is the backstop for a
     * mis-sized plane count. Plan shape and determinism are identical at
-    * every plane count — s31 gates the default, s32 gates planes = 6. */
+    * every plane count — s31/s36 gate the autoPlanes-derived default,
+    * s32 gates fixed planes = 6. */
   private[graft] def graphBeam(s: SparkSession, dir: String,
       planes: Int): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("v")).localCheckpoint()
@@ -1263,7 +1264,17 @@ object Similarity {
     // per query; the corpus is scanned ONCE at build, never at search.
     // AnnIvfSpec pins recall@5 vs s1's exact baseline; PlanSpec pins the
     // frontier-side broadcast; the post-fix 100× smoke row is in PLANS.md.
-    "s31_ann_graph_beam" -> ((s, dir) => graphBeam(s, dir, numPlanes)),
+    // DEFAULT = THE AUTO-PLANES POLICY (VERDICT r14 item 1): the plane
+    // count derives from the corpus via [[autoPlanes]] — the operator a
+    // user reaches for first must not ship the planes=4 quality cliff
+    // (recall 0.16 at volume-pure 10× N; the derived count reads 1.00 —
+    // SCALE_FULL.json). At every gate SF the derived count IS 4
+    // (N ≤ 4096), so gate results are unchanged; the oracle derives the
+    // same count in-SQL (graphBeamAutoSql's dp CTE), so the two engines
+    // cannot disagree at a boundary. The one count() driving the policy
+    // is a metadata-cheap scan.
+    "s31_ann_graph_beam" -> ((s, dir) =>
+      graphBeam(s, dir, autoPlanes(emb(s, dir).count()))),
 
     // The PLANE-COUNT KNOB, oracle-gated (VERDICT r12 item 7): the same
     // graph-ANN build + search at planes = 6 (64 buckets), proving the
@@ -1285,7 +1296,10 @@ object Similarity {
     // derivation in-SQL (a pure-integer CASE ladder over count(*) with
     // the identical cap<<p thresholds), so BOTH engines compute the
     // parameter from the data — the s32 "oracle generated from the
-    // parameter" technique, upgraded from a constant to a policy.
+    // parameter" technique, upgraded from a constant to a policy. Since
+    // round 15 this policy IS s31's default; s36 stays as the explicit
+    // policy spelling (artifact/recall-history continuity, and the
+    // named knob a user compares s32's fixed count against).
     "s36_ann_beam_autoplanes" -> ((s, dir) =>
       graphBeam(s, dir, autoPlanes(emb(s, dir).count()))),
 
@@ -1297,10 +1311,15 @@ object Similarity {
     // the literal 5.0 on exact integer hits produces identical doubles
     // in both engines (the s4 discipline). The STANDING measurement
     // RecallSweep snapshots per plane count, now hash-gated per round.
+    // Grades the DEFAULT operator, i.e. the auto-planes walk (VERDICT
+    // r14 item 1) — an evaluator that graded a spelling users don't run
+    // would certify the wrong recall; at gate SFs the derived count is 4
+    // so the gate rows are unchanged, and at volume-pure 100× this row
+    // reads 0.92 where fixed planes=4 read 0.32 (SCALE_FULL.json).
     "s33_beam_recall" -> { (s, dir) =>
       val exact5 = bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
         .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
-      val beam5 = graphBeam(s, dir, numPlanes)
+      val beam5 = graphBeam(s, dir, autoPlanes(emb(s, dir).count()))
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       exact5.join(beam5, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
@@ -1415,10 +1434,13 @@ object Similarity {
     // SQ8 RECALL — the recall evaluator for the scalar-quantized rerank
     // (the s4/s7/s10/s12/s33 family member for s37): per query, the share
     // of s1's exact float top-5 the int8 store returns. Both inputs are
-    // k·|queries| rows however big the corpus, and the division by the
-    // literal 5.0 on exact integer hits matches across engines (the s4
-    // discipline). Reads 1.0 at every gate SF — the "4× cheaper store
-    // loses nothing HERE" row; the sweep axis at larger N is s25's.
+    // k·|queries| rows however big the corpus; the denominator is the
+    // PER-QUERY exact-neighbor count (RecallSweep's ADVICE-r13 fix,
+    // mirrored in the oracle — ADVICE r14), not a literal 5, so a query
+    // with fewer than 5 true neighbors on a tiny corpus can't understate
+    // its recall; integer-hits / integer-count divides to identical
+    // doubles in both engines. Reads 1.0 at every gate SF — the "4×
+    // cheaper store loses nothing HERE" row; the larger-N axis is s25's.
     "s38_sq8_recall" -> { (s, dir) =>
       val exact5 = bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
         .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
@@ -1426,7 +1448,8 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       exact5.join(sq5, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
-        .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1)))
+          .as("recall_at_5"))
     }
   )
 
@@ -1684,17 +1707,20 @@ object Similarity {
          |a5 AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
          |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |         FROM p2) r WHERE rnk <= 5)
-         |SELECT e5.query_id, sum(coalesce(a5.hit, 0)) / 5.0 AS recall_at_5
+         |SELECT e5.query_id, sum(coalesce(a5.hit, 0)) / count(*) AS recall_at_5
          |FROM e5 LEFT JOIN a5
          |  ON e5.query_id = a5.query_id AND e5.neighbor_id = a5.neighbor_id
          |GROUP BY e5.query_id""".stripMargin,
 
     // the same multi-probe bucket build (s2's plane bits + hamming-1
     // flips), the same k-NN edge cut, and the beam rounds unrolled as
-    // nested CTEs (s20's idiom) — every tiebreak and fold restated;
-    // generated from the SAME plane count as the Spark side, so the two
-    // engines can never desynchronize on the probe set (ADVICE r12)
-    "s31_ann_graph_beam" -> graphBeamSql(numPlanes),
+    // nested CTEs (s20's idiom) — every tiebreak and fold restated; the
+    // plane count is DERIVED FROM THE DATA inside the SQL (the dp CTE's
+    // integer CASE ladder restates autoPlanes with identical cap<<p
+    // thresholds), matching the Spark default's derivation, so the two
+    // engines can never desynchronize on the probe set (ADVICE r12 +
+    // VERDICT r14 item 1)
+    "s31_ann_graph_beam" -> graphBeamAutoSql,
 
     // the knob restated: identical SQL generator at planes = 6
     "s32_ann_beam_planes6" -> graphBeamSql(6),
@@ -1716,7 +1742,7 @@ object Similarity {
          |             ORDER BY sim DESC, neighbor_id) AS rnk
          |         FROM px) r WHERE rnk <= 5),
          |beam AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
-         |${graphBeamSql(numPlanes)}) gb)
+         |${graphBeamAutoSql}) gb)
          |SELECT e5.query_id, sum(coalesce(beam.hit, 0)) / 5.0 AS recall_at_5
          |FROM e5 LEFT JOIN beam
          |  ON e5.query_id = beam.query_id AND e5.neighbor_id = beam.neighbor_id

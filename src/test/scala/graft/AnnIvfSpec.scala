@@ -146,15 +146,20 @@ class AnnIvfSpec extends AnyFunSuite {
     }
   }
 
-  test("s36: auto spelling == fixed spelling at the derived count (gate corpus)") {
-    // at every gate SF the derived count is 4, so s36 must be s31
+  test("s31/s36: auto spelling == FIXED spelling at the derived count (gate corpus)") {
+    // s31's default is now the autoPlanes policy (r14 item 1); at every
+    // gate SF the derived count is 4, so both the default and the
+    // explicit s36 spelling must equal graphBeam at a HARD-CODED 4
     // row-for-row — the policy changes WHEN planes grow, never WHAT a
     // given plane count computes (the shared-core argument, executed)
+    val fixed = Similarity.graphBeam(spark, dir, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     val auto = Similarity.defs("s36_ann_beam_autoplanes")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-    val fixed = Similarity.defs("s31_ann_graph_beam")(spark, dir).collect()
+    val deflt = Similarity.defs("s31_ann_graph_beam")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(auto == fixed)
+    assert(deflt == fixed)
   }
 
   test("s34: filtered ANN — predicate strictly enforced, exact cosines, dense ranks") {
