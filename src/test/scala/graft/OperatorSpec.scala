@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, struct, sum}
 
 import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
 
@@ -250,6 +250,34 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(got == expected)
     assert(got.values.exists(_._2 > 0L), "test premise: some conversion exists")
+  }
+
+  test("q78 flood pin: a single hot user >> seqMatchCap completes with prefix semantics") {
+    import spark.implicits._
+    // one user with 5x the cap in events (the hot-key shape that OOMed
+    // the uncapped collect_list design at 100x), one small control user;
+    // event types cycle so conversions exist on both sides of the cap
+    val cap = Relational.seqMatchCap
+    val hot = (0 until cap * 5).map { k =>
+      val i = (k % 5) match {
+        case 0 => "v"; case 1 => "c"; case 2 => "p"; case 3 => "e"; case 4 => "o"
+      }
+      (7L, k.toLong * 1000L, k.toLong, i)
+    }
+    val small = Seq((8L, 0L, 0L, "v"), (8L, 1000L, 1L, "c"), (8L, 2000L, 2L, "p"))
+    val e = (hot ++ small).toDF("user_id", "ms", "event_id", "i")
+      .select(col("user_id"),
+        struct(col("ms"), col("event_id"), col("i")).as("o"))
+    val got = Relational.seqMatch(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // journey/regex analysis covers exactly the first `cap` events; the
+    // cycle is "vcpeo" so each full cycle inside the prefix converts once
+    assert(got(7L)._1 == cap * 5L, "n_events must stay the FULL count")
+    val prefix = hot.take(cap).map(_._4).mkString
+    val expectedConv = "vc*p".r.findAllIn(prefix).size.toLong
+    assert(expectedConv == (cap / 5L), "fixture premise: one conversion per cycle")
+    assert(got(7L)._2 == expectedConv, "n_conv must follow the prefix rule")
+    assert(got(8L) == ((3L, 1L)), "control user unaffected by the cap")
   }
 
   test("q45 SCD2 history matches a sequential per-user replay exactly") {

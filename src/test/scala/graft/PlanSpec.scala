@@ -117,13 +117,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
-  test("q78's journey build is one user_id exchange; regex and lengths run post-agg") {
+  test("q78's journey build is one user_id exchange; the cap window shares it") {
     val p = plan(Relational.defs("q78_sequence_match")(spark, dir))
-    // q44's posture on the events axis: partial+final object hash agg
-    // around exactly one exchange; the per-user string, regex count, and
-    // length are projections — no window, no join, no second shuffle
+    // one exchange on user_id feeds BOTH the seqMatchCap row_number
+    // window (spill-safe external sort) and the journey agg — same
+    // clustering, no re-shuffle; regex and lengths are projections;
+    // no join, one scan
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
-    assert(!p.contains("Window"), p)
+    assert(p.contains("Window"), p)
     assert(!p.contains("Join"), p)
     assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
   }
