@@ -1663,6 +1663,63 @@ object TextOps {
             .as("nonnfc_id_sum"))
     },
 
+    // SCHEMA-EVOLUTION INGESTION AUDIT (VERDICT r14 item 4) — the
+    // arrival hazard the format matrix (t33-t41) and the torn-record
+    // audits (t38/t39) don't touch: a long-lived corpus DRIFTS
+    // mid-stream. The stage materializes three shard generations under
+    // one root (hive-keyed by gen, the free provenance a real lake
+    // carries): gen=0 is the historical NARROW shard (n_chars stored as
+    // INT32), gen=1 ADDS a column (quality), gen=2 RENAMES lang to
+    // language. The read is schema-on-read with the DECLARED SUPERSET
+    // contract (t33's no-inference rule, extended): missing columns
+    // surface as nulls, the INT32 shard WIDENS into the contract's
+    // BIGINT via the parquet reader's type promotion, and — pinned in
+    // SourceFormatSpec — the naive alternative, mergeSchema, FAILS
+    // OUTRIGHT on the widened shard (CANNOT_MERGE_INCOMPATIBLE_DATA_
+    // TYPE), which is exactly why the declared-superset posture is the
+    // 100 TB answer (mergeSchema also burns a full footer pass per
+    // shard). Every row is then CLASSIFIED, t38-style — baseline /
+    // extended / renamed, from observed values, never from the directory
+    // key — and the renamed shard's contract column is RECOVERED via
+    // coalesce(lang, language), so drift is counted and repaired, not
+    // silently nulled. The oracle restates the generations from the
+    // parquet twin (gen = doc_id % 3). Scale: one partition-discovering
+    // scan, classification is one codegen'd projection, the readout a
+    // |gens|-row agg.
+    "t43_schema_evolution_audit" -> { (s, dir) =>
+      val stage = jsonlStage(dir, "t43")
+      val d = docs(s, dir)
+      d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars").cast("int").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$stage/gen=0")
+      d.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), (col("n_chars") % 100).as("quality"))
+        .write.mode("overwrite").parquet(s"$stage/gen=1")
+      d.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text"), col("lang").as("language"),
+          col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$stage/gen=2")
+      val superset = crawlSchema
+        .add("quality", LongType).add("language", StringType)
+        .add("gen", LongType)
+      s.read.schema(superset).parquet(stage)
+        .select(col("gen"),
+          when(col("language").isNotNull, "renamed")
+            .when(col("quality").isNotNull, "extended")
+            .otherwise("baseline").as("drift_class"),
+          col("lang"), col("language"), col("doc_id"), col("n_chars"))
+        .groupBy("gen", "drift_class")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L))
+            .as("n_contract_nulled"),
+          sum(when(coalesce(col("lang"), col("language")).isNotNull, 1L)
+            .otherwise(0L)).as("n_recovered"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_sum"))
+    },
+
     // MALFORMED-RECORD INGESTION AUDIT (VERDICT r13 item 3) — t33/t35/t37
     // read declared schemas over well-formed lines; real crawl JSONL has
     // broken lines, and the engine's contract on them must be COUNTED,
@@ -2793,6 +2850,25 @@ object TextOps {
         |  CAST(sum(CASE WHEN nt <> text THEN length(text) - length(nt) ELSE 0 END) AS BIGINT) AS chars_saved,
         |  CAST(sum(CASE WHEN nt <> text THEN doc_id ELSE 0 END) AS BIGINT) AS nonnfc_id_sum
         |FROM n GROUP BY source""".stripMargin,
+
+    // the three generations restated from the parquet twin (gen =
+    // doc_id % 3): the renamed shard's contract column reads null and
+    // recovers via the corpus lang; the widened shard's INT32 values
+    // sum identically once promoted — both facts the hash gate proves
+    "t43_schema_evolution_audit" ->
+      """WITH g AS (SELECT doc_id, lang, n_chars, doc_id % 3 AS gen
+        |           FROM documents)
+        |SELECT gen,
+        |  CASE gen WHEN 2 THEN 'renamed' WHEN 1 THEN 'extended'
+        |       ELSE 'baseline' END AS drift_class,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contract_nulled,
+        |  CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_recovered,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     // the injection rule restated over the parquet twin: corrupt iff
     // doc_id % 7 == 3, every other line parses fully (checksummed)

@@ -184,6 +184,52 @@ class SourceFormatSpec extends AnyFunSuite {
         r.isNullAt(r.fieldIndex("_corrupt_record"))))
   }
 
+  test("t43: mergeSchema FAILS on a widened shard — the declared-superset read is the posture") {
+    // the schema-evolution audit's motivating fact, pinned: a corpus with
+    // one historical INT32 shard breaks option("mergeSchema") outright
+    // (CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE), while the declared contract
+    // read widens the same shard via parquet type promotion
+    val root = Files.createTempDirectory("t43-widen").toString
+    nationKeyed.select(col("n_nationkey"),
+        col("n_regionkey").cast("int").as("w"))
+      .write.mode("overwrite").parquet(s"$root/gen=0")
+    nationKeyed.select(col("n_nationkey"),
+        col("n_regionkey").cast("long").as("w"))
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    val err = intercept[Exception](
+      spark.read.option("mergeSchema", "true").parquet(root).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("CANNOT_MERGE")),
+      s"expected a merge failure, got: ${err.getMessage}")
+    val declared = StructType(Seq(StructField("n_nationkey", LongType),
+      StructField("w", LongType), StructField("gen", LongType)))
+    val widened = spark.read.schema(declared).parquet(root)
+    assert(widened.schema("w").dataType == LongType)
+    assert(widened.filter(col("gen") === 0).agg(sum("w")).head.getLong(0) ==
+      nationKeyed.agg(sum("n_regionkey")).head.getLong(0),
+      "INT32 shard values must promote losslessly into the BIGINT contract")
+  }
+
+  test("t43: drifted shards are CLASSIFIED and recovered, never silently nulled") {
+    // the renamed-column shard: the contract column reads null, but the
+    // audit's classification + coalesce recovery must surface every row
+    val got = graft.operators.TextOps
+      .defs("t43_schema_evolution_audit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Set((0L, "baseline"), (1L, "extended"),
+      (2L, "renamed")), s"every generation classifies distinctly: $got")
+    val (nRen, nNulled, nRec) = got((2L, "renamed"))
+    assert(nRen > 0, "test premise: the renamed generation is non-empty")
+    assert(nNulled == nRen, "every renamed row's contract column reads null")
+    assert(nRec == nRen, "every renamed row recovers via coalesce")
+    val (nBase, nulledBase, recBase) = got((0L, "baseline"))
+    assert(nulledBase == 0 && recBase == nBase,
+      "conforming shards are untouched by the recovery")
+  }
+
   test("DROPMALFORMED is the silent-drop alternative the default path refuses") {
     // document the failure mode the audit exists to prevent: DROPMALFORMED
     // returns only the well-formed rows and the torn lines vanish without
