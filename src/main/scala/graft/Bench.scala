@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 
 /** Benchmark main. Per query: one untimed warm-up run (JIT + codegen +
   * parquet footer caching), then THREE timed runs with the median reported —
@@ -70,6 +71,31 @@ object Bench {
     // isolation — the way to tell a real regression from shared-JVM
     // accumulation (93 queries in one JVM: code cache, broadcast/temp-sink
     // debris) without paying the full-suite wall clock per hypothesis.
+    // FIXED CALIBRATION PROBE (VERDICT r14 item 3): one never-changing
+    // workload — a frozen input (the driver-generated sf0.1 lineitem,
+    // byte-stable across rounds) through scan → hash → small-key shuffle
+    // → agg, touching NO operator code — whose median rides the artifact
+    // as a separate "calibration" field. Committed medians from two
+    // rounds then decompose mechanically: per-query time normalized by
+    // the round's calibration isolates CODE drift; the calibration
+    // ratio itself IS the host-regime drift (the r9→r14 1.21x question
+    // this field exists to answer). Warm-up + 3 timed runs, median, all
+    // outside the query sweep; a missing frozen dir degrades to -1
+    // instead of failing the bench.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+          .select(xxhash64(col("l_orderkey"), col("l_partkey"),
+            col("l_comment")).as("h"), (col("l_orderkey") % 97).as("k"))
+          .groupBy("k").agg(sum("h"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up (JIT + footer cache, same rule as the queries)
+      (1 to 3).map(_ => once()).sorted.apply(1)
+    }
+    val calibration = scala.util.Try(calibrate()).getOrElse(-1.0)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -116,7 +142,7 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"calibration":$calibration,"sf":"$sfDir"}"""
     println(line)
     // The driver archives only the last ~4 KB of stdout, which truncates the
     // per-query map past ~60 queries (VERDICT r9 item 6). Persist the full
