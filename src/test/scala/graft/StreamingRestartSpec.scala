@@ -134,6 +134,84 @@ class StreamingRestartSpec extends AnyFunSuite {
       "resumed dedup key set diverges from the uninterrupted run")
   }
 
+  test("x8 left-join buffer: kill after 2 of 4 slices, resume == uninterrupted (incl. eviction rows)") {
+    // the fourth state shape (VERDICT r14 item 7): the stream-stream
+    // OUTER join's two-sided buffers — the trickiest resume semantics,
+    // because unmatched clicks must keep aging toward their
+    // null-extension on the restored watermark clock, not re-buffer
+    // from zero (which would hold rows forever) or evict early (which
+    // would emit spurious null rows a matching view still refutes)
+    val slices = sliceFiles(4)
+    val watched = Files.createTempDirectory("graft-restart-x8").toFile
+    val ckpt = Files.createTempDirectory("graft-ckpt-x8").toString
+    val opts = Map("maxFilesPerTrigger" -> "1")
+    def decode(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    def run(sink: String, ckptLoc: Option[String], clear: Boolean) =
+      decode(StreamingSessionize.runToCompletion(spark,
+        watched.getAbsolutePath, StreamingSessionize.clickViewLeftJoin(_),
+        "append", sink, opts, "events*.parquet", checkpointLoc = ckptLoc,
+        clearSink = clear).collect())
+
+    stage(watched, slices.take(2), 0)
+    val phase1 = run("x8-restart", Some(ckpt), clear = true)
+    stage(watched, slices.drop(2), 2)
+    val resumed = run("x8-restart", Some(ckpt), clear = false)
+    val oneShot = run("x8-oneshot-r", None, clear = true)
+
+    assert(phase1.nonEmpty && resumed.length > phase1.length,
+      "test premise: join output on both sides of the kill")
+    assert(resumed.count(_._3.isEmpty) > 0 && resumed.count(_._3.nonEmpty) > 0,
+      "test premise: both inner matches and null-extended evictions")
+    // resume-not-replay: (click_id, view_id) pairs are unique, so a
+    // restart that re-ran phase 1 would duplicate rows in the kept sink
+    assert(resumed.length == resumed.distinct.length,
+      "a join row must be decided exactly once across the kill")
+    assert(phase1.toSet.subsetOf(resumed.toSet),
+      "resume must preserve the pre-kill sink rows")
+    assert(resumed.toSet == oneShot.toSet,
+      "resumed left-join ledger diverges from the uninterrupted run")
+  }
+
+  test("x13 full-outer buffer: kill after 2 of 4 slices, resume == uninterrupted (both sides evict)") {
+    // same pin for the remaining join mode: BOTH sides' buffers restore,
+    // each side's unmatched rows null-extend on its OWN eviction clock
+    // (clicks at watermark, views at watermark - 30 min forward bound)
+    val slices = sliceFiles(4)
+    val watched = Files.createTempDirectory("graft-restart-x13").toFile
+    val ckpt = Files.createTempDirectory("graft-ckpt-x13").toString
+    val opts = Map("maxFilesPerTrigger" -> "1")
+    def decode(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    def run(sink: String, ckptLoc: Option[String], clear: Boolean) =
+      decode(StreamingSessionize.runToCompletion(spark,
+        watched.getAbsolutePath, StreamingSessionize.clickViewFullJoin(_),
+        "append", sink, opts, "events*.parquet", checkpointLoc = ckptLoc,
+        clearSink = clear).collect())
+
+    stage(watched, slices.take(2), 0)
+    val phase1 = run("x13-restart", Some(ckpt), clear = true)
+    stage(watched, slices.drop(2), 2)
+    val resumed = run("x13-restart", Some(ckpt), clear = false)
+    val oneShot = run("x13-oneshot-r", None, clear = true)
+
+    assert(phase1.nonEmpty && resumed.length > phase1.length,
+      "test premise: join output on both sides of the kill")
+    assert(resumed.count(r => r._1.isEmpty) > 0 &&
+      resumed.count(r => r._3.isEmpty && r._1.nonEmpty) > 0,
+      "test premise: null-extended rows from BOTH buffers")
+    assert(resumed.length == resumed.distinct.length,
+      "a join row must be decided exactly once across the kill")
+    assert(phase1.toSet.subsetOf(resumed.toSet),
+      "resume must preserve the pre-kill sink rows")
+    assert(resumed.toSet == oneShot.toSet,
+      "resumed full-outer ledger diverges from the uninterrupted run")
+  }
+
   test("x31 running-agg state: kill after 2 of 4 slices, resume == uninterrupted (batch ids continue)") {
     val slices = sliceFiles(4)
     val watched = Files.createTempDirectory("graft-restart-x31").toFile
