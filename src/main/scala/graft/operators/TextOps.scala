@@ -1650,16 +1650,19 @@ object TextOps {
         when(col("doc_id") % 13 === 5,
           concat(col("text"), lit(" cafe\u0301")))
           .otherwise(col("text")).as("text"))
+      // one byte-compare per row, not one per aggregate term (the x34
+      // re-measurement's discipline, shared with the streaming twin)
       aug.select(col("source"), col("doc_id"), col("text"),
           graft.functions.NfcNormalize.nfc(col("text")).as("nt"))
+        .select(col("source"), col("doc_id"),
+          (col("nt") =!= col("text")).as("nonnfc"),
+          (length(col("text")) - length(col("nt"))).as("saved"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("nt") =!= col("text"), 1L).otherwise(0L))
-            .as("n_nonnfc"),
-          sum(when(col("nt") =!= col("text"),
-            length(col("text")) - length(col("nt"))).otherwise(0))
+          sum(when(col("nonnfc"), 1L).otherwise(0L)).as("n_nonnfc"),
+          sum(when(col("nonnfc"), col("saved")).otherwise(0))
             .cast(LongType).as("chars_saved"),
-          sum(when(col("nt") =!= col("text"), col("doc_id")).otherwise(0L))
+          sum(when(col("nonnfc"), col("doc_id")).otherwise(0L))
             .as("nonnfc_id_sum"))
     },
 

@@ -1169,14 +1169,19 @@ object StreamingSessionize {
     stream
       .select(col("source"), col("doc_id"), col("text"),
         graft.functions.NfcNormalize.nfc(col("text")).as("nt"))
+      // ONE byte-compare per row, not one per aggregate term: the agg
+      // below references the precomputed flag, so a clean document pays
+      // exactly one NFC fast-path scan + one equality scan per trigger
+      // (profiled in the r15 x34 100x re-measurement)
+      .select(col("source"), col("doc_id"),
+        (col("nt") =!= col("text")).as("nonnfc"),
+        (length(col("text")) - length(col("nt"))).as("saved"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("nt") =!= col("text"), 1L).otherwise(0L))
-          .as("n_nonnfc"),
-        sum(when(col("nt") =!= col("text"),
-          length(col("text")) - length(col("nt"))).otherwise(0))
+        sum(when(col("nonnfc"), 1L).otherwise(0L)).as("n_nonnfc"),
+        sum(when(col("nonnfc"), col("saved")).otherwise(0))
           .cast(LongType).as("chars_saved"),
-        sum(when(col("nt") =!= col("text"), col("doc_id")).otherwise(0L))
+        sum(when(col("nonnfc"), col("doc_id")).otherwise(0L))
           .as("nonnfc_id_sum"))
 
   /** x32's transform: t38's PERMISSIVE from_json classification as a
