@@ -87,21 +87,25 @@ object StreamScaleSmoke {
       * watermark-advancing triggers. Boundaries are exact distinct
       * percentiles — no global sort. */
     def writeSliced(df: DataFrame, cutCol: org.apache.spark.sql.Column,
-        dir: java.io.File): Unit = {
+        dir: java.io.File, nSlices: Int = slices,
+        // seq(i) = the file INDEX (name suffix + modtime rank) of slice i —
+        // lets x35 interleave per-generation slice runs into one arrival
+        // order; identity for every single-schema stage
+        seq: Int => Int = identity): Unit = {
       val frame = df.withColumn("_cut", cutCol).localCheckpoint()
-      val qs = (1 until slices).map(_.toDouble / slices)
+      val qs = (1 until nSlices).map(_.toDouble / nSlices)
       val bounds = frame.stat
         .approxQuantile("_cut", qs.toArray, 0.001).distinct.sorted
       val ranges = (Double.MinValue +: bounds) :+ Double.MaxValue
       for (i <- 0 until ranges.length - 1) {
-        val sd = new java.io.File(dir, s"slice$i")
+        val sd = new java.io.File(dir, s"slice${seq(i)}")
         frame.filter(col("_cut") >= ranges(i) && col("_cut") < ranges(i + 1))
           .drop("_cut").coalesce(1)
           .write.parquet(sd.getAbsolutePath)
         val part = sd.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(dir, s"events$i.parquet")
+        val dst = new java.io.File(dir, s"events${seq(i)}.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)
-        require(dst.setLastModified(1700000000000L + i * 60000L))
+        require(dst.setLastModified(1700000000000L + seq(i) * 60000L))
       }
       frame.unpersist(): Unit
     }
@@ -193,6 +197,36 @@ object StreamScaleSmoke {
       d.getAbsolutePath
     }
 
+    // x35's schema-drift stream: three schema GENERATIONS (baseline /
+    // +quality / lang renamed), each volume-pure-replicated and sliced,
+    // with the generations' slice runs INTERLEAVED in arrival order —
+    // every trigger window sees drifted and conforming shards mixed, the
+    // mid-stream-drift shape the superset contract exists for
+    lazy val dirDrift = {
+      val d = java.nio.file.Files.createTempDirectory("graft-ssm-drift").toFile
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val rep = replicate(docs, (dd, i) =>
+        dd.withColumn("doc_id", col("doc_id") * factor + i)
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")))
+      val per = math.max(slices / 3, 1)
+      val gens = Seq(
+        rep.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars")),
+        rep.filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"), (col("n_chars") % 100).as("quality")),
+        rep.filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("text"), col("lang").as("language"),
+            col("source"), col("n_chars")))
+      gens.zipWithIndex.foreach { case (g, gi) =>
+        writeSliced(g, col("doc_id").cast("double"), d, nSlices = per,
+          seq = i => i * 3 + gi)
+      }
+      d.getAbsolutePath
+    }
+
     val mb = Map("maxFilesPerTrigger" -> "1")
     // each entry: () => the fully-consumed run (runToCompletion + force)
     def run(dir: String, transform: DataFrame => DataFrame,
@@ -280,6 +314,16 @@ object StreamScaleSmoke {
           "ssm-x17a", schema = StreamingSessionize.docSchema)),
       // encoding-health totals: state is |sources| 4-long rows at any
       // volume — the NFC projection adds no per-record state
+      // schema-drift conformance: state is |classes| (= 3) 5-long rows
+      // at any volume — classification adds no per-record state
+      "x35_stream_schema_drift" -> (() => {
+        StreamingSessionize.runToCompletion(spark, dirDrift,
+            StreamingSessionize.schemaDriftAudit, outputMode = "complete",
+            sinkName = "ssm-x35", sourceOptions = mb,
+            sourceGlob = "events*.parquet",
+            sourceSchema = StreamingSessionize.driftSupersetSchema)
+          .write.format("noop").mode("overwrite").save()
+      }),
       "x34_stream_unicode_audit" -> (() => {
         StreamingSessionize.runToCompletion(spark, dirUnicode,
             StreamingSessionize.unicodeAudit, outputMode = "complete",
@@ -305,6 +349,7 @@ object StreamScaleSmoke {
     if (needDocs) { dirDocs: Unit }
     if (needMalformed) { dirMalformed: Unit }
     if (names.contains("x34_stream_unicode_audit")) { dirUnicode: Unit }
+    if (names.contains("x35_stream_schema_drift")) { dirDrift: Unit }
 
     val results = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>

@@ -176,9 +176,17 @@ object Similarity {
     * every plane count — s31/s36 gate the autoPlanes-derived default,
     * s32 gates fixed planes = 6. */
   private[graft] def graphBeam(s: SparkSession, dir: String,
-      planes: Int): DataFrame = {
+      planes: Int, idxFilter: Column = lit(true)): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("v")).localCheckpoint()
-    val b = bucketed(s, dir, planes).select(col("vec_id"), col("v"), col("bucket"))
+    // ball carries every vector (query buckets must resolve even for a
+    // query outside the predicate); b is the INDEX side — s39's
+    // pre-filter restricts it BEFORE the edge build, so recall within
+    // the filtered subset equals unfiltered recall by construction
+    // (s34's pre-vs-post-filter argument, applied to the graph walk)
+    val ball = bucketed(s, dir, planes)
+      .select(col("vec_id"), col("v"), col("bucket"), col("label"))
+    val b = ball.filter(idxFilter)
+      .select(col("vec_id"), col("v"), col("bucket"))
     val probes = col("bucket") +: (0 until planes).map(p =>
       col("bucket").bitwiseXOR(lit(1 << p)))
     val srcs = b.select(col("vec_id").as("src"), col("v").as("sv"),
@@ -201,7 +209,7 @@ object Similarity {
       .localCheckpoint() // read once per round — never rebuilt
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val entry = b.filter(col("vec_id") < 5)
+    val entry = ball.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("bucket").as("qbk"))
       .join(b.select(col("vec_id"), col("bucket")), col("bucket") === col("qbk"))
       .groupBy("query_id").agg(min("vec_id").as("node"))
@@ -1450,7 +1458,25 @@ object Similarity {
         .groupBy("query_id")
         .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1)))
           .as("recall_at_5"))
-    }
+    },
+
+    // FILTERED GRAPH-BEAM — s34's pre-filter strategy on the beam index
+    // (the production shape: tenant/license scoping over the SAME graph
+    // walk a retrieval stack already runs, not a separate brute path):
+    // the predicate restricts the INDEX side before the edge build, so
+    // the k-NN graph, the bucket caps, and the entry points all live
+    // entirely inside the filtered subset — recall within the subset
+    // equals unfiltered recall by construction, where a post-filter walk
+    // would spend beam slots on excluded nodes and starve k. Queries
+    // stay unfiltered (a query need not satisfy its own predicate);
+    // plane count derives from the FULL corpus via autoPlanes (the
+    // index policy is per-store, not per-predicate — one graph geometry
+    // serves every predicate). The oracle is the s31 auto spelling with
+    // the identical predicate injected into its one bf CTE, so the
+    // filter semantics are the ONLY thing the gate isolates.
+    "s39_ann_beam_filtered" -> ((s, dir) =>
+      graphBeam(s, dir, autoPlanes(emb(s, dir).count()),
+        col("label") % 2 === 0))
   )
 
   /** s37's pipeline, factored for s38's evaluator: per-dim symmetric
@@ -1499,13 +1525,14 @@ object Similarity {
     * derive from the one parameter, so changing `planes` can never
     * desynchronize the engines (ADVICE r12). Beam rounds unroll as nested
     * CTEs (s20's idiom); every tiebreak and cosine fold restated. */
-  private def graphBeamSql(planes: Int): String = {
-    val probeList = ("b.bucket" +: (0 until planes).map(p =>
-      s"xor(b.bucket, ${1 << p})")).mkString(",\n         ")
+  private def graphBeamSql(planes: Int, idxPred: String = "TRUE"): String = {
+    val probeList = ("bf.bucket" +: (0 until planes).map(p =>
+      s"xor(bf.bucket, ${1 << p})")).mkString(",\n         ")
     graphBeamSqlCore(
-      s"b AS (SELECT vec_id, v, ${bucketSqlFor(planes)} AS bucket FROM e)",
-      s"""pr AS (SELECT b.vec_id AS src, b.v AS sv, u.probe
-         |       FROM b, LATERAL unnest([$probeList]) AS u(probe))""".stripMargin)
+      s"b AS (SELECT vec_id, v, label, ${bucketSqlFor(planes)} AS bucket FROM e)",
+      s"""pr AS (SELECT bf.vec_id AS src, bf.v AS sv, u.probe
+         |       FROM bf, LATERAL unnest([$probeList]) AS u(probe))""".stripMargin,
+      idxPred)
   }
 
   /** s36's oracle: the SAME beam-search body with the plane count DERIVED
@@ -1517,7 +1544,7 @@ object Similarity {
     * generate_series(0, dp.p). At every plane count the active terms are
     * exactly [[bucketSqlFor]]'s — the auto spelling IS the fixed spelling
     * at the derived count, proven by the shared core. */
-  private def graphBeamAutoSql: String = {
+  private def graphBeamAutoSql(idxPred: String = "TRUE"): String = {
     val ladder = (numPlanes until maxOraclePlanes).map(p =>
       s"WHEN count(*) <= ${beamBucketCap.toLong << p} THEN $p")
       .mkString("\n           ")
@@ -1528,11 +1555,12 @@ object Similarity {
     graphBeamSqlCore(
       s"""dp AS (SELECT (CASE $ladder
          |           ELSE $maxOraclePlanes END) AS p FROM e),
-         |b AS (SELECT vec_id, v, $terms AS bucket FROM e, dp)""".stripMargin,
-      s"""pr AS (SELECT b.vec_id AS src, b.v AS sv,
-         |         CASE WHEN g.i = 0 THEN CAST(b.bucket AS BIGINT)
-         |              ELSE xor(CAST(b.bucket AS BIGINT), CAST(1 AS BIGINT) << (g.i - 1)) END AS probe
-         |       FROM b, dp, LATERAL unnest(generate_series(0, CAST(dp.p AS BIGINT))) AS g(i))""".stripMargin)
+         |b AS (SELECT vec_id, v, label, $terms AS bucket FROM e, dp)""".stripMargin,
+      s"""pr AS (SELECT bf.vec_id AS src, bf.v AS sv,
+         |         CASE WHEN g.i = 0 THEN CAST(bf.bucket AS BIGINT)
+         |              ELSE xor(CAST(bf.bucket AS BIGINT), CAST(1 AS BIGINT) << (g.i - 1)) END AS probe
+         |       FROM bf, dp, LATERAL unnest(generate_series(0, CAST(dp.p AS BIGINT))) AS g(i))""".stripMargin,
+      idxPred)
   }
 
   /** The plane-count-independent body shared by [[graphBeamSql]] (static
@@ -1540,7 +1568,8 @@ object Similarity {
     * cut, entry points, unrolled beam rounds, final top-5 — everything
     * after the bucket/probe prelude is one spelling, so the knob and the
     * policy can never drift apart. */
-  private def graphBeamSqlCore(bCte: String, prCte: String): String = {
+  private def graphBeamSqlCore(bCte: String, prCte: String,
+      idxPred: String = "TRUE"): String = {
     val rounds = (1 to beamRounds).map { r =>
       val prev = if (r == 1) "f0" else s"f${r - 1}"
       s"""c$r AS (SELECT DISTINCT query_id, node FROM (
@@ -1556,13 +1585,15 @@ object Similarity {
          |        ORDER BY sim DESC, node) AS brk
          |    FROM s$r) t WHERE brk <= $beamWidth)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |       FROM embeddings),
        |$bCte,
+       |bf AS (SELECT vec_id, v, bucket FROM b WHERE $idxPred),
        |$prCte,
        |bc AS (SELECT vec_id, v, bucket FROM (
        |    SELECT vec_id, v, bucket, row_number() OVER (PARTITION BY bucket
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
-       |    FROM b) t WHERE crk <= $beamBucketCap),
+       |    FROM bf) t WHERE crk <= $beamBucketCap),
        |ce AS (SELECT pr.src, bc.vec_id AS dst, ${cosSql("pr.sv", "bc.v")} AS esim
        |       FROM pr JOIN bc ON bc.bucket = pr.probe AND bc.vec_id <> pr.src),
        |ed AS (SELECT src, dst FROM (
@@ -1571,8 +1602,8 @@ object Similarity {
        |    FROM ce) t WHERE erk <= $graphDegree),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
        |qb AS (SELECT vec_id AS query_id, bucket AS qbk FROM b WHERE vec_id < 5),
-       |en AS (SELECT qb.query_id, min(b.vec_id) AS node
-       |       FROM qb JOIN b ON b.bucket = qb.qbk GROUP BY qb.query_id),
+       |en AS (SELECT qb.query_id, min(bf.vec_id) AS node
+       |       FROM qb JOIN bf ON bf.bucket = qb.qbk GROUP BY qb.query_id),
        |f0 AS (SELECT en.query_id, en.node, ${cosSql("q.qv", "e.v")} AS sim
        |       FROM en JOIN e ON e.vec_id = en.node
        |       JOIN q ON q.query_id = en.query_id),
@@ -1720,14 +1751,18 @@ object Similarity {
     // thresholds), matching the Spark default's derivation, so the two
     // engines can never desynchronize on the probe set (ADVICE r12 +
     // VERDICT r14 item 1)
-    "s31_ann_graph_beam" -> graphBeamAutoSql,
+    "s31_ann_graph_beam" -> graphBeamAutoSql(),
 
     // the knob restated: identical SQL generator at planes = 6
     "s32_ann_beam_planes6" -> graphBeamSql(6),
 
     // the POLICY restated: plane count derived from count(*) inside the
     // SQL via the same integer CASE ladder autoPlanes computes
-    "s36_ann_beam_autoplanes" -> graphBeamAutoSql,
+    "s36_ann_beam_autoplanes" -> graphBeamAutoSql(),
+
+    // the auto spelling with the predicate injected into its one bf CTE
+    // — the filter semantics are the only delta the gate isolates
+    "s39_ann_beam_filtered" -> graphBeamAutoSql("label % 2 = 0"),
 
     // s4's recall join with the beam subquery inlined (a derived table
     // carrying its own WITH — names scoped inside, no collision with the
@@ -1742,7 +1777,7 @@ object Similarity {
          |             ORDER BY sim DESC, neighbor_id) AS rnk
          |         FROM px) r WHERE rnk <= 5),
          |beam AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
-         |${graphBeamAutoSql}) gb)
+         |${graphBeamAutoSql()}) gb)
          |SELECT e5.query_id, sum(coalesce(beam.hit, 0)) / 5.0 AS recall_at_5
          |FROM e5 LEFT JOIN beam
          |  ON e5.query_id = beam.query_id AND e5.neighbor_id = beam.neighbor_id

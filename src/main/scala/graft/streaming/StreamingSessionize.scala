@@ -905,6 +905,24 @@ object StreamingSessionize {
           StructField("source", StringType), StructField("text", StringType))))
     },
 
+    // SCHEMA-DRIFT AUDIT LIVE — t43's declared-superset classification at
+    // the place drift actually arrives (the stream), completing the
+    // hostile-arrival triple beside x32 (torn records) and x34 (broken
+    // encoding): a streaming source fixes its schema at start and cannot
+    // re-infer per trigger, so when a producer adds or renames a column
+    // mid-stream the superset contract is the ONLY posture that keeps
+    // consuming — old shards read with nulls in the new columns, drifted
+    // shards classify and recover at arrival, and the complete-mode sink
+    // holds the running per-class conformance dashboard. The oracle is
+    // t43's restated per class (gen dropped — on the stream provenance
+    // is the arrival itself), so batch and stream can never disagree.
+    "x35_stream_schema_drift" -> { (s, dir) =>
+      val stage = schemaDriftStage(s, dir)
+      runToCompletion(s, stage, schemaDriftAudit,
+        outputMode = "complete", sinkName = "x35", sourceGlob = "*.parquet",
+        sourceSchema = driftSupersetSchema)
+    },
+
     "x31_stream_cdc_apply" -> { (s, dir) =>
       val upserts = runToCompletion(s, dir, streamCdcApply,
         outputMode = "update", sinkName = "x31", tagBatchId = true)
@@ -1158,6 +1176,71 @@ object StreamingSessionize {
       .write.mode("overwrite").parquet(stage)
     stage
   }
+
+  /** x35's staged corpus: t43's three schema generations as three
+    * single-schema stream files under one watched dir (a real feed ships
+    * one schema per shard; drift happens ACROSS arrivals): gen0 the
+    * baseline contract, gen1 with the added `quality` column, gen2 with
+    * `lang` renamed to `language`. Keyed beside x32/x34's stages. */
+  private def schemaDriftStage(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stage = new java.io.File(malformedStageRoot, key + "-d")
+    stage.mkdirs()
+    val d = graft.sources.Tables.load(s, dir, "documents")
+    def writeGen(df: org.apache.spark.sql.DataFrame, g: Int): Unit = {
+      val tmp = new java.io.File(stage, s"gen$g-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(stage, s"gen$g.parquet")
+      if (dst.exists()) dst.delete(): Unit
+      Files.move(part.toPath, dst.toPath)
+      Option(tmp.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
+      tmp.delete(): Unit
+      // arrival order = generation order (the drift unfolds mid-stream)
+      require(dst.setLastModified(1700000000000L + g * 60000L))
+    }
+    writeGen(d.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")), 0)
+    writeGen(d.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), (col("n_chars") % 100).as("quality")), 1)
+    writeGen(d.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"), col("lang").as("language"),
+        col("source"), col("n_chars")), 2)
+    stage.getAbsolutePath
+  }
+
+  /** x35's declared SUPERSET contract (t43's posture on the stream — a
+    * streaming source cannot re-infer per trigger AT ALL, so
+    * schema-on-read with the superset is not just the 100 TB answer but
+    * the only one): contract columns plus every known drift column. */
+  private[graft] val driftSupersetSchema: StructType =
+    graft.operators.TextOps.crawlSchema
+      .add("quality", LongType).add("language", StringType)
+
+  /** x35's transform: t43's classification + recovery at arrival — per
+    * trigger each row classifies from OBSERVED values (never from file
+    * provenance) and the renamed contract column recovers via coalesce;
+    * complete-mode per-class totals (counts/sums are commutative
+    * monoids, so the converged table equals the batch audit at any
+    * slicing). State is |classes| rows of five longs. */
+  private[graft] def schemaDriftAudit(stream: DataFrame): DataFrame =
+    stream
+      .select(
+        when(col("language").isNotNull, "renamed")
+          .when(col("quality").isNotNull, "extended")
+          .otherwise("baseline").as("drift_class"),
+        col("lang"), col("language"), col("doc_id"), col("n_chars"))
+      .groupBy("drift_class")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L))
+          .as("n_contract_nulled"),
+        sum(when(coalesce(col("lang"), col("language")).isNotNull, 1L)
+          .otherwise(0L)).as("n_recovered"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("id_sum"))
 
   /** x34's transform: t42's NFC audit at the place it runs in production
     * (arrival) — per trigger, one codegen'd NfcNormalize projection (the
@@ -1590,6 +1673,22 @@ object StreamingSessionize {
     // same injection, the same NFC computation, monoid counts
     "x34_stream_unicode_audit" ->
       graft.operators.TextOps.oracles("t42_unicode_audit"),
+
+    // x35: t43's generations restated per class (gen dropped — on the
+    // stream, provenance IS the arrival); monoid counts, no cutoff
+    "x35_stream_schema_drift" ->
+      """WITH g AS (SELECT doc_id, lang, n_chars, doc_id % 3 AS gen
+        |           FROM documents)
+        |SELECT CASE gen WHEN 2 THEN 'renamed' WHEN 1 THEN 'extended'
+        |       ELSE 'baseline' END AS drift_class,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contract_nulled,
+        |  CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_recovered,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM g GROUP BY 1""".stripMargin,
 
     // x26: q64's PIT join, row-level — the stream is stateless so the
     // oracle is exactly the batch join (no emission cutoff to restate)

@@ -162,6 +162,31 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(deflt == fixed)
   }
 
+  test("s39: filtered beam — every neighbor satisfies the predicate; walk stays exact") {
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.defs("s39_ann_beam_filtered")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // the pre-filter must be airtight: the walk can never surface an
+    // excluded node, because excluded nodes were never indexed
+    got.foreach { case (q, n, _, _) =>
+      assert(labels(n) % 2 == 0, s"neighbor $n of query $q violates the predicate")
+      assert(n != q, "self must be excluded")
+    }
+    // exact scoring: wherever s1 ranked the same pair, doubles agree
+    val exactSim = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    got.foreach { case (q, n, _, sim) =>
+      exactSim.get((q, n)).foreach(es => assert(math.abs(es - sim) < 1e-12))
+    }
+    // dense ranks per query
+    got.groupBy(_._1).values.foreach { qs =>
+      assert(qs.map(_._3).sorted.toSeq == (1L to qs.length).toSeq)
+    }
+  }
+
   test("s34: filtered ANN — predicate strictly enforced, exact cosines, dense ranks") {
     val got = Similarity.defs("s34_ann_filtered")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))

@@ -389,6 +389,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.exists(t => t._2 > t._3), "test premise: some docs stay NFC")
   }
 
+  test("x35 streaming schema-drift audit converges to batch t43's per-class rows") {
+    // classification, recovery, and checksums are all computed from
+    // observed values on both sides; the stream's converged per-class
+    // totals must equal the batch audit with the generation key dropped
+    // (gen <-> class is a bijection by construction), and the drift must
+    // be live (a renamed class whose contract column really nulled)
+    def key(r: org.apache.spark.sql.Row, off: Int) =
+      (r.getString(off), r.getLong(off + 1), r.getLong(off + 2),
+        r.getLong(off + 3), r.getLong(off + 4), r.getLong(off + 5))
+    val stream = StreamingSessionize.defs("x35_stream_schema_drift")(spark, dir)
+      .collect().map(key(_, 0)).toSet
+    val batch = graft.operators.TextOps
+      .defs("t43_schema_evolution_audit")(spark, dir)
+      .collect().map(key(_, 1)).toSet // drop the leading gen column
+    assert(stream == batch, s"stream rows diverge from batch: " +
+      s"${(stream diff batch).take(3)} / ${(batch diff stream).take(3)}")
+    assert(stream.exists(t => t._1 == "renamed" && t._3 == t._2 && t._2 > 0),
+      "test premise: the renamed class nulls its contract column")
+    assert(stream.exists(t => t._1 == "baseline" && t._3 == 0),
+      "test premise: the baseline class conforms")
+  }
+
   test("x26 PIT enrichment over 3 slices == one-shot replay (stateless, static dim)") {
     val mb = timeSlicedDir(3)
     val enrich = StreamingSessionize.pitEnrich(spark, dir)
