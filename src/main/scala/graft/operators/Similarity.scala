@@ -1476,7 +1476,55 @@ object Similarity {
     // filter semantics are the ONLY thing the gate isolates.
     "s39_ann_beam_filtered" -> ((s, dir) =>
       graphBeam(s, dir, autoPlanes(emb(s, dir).count()),
-        col("label") % 2 === 0))
+        col("label") % 2 === 0)),
+
+    // HYBRID RETRIEVAL — reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    // SIGIR'09) of the lexical and vector top-10 lists, the head of every
+    // production RAG stack (pure-vector misses exact terms, pure-lexical
+    // misses paraphrase; RRF is the standard rank-level fusion because it
+    // needs no score calibration between the two retrievers). Lexical
+    // side: an inverted-index probe — corpus (doc, token, tf) postings
+    // built in ONE scan, the |Q|-bounded query postings broadcast into
+    // them, overlap scored as Σ min(tf_q, tf_d) in exact integers (no
+    // float BM25 logs whose libm rounding could split the engines).
+    // Vector side: s1's exact fold (the gate's stand-in for any s2/s31
+    // index probe). Fusion: 1/(60+rank) from INTEGER ranks — identical
+    // doubles in both engines, summed in fixed expression order — over
+    // the union of the two lists (a doc without an embedding can still
+    // surface lexically: the realistic corpus where embedding coverage
+    // trails ingestion). Scale: postings are corpus-linear and
+    // shuffle-partitioned by token like w2's doc_freq; both rank lists
+    // are k·|Q| rows; fusion cost is independent of corpus size.
+    "s40_hybrid_rrf" -> { (s, dir) =>
+      val post = graft.sources.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // one corpus scan feeds query + probe sides
+      val qpost = post.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("tok"),
+          col("tf").as("qtf"))
+      val wl = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = post.join(broadcast(qpost), "tok")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(least(col("tf"), col("qtf"))).as("score"))
+        .withColumn("rl", row_number().over(wl))
+        .filter(col("rl") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rl"))
+      val vec = bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("rv"))
+      val wf = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(lit(1.0) / (col("rl") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rv") + 60), lit(0.0))).as("rrf"))
+        .withColumn("rank", row_number().over(wf).cast(LongType))
+        .filter(col("rank") <= 5)
+        .select("query_id", "doc_id", "rrf", "rank")
+    }
   )
 
   /** s37's pipeline, factored for s38's evaluator: per-dim symmetric
@@ -1763,6 +1811,44 @@ object Similarity {
     // the auto spelling with the predicate injected into its one bf CTE
     // — the filter semantics are the only delta the gate isolates
     "s39_ann_beam_filtered" -> graphBeamAutoSql("label % 2 = 0"),
+
+    // the same postings, the same integer-min overlap, the same exact
+    // cosine fold, and 1/(60+rank) on integer ranks — the DOUBLE cast is
+    // explicit because DuckDB's 1.0 literal is DECIMAL and decimal
+    // division would diverge from Spark's double division
+    "s40_hybrid_rrf" ->
+      s"""WITH post AS (SELECT doc_id, tok, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |qp AS (SELECT doc_id AS query_id, tok, tf AS qtf
+         |       FROM post WHERE doc_id < 5),
+         |lex AS (SELECT query_id, doc_id, rl FROM (
+         |    SELECT qp.query_id, post.doc_id,
+         |      row_number() OVER (PARTITION BY qp.query_id
+         |        ORDER BY sum(least(post.tf, qp.qtf)) DESC, post.doc_id)
+         |        AS rl
+         |    FROM post JOIN qp ON post.tok = qp.tok
+         |      AND post.doc_id <> qp.query_id
+         |    GROUP BY qp.query_id, post.doc_id) t WHERE rl <= 10),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |vp AS (SELECT query_id, vec_id AS doc_id, ${cosSql("qv", "v")} AS sim
+         |       FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         |vec AS (SELECT query_id, doc_id, rv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, doc_id) AS rv
+         |    FROM vp) t WHERE rv <= 10),
+         |f AS (SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+         |        coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         |        coalesce(CAST(1 AS DOUBLE) / (60 + rl), 0.0)
+         |          + coalesce(CAST(1 AS DOUBLE) / (60 + rv), 0.0) AS rrf
+         |      FROM lex FULL OUTER JOIN vec
+         |        ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+         |SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM f) r WHERE rank <= 5""".stripMargin,
 
     // s4's recall join with the beam subquery inlined (a derived table
     // carrying its own WITH — names scoped inside, no collision with the

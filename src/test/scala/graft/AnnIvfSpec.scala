@@ -187,6 +187,51 @@ class AnnIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("s40: RRF fusion equals a hand-computed fusion of the two rank lists") {
+    // independent lexical ranking: token-multiset overlap per query,
+    // computed sequentially from the raw docs (no Spark aggregation)
+    val docRows = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tf = docRows.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (k, v) => k -> v.length }
+    }.toMap
+    def lexTop10(q: Long): Seq[(Long, Int)] = {
+      val qtf = tf(q)
+      docRows.map(_._1).filter(_ != q).flatMap { d =>
+        val s = qtf.map { case (t, c) => math.min(c, tf(d).getOrElse(t, 0)) }.sum
+        if (s > 0) Some(d -> s) else None
+      }.sortBy { case (d, s) => (-s, d) }.take(10).toSeq
+    }
+    // vector ranking from the gate's own exact baseline (s1, k = 10)
+    val vecRank = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Similarity.defs("s40_hybrid_rrf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val lexRank = lexTop10(q).zipWithIndex
+        .map { case ((d, _), i) => d -> (i + 1) }.toMap
+      val expected = (lexRank.keySet ++
+        vecRank.collect { case ((`q`, d), _) => d })
+        .map { d =>
+          val rrf = lexRank.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            vecRank.get((q, d)).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (d, rrf)
+        }.toSeq.sortBy { case (d, s) => (-s, d) }.take(5)
+      val gotQ = rows.sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"query $q: ranks must be dense")
+      assert(gotQ == expected, s"query $q: fusion diverges\n$gotQ\n$expected")
+      // both retrievers must be live inputs to the fusion (on this
+      // synthetic fixture the two top-10 lists rarely INTERSECT —
+      // embeddings are independent of text — so liveness is per-list,
+      // not per-doc)
+      assert(lexRank.nonEmpty, s"query $q: lexical list empty")
+      assert(vecRank.keys.exists(_._1 == q), s"query $q: vector list empty")
+    }
+  }
+
   test("s34: filtered ANN — predicate strictly enforced, exact cosines, dense ranks") {
     val got = Similarity.defs("s34_ann_filtered")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
