@@ -51,7 +51,8 @@ object ScaleSmoke {
     // `base` stays a non-issue unless a query actually needs it
     val needsDocs = names.exists(n =>
       n.startsWith("d") || n.startsWith("t") || n.startsWith("w") ||
-        n.startsWith("m")) // multimodal queries are documents-backed too
+        n.startsWith("m") || // multimodal queries are documents-backed too
+        n == "s40_hybrid_rrf") // hybrid reads docs (lexical) + embeddings
     val needsEmb = names.exists(_.startsWith("s"))
     // g25 reads orders TOO (the bipartite customer->part graph) — it runs
     // on the star-join facts branch below, where customers and parts stay
