@@ -87,7 +87,7 @@ object Bench {
         val t0 = System.nanoTime()
         spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
           .select(xxhash64(col("l_orderkey"), col("l_partkey"),
-            col("l_comment")).as("h"), (col("l_orderkey") % 97).as("k"))
+            col("l_extendedprice")).as("h"), (col("l_orderkey") % 97).as("k"))
           .groupBy("k").agg(sum("h"))
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -96,6 +96,26 @@ object Bench {
       (1 to 3).map(_ => once()).sorted.apply(1)
     }
     val calibration = scala.util.Try(calibrate()).getOrElse(-1.0)
+    // SECOND probe, checkpoint-shaped: the r15 bench analysis showed the
+    // two host regimes hit DIFFERENT query classes — scan/agg queries
+    // stay flat while the localCheckpoint-heavy family (beam walks,
+    // iterative closures, stateful streams) swings 1.5-3x together, i.e.
+    // the contended resource is block-manager disk I/O, which a pure
+    // scan+shuffle probe cannot see. This probe writes and re-reads one
+    // ~40 MB local checkpoint so the committed artifact carries BOTH
+    // regime denominators.
+    def calibrateCkpt(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val df = spark.range(0, 5000000L, 1, 32).toDF("id").localCheckpoint()
+        df.write.format("noop").mode("overwrite").save()
+        df.unpersist(blocking = true)
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      (1 to 3).map(_ => once()).sorted.apply(1)
+    }
+    val calibrationCkpt = scala.util.Try(calibrateCkpt()).getOrElse(-1.0)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -142,7 +162,7 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"calibration":$calibration,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"calibration":$calibration,"calibration_ckpt":$calibrationCkpt,"sf":"$sfDir"}"""
     println(line)
     // The driver archives only the last ~4 KB of stdout, which truncates the
     // per-query map past ~60 queries (VERDICT r9 item 6). Persist the full
