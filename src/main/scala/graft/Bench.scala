@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
 
 /** Benchmark main. Per query: one untimed warm-up run (JIT + codegen +
   * parquet footer caching), then THREE timed runs with the median reported —
@@ -86,8 +86,11 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-          .select(xxhash64(col("l_orderkey"), col("l_partkey"),
-            col("l_extendedprice")).as("h"), (col("l_orderkey") % 97).as("k"))
+          // pmod keeps the ANSI-mode sum far from long overflow (a raw
+          // xxhash64 sum over 600k rows overflows int64 — the first -1)
+          .select(pmod(xxhash64(col("l_orderkey"), col("l_partkey"),
+            col("l_extendedprice")), lit(1000000L)).as("h"),
+            (col("l_orderkey") % 97).as("k"))
           .groupBy("k").agg(sum("h"))
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -95,7 +98,15 @@ object Bench {
       once() // warm-up (JIT + footer cache, same rule as the queries)
       (1 to 3).map(_ => once()).sorted.apply(1)
     }
-    val calibration = scala.util.Try(calibrate()).getOrElse(-1.0)
+    val calibration = scala.util.Try(calibrate()).recover {
+      case e: Throwable =>
+        // a failed probe must degrade, not abort — but leave the cause
+        // in stderr so a -1 in the artifact is diagnosable (the first
+        // -1 shipped silently: the probe referenced a column the
+        // driver-generated lineitem doesn't carry)
+        System.err.println(s"bench: calibration probe failed: $e")
+        -1.0
+    }.get
     // SECOND probe, checkpoint-shaped: the r15 bench analysis showed the
     // two host regimes hit DIFFERENT query classes — scan/agg queries
     // stay flat while the localCheckpoint-heavy family (beam walks,
