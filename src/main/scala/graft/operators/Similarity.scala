@@ -1517,6 +1517,52 @@ object Similarity {
         bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rnk").as("rv")))
+    },
+
+    // IDF-WEIGHTED HYBRID RETRIEVAL (VERDICT r15 item 2) — s40's fusion
+    // with the lexical side scored by RARITY: raw tf-overlap lets
+    // stopword-heavy docs crowd the top-10 (every doc shares "the"), so
+    // each term's contribution is weighted by an exact-rational idf —
+    // w(tok) = ppm of N/df = (N·10⁶) div df in pure integers (the
+    // w12/t17 discipline: no libm log whose last-ulp rounding could
+    // split the engines; log's monotonicity is what matters to a RANK
+    // and ppm(N/df) is monotone in it). score = Σ min(tf_q, tf_d)·w —
+    // stopwords (df≈N) contribute ~10⁶ per hit while a df=1 term
+    // contributes N·10⁶, the rarity separation BM25 exists to provide.
+    // df is computed ONLY for the |Q|-bounded query vocabulary (one
+    // broadcast-pruned pass over the postings — never a corpus-wide
+    // vocabulary agg for a 5-query probe). The lexical top-10 is the
+    // mergeable TopKAgg (integer scores < 2⁵³ ride the double payload
+    // exactly at any gate N; a 10¹⁰-doc deployment floors df or rescales
+    // ppm→ppb to stay inside the mantissa). Vector side and fusion are
+    // s40's — the gate isolates exactly the weighting delta. s40 stays
+    // the rank-fusion pin; this is the production lexical scorer.
+    "s41_hybrid_idf" -> { (s, dir) =>
+      val docsTbl = graft.sources.Tables.load(s, dir, "documents")
+      val post = docsTbl
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // one corpus scan feeds query, df, and probe sides
+      val nRow = docsTbl.agg(count(lit(1)).as("n"))
+      val qpost = post.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("tok"),
+          col("tf").as("qtf"))
+      // document frequency for the query vocabulary only: postings pruned
+      // by the broadcast token set, then a |vocab_Q|-row agg
+      val dfq = post
+        .join(broadcast(qpost.select("tok").distinct()), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val lex = post.join(broadcast(qpost), "tok")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(broadcast(dfq), "tok")
+        .crossJoin(broadcast(nRow))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(least(col("tf"), col("qtf"))
+          * expr("(n * 1000000) div df")).as("score"))
+      rrfFuse(lexTopK(lex, 10),
+        bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk").as("rv")))
     }
   )
 
@@ -1860,6 +1906,51 @@ object Similarity {
          |    FROM post JOIN qp ON post.tok = qp.tok
          |      AND post.doc_id <> qp.query_id
          |    GROUP BY qp.query_id, post.doc_id) t WHERE rl <= 10),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |vp AS (SELECT query_id, vec_id AS doc_id, ${cosSql("qv", "v")} AS sim
+         |       FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         |vec AS (SELECT query_id, doc_id, rv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, doc_id) AS rv
+         |    FROM vp) t WHERE rv <= 10),
+         |f AS (SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+         |        coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         |        coalesce(CAST(1 AS DOUBLE) / (60 + rl), 0.0)
+         |          + coalesce(CAST(1 AS DOUBLE) / (60 + rv), 0.0) AS rrf
+         |      FROM lex FULL OUTER JOIN vec
+         |        ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+         |SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM f) r WHERE rank <= 5""".stripMargin,
+
+    // s40's oracle with the rarity weight injected into the lexical sum:
+    // the same postings, df over the query vocabulary, w = (N·10⁶) // df
+    // in pure integers (`//` and `div` both truncate on positive
+    // operands), the same rank windows and 1/(60+rank) fusion
+    "s41_hybrid_idf" ->
+      s"""WITH post AS (SELECT doc_id, tok, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |qp AS (SELECT doc_id AS query_id, tok, tf AS qtf
+         |       FROM post WHERE doc_id < 5),
+         |dfq AS (SELECT tok, count(*) AS df FROM post
+         |        WHERE tok IN (SELECT tok FROM qp) GROUP BY 1),
+         |sc AS (SELECT qp.query_id, post.doc_id,
+         |         sum(least(post.tf, qp.qtf) * ((n.n * 1000000) // dfq.df))
+         |           AS score
+         |       FROM post JOIN qp ON post.tok = qp.tok
+         |         AND post.doc_id <> qp.query_id
+         |       JOIN dfq ON dfq.tok = post.tok, n
+         |       GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id, rl FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS rl
+         |    FROM sc) t WHERE rl <= 10),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
          |vp AS (SELECT query_id, vec_id AS doc_id, ${cosSql("qv", "v")} AS sim

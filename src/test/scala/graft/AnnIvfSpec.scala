@@ -232,6 +232,58 @@ class AnnIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("s41: IDF-weighted fusion equals a hand-computed weighted ranking") {
+    // independent lexical ranking: Σ min(tf_q, tf_d) · ((N·10⁶) / df) in
+    // pure integer arithmetic, computed sequentially from the raw docs —
+    // the rarity weighting is the only delta vs the s40 pin above
+    val docRows = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docRows.length.toLong
+    val tf = docRows.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (k, v) => k -> v.length }
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, occ) => t -> occ.size.toLong }
+    def lexTop10(q: Long): Seq[(Long, Long)] = {
+      val qtf = tf(q)
+      docRows.map(_._1).filter(_ != q).flatMap { d =>
+        val s = qtf.map { case (t, c) =>
+          math.min(c, tf(d).getOrElse(t, 0)).toLong * ((n * 1000000L) / df(t))
+        }.sum
+        if (s > 0) Some(d -> s) else None
+      }.sortBy { case (d, s) => (-s, d) }.take(10).toSeq
+    }
+    val vecRank = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Similarity.defs("s41_hybrid_idf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val lexRank = lexTop10(q).zipWithIndex
+        .map { case ((d, _), i) => d -> (i + 1) }.toMap
+      val expected = (lexRank.keySet ++
+        vecRank.collect { case ((`q`, d), _) => d })
+        .map { d =>
+          val rrf = lexRank.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            vecRank.get((q, d)).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (d, rrf)
+        }.toSeq.sortBy { case (d, s) => (-s, d) }.take(5)
+      val gotQ = rows.sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"query $q: ranks must be dense")
+      assert(gotQ == expected, s"query $q: weighted fusion diverges\n$gotQ\n$expected")
+    }
+    // the weighting must MATTER on this fixture: at least one query's
+    // lexical top-10 set differs from the unweighted (s40) one, or the
+    // gate would not be isolating the idf delta at all
+    val s40Docs = Similarity.defs("s40_hybrid_rrf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s41Docs = got.map(t => (t._1, t._2)).toSet
+    assert(s40Docs != s41Docs,
+      "idf weighting changed nothing — fixture does not separate the scorers")
+  }
+
   test("s34: filtered ANN — predicate strictly enforced, exact cosines, dense ranks") {
     val got = Similarity.defs("s34_ann_filtered")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
