@@ -1952,6 +1952,58 @@ object Relational {
         .crossJoin(broadcast(grand))
         .select(col("grain"), col("n_buckets"), col("total_micro"),
           (col("total_micro") === col("grand")).cast(LongType).as("reconciles"))
+    },
+
+    // MERGEABLE QUANTILE SKETCH + its rank-error audit (VERDICT r15 item
+    // 3) — percentiles over an UNBOUNDED value domain, where the exact
+    // paths can't go at corpus scale: q33/q56's percentile() buffers
+    // every group value, and q66/w20's exact-histogram trick needs a
+    // bounded key domain. The sketch is QuantileSampleAgg's bottom-512-
+    // by-md5-hash uniform sample (the q36 KMV discipline turned on the
+    // VALUE axis): deterministic, merge-order independent — the property
+    // KLL/GK structurally lack, and the reason an order-dependent sketch
+    // can never hash-gate — and partial+final, ≤512 pairs per (map
+    // partition, type) crossing the wire. Decile cutpoints read from the
+    // sorted sample at ceil(i·n_s/10) in pure integers; the AUDIT then
+    // scores each cutpoint against the corpus — true_rank via one
+    // broadcast-cuts pass (q56's in-row fold shape) and err_ppm =
+    // |floor(true_rank·10⁶/N) − i·10⁵| in exact integer arithmetic, so
+    // the claimed DKW bound (~1.6% expected at k=512) is MEASURED in the
+    // gated output, not asserted. At 100 TB the sketch pass is the
+    // product; the audit is the evaluator a pipeline runs at onboarding.
+    "q79_quantile_sketch" -> { (s, dir) =>
+      val k = 512
+      val ev = t(s, dir, "events")
+      val smp = ev
+        .select(col("event_type"), col("value"),
+          graft.functions.HexPrefixToLong
+            .hex8(md5(col("event_id").cast(StringType))).as("hv"))
+        .groupBy("event_type")
+        .agg(graft.functions.QuantileSampleAgg.qsample(k)(
+          col("hv"), col("value")).as("smp"))
+      val cuts = smp.select(col("event_type"),
+        size(col("smp")).as("ns"),
+        expr("transform(sequence(1, 9), i -> element_at(smp," +
+          " greatest(1, CAST((i * size(smp) + 9) div 10 AS INT))))")
+          .as("cuts"))
+      ev.join(broadcast(cuts), "event_type")
+        .groupBy("event_type", "ns", "cuts")
+        .agg(count(lit(1)).as("n_events"),
+          (1 to 9).map(i => sum(when(
+            col("value") <= element_at(col("cuts"), i), 1L).otherwise(0L))
+            .as(s"r$i")): _*)
+        .select(col("event_type"), col("ns"), col("n_events"),
+          array((1 to 9).map(i => col(s"r$i")): _*).as("rks"),
+          posexplode(col("cuts")))
+        .select(col("event_type"),
+          (col("pos") + 1).cast(LongType).as("decile"),
+          col("col").as("cut_value"),
+          col("ns").cast(LongType).as("sample_n"),
+          element_at(col("rks"), (col("pos") + 1).cast(IntegerType))
+            .as("true_rank"),
+          col("n_events"),
+          expr("CAST(abs(element_at(rks, CAST(pos + 1 AS INT)) * 1000000" +
+            " div n_events - (pos + 1) * 100000) AS BIGINT)").as("err_ppm"))
     }
   )
 
@@ -2545,6 +2597,47 @@ object Relational {
         |  count(*) AS n, min(e.value) AS lo, max(e.value) AS hi
         |FROM events e JOIN cuts c ON e.event_type = c.event_type
         |GROUP BY 1, 2""".stripMargin,
+
+    // q79: the sketch replays exactly — same md5 hex fold (q36's chain),
+    // same (hv, value) rank-512 retention spelled as a window, same
+    // ceil(i·ns/10) integer cut index, same integer err_ppm; the
+    // correlated count is the rank audit (DuckDB-side spelling of the
+    // broadcast-cuts fold)
+    "q79_quantile_sketch" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH h AS (SELECT event_type, value, $hexToInt AS hv
+         |  FROM (SELECT event_type, value,
+         |          md5(CAST(event_id AS VARCHAR)) AS m FROM events) t),
+         |r AS (SELECT event_type, value,
+         |        row_number() OVER (PARTITION BY event_type
+         |          ORDER BY hv, value) AS rn
+         |      FROM h),
+         |smp AS (SELECT event_type, value FROM r WHERE rn <= 512),
+         |ns AS (SELECT event_type, count(*) AS ns FROM smp GROUP BY 1),
+         |sv AS (SELECT event_type, value,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY value) AS vr
+         |       FROM smp),
+         |cuts AS (SELECT sv.event_type, d.i AS decile, sv.value AS cut_value,
+         |           ns.ns
+         |         FROM sv JOIN ns ON sv.event_type = ns.event_type
+         |         JOIN (SELECT unnest(generate_series(1, 9)) AS i) d
+         |           ON sv.vr = greatest(1, (d.i * ns.ns + 9) // 10)),
+         |n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
+         |tr AS (SELECT c.event_type, c.decile, c.cut_value, c.ns,
+         |         (SELECT count(*) FROM events e
+         |          WHERE e.event_type = c.event_type
+         |            AND e.value <= c.cut_value) AS true_rank
+         |       FROM cuts c)
+         |SELECT tr.event_type, CAST(tr.decile AS BIGINT) AS decile,
+         |  tr.cut_value, CAST(tr.ns AS BIGINT) AS sample_n, tr.true_rank,
+         |  n.n_events,
+         |  CAST(abs(tr.true_rank * 1000000 // n.n_events
+         |    - tr.decile * 100000) AS BIGINT) AS err_ppm
+         |FROM tr JOIN n ON tr.event_type = n.event_type""".stripMargin
+    },
 
     // date_diff('day') == Spark datediff on date-truncated timestamps;
     // quantile_cont == percentile (q33)
