@@ -156,26 +156,36 @@ object Graph {
     // per round, nothing corpus-sized sorts. GraphSpec pins sequential
     // parity on a crafted two-community graph.
     "g20_label_propagation" -> { (s, dir) =>
+      lpaLabels(coOrderEdges(t(s, dir, "lineitem")))
+    },
+
+    // ONE GREEDY MODULARITY ROUND (Louvain's move phase, red/black —
+    // VERDICT r15 item 4): g26 SCORES a partition and g20 EXTRACTS one,
+    // but nothing OPTIMIZED Q — the scorer had no optimizer to grade.
+    // Seeded from g20's LPA labels, each vertex evaluates moving to its
+    // NEIGHBORING communities with the standard Louvain gain —
+    // ΔQ(v→d) ∝ k_{v,d} − k_v·Σtot_d/2m, compared across candidates in
+    // EXACT integers as 2m·k_{v,d} − k_v·(Σtot_d − [d=own]·k_v) — in
+    // TWO parity phases (even movers against the frozen labeling, odd
+    // movers against the updated one; see louvainRound for the measured
+    // 57× Q gap vs the naive synchronous round this replaced). The
+    // emitted readout is the OPTIMIZER'S CONTRACT: g26's total Q for
+    // the seed labels and for the moved labels, side by side, so
+    // ΔQ > 0 is in the gated output (and pinned ≥ in GraphSpec).
+    // Scale: per phase, one vote-shaped shuffle for k_{v,d}
+    // (edge-linear, g13's shape), |communities|-row tot, per-vertex
+    // argmax over a DEGREE-bounded candidate set (never a corpus
+    // window), then two g26 scoring passes — a Louvain round costs two
+    // LPA rounds, at any corpus.
+    "g27_louvain_round" -> { (s, dir) =>
       val e = coOrderEdges(t(s, dir, "lineitem"))
-      val sym = e.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
-      var labels = sym.select(col("src").as("v")).distinct()
-        .withColumn("lbl", col("v")).localCheckpoint()
-      for (_ <- 1 to 3) {
-        labels = sym
-          .join(labels.select(col("v").as("dst"), col("lbl").as("nl")),
-            Seq("dst"))
-          .groupBy(col("src").as("v"), col("nl"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("v")
-              .orderBy(col("c").desc, col("nl"))))
-          .filter(col("rk") === 1)
-          .select(col("v"), col("nl").as("lbl"))
-          .localCheckpoint()
-      }
-      labels
+      val lpa = lpaLabels(e).localCheckpoint() // scored AND seeds the moves
+      val moved = louvainRound(e, lpa)
+      modularityTotal(e, lpa)
+        .select(lit("lpa").as("method"), col("n_communities"), col("q_ppb"))
+        .unionAll(modularityTotal(e, moved)
+          .select(lit("louvain1").as("method"), col("n_communities"),
+            col("q_ppb")))
     },
 
     // DEGREE ASSORTATIVITY — the one-number graph-health readout (Newman
@@ -972,6 +982,119 @@ object Graph {
       .agg(count(lit(1)).as("support"))
   }
 
+  /** g20's three synchronous LPA rounds, factored so g27's move round
+    * seeds from the IDENTICAL labeling (one spelling, or the extractor
+    * and the optimizer drift). Each vertex starts as its own label and
+    * per round adopts the mode of its neighbors' labels under the
+    * (count DESC, label ASC) total tie-break; rounds checkpointed flat
+    * (the g2/g6 lineage discipline). Returns (v, lbl). */
+  private[graft] def lpaLabels(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    for (_ <- 1 to 3) {
+      labels = sym
+        .join(labels.select(col("v").as("dst"), col("lbl").as("nl")),
+          Seq("dst"))
+        .groupBy(col("src").as("v"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("v").orderBy(col("c").desc, col("nl"))))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("nl").as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Total Newman Q of a (v, lbl) labeling over edge list `e`, in g26's
+    * exact arithmetic: per community, (intra·10⁹) div m − (D_c²·10⁹) div
+    * (4m²) on DECIMAL(38,0) products floored to BIGINT, then summed —
+    * the one-row readout g27 emits for both its partitions. Corpus work
+    * is two edge-linear endpoint-label joins; everything after is
+    * |communities|-row. Returns (n_communities, q_ppb). */
+  private[graft] def modularityTotal(e: DataFrame, labels: DataFrame): DataFrame = {
+    val m = e.agg(count(lit(1)).as("m"))
+    val intra = e
+      .join(labels.select(col("v").as("a"), col("lbl").as("ca")), "a")
+      .join(labels.select(col("v").as("b"), col("lbl").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degc = degrees(e).join(labels, "v")
+      .groupBy(col("lbl").as("community"))
+      .agg(sum("d").cast(LongType).as("deg_sum"))
+    degc.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(expr("CAST((CAST(coalesce(intra_edges, 0) AS DECIMAL(38,0))" +
+        " * 1000000000) div m" +
+        " - (CAST(deg_sum AS DECIMAL(38,0)) * deg_sum * 1000000000)" +
+        " div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)").as("q_ppb"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum("q_ppb").cast(LongType).as("q_ppb"))
+  }
+
+  /** One Louvain move round over labeling `labels0`, as TWO parity
+    * phases (red/black Gauss-Seidel): even vertices adopt their best
+    * move against the frozen labeling, then odd vertices against the
+    * UPDATED one. Per phase every vertex ranks its neighboring
+    * communities plus its own by the exact-integer gain
+    * 2m·k_{v,d} − k_v·(Σtot_d − [d=own]·k_v) (g26's arithmetic without
+    * the ppb scaling — a rank needs only monotonicity), preferring to
+    * STAY on ties (move only on strict improvement, Louvain's rule).
+    * Why phased: the pure synchronous (Jacobi) round moves every vertex
+    * on STALE state and the gains stop composing — measured at sf0.01,
+    * Jacobi DROPS Q 7.61M → 4.69M ppb where red/black lifts it to
+    * 270.5M (the pairwise-swap/pile-on pathology the parallel-Louvain
+    * literature splits rounds to avoid); both phases stay deterministic
+    * (a parity set moves against a frozen complement — no arrival-order
+    * nondeterminism, so the gate hashes). DECIMAL(38,0) keeps 2m·k
+    * exact past int64 at corpus scale (g22's discipline). Candidate
+    * sets are degree-bounded; no corpus windows. Returns (v, lbl). */
+  private[graft] def louvainRound(e: DataFrame, labels0: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint() // both phases probe it
+    val deg = degrees(e).localCheckpoint()
+    val m = e.agg(count(lit(1)).as("m"))
+    def phase(labels: DataFrame, par: Int): DataFrame = {
+      val tot = deg.join(labels, "v")
+        .groupBy(col("lbl").as("cl")).agg(sum("d").cast(LongType).as("tot"))
+      val kid = sym
+        .join(labels.select(col("v").as("dst"), col("lbl").as("cl")),
+          Seq("dst"))
+        .groupBy(col("src").as("v"), col("cl"))
+        .agg(count(lit(1)).as("kid"))
+      // staying is always a candidate, even with no intra neighbor: the
+      // own community rides in with k_{v,own} = 0 and max() collapses
+      // the duplicate when an intra neighbor already put it there
+      val cand = kid
+        .unionByName(labels.select(col("v"), col("lbl").as("cl"),
+          lit(0L).as("kid")))
+        .groupBy("v", "cl").agg(max("kid").as("kid"))
+      val w = Window.partitionBy("v").orderBy(col("gain").desc,
+        when(col("cl") === col("own"), 0).otherwise(1), col("cl"))
+      cand
+        .join(deg.select(col("v"), col("d").as("kv")), "v")
+        .join(labels.select(col("v"), col("lbl").as("own")), "v")
+        .join(tot, "cl")
+        .crossJoin(broadcast(m))
+        .select(col("v"), col("cl"), col("own"),
+          expr("2 * CAST(m AS DECIMAL(38,0)) * kid" +
+            " - CAST(kv AS DECIMAL(38,0))" +
+            " * (tot - (CASE WHEN cl = own THEN kv ELSE 0 END))").as("gain"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v"),
+          when(col("v") % 2 === par, col("cl")).otherwise(col("own"))
+            .as("lbl"))
+        .localCheckpoint() // phase 2 + both scoring passes read it
+    }
+    phase(phase(labels0, 0), 1)
+  }
+
   /** `rounds` peeling rounds toward the k-core: directed edge list after
     * repeatedly dropping vertices of degree < k. Package-private so
     * GraphSpec can pin the fixpoint claim (round N == round N+1). */
@@ -1002,6 +1125,22 @@ object Graph {
       |deg AS (SELECT v, count(*) AS d
       |        FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) t
       |        GROUP BY v)""".stripMargin
+
+  /** g20's three LPA rounds as CTEs (requires `sym` and `deg` in scope) —
+    * shared by the g20 oracle and g27's seed so the extractor and the
+    * optimizer can never drift apart. */
+  private val lpaSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""l$i AS (SELECT v, nl AS lbl FROM (
+         |         SELECT s.src AS v, l.lbl AS nl, count(*) AS c,
+         |           row_number() OVER (PARTITION BY s.src
+         |             ORDER BY count(*) DESC, l.lbl) AS rk
+         |         FROM sym s JOIN l${i - 1} l ON s.dst = l.v
+         |         GROUP BY s.src, l.lbl) t WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS (SELECT v, v AS lbl FROM deg),
+       |$rounds""".stripMargin
+  }
 
   /** One integer PageRank step as a SQL CTE pair: s<i> sums floor-divided
     * contributions over directed edges; r<i> applies damping in the same
@@ -1086,31 +1225,77 @@ object Graph {
 
     // three synchronous mode-adoption rounds, each a join + group +
     // row_number argmax under the SAME (count DESC, label ASC) total
-    // tie-break as the Spark window
+    // tie-break as the Spark window (lpaSql — the block g27's oracle
+    // seeds from, one spelling)
     "g20_label_propagation" ->
       s"""WITH $graphSql,
         |sym AS (SELECT a AS src, b AS dst FROM edges
         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
-        |l0 AS (SELECT v, v AS lbl FROM deg),
-        |l1 AS (SELECT v, nl AS lbl FROM (
-        |         SELECT s.src AS v, l.lbl AS nl, count(*) AS c,
-        |           row_number() OVER (PARTITION BY s.src
-        |             ORDER BY count(*) DESC, l.lbl) AS rk
-        |         FROM sym s JOIN l0 l ON s.dst = l.v
-        |         GROUP BY s.src, l.lbl) t WHERE rk = 1),
-        |l2 AS (SELECT v, nl AS lbl FROM (
-        |         SELECT s.src AS v, l.lbl AS nl, count(*) AS c,
-        |           row_number() OVER (PARTITION BY s.src
-        |             ORDER BY count(*) DESC, l.lbl) AS rk
-        |         FROM sym s JOIN l1 l ON s.dst = l.v
-        |         GROUP BY s.src, l.lbl) t WHERE rk = 1),
-        |l3 AS (SELECT v, nl AS lbl FROM (
-        |         SELECT s.src AS v, l.lbl AS nl, count(*) AS c,
-        |           row_number() OVER (PARTITION BY s.src
-        |             ORDER BY count(*) DESC, l.lbl) AS rk
-        |         FROM sym s JOIN l2 l ON s.dst = l.v
-        |         GROUP BY s.src, l.lbl) t WHERE rk = 1)
+        |$lpaSql
         |SELECT v, lbl FROM l3""".stripMargin,
+
+    // the same LPA seed (lpaSql), the same exact-integer gain rank
+    // 2m·k_{v,d} − k_v·(Σtot_d − [d=own]·k_v) with the same stay-on-ties
+    // ordering, the same two parity phases (even movers first, phase 2
+    // recomputed from phase 1's output), and g26's Q arithmetic applied
+    // to both labelings — HUGEINT mirrors DECIMAL(38,0), `//` mirrors
+    // div on positive floors
+    "g27_louvain_round" -> {
+      // one parity phase: recompute tot/k_{v,d}/candidates/gains from
+      // `inLbl`, rank, and let only v % 2 = par adopt its argmax
+      def moveSql(inLbl: String, out: String, par: Int) =
+        s"""tot_$out AS (SELECT $inLbl.lbl AS cl,
+           |    CAST(sum(deg.d) AS BIGINT) AS tot
+           |  FROM deg JOIN $inLbl ON deg.v = $inLbl.v GROUP BY 1),
+           |kid_$out AS (SELECT s.src AS v, l.lbl AS cl, count(*) AS kid
+           |  FROM sym s JOIN $inLbl l ON s.dst = l.v GROUP BY 1, 2),
+           |cand_$out AS (SELECT v, cl, max(kid) AS kid FROM (
+           |    SELECT v, cl, kid FROM kid_$out
+           |    UNION ALL SELECT v, lbl AS cl, 0 AS kid FROM $inLbl) u
+           |  GROUP BY 1, 2),
+           |sc_$out AS (SELECT c.v, c.cl, o.lbl AS own,
+           |    2 * CAST(m.m AS HUGEINT) * c.kid
+           |      - CAST(deg.d AS HUGEINT)
+           |        * (t.tot - (CASE WHEN c.cl = o.lbl THEN deg.d ELSE 0 END))
+           |      AS gain
+           |  FROM cand_$out c JOIN deg ON c.v = deg.v
+           |       JOIN $inLbl o ON c.v = o.v
+           |       JOIN tot_$out t ON c.cl = t.cl
+           |  CROSS JOIN m),
+           |$out AS (SELECT v,
+           |    CASE WHEN v % 2 = $par THEN cl ELSE own END AS lbl
+           |  FROM (SELECT v, cl, own, row_number() OVER (PARTITION BY v
+           |          ORDER BY gain DESC,
+           |            CASE WHEN cl = own THEN 0 ELSE 1 END, cl) AS rk
+           |        FROM sc_$out) t WHERE rk = 1)""".stripMargin
+      def qSql(lbl: String, tag: String) =
+        s"""intra_$tag AS (SELECT la.lbl AS community, count(*) AS intra
+           |  FROM edges JOIN $lbl la ON edges.a = la.v
+           |              JOIN $lbl lb ON edges.b = lb.v
+           |  WHERE la.lbl = lb.lbl GROUP BY 1),
+           |degc_$tag AS (SELECT l.lbl AS community,
+           |    CAST(sum(deg.d) AS BIGINT) AS deg_sum
+           |  FROM deg JOIN $lbl l ON deg.v = l.v GROUP BY 1),
+           |q_$tag AS (SELECT count(*) AS n_communities,
+           |    CAST(sum((CAST(coalesce(i.intra, 0) AS HUGEINT) * 1000000000) // m.m
+           |      - (CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum * 1000000000)
+           |        // (4 * CAST(m.m AS HUGEINT) * m.m)) AS BIGINT) AS q_ppb
+           |  FROM degc_$tag dc LEFT JOIN intra_$tag i
+           |    ON dc.community = i.community
+           |  CROSS JOIN m)""".stripMargin
+      s"""WITH $graphSql,
+        |sym AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |$lpaSql,
+        |m AS (SELECT count(*) AS m FROM edges),
+        |${moveSql("l3", "p0", 0)},
+        |${moveSql("p0", "p1", 1)},
+        |${qSql("l3", "a")},
+        |${qSql("p1", "b")}
+        |SELECT 'lpa' AS method, n_communities, q_ppb FROM q_a
+        |UNION ALL
+        |SELECT 'louvain1' AS method, n_communities, q_ppb FROM q_b""".stripMargin
+    },
 
     "g15_bfs_layers" ->
       s"""WITH $graphSql,

@@ -679,6 +679,38 @@ class GraphSpec extends AnyFunSuite {
       s"${(got.toSet diff lbl.toSet).take(5)} / ${(lbl.toSet diff got.toSet).take(5)}")
   }
 
+  test("g27: one red/black Louvain round never lowers Q below its LPA seed") {
+    // the optimizer's contract (VERDICT r15 item 4): g26's Q for the
+    // moved labels must be >= the seed's, on a crafted random graph AND
+    // on the real gate corpus (where the naive synchronous variant this
+    // replaced measurably LOWERED Q — see louvainRound's scaladoc)
+    val rnd = new scala.util.Random(23) // the g20 fixture's graph
+    val edges = (1 to 150).map { _ =>
+      val a = rnd.nextInt(60) + 1L; val b = rnd.nextInt(60) + 1L
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val d = edgeFixture(edges, "louvain")
+    val got = Graph.defs("g27_louvain_round")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set("lpa", "louvain1"))
+    assert(got("louvain1")._2 >= got("lpa")._2,
+      s"the optimizer lowered Q on the fixture: $got")
+    val real = Graph.defs("g27_louvain_round")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(real("louvain1") > real("lpa"), s"sf0.001 must show ΔQ > 0: $real")
+    // the move round is a relabeling of the SAME vertex set, and
+    // deterministic under re-execution (no arrival-order dependence)
+    val e = Graph.coOrderEdges(graft.sources.Tables.load(spark, d, "lineitem"))
+    val lpa = Graph.lpaLabels(e).localCheckpoint()
+    val m1 = Graph.louvainRound(e, lpa).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = Graph.louvainRound(e, lpa).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vs = lpa.collect().map(_.getLong(0)).toSet
+    assert(m1.keySet == vs, "moves must relabel exactly the vertex set")
+    assert(m1 == m2, "the phased round must be deterministic")
+  }
+
   test("perSeedBfs: 64 seeds batched 8 at a time == one unbatched wave (seed-axis knob)") {
     // VERDICT r10 item 3: the seed axis must be batchable with no result
     // change. Fixture: a 2-row × 100-column grid (each vertex joined to its
