@@ -1711,6 +1711,15 @@ object TextOps {
         .select(col("gen"),
           when(col("language").isNotNull, "renamed")
             .when(col("quality").isNotNull, "extended")
+            // a row whose drift columns are ALL null is value-
+            // indistinguishable (a gen-2 row with a null corpus lang has
+            // a null language too; a gen-1 row with a null n_chars has a
+            // null quality): fall back to the hive provenance key so the
+            // classification stays TOTAL — observed values first, gen
+            // tiebreak only for the all-null residue (ADVICE r15; the
+            // d38 null-doc-id hazard class)
+            .when(col("gen") === 2, "renamed")
+            .when(col("gen") === 1, "extended")
             .otherwise("baseline").as("drift_class"),
           col("lang"), col("language"), col("doc_id"), col("n_chars"))
         .groupBy("gen", "drift_class")
@@ -2857,7 +2866,10 @@ object TextOps {
     // the three generations restated from the parquet twin (gen =
     // doc_id % 3): the renamed shard's contract column reads null and
     // recovers via the corpus lang; the widened shard's INT32 values
-    // sum identically once promoted — both facts the hash gate proves
+    // sum identically once promoted — both facts the hash gate proves.
+    // n_contract_nulled mirrors the read-side truth: the contract lang
+    // is null for every renamed row AND for any row whose corpus lang
+    // was null to begin with (ADVICE r15's null-robustness)
     "t43_schema_evolution_audit" ->
       """WITH g AS (SELECT doc_id, lang, n_chars, doc_id % 3 AS gen
         |           FROM documents)
@@ -2865,8 +2877,8 @@ object TextOps {
         |  CASE gen WHEN 2 THEN 'renamed' WHEN 1 THEN 'extended'
         |       ELSE 'baseline' END AS drift_class,
         |  count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_contract_nulled,
+        |  CAST(sum(CASE WHEN gen = 2 OR lang IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contract_nulled,
         |  CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_recovered,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -913,9 +913,10 @@ object StreamingSessionize {
     // mid-stream the superset contract is the ONLY posture that keeps
     // consuming — old shards read with nulls in the new columns, drifted
     // shards classify and recover at arrival, and the complete-mode sink
-    // holds the running per-class conformance dashboard. The oracle is
-    // t43's restated per class (gen dropped — on the stream provenance
-    // is the arrival itself), so batch and stream can never disagree.
+    // holds the running per-class conformance dashboard. Shards arrive
+    // under their gen=N hive dirs (t43's lake layout — the provenance
+    // the all-null-drift tiebreak needs); the oracle is t43's restated
+    // per class, so batch and stream can never disagree.
     "x35_stream_schema_drift" -> { (s, dir) =>
       val stage = schemaDriftStage(s, dir)
       runToCompletion(s, stage, schemaDriftAudit,
@@ -1181,7 +1182,10 @@ object StreamingSessionize {
     * single-schema stream files under one watched dir (a real feed ships
     * one schema per shard; drift happens ACROSS arrivals): gen0 the
     * baseline contract, gen1 with the added `quality` column, gen2 with
-    * `lang` renamed to `language`. Keyed beside x32/x34's stages. */
+    * `lang` renamed to `language` — each under its `gen=N/` hive subdir,
+    * the free provenance t43's lake layout carries (the superset read
+    * surfaces it, and the audit's all-null-drift tiebreak needs it —
+    * ADVICE r15). Keyed beside x32/x34's stages. */
   private def schemaDriftStage(s: SparkSession, dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -1192,7 +1196,9 @@ object StreamingSessionize {
       val tmp = new java.io.File(stage, s"gen$g-tmp")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
       val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(stage, s"gen$g.parquet")
+      val genDir = new java.io.File(stage, s"gen=$g")
+      genDir.mkdirs()
+      val dst = new java.io.File(genDir, s"gen$g.parquet")
       if (dst.exists()) dst.delete(): Unit
       Files.move(part.toPath, dst.toPath)
       Option(tmp.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
@@ -1219,6 +1225,7 @@ object StreamingSessionize {
   private[graft] val driftSupersetSchema: StructType =
     graft.operators.TextOps.crawlSchema
       .add("quality", LongType).add("language", StringType)
+      .add("gen", LongType) // populated from the hive dir by the source
 
   /** x35's transform: t43's classification + recovery at arrival — per
     * trigger each row classifies from OBSERVED values (never from file
@@ -1231,6 +1238,13 @@ object StreamingSessionize {
       .select(
         when(col("language").isNotNull, "renamed")
           .when(col("quality").isNotNull, "extended")
+          // all-null drift columns are value-indistinguishable (a gen-2
+          // row with a null corpus lang reads like a null-lang baseline
+          // row); the hive provenance key breaks the tie — observed
+          // values first, gen fallback only for the all-null residue
+          // (t43's rule, shared — ADVICE r15)
+          .when(col("gen") === 2, "renamed")
+          .when(col("gen") === 1, "extended")
           .otherwise("baseline").as("drift_class"),
         col("lang"), col("language"), col("doc_id"), col("n_chars"))
       .groupBy("drift_class")
@@ -1682,8 +1696,8 @@ object StreamingSessionize {
         |SELECT CASE gen WHEN 2 THEN 'renamed' WHEN 1 THEN 'extended'
         |       ELSE 'baseline' END AS drift_class,
         |  count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_contract_nulled,
+        |  CAST(sum(CASE WHEN gen = 2 OR lang IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contract_nulled,
         |  CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_recovered,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -230,6 +230,39 @@ class SourceFormatSpec extends AnyFunSuite {
       "conforming shards are untouched by the recovery")
   }
 
+  test("t43/x35: null contract values cannot split the drift classification") {
+    // ADVICE r15: a gen-1 row with a null n_chars has a null quality and
+    // a gen-2 row with a null lang has a null language — both read as
+    // value-indistinguishable from baseline. The gen tiebreak (observed
+    // values first, provenance for the all-null residue) must keep the
+    // classification TOTAL on both the batch and the stream path.
+    import org.apache.spark.sql.Row
+    val d = Files.createTempDirectory("t43-nulls").toString
+    val rows = (0L until 12L).map { i =>
+      Row(i, "alpha beta",
+        if (i >= 3 && i <= 5) null else "en", // one null lang per gen
+        s"src${i % 2}",
+        if (i >= 6 && i <= 8) null // one null n_chars per gen
+        else java.lang.Long.valueOf(100 + i))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      graft.operators.TextOps.crawlSchema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val batch = graft.operators.TextOps
+      .defs("t43_schema_evolution_audit")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch.keySet == Set((0L, "baseline"), (1L, "extended"),
+      (2L, "renamed")), s"null drift values split the classes: $batch")
+    assert(batch.values.toSeq == Seq.fill(3)(4L),
+      s"every generation keeps all 4 rows: $batch")
+    val stream = graft.streaming.StreamingSessionize
+      .defs("x35_stream_schema_drift")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stream == Map("baseline" -> 4L, "extended" -> 4L,
+      "renamed" -> 4L), s"stream classification diverged: $stream")
+  }
+
   test("DROPMALFORMED is the silent-drop alternative the default path refuses") {
     // document the failure mode the audit exists to prevent: DROPMALFORMED
     // returns only the well-formed rows and the torn lines vanish without
