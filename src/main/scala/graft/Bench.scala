@@ -126,7 +126,14 @@ object Bench {
       once()
       (1 to 3).map(_ => once()).sorted.apply(1)
     }
-    val calibrationCkpt = scala.util.Try(calibrateCkpt()).getOrElse(-1.0)
+    val calibrationCkpt = scala.util.Try(calibrateCkpt()).recover {
+      case e: Throwable =>
+        // same degrade-with-cause contract as the scan probe: a -1 in
+        // calibration_ckpt must be diagnosable from stderr (ADVICE r15 —
+        // the first scan probe's silent -1 cost a round to diagnose)
+        System.err.println(s"bench: checkpoint calibration probe failed: $e")
+        -1.0
+    }.get
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -2051,8 +2051,14 @@ object Relational {
     * holds ≤ [[seqMatchCap]] structs however hot the key) beside the
     * full event count. Input: (user_id, o struct<ms,event_id,i>). */
   private[graft] def seqMatch(e: DataFrame): DataFrame = {
+    // the journey symbol `i` joins the ORDER BY (ADVICE r15): the cap's
+    // prefix rule needs a TOTAL order, and on a frame where (ms,
+    // event_id) can tie, rows tying on all three struct fields are
+    // identical — whichever copies land inside the cap, the kept
+    // multiset (and so the journey string) is the same, making rn's
+    // residual arbitrariness unobservable
     val w = Window.partitionBy("user_id")
-      .orderBy(col("o.ms"), col("o.event_id"))
+      .orderBy(col("o.ms"), col("o.event_id"), col("o.i"))
     e.withColumn("rn", row_number().over(w))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
@@ -2869,11 +2875,11 @@ object Relational {
       s"""WITH e AS (SELECT user_id, substr(event_type, 1, 1) AS i,
         |             epoch_ms(ts) AS ms, event_id,
         |             row_number() OVER (PARTITION BY user_id
-        |               ORDER BY epoch_ms(ts), event_id) AS rn
+        |               ORDER BY epoch_ms(ts), event_id, substr(event_type, 1, 1)) AS rn
         |           FROM events),
         |j AS (SELECT user_id, count(*) AS n_events,
         |        string_agg(CASE WHEN rn <= $seqMatchCap THEN i END, ''
-        |          ORDER BY ms, event_id) AS j
+        |          ORDER BY ms, event_id, i) AS j
         |      FROM e GROUP BY user_id)
         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
         |  CAST(len(regexp_extract_all(j, 'vc*p')) AS BIGINT) AS n_conv

@@ -209,6 +209,17 @@ object Similarity {
       .localCheckpoint() // read once per round — never rebuilt
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // EMPTY-BUCKET CONTRACT (ADVICE r15): the entry point is the min-id
+    // index vector sharing the query's EXACT bucket. Under an idxFilter
+    // whose predicate empties that bucket, the inner join drops the
+    // query and it emits ZERO rows — deliberate: an index probe that
+    // finds no co-bucketed entry inside the tenant/license subset
+    // surfaces "no entry" rather than walking from an arbitrary far
+    // node (both engines agree — the oracle's en CTE is the same inner
+    // join — so the gate stays exact). Per-query completeness is
+    // therefore data-dependent; AnnIvfSpec pins that every gate query
+    // survives the s39 predicate at the gate SFs, so a fixture regen
+    // that empties a bucket trips a spec, not a silent 20-row gate.
     val entry = ball.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("bucket").as("qbk"))
       .join(b.select(col("vec_id"), col("bucket")), col("bucket") === col("qbk"))

@@ -169,6 +169,12 @@ class AnnIvfSpec extends AnyFunSuite {
     val got = Similarity.defs("s39_ann_beam_filtered")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.nonEmpty)
+    // the empty-bucket contract's tripwire (ADVICE r15): a query whose
+    // exact bucket holds no predicate-satisfying vector emits no rows —
+    // legal, but if a fixture regen ever empties a gate query's bucket
+    // this assert flags it instead of a silently thinner gate
+    assert(got.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+      s"every gate query must survive the filter: ${got.map(_._1).distinct.sorted.toSeq}")
     // the pre-filter must be airtight: the walk can never surface an
     // excluded node, because excluded nodes were never indexed
     got.foreach { case (q, n, _, _) =>
