@@ -52,7 +52,8 @@ object ScaleSmoke {
     val needsDocs = names.exists(n =>
       n.startsWith("d") || n.startsWith("t") || n.startsWith("w") ||
         n.startsWith("m") || // multimodal queries are documents-backed too
-        n == "s40_hybrid_rrf") // hybrid reads docs (lexical) + embeddings
+        // the hybrids read docs (lexical side) + embeddings (vector side)
+        n == "s40_hybrid_rrf" || n == "s41_hybrid_idf")
     val needsEmb = names.exists(_.startsWith("s"))
     // g25 reads orders TOO (the bipartite customer->part graph) — it runs
     // on the star-join facts branch below, where customers and parts stay
