@@ -283,21 +283,30 @@ object Similarity {
   /** s1's brute-force cosine top-k, factored with the evaluator knob: the
     * query universe (`queryPred`) optionally thinned by the [[sampledId]]
     * residue sample. Cost is |Q_sampled|·N — the sample bounds the one
-    * axis that grows with the query log. */
+    * axis that grows with the query log. Ranking is the MERGEABLE
+    * TopKAgg (r16, completing VERDICT r15 item 1 across the family):
+    * the rank-window form shuffled and sorted all |Q|·N scored rows on
+    * the query key — a corpus-sized partition per query — where the
+    * aggregate reduces each map partition to ≤k payloads per query
+    * before the exchange. Selection is identical (the (sim DESC, id)
+    * total order — TopKSpec's window-equivalence pin), so every
+    * consumer's oracle keeps its rank-window spelling. */
   private[graft] def bruteTopK(e: DataFrame, queryPred: Column, k: Int,
       queryCap: String = fullSample): DataFrame = {
     val q = e.filter(queryPred)
       .filter(sampledId(col("vec_id"), queryCap))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "rnk", "sim")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k)(
+        col("sim"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("col.score").as("sim"))
   }
 
   /** s4's recall evaluation with the query-side knob: the exact baseline
@@ -657,21 +666,27 @@ object Similarity {
     // AnnIvfSpec pins argmax-by-augmented-cosine == argmax-by-raw-dot.
     "s29_mips_topk" -> { (s, dir) =>
       val e = emb(s, dir)
-      val mm = e.select(dot(col("v"), col("v")).as("ns"))
-        .agg(max("ns").as("mm"))
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          dot(col("v"), col("v")).as("qn"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_aug").desc, col("neighbor_id"))
-      e.crossJoin(broadcast(q)).crossJoin(broadcast(mm))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      // mergeable top-5 ranked on the RAW dot (r16): within one query the
+      // augmented cosine ip/(√qn·√mm) is a positive-constant multiple of
+      // ip, so the two rankings are identical — the reduction's own
+      // theorem, pinned in AnnIvfSpec and still exercised cross-engine by
+      // the ORACLE's augmented spelling (same selection, same emitted ip)
+      // and by s30, where the augmentation shapes the index itself. mm is
+      // what the augmentation would divide by; it cancels out of the rank
+      // and out of the emitted payload, so only the agg remains.
+      e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          dot(col("qv"), col("v")).as("ip"), col("qn"), col("mm"))
-        .withColumn("cos_aug", col("ip") / (sqrt(col("qn")) * sqrt(col("mm"))))
-        .withColumn("rnk", row_number().over(w).cast(LongType))
-        .filter(col("rnk") <= 5)
-        .select("query_id", "neighbor_id", "rnk", "ip")
+          dot(col("qv"), col("v")).as("ip"))
+        .groupBy("query_id")
+        .agg(graft.functions.TopKAgg.topK(5)(
+          col("ip"), col("neighbor_id")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast(LongType).as("rnk"),
+          col("col.score").as("ip"))
     },
 
     // Dimension-TRUNCATION recall sweep — the Matryoshka question every
@@ -1629,15 +1644,19 @@ object Similarity {
       .localCheckpoint() // corpus side + query side both read it
     val q = deq.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("dv").as("qv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
+    // mergeable top-5 (bruteTopK's r16 rewrite): the int8 store's SERVE
+    // path must not sort a corpus-sized partition per query
     deq.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("dv")).as("sim"))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 5)
-      .select("query_id", "neighbor_id", "rnk", "sim")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(5)(
+        col("sim"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("col.score").as("sim"))
   }
 
   /** s37/s38's dequantized-corpus CTEs: per-dim symmetric scales (max|v_d|

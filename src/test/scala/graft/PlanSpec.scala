@@ -73,13 +73,24 @@ class PlanSpec extends AnyFunSuite {
     // q7 is deliberately absent: its rank filter sits above a SECOND window
     // (the running spend over all of the customer's rows), so pushing a
     // group limit below it would be semantically wrong and Catalyst
-    // correctly leaves it alone.
-    Seq(Similarity.defs("s1_knn_brute"), Similarity.defs("s9_pq_ann"),
-      TextOps.defs("t8_tfidf"))
+    // correctly leaves it alone. s1 left this list in r16: its ranking is
+    // the mergeable TopKAgg now, pinned below to have NO window at all —
+    // strictly stronger than a group-limited one.
+    Seq(Similarity.defs("s9_pq_ann"), TextOps.defs("t8_tfidf"))
       .foreach { q =>
         val p = plan(q(spark, dir))
         assert(p.contains("WindowGroupLimit"), p)
       }
+  }
+
+  test("s1's brute top-k plans as a mergeable aggregate — no candidate window") {
+    // VERDICT r15 item 1 applied to the family's exact baseline: the
+    // |Q|·N scored rows reduce map-side to ≤k payloads per query; the
+    // rank-window spelling (one corpus-sized sort partition per query)
+    // must not reappear
+    val p = plan(Similarity.defs("s1_knn_brute")(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("q35 binned range join is an equi-join, never a nested loop") {
