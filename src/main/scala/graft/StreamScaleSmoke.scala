@@ -123,7 +123,8 @@ object StreamScaleSmoke {
       "x19a_topk_append", "x24a_kmv_append", "x3_stream_interval_join",
       "x8_stream_left_join", "x13_stream_full_outer",
       "x11_stream_funnel", "x30_stream_asof_nearest",
-      "x31_stream_cdc_apply", "x33_stream_dedup_bounded").contains(n))
+      "x31_stream_cdc_apply", "x33_stream_dedup_bounded",
+      "x36_stream_quantile").contains(n))
     val needPit = names.contains("x26_stream_pit_enrich")
     val needDocs = names.contains("x17a_decontam_stateless")
     val needMalformed = names.contains("x32_stream_malformed_audit")
@@ -297,6 +298,17 @@ object StreamScaleSmoke {
       }),
       "x26_stream_pit_enrich" -> (() =>
         run(dirPit, StreamingSessionize.pitEnrich(spark, dirPit), "ssm-x26")),
+      // live quantile sketch: state is the QuantileSampleAgg buffer —
+      // ≤512 (hv, value) pairs per type at ANY volume; the readout
+      // proves the dashboard's state never tracks the stream
+      "x36_stream_quantile" -> (() => {
+        StreamingSessionize.runToCompletion(spark, dirGeneric,
+            StreamingSessionize.quantileLive, outputMode = "complete",
+            sinkName = "ssm-x36", sourceOptions = mb,
+            sourceGlob = "events*.parquet",
+            sinkTransform = StreamingSessionize.quantileCuts)
+          .write.format("noop").mode("overwrite").save()
+      }),
       // ingest-health totals: state is ONE 5-long row at any volume —
       // the readout proves the audit adds no per-record state
       "x32_stream_malformed_audit" -> (() => {

@@ -2127,6 +2127,34 @@ object Relational {
     * strictly after it → first purchase within 24 h strictly after that),
     * shared between q42's oracle and the streaming x11 oracle
     * (StreamingSessionize) so the attribution rule is spelled once. */
+  /** q79/x36's shared oracle prefix — hash → rank-512 (hv, value)
+    * retention → sorted-sample decile cutpoints (CTEs h/r/smp/ns/sv/
+    * cuts) — one spelling so the batch sketch and its streaming twin
+    * can never drift. */
+  private[graft] val quantileCutsSql: String = {
+    val hexToInt = (0 until 8).map { i =>
+      s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+    }.mkString(" + ")
+    s"""h AS (SELECT event_type, value, $hexToInt AS hv
+       |  FROM (SELECT event_type, value,
+       |          md5(CAST(event_id AS VARCHAR)) AS m FROM events) t),
+       |r AS (SELECT event_type, value,
+       |        row_number() OVER (PARTITION BY event_type
+       |          ORDER BY hv, value) AS rn
+       |      FROM h),
+       |smp AS (SELECT event_type, value FROM r WHERE rn <= 512),
+       |ns AS (SELECT event_type, count(*) AS ns FROM smp GROUP BY 1),
+       |sv AS (SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |           ORDER BY value) AS vr
+       |       FROM smp),
+       |cuts AS (SELECT sv.event_type, d.i AS decile, sv.value AS cut_value,
+       |           ns.ns
+       |         FROM sv JOIN ns ON sv.event_type = ns.event_type
+       |         JOIN (SELECT unnest(generate_series(1, 9)) AS i) d
+       |           ON sv.vr = greatest(1, (d.i * ns.ns + 9) // 10))""".stripMargin
+  }
+
   private[graft] val funnelChainSql: String =
     """e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
       |w1 AS (SELECT user_id, event_type, ms,
@@ -2609,28 +2637,8 @@ object Relational {
     // ceil(i·ns/10) integer cut index, same integer err_ppm; the
     // correlated count is the rank audit (DuckDB-side spelling of the
     // broadcast-cuts fold)
-    "q79_quantile_sketch" -> {
-      val hexToInt = (0 until 8).map { i =>
-        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
-      }.mkString(" + ")
-      s"""WITH h AS (SELECT event_type, value, $hexToInt AS hv
-         |  FROM (SELECT event_type, value,
-         |          md5(CAST(event_id AS VARCHAR)) AS m FROM events) t),
-         |r AS (SELECT event_type, value,
-         |        row_number() OVER (PARTITION BY event_type
-         |          ORDER BY hv, value) AS rn
-         |      FROM h),
-         |smp AS (SELECT event_type, value FROM r WHERE rn <= 512),
-         |ns AS (SELECT event_type, count(*) AS ns FROM smp GROUP BY 1),
-         |sv AS (SELECT event_type, value,
-         |         row_number() OVER (PARTITION BY event_type
-         |           ORDER BY value) AS vr
-         |       FROM smp),
-         |cuts AS (SELECT sv.event_type, d.i AS decile, sv.value AS cut_value,
-         |           ns.ns
-         |         FROM sv JOIN ns ON sv.event_type = ns.event_type
-         |         JOIN (SELECT unnest(generate_series(1, 9)) AS i) d
-         |           ON sv.vr = greatest(1, (d.i * ns.ns + 9) // 10)),
+    "q79_quantile_sketch" ->
+      s"""WITH $quantileCutsSql,
          |n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
          |tr AS (SELECT c.event_type, c.decile, c.cut_value, c.ns,
          |         (SELECT count(*) FROM events e
@@ -2642,8 +2650,7 @@ object Relational {
          |  n.n_events,
          |  CAST(abs(tr.true_rank * 1000000 // n.n_events
          |    - tr.decile * 100000) AS BIGINT) AS err_ppm
-         |FROM tr JOIN n ON tr.event_type = n.event_type""".stripMargin
-    },
+         |FROM tr JOIN n ON tr.event_type = n.event_type""".stripMargin,
 
     // date_diff('day') == Spark datediff on date-truncated timestamps;
     // quantile_cont == percentile (q33)

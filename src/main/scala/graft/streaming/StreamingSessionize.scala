@@ -924,6 +924,21 @@ object StreamingSessionize {
         sourceSchema = driftSupersetSchema)
     },
 
+    // LIVE QUANTILE DASHBOARD — q79's mergeable sketch at the place a
+    // latency/length distribution is actually watched (the stream):
+    // per-type decile cutpoints maintained in complete mode, with the
+    // sample buffer itself as the state (≤512 pairs per type — see
+    // quantileLive). The sketch's determinism is the gate: bottom-k by
+    // hash is merge-order independent, so the converged cutpoints equal
+    // batch q79's exactly (shared oracle prefix), where any order-
+    // dependent sketch (KLL/GK) would emit arrival-history-dependent
+    // state that can never hash-gate or replay.
+    "x36_stream_quantile" -> { (s, dir) =>
+      runToCompletion(s, dir, quantileLive,
+        outputMode = "complete", sinkName = "x36",
+        sinkTransform = quantileCuts)
+    },
+
     "x31_stream_cdc_apply" -> { (s, dir) =>
       val upserts = runToCompletion(s, dir, streamCdcApply,
         outputMode = "update", sinkName = "x31", tagBatchId = true)
@@ -1256,6 +1271,36 @@ object StreamingSessionize {
         sum(col("n_chars")).as("sum_chars"),
         sum(col("doc_id")).as("id_sum"))
 
+  /** x36's transform: q79's mergeable quantile sketch at arrival — the
+    * QuantileSampleAgg buffer IS the streaming state (≤512 (hv, value)
+    * pairs per event type serialized into the state store between
+    * triggers — the bounded-state form x24's scaladoc wished for), and
+    * because the retained set is a pure function of the DATA (bottom-k
+    * of a multiset — merge-order independent), the converged complete-
+    * mode sample equals the batch sample at ANY arrival slicing: the
+    * property that makes this sketch stream-safe where KLL/GK's
+    * order-dependent compactions would emit trigger-history-dependent
+    * cutpoints. */
+  private[graft] def quantileLive(stream: DataFrame): DataFrame =
+    stream
+      .select(col("event_type"), col("value"),
+        graft.functions.HexPrefixToLong
+          .hex8(md5(col("event_id").cast(StringType))).as("hv"))
+      .groupBy("event_type")
+      .agg(graft.functions.QuantileSampleAgg.qsample(512)(
+        col("hv"), col("value")).as("smp"))
+
+  /** x36's sink projection: decile cutpoints off the sorted sample (the
+    * q79 integer cut index), run per snapshot inside foreachBatch. */
+  private[graft] def quantileCuts(st: DataFrame): DataFrame =
+    st.select(col("event_type"),
+        size(col("smp")).cast(LongType).as("sample_n"),
+        posexplode(expr("transform(sequence(1, 9), i -> element_at(smp," +
+          " greatest(1, CAST((i * size(smp) + 9) div 10 AS INT))))")))
+      .select(col("event_type"),
+        (col("pos") + 1).cast(LongType).as("decile"),
+        col("col").as("cut_value"), col("sample_n"))
+
   /** x34's transform: t42's NFC audit at the place it runs in production
     * (arrival) — per trigger, one codegen'd NfcNormalize projection (the
     * already-NFC fast path makes clean batches near-free) into
@@ -1578,6 +1623,15 @@ object StreamingSessionize {
         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, n_users
         |FROM agg, wm
         |WHERE epoch_ms(h) + 3600000 <= w""".stripMargin,
+
+    // x36: q79's shared cutpoint prefix (one spelling for the batch
+    // sketch and its live twin), minus the batch-side rank audit —
+    // the stream emits the cutpoints a dashboard serves
+    "x36_stream_quantile" ->
+      s"""WITH ${graft.operators.Relational.quantileCutsSql}
+         |SELECT event_type, CAST(decile AS BIGINT) AS decile, cut_value,
+         |  CAST(ns AS BIGINT) AS sample_n
+         |FROM cuts""".stripMargin,
 
     // q36's rank arithmetic over the replayed distinct-hash set
     "x24_stream_kmv_users" -> {

@@ -113,6 +113,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batch.toSet, "dedup key set diverges from batch DISTINCT")
   }
 
+  test("x36 quantile sketch over 4 sliced microbatches equals the batch cutpoints") {
+    // the sketch's stream-safety claim, exercised: the QuantileSampleAgg
+    // buffer is the streaming state, and because bottom-k-by-hash is
+    // merge-order independent, the converged cutpoints must equal the
+    // one-batch (and so the batch-q79) result at ANY arrival slicing —
+    // the property an order-dependent sketch (KLL/GK) would fail here
+    val mb = timeSlicedDir(4)
+    val streamed = StreamingSessionize.runToCompletion(spark, mb,
+        StreamingSessionize.quantileLive(_), "complete", "multibatch-quant",
+        Map("maxFilesPerTrigger" -> "1"), "events*.parquet",
+        sinkTransform = StreamingSessionize.quantileCuts)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val oneShot = StreamingSessionize
+      .defs("x36_stream_quantile")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // sub-k groups keep their WHOLE multiset (exact deciles) — sf0.001's
+    // ~200 events/type sit below k=512, so this exercises the unsaturated
+    // path; the saturated path is the sf0.01+ gate's
+    assert(streamed.length == 45 && streamed.forall(_._4 > 0),
+      s"test premise: 5 types x 9 deciles with non-empty samples: ${streamed.length}")
+    assert(streamed.toSet == oneShot.toSet,
+      "sliced-arrival cutpoints diverge from the one-batch sketch")
+  }
+
   test("x19 top-k over 3 sliced microbatches equals the batch per-hour rank") {
     import org.apache.spark.sql.functions._
     val mb = timeSlicedDir(3)
