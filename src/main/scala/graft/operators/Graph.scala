@@ -1128,10 +1128,14 @@ object Graph {
 
   /** g20's three LPA rounds as CTEs (requires `sym` and `deg` in scope) —
     * shared by the g20 oracle and g27's seed so the extractor and the
-    * optimizer can never drift apart. */
+    * optimizer can never drift apart. MATERIALIZED for peelStepSql's
+    * reason: g27 references l3 six times (tot/kid/cand/own/score/Q), and
+    * inlined, each reference re-runs the whole l1→l2→l3 chain — the
+    * multiplicative recomputation that exhausted DuckDB's temp space at
+    * sf0.1 in the r16 close (hint only; results identical). */
   private val lpaSql: String = {
     val rounds = (1 to 3).map { i =>
-      s"""l$i AS (SELECT v, nl AS lbl FROM (
+      s"""l$i AS MATERIALIZED (SELECT v, nl AS lbl FROM (
          |         SELECT s.src AS v, l.lbl AS nl, count(*) AS c,
          |           row_number() OVER (PARTITION BY s.src
          |             ORDER BY count(*) DESC, l.lbl) AS rk
@@ -1242,7 +1246,10 @@ object Graph {
     // div on positive floors
     "g27_louvain_round" -> {
       // one parity phase: recompute tot/k_{v,d}/candidates/gains from
-      // `inLbl`, rank, and let only v % 2 = par adopt its argmax
+      // `inLbl`, rank, and let only v % 2 = par adopt its argmax. The
+      // phase output is MATERIALIZED (lpaSql's reason): p0 feeds six
+      // references in phase 2 + two in the scoring pass, and inlining
+      // re-runs the whole chain below it per reference.
       def moveSql(inLbl: String, out: String, par: Int) =
         s"""tot_$out AS (SELECT $inLbl.lbl AS cl,
            |    CAST(sum(deg.d) AS BIGINT) AS tot
@@ -1262,7 +1269,7 @@ object Graph {
            |       JOIN $inLbl o ON c.v = o.v
            |       JOIN tot_$out t ON c.cl = t.cl
            |  CROSS JOIN m),
-           |$out AS (SELECT v,
+           |$out AS MATERIALIZED (SELECT v,
            |    CASE WHEN v % 2 = $par THEN cl ELSE own END AS lbl
            |  FROM (SELECT v, cl, own, row_number() OVER (PARTITION BY v
            |          ORDER BY gain DESC,
