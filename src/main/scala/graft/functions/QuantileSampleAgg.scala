@@ -38,6 +38,15 @@ final case class HashedValue(hv: Long, value: Double)
   * finish() returns the sample's VALUES sorted ascending — the
   * quantile-ready form: cutpoint q_i = element i·n_s of the array.
   * Duplicates are kept throughout (multiset semantics).
+  *
+  * Input contract (ADVICE r16): `value` must be NON-NULL — the
+  * [[HashedValue]] encoder's field is a primitive Double, so a null
+  * input row fails the encode step at runtime instead of being skipped.
+  * Call sites over nullable columns (q79, x36's quantileLive, q80's
+  * lattice) filter `value IS NOT NULL` before the groupBy, and their
+  * oracles carry the same predicate, so both engines sketch the same
+  * multiset. NaN values are accepted and order LAST (see before()),
+  * matching both engines' ASC sorts.
   */
 object QuantileSampleAgg {
   /** Registered-udaf form: `qsample(k)(hvCol, valueCol)`. */
@@ -50,9 +59,17 @@ final class QuantileSampleAgg(k: Int)
     extends Aggregator[HashedValue, Array[HashedValue], Array[Double]] {
   require(k > 0, s"k must be positive, got $k")
 
-  /** true iff a orders strictly before b under (hv ASC, value ASC). */
+  /** true iff a orders strictly before b under (hv ASC, value ASC), with
+    * NaN values ordered LAST (above +Infinity — Spark/DuckDB ASC sort
+    * semantics, keeping the order total where raw `<` would strand a
+    * NaN) and -0.0 == 0.0 (primitive comparison, as both engines sort). */
   @inline private def before(a: HashedValue, b: HashedValue): Boolean =
-    a.hv < b.hv || (a.hv == b.hv && a.value < b.value)
+    a.hv < b.hv || (a.hv == b.hv && {
+      val an = java.lang.Double.isNaN(a.value)
+      val bn = java.lang.Double.isNaN(b.value)
+      if (an || bn) !an && bn
+      else a.value < b.value
+    })
 
   override def zero: Array[HashedValue] = Array.empty[HashedValue]
 

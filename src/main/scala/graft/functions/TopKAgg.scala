@@ -35,6 +35,22 @@ final case class Scored(score: Double, id: Long)
   *    TopKSpec). Callers must ensure (score, id) is a total order over
   *    their rows (id unique per group) — same contract the rank window
   *    already required for a deterministic gate.
+  *  - NaN scores rank FIRST (before +Infinity), the ordering both Spark
+  *    and DuckDB give a `score DESC` sort — so a NaN-scored candidate
+  *    (e.g. the cosine of a zero-norm embedding) lands where the rank
+  *    window it replaced would have put it instead of silently sinking
+  *    (ADVICE r16). -0.0 and 0.0 stay EQUAL (primitive comparison), as
+  *    in both engines' sorts — a cross-zero pair falls to the id
+  *    tie-break, never to bit order.
+  *
+  * Cross-ENGINE exactness is a separate, stronger contract than the
+  * determinism above: the gate hashes only when Spark and the oracle
+  * compute bit-identical scores. The audited callers (lexTopK's integer
+  * tf/idf overlaps < 2⁵³; bruteTopK/sq8TopK's cosines built from
+  * IEEE-exact mul/add/sqrt folds spelled operand-for-operand in the
+  * oracle) satisfy it; a caller feeding scores whose last ulp can differ
+  * between engines (libm log/exp/pow outputs) is OUT of that contract —
+  * it gets a deterministic Spark-side rank, not a hash-gateable one.
   *
   * Buffer invariant: sorted best-first (score DESC, id ASC), length <= k.
   * A saturated buffer rejects a candidate no better than its last element
@@ -56,9 +72,17 @@ final class TopKAgg(k: Int)
     extends Aggregator[Scored, Array[Scored], Array[Scored]] {
   require(k > 0, s"k must be positive, got $k")
 
-  /** true iff a ranks strictly before b under (score DESC, id ASC). */
-  @inline private def beats(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** true iff a ranks strictly before b under (score DESC, id ASC), with
+    * NaN ordered above +Infinity (Spark/DuckDB sort semantics — making
+    * the order TOTAL under NaN, where raw `>`/`==` would leave a NaN
+    * neither beating nor beaten) and -0.0 == 0.0 (primitive equality;
+    * both engines' sorts agree). */
+  @inline private def beats(a: Scored, b: Scored): Boolean = {
+    val an = java.lang.Double.isNaN(a.score)
+    val bn = java.lang.Double.isNaN(b.score)
+    if (an || bn) (an && !bn) || (an == bn && a.id < b.id)
+    else a.score > b.score || (a.score == b.score && a.id < b.id)
+  }
 
   override def zero: Array[Scored] = Array.empty[Scored]
 

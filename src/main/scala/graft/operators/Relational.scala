@@ -1974,7 +1974,12 @@ object Relational {
     "q79_quantile_sketch" -> { (s, dir) =>
       val k = 512
       val ev = t(s, dir, "events")
-      val smp = ev
+      // null values can't ride the sketch's primitive-Double payload
+      // (QuantileSampleAgg's input contract, ADVICE r16) — filtered here
+      // and in the oracle's h CTE, one predicate both engines share; the
+      // AUDIT below still counts every event (a null is never <= a cut
+      // in either engine, so the rank fold needs no filter)
+      val smp = ev.filter(col("value").isNotNull)
         .select(col("event_type"), col("value"),
           graft.functions.HexPrefixToLong
             .hex8(md5(col("event_id").cast(StringType))).as("hv"))
@@ -2137,7 +2142,8 @@ object Relational {
     }.mkString(" + ")
     s"""h AS (SELECT event_type, value, $hexToInt AS hv
        |  FROM (SELECT event_type, value,
-       |          md5(CAST(event_id AS VARCHAR)) AS m FROM events) t),
+       |          md5(CAST(event_id AS VARCHAR)) AS m FROM events
+       |        WHERE value IS NOT NULL) t),
        |r AS (SELECT event_type, value,
        |        row_number() OVER (PARTITION BY event_type
        |          ORDER BY hv, value) AS rn

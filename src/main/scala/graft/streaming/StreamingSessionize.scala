@@ -1283,6 +1283,9 @@ object StreamingSessionize {
     * cutpoints. */
   private[graft] def quantileLive(stream: DataFrame): DataFrame =
     stream
+      // the sketch's non-null input contract (q79's filter, shared
+      // oracle predicate — ADVICE r16)
+      .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"),
         graft.functions.HexPrefixToLong
           .hex8(md5(col("event_id").cast(StringType))).as("hv"))

@@ -53,6 +53,23 @@ class QuantileSampleSpec extends AnyFunSuite {
     assert(agg.finish(agg.merge(b, other)).toSeq == Seq(3.0, 5.0, 9.0))
   }
 
+  test("NaN values order last on hv ties (ASC sort semantics of both engines)") {
+    // ADVICE r16: raw < stranded NaN outside the total order; pinned to
+    // Spark/DuckDB ASC semantics (NaN above +Infinity). Null values are
+    // excluded UPSTREAM by the call sites' value IS NOT NULL filter (the
+    // primitive-Double payload cannot carry them) — contract documented
+    // in the aggregator's scaladoc and mirrored in the oracles.
+    val agg = new graft.functions.QuantileSampleAgg(2)
+    val xs = Seq(HashedValue(3, Double.NaN), HashedValue(3, 7.0),
+      HashedValue(3, Double.PositiveInfinity))
+    val b = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(b.toSeq == Seq(HashedValue(3, 7.0),
+      HashedValue(3, Double.PositiveInfinity)))
+    val (l, r) = xs.splitAt(1)
+    assert(agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce)).toSeq == b.toSeq)
+  }
+
   test("k=512 sample deciles stay within 8% rank error on a 20k corpus") {
     // pinned-seed stand-in for the DKW bound 2·exp(−2·512·0.08²) ≈ 3e-3:
     // hash values are independent of the skewed value distribution, so

@@ -51,6 +51,33 @@ class TopKSpec extends AnyFunSuite {
     assert(agg.merge(agg.zero, b).toSeq == b.toSeq)
   }
 
+  test("NaN scores rank first (window DESC semantics) and -0.0 ties 0.0 on id") {
+    // ADVICE r16: raw >/== left NaN neither beating nor beaten — a NaN
+    // candidate (zero-norm-embedding cosine) silently sank, while the
+    // rank window this aggregate replaced sorts NaN before +Infinity in
+    // both Spark and DuckDB. Pinned: the aggregate now agrees.
+    val agg = new TopKAgg(3)
+    val xs = Seq(Scored(5.0, 1), Scored(Double.NaN, 9), Scored(Double.NaN, 4),
+      Scored(Double.PositiveInfinity, 2), Scored(7.0, 3))
+    val b = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(b.map(_.id).toSeq == Seq(4, 9, 2)) // NaNs first (id ASC), then +Inf
+    // merge path agrees with reduce path
+    val (l, r) = xs.splitAt(2)
+    val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(m.map(_.id).toSeq == Seq(4, 9, 2))
+    // -0.0 == 0.0: the pair falls to the id tie-break, not to bit order
+    val z = Seq(Scored(0.0, 7), Scored(-0.0, 2)).foldLeft(agg.zero)(agg.reduce)
+    assert(z.map(_.id).toSeq == Seq(2, 7))
+    // and the Spark sort agrees end to end: NaN outranks +Inf under DESC
+    import spark.implicits._
+    val viaSpark = Seq((Double.NaN, 9L), (Double.PositiveInfinity, 2L), (5.0, 1L))
+      .toDF("score", "id")
+      .orderBy(col("score").desc, col("id")).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSpark == Seq(9, 2, 1))
+  }
+
   test("lexTopK matches the rank-window spelling it replaced") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -41,8 +41,22 @@ def ckpt_class(name: str) -> bool:
 
 
 def load(path):
-    with open(path) as f:
-        d = json.loads(f.read().strip().splitlines()[0])
+    # accept both artifact shapes: the whole file as (pretty-printed)
+    # JSON — the driver's BENCH_rNN.json — or graft.Bench's one-line
+    # object followed by log noise; fail with the offending path, not a
+    # bare traceback (ADVICE r16)
+    try:
+        with open(path) as f:
+            text = f.read()
+        try:
+            d = json.loads(text)
+        except json.JSONDecodeError:
+            d = json.loads(text.strip().splitlines()[0])
+    except (OSError, json.JSONDecodeError, IndexError) as e:
+        sys.exit(f"bench_norm: cannot read a bench JSON object from {path}: {e}")
+    if "queries" not in d:
+        sys.exit(f"bench_norm: {path} has no 'queries' key — "
+                 "not a graft.Bench artifact")
     return d
 
 
@@ -54,6 +68,9 @@ def geomean(xs):
 
 
 def main():
+    if len(sys.argv) != 3:
+        sys.exit("usage: python3 tools/bench_norm.py "
+                 "OLD_BENCH_FULL.json NEW_BENCH_FULL.json")
     old, new = load(sys.argv[1]), load(sys.argv[2])
     co, cn = old.get("calibration", -1.0), new.get("calibration", -1.0)
     ko = old.get("calibration_ckpt", -1.0)
