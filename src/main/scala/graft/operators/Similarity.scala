@@ -1595,6 +1595,40 @@ object Similarity {
         bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rnk").as("rv")))
+    },
+
+    // BM25 HYBRID RETRIEVAL (VERDICT r16 item 2) — s41's rarity weight
+    // completed into the production lexical scorer: per query term,
+    // idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with the standard
+    // k1 = 1.2, b = 0.75 (Robertson/Spärck Jones; the scorer Lucene,
+    // Elasticsearch, and every IR baseline default to). TF SATURATION
+    // caps what a term repeated 40× can contribute (s41's raw
+    // Σ min(tf,qtf)·idf grows linearly with tf, so a long stopword-heavy
+    // doc outranks a short exact-match — the pinned AnnIvfSpec flip);
+    // LENGTH NORMALIZATION divides by dl/avgdl so verbosity is not
+    // relevance. House exactness discipline: clearing k1 = 6/5, b = 3/4,
+    // and avgdl = T/N of denominators turns each term's contribution
+    // into the ratio of two exact integers,
+    //   w(tok) · 22·tf·T  div  (10·tf·T + 3·T + 9·dl·N)
+    // with w(tok) = (N·10⁶) div df (s41's idf ppm) — one deterministic
+    // floor division per term (`div` ≡ `//` on positive operands, the
+    // prStepSql discipline; no libm log whose last ulp could split the
+    // engines), summed in exact integers < 2⁵³ (the TopKAgg mantissa
+    // contract: ≤ 2.2·w per term, |query vocab| terms). Scale: identical
+    // plan skeleton to s41 — ONE corpus postings scan (dl attached by a
+    // per-doc window, bounded by the doc's vocabulary, never the
+    // corpus), broadcast-pruned df, mergeable TopKAgg top-10, RRF
+    // fusion. Query terms enter as the query doc's DISTINCT token set
+    // (BM25's qtf factor saturates to ~1 for short queries; dropping it
+    // is the standard simplification, stated here because s40/s41 use
+    // min(tf, qtf) instead — the gate isolates saturation+normalization
+    // against s41's raw-idf on the same fusion tail).
+    "s42_hybrid_bm25" -> { (s, dir) =>
+      val docsTbl = graft.sources.Tables.load(s, dir, "documents")
+      rrfFuse(lexTopK(bm25Lex(docsTbl), 10),
+        bruteTopK(emb(s, dir), col("vec_id") < 5, k = 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk").as("rv")))
     }
   )
 
@@ -1623,6 +1657,47 @@ object Similarity {
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), col("col.id").as("doc_id"),
         (col("pos") + 1).as("rl"))
+
+  /** s42's lexical scorer — exact-integer BM25 (k1 = 1.2, b = 0.75) of
+    * every corpus doc against the doc_id < 5 query docs' distinct token
+    * sets: (query_id, doc_id, score) with
+    * score = Σ_tok w·22·tf·T div (10·tf·T + 3·T + 9·dl·N),
+    * w = (N·10⁶) div df — the k1/b/avgdl denominators cleared into one
+    * floor division per term (both engines truncate positive quotients
+    * identically). Factored so AnnIvfSpec can pin the saturation flip on
+    * a crafted corpus. DECIMAL(38,0) carries the ≈10²⁰ numerator
+    * products (int64 overflows at corpus scale — the g26/q63 posture);
+    * per-term quotients and their sum stay < 2⁵³, TopKAgg's payload
+    * contract. */
+  private[graft] def bm25Lex(docsTbl: DataFrame): DataFrame = {
+    val post = docsTbl
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // doc length rides the postings via a per-doc window (partition =
+      // the doc's vocabulary — degree-bounded, never corpus-sized), so
+      // no second corpus-wide join is needed to attach dl
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+      .localCheckpoint() // one corpus scan feeds query, df, T, and probe
+    val nRow = docsTbl.agg(count(lit(1)).as("n"))
+    val ttRow = post.agg(sum("tf").cast(LongType).as("tt"))
+    val qv = post.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val dfq = post
+      .join(broadcast(qv.select("tok").distinct()), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    post.join(broadcast(qv), "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(nRow))
+      .crossJoin(broadcast(ttRow))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr(
+        "(CAST((n * 1000000) div df AS DECIMAL(38,0)) * 22 * tf * tt)" +
+          " div (10 * CAST(tf AS DECIMAL(38,0)) * tt" +
+          " + 3 * CAST(tt AS DECIMAL(38,0))" +
+          " + 9 * CAST(dl AS DECIMAL(38,0)) * n)"))
+        .cast(LongType).as("score"))
+  }
 
   /** s40/s41's fusion tail: reciprocal-rank fusion 1/(60+rank) over the
     * UNION of the lexical (`rl`) and vector (`rv`) rank lists, per-query
@@ -1988,6 +2063,58 @@ object Similarity {
          |       FROM post JOIN qp ON post.tok = qp.tok
          |         AND post.doc_id <> qp.query_id
          |       JOIN dfq ON dfq.tok = post.tok, n
+         |       GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id, rl FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS rl
+         |    FROM sc) t WHERE rl <= 10),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |vp AS (SELECT query_id, vec_id AS doc_id, ${cosSql("qv", "v")} AS sim
+         |       FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         |vec AS (SELECT query_id, doc_id, rv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, doc_id) AS rv
+         |    FROM vp) t WHERE rv <= 10),
+         |f AS (SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+         |        coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         |        coalesce(CAST(1 AS DOUBLE) / (60 + rl), 0.0)
+         |          + coalesce(CAST(1 AS DOUBLE) / (60 + rv), 0.0) AS rrf
+         |      FROM lex FULL OUTER JOIN vec
+         |        ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+         |SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM f) r WHERE rank <= 5""".stripMargin,
+
+    // s41's oracle with BM25 saturation/normalization in the lexical
+    // sum: the same postings with dl attached by the same per-doc
+    // window, df over the query vocabulary, and per term
+    // w·22·tf·T // (10·tf·T + 3·T + 9·dl·N) in HUGEINT (mirroring
+    // DECIMAL(38,0); `//` ≡ `div` on positive operands), the same rank
+    // windows and 1/(60+rank) fusion
+    "s42_hybrid_bm25" ->
+      s"""WITH post AS (SELECT doc_id, tok, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, tok, tf,
+         |         sum(tf) OVER (PARTITION BY doc_id) AS dl FROM post),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |tt AS (SELECT CAST(sum(tf) AS BIGINT) AS tt FROM post),
+         |qv AS (SELECT doc_id AS query_id, tok FROM post WHERE doc_id < 5),
+         |dfq AS (SELECT tok, count(*) AS df FROM post
+         |        WHERE tok IN (SELECT tok FROM qv) GROUP BY 1),
+         |sc AS (SELECT qv.query_id, pd.doc_id,
+         |         sum((CAST((n.n * 1000000) // dfq.df AS HUGEINT)
+         |                * 22 * pd.tf * tt.tt)
+         |             // (10 * CAST(pd.tf AS HUGEINT) * tt.tt
+         |                + 3 * CAST(tt.tt AS HUGEINT)
+         |                + 9 * CAST(pd.dl AS HUGEINT) * n.n)) AS score
+         |       FROM pd JOIN qv ON pd.tok = qv.tok
+         |         AND pd.doc_id <> qv.query_id
+         |       JOIN dfq ON dfq.tok = pd.tok, n, tt
          |       GROUP BY 1, 2),
          |lex AS (SELECT query_id, doc_id, rl FROM (
          |    SELECT query_id, doc_id,

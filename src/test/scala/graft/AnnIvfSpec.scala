@@ -290,6 +290,96 @@ class AnnIvfSpec extends AnyFunSuite {
       "idf weighting changed nothing — fixture does not separate the scorers")
   }
 
+  test("s42: BM25 fusion equals a hand-computed exact-integer BM25 ranking") {
+    // independent BM25: per query term, w·22·tf·T // (10·tf·T + 3·T +
+    // 9·dl·N) with w = (N·10⁶)/df, all in BigInt floor arithmetic —
+    // the cleared-denominator form of idf·tf·(k1+1)/(tf + k1·(1−b +
+    // b·dl/avgdl)) at k1 = 6/5, b = 3/4, avgdl = T/N
+    val docRows = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docRows.length.toLong
+    val tf = docRows.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (k, v) => k -> v.length }
+    }.toMap
+    val dl = tf.map { case (id, m) => id -> m.values.sum.toLong }
+    val tt = dl.values.sum
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, occ) => t -> occ.size.toLong }
+    def bm25Top10(q: Long): Seq[(Long, BigInt)] = {
+      val qtoks = tf(q).keySet
+      docRows.map(_._1).filter(_ != q).flatMap { d =>
+        val s = qtoks.toSeq.flatMap { t =>
+          tf(d).get(t).map { c =>
+            val w = BigInt(n * 1000000L) / df(t)
+            (w * 22 * c * tt) /
+              (BigInt(10) * c * tt + BigInt(3) * tt + BigInt(9) * dl(d) * n)
+          }
+        }.sum
+        if (s > 0) Some(d -> s) else None
+      }.sortBy { case (d, s) => (-s, d) }.take(10).toSeq
+    }
+    val vecRank = Similarity.defs("s1_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Similarity.defs("s42_hybrid_bm25")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val lexRank = bm25Top10(q).zipWithIndex
+        .map { case ((d, _), i) => d -> (i + 1) }.toMap
+      val expected = (lexRank.keySet ++
+        vecRank.collect { case ((`q`, d), _) => d })
+        .map { d =>
+          val rrf = lexRank.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            vecRank.get((q, d)).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (d, rrf)
+        }.toSeq.sortBy { case (d, s) => (-s, d) }.take(5)
+      val gotQ = rows.sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"query $q: ranks must be dense")
+      assert(gotQ == expected, s"query $q: BM25 fusion diverges\n$gotQ\n$expected")
+    }
+  }
+
+  test("s42: tf saturation + length norm flip s41's raw-idf rank on a stopword-heavy doc") {
+    // VERDICT r16 item 2's pinned case: a LONG doc repeating a stopword
+    // the query also repeats outranks a SHORT doc matching the query's
+    // rare term under s41's linear Σ min(tf,qtf)·idf — BM25's saturation
+    // caps the stopword's contribution and its length norm discounts the
+    // verbosity, flipping the order. Crafted corpus: query doc 0 = one
+    // "rare" + ten "the"; doc 10 = forty "the"; doc 11 = "rare the";
+    // five filler docs keep df(the) = N and df(rare) = 3.
+    import spark.implicits._
+    val docs = Seq(
+      0L -> (Seq.fill(10)("the") :+ "rare").mkString(" "),
+      10L -> Seq.fill(40)("the").mkString(" "),
+      11L -> "rare the",
+      12L -> "rare filler0 the",
+      13L -> "the filler1", 14L -> "the filler2",
+      15L -> "the filler3", 16L -> "the filler4")
+      .toDF("doc_id", "text")
+    // s41's raw-idf scoring, computed sequentially
+    val tf = Seq(0L, 10L, 11L, 12L, 13L, 14L, 15L, 16L)
+      .zip(docs.orderBy("doc_id").collect().map(_.getString(1)))
+      .map { case (id, t) =>
+        id -> t.split(" ").groupBy(identity).map { case (k, v) => k -> v.length }
+      }.toMap
+    val n = tf.size.toLong
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, occ) => t -> occ.size.toLong }
+    def idfScore(d: Long): Long = tf(0L).map { case (t, qc) =>
+      math.min(qc, tf(d).getOrElse(t, 0)).toLong * ((n * 1000000L) / df(t))
+    }.sum
+    assert(idfScore(10L) > idfScore(11L),
+      "fixture broken: raw idf must prefer the long stopword doc")
+    // the engine's BM25 prefers the short rare-term doc
+    val bm = Similarity.bm25Lex(docs)
+      .filter(org.apache.spark.sql.functions.col("query_id") === 0L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(bm(11L) > bm(10L),
+      s"BM25 must flip the rank: got doc11=${bm(11L)} doc10=${bm(10L)}")
+  }
+
   test("s34: filtered ANN — predicate strictly enforced, exact cosines, dense ranks") {
     val got = Similarity.defs("s34_ann_filtered")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
