@@ -53,6 +53,36 @@ object QuantileSampleAgg {
   def qsample(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new QuantileSampleAgg(k),
       ExpressionEncoder[HashedValue]())
+
+  /** The PAIR-preserving form (q80's rollup lattice): identical
+    * retention, but finish() keeps the (hv, value) structs — the
+    * sketch-as-a-COLUMN representation that stays re-mergeable. Feeding
+    * a persisted level's exploded pairs back through qsample/qpairs at a
+    * coarser grain yields EXACTLY the sketch a direct pass over the raw
+    * rows would build (bottom-k of a union of bottom-ks is bottom-k of
+    * the union — every dropped row was already outside its own level's
+    * bottom-k), which is what makes day→month→year re-aggregation an
+    * identity rather than an approximation-of-an-approximation.
+    * qsample's value-sorted finish is deliberately NOT re-mergeable (it
+    * drops hv) — it is the serving form, this is the storage form. */
+  def qpairs(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new QuantileSamplePairsAgg(k),
+      ExpressionEncoder[HashedValue]())
+}
+
+/** [[QuantileSampleAgg]] with the buffer emitted as-is — see
+  * [[QuantileSampleAgg.qpairs]]. */
+final class QuantileSamplePairsAgg(k: Int)
+    extends Aggregator[HashedValue, Array[HashedValue], Array[HashedValue]] {
+  private val inner = new QuantileSampleAgg(k)
+  override def zero: Array[HashedValue] = inner.zero
+  override def reduce(b: Array[HashedValue], x: HashedValue): Array[HashedValue] =
+    inner.reduce(b, x)
+  override def merge(a: Array[HashedValue], b: Array[HashedValue]): Array[HashedValue] =
+    inner.merge(a, b)
+  override def finish(b: Array[HashedValue]): Array[HashedValue] = b
+  override def bufferEncoder: Encoder[Array[HashedValue]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[HashedValue]] = ExpressionEncoder()
 }
 
 final class QuantileSampleAgg(k: Int)

@@ -2009,6 +2009,78 @@ object Relational {
           col("n_events"),
           expr("CAST(abs(element_at(rks, CAST(pos + 1 AS INT)) * 1000000" +
             " div n_events - (pos + 1) * 100000) AS BIGINT)").as("err_ppm"))
+    },
+
+    // SKETCH ROLLUP LATTICE (VERDICT r16 item 3) — the operation that
+    // justifies STORING q79's sketch as a column: per-(type, day)
+    // samples persisted in the pair-preserving form (qpairs — hv rides
+    // with value, the storage form), then re-aggregated day→month with
+    // qpairs and month→year with the SAME aggregator, never re-reading
+    // the raw rows. Because the retained set is bottom-k of a multiset
+    // under a total order, bottom-k of a union of bottom-ks IS bottom-k
+    // of the union — so merged-sketch cutpoints are IDENTICAL to the
+    // cutpoints a direct corpus pass at that grain computes, and the
+    // gate pins the identity per bucket (merged_equals_direct compares
+    // the full 512-value samples, not just the 9 cuts; q71's lattice
+    // reconciliation discipline turned on the sketch axis). KLL/GK
+    // rollups cannot make this claim — merging their day sketches gives
+    // a DIFFERENT (valid but incomparable) summary than sketching the
+    // month directly, which is exactly why order-dependent sketches
+    // can't hash-gate a lattice. Scale: the day pass is q79's one
+    // corpus-linear scan; every rollup above it reads ≤512·|buckets|
+    // sketch rows — month and year summaries of a 100 TB year never
+    // touch the raw events again. The direct paths here are the
+    // EVALUATOR (they re-scan the corpus to prove the identity), not
+    // the product.
+    "q80_sketch_rollup" -> { (s, dir) =>
+      val k = 512
+      val qp = graft.functions.QuantileSampleAgg.qpairs(k)
+      val qs = graft.functions.QuantileSampleAgg.qsample(k)
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("value"),
+          graft.functions.HexPrefixToLong
+            .hex8(md5(col("event_id").cast(StringType))).as("hv"))
+      // level 0: the persisted per-(type, day) sketch column
+      val daySk = ev.groupBy("event_type", "day")
+        .agg(qp(col("hv"), col("value")).as("smp"))
+        .localCheckpoint() // the storage boundary: rollups read ONLY this
+      val dayPairs = daySk
+        .select(col("event_type"), col("day"), explode(col("smp")).as("p"))
+        .select(col("event_type"), col("day"),
+          col("p.hv").as("hv"), col("p.value").as("value"))
+      // level 1: month sketches merged from day sketches (still pairs —
+      // re-mergeable), level 2: year merged from MONTH sketches (the
+      // two-hop chain is the point)
+      val monthSk = dayPairs
+        .groupBy(col("event_type"), date_trunc("month", col("day")).as("bucket"))
+        .agg(qp(col("hv"), col("value")).as("smp"))
+        .localCheckpoint() // feeds both the month readout and the year hop
+      val monthPairs = monthSk
+        .select(col("event_type"), col("bucket"), explode(col("smp")).as("p"))
+        .select(col("event_type"), col("bucket"),
+          col("p.hv").as("hv"), col("p.value").as("value"))
+      val mergedMonth = monthSk.select(col("event_type"), col("bucket"),
+        expr("array_sort(transform(smp, p -> p.value))").as("ms"))
+      val mergedYear = monthPairs
+        .groupBy(col("event_type"), date_trunc("year", col("bucket")).as("bucket"))
+        .agg(qs(col("hv"), col("value")).as("ms"))
+      def direct(unit: String) = ev
+        .groupBy(col("event_type"), date_trunc(unit, col("day")).as("bucket"))
+        .agg(qs(col("hv"), col("value")).as("ds"))
+      def emit(grain: String, merged: DataFrame, dir0: DataFrame) =
+        merged.join(dir0, Seq("event_type", "bucket"))
+          .select(lit(grain).as("grain"), col("event_type"), col("bucket"),
+            size(col("ms")).cast(LongType).as("sample_n"),
+            (col("ms") === col("ds")).cast(LongType).as("merged_equals_direct"),
+            posexplode(expr("transform(sequence(1, 9), i -> element_at(ms," +
+              " greatest(1, CAST((i * size(ms) + 9) div 10 AS INT))))")))
+          .select(col("grain"), col("event_type"), col("bucket"),
+            (col("pos") + 1).cast(LongType).as("decile"),
+            col("col").as("cut_value"),
+            col("sample_n"), col("merged_equals_direct"))
+      emit("month", mergedMonth, direct("month"))
+        .unionAll(emit("year", mergedYear, direct("year")))
     }
   )
 
@@ -2136,10 +2208,15 @@ object Relational {
     * retention → sorted-sample decile cutpoints (CTEs h/r/smp/ns/sv/
     * cuts) — one spelling so the batch sketch and its streaming twin
     * can never drift. */
+  /** DuckDB spelling of HexPrefixToLong.hex8 over a hex string column
+    * `m` — shared by the q79/x36 prefix and q80's lattice so the hash
+    * axis is spelled once. */
+  private[graft] val md5HexFoldSql: String = (0 until 8).map { i =>
+    s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+  }.mkString(" + ")
+
   private[graft] val quantileCutsSql: String = {
-    val hexToInt = (0 until 8).map { i =>
-      s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
-    }.mkString(" + ")
+    val hexToInt = md5HexFoldSql
     s"""h AS (SELECT event_type, value, $hexToInt AS hv
        |  FROM (SELECT event_type, value,
        |          md5(CAST(event_id AS VARCHAR)) AS m FROM events
@@ -2657,6 +2734,64 @@ object Relational {
          |  CAST(abs(tr.true_rank * 1000000 // n.n_events
          |    - tr.decile * 100000) AS BIGINT) AS err_ppm
          |FROM tr JOIN n ON tr.event_type = n.event_type""".stripMargin,
+
+    // q80: the lattice replays as stacked rank-512 windows — day
+    // retention from the raw rows, month retention from the DAY
+    // survivors, year retention from the MONTH survivors (the same
+    // two-hop chain), direct month/year retention from the raw rows,
+    // full-sample list equality as the identity flag, and the same
+    // ceil(i·ns/10) cut index read by 1-based list indexing
+    "q80_sketch_rollup" ->
+      s"""WITH base AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |    value, $md5HexFoldSql AS hv
+         |  FROM (SELECT event_type, ts, value,
+         |          md5(CAST(event_id AS VARCHAR)) AS m FROM events
+         |        WHERE value IS NOT NULL) t),
+         |dsmp AS MATERIALIZED (SELECT event_type, day, hv, value FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY event_type, day
+         |        ORDER BY hv, value) AS rn FROM base) t WHERE rn <= 512),
+         |msmp AS MATERIALIZED (SELECT event_type,
+         |    date_trunc('month', day) AS bucket, hv, value FROM (
+         |    SELECT *, row_number() OVER (
+         |        PARTITION BY event_type, date_trunc('month', day)
+         |        ORDER BY hv, value) AS rn FROM dsmp) t WHERE rn <= 512),
+         |ysmp AS (SELECT event_type, date_trunc('year', bucket) AS bucket,
+         |    hv, value FROM (
+         |    SELECT *, row_number() OVER (
+         |        PARTITION BY event_type, date_trunc('year', bucket)
+         |        ORDER BY hv, value) AS rn FROM msmp) t WHERE rn <= 512),
+         |dm AS (SELECT event_type, date_trunc('month', day) AS bucket,
+         |    hv, value FROM (
+         |    SELECT *, row_number() OVER (
+         |        PARTITION BY event_type, date_trunc('month', day)
+         |        ORDER BY hv, value) AS rn FROM base) t WHERE rn <= 512),
+         |dy AS (SELECT event_type, date_trunc('year', day) AS bucket,
+         |    hv, value FROM (
+         |    SELECT *, row_number() OVER (
+         |        PARTITION BY event_type, date_trunc('year', day)
+         |        ORDER BY hv, value) AS rn FROM base) t WHERE rn <= 512),
+         |lm AS (SELECT event_type, bucket, list(value ORDER BY value) AS vs,
+         |         count(*) AS ns FROM msmp GROUP BY 1, 2),
+         |ly AS (SELECT event_type, bucket, list(value ORDER BY value) AS vs,
+         |         count(*) AS ns FROM ysmp GROUP BY 1, 2),
+         |ldm AS (SELECT event_type, bucket, list(value ORDER BY value) AS vs
+         |        FROM dm GROUP BY 1, 2),
+         |ldy AS (SELECT event_type, bucket, list(value ORDER BY value) AS vs
+         |        FROM dy GROUP BY 1, 2),
+         |u AS (SELECT 'month' AS grain, l.event_type, l.bucket, l.ns,
+         |        CASE WHEN l.vs = d.vs THEN 1 ELSE 0 END AS eq, l.vs
+         |      FROM lm l JOIN ldm d
+         |        ON l.event_type = d.event_type AND l.bucket = d.bucket
+         |      UNION ALL
+         |      SELECT 'year', l.event_type, l.bucket, l.ns,
+         |        CASE WHEN l.vs = d.vs THEN 1 ELSE 0 END, l.vs
+         |      FROM ly l JOIN ldy d
+         |        ON l.event_type = d.event_type AND l.bucket = d.bucket)
+         |SELECT grain, event_type, bucket, CAST(d.i AS BIGINT) AS decile,
+         |  vs[greatest(1, (d.i * ns + 9) // 10)] AS cut_value,
+         |  CAST(ns AS BIGINT) AS sample_n,
+         |  CAST(eq AS BIGINT) AS merged_equals_direct
+         |FROM u JOIN (SELECT unnest(generate_series(1, 9)) AS i) d ON true""".stripMargin,
 
     // date_diff('day') == Spark datediff on date-truncated timestamps;
     // quantile_cont == percentile (q33)

@@ -88,6 +88,26 @@ class QuantileSampleSpec extends AnyFunSuite {
     }
   }
 
+  test("qpairs lattice: re-merging level sketches equals the direct sketch exactly") {
+    // q80's identity: bottom-k of a union of per-bucket bottom-ks IS the
+    // bottom-k of the union — every row outside its bucket's bottom-k is
+    // also outside the union's. Crafted three "days" of 200 rows, k = 20.
+    val rnd = new scala.util.Random(11)
+    val days = Seq.fill(3)(Seq.fill(200)(
+      HashedValue(rnd.nextLong(), rnd.nextInt(1000).toDouble)))
+    val pairs = new graft.functions.QuantileSamplePairsAgg(20)
+    val direct = new graft.functions.QuantileSampleAgg(20)
+    val daySketches = days.map(_.foldLeft(pairs.zero)(pairs.reduce))
+    // roll up by re-REDUCING the persisted pairs (what q80's explode +
+    // re-aggregate does), not by the aggregator's own merge()
+    val merged = daySketches.flatten.foldLeft(direct.zero)(direct.reduce)
+    val fromRaw = days.flatten.foldLeft(direct.zero)(direct.reduce)
+    assert(direct.finish(merged).toSeq == direct.finish(fromRaw).toSeq)
+    // and qpairs retains exactly what qsample retains (same inner order)
+    assert(daySketches.head.toSeq ==
+      days.head.foldLeft(direct.zero)(direct.reduce).toSeq)
+  }
+
   test("q79 plans the udaf on the ObjectHashAggregate path with no value window") {
     val p = graft.operators.Relational.defs("q79_quantile_sketch")(
       spark, "/root/testdata/sf0.001")
