@@ -1732,6 +1732,58 @@ object TextOps {
           sum(col("doc_id")).as("id_sum"))
     },
 
+    // WEIGHTED EXACT-n STRATIFIED SAMPLE (VERDICT r16 item 4) — the
+    // missing member between t32's uniform exact-n and t16/t21's
+    // expected-count Bernoulli weighting: exactly n docs per language,
+    // drawn WITHOUT replacement with probability proportional to an
+    // integer mass weight w = least(64, 1 + n_chars div 256) — "sample
+    // docs by token mass", the draw a mixture designer actually wants.
+    // Scheme: the deterministic A-ES equivalent in PURE INTEGERS — give
+    // each doc w independent md5-32 uniforms (salted doc_id:j) and rank
+    // strata by each doc's MINIMUM. All Σw uniforms are iid under the
+    // hash model, so the doc owning the r-th smallest not-yet-seen
+    // uniform is exactly the r-th draw of successive w-proportional
+    // sampling without replacement (P(first) = w_i/Σw by symmetry) —
+    // the same selection law as Efraimidis-Spirakis u^(1/w) keys, but
+    // with NO libm pow/log whose last-ulp rounding could split the
+    // engines: every comparison is between exact 32-bit integers, so
+    // the gate hashes and a retry resamples identically. The w ≤ 64 cap
+    // bounds the replication blow-up (≤64× one scan's rows through a
+    // min-agg, corpus-linear) AND the weight concentration the survivor
+    // bound leans on. Two-phase like t32: a broadcast per-stratum
+    // cutoff 2³²·8n div Σw keeps ~8n expected survivors (expected ≥ 4n
+    // even at full weight concentration: Σ(1−(1−p)^w) ≥ 8n·(1−4n/cn)
+    // with cn > 4n; the < n tail is then an e^(−n) Chernoff event), the
+    // exact (hmin, doc_id) rank runs over survivors only, and a stratum
+    // with cn ≤ 4n keeps the cutoff at 2³² so every doc survives and
+    // exactness is by construction. The prefilter-losslessness is
+    // pinned in OperatorSpec against a sequential full rank.
+    "t44_weighted_exact_sample" -> { (s, dir) =>
+      val n = 50
+      val base = docs(s, dir).select(col("doc_id"), col("lang"),
+        expr("least(64, 1 + (n_chars div 256))").as("w"))
+      val keyed = base
+        .select(col("doc_id"), col("lang"), col("w"),
+          explode(expr("sequence(0, w - 1)")).as("j"))
+        .select(col("doc_id"), col("lang"), col("w"),
+          graft.functions.Md5Hash32.hash32(
+            concat(col("doc_id").cast(StringType), lit(":"),
+              col("j").cast(StringType))).as("hj"))
+        .groupBy("doc_id", "lang", "w").agg(min("hj").as("hmin"))
+      val cut = base.groupBy("lang")
+        .agg(count(lit(1)).as("cn"), sum("w").cast(LongType).as("tw"))
+        .withColumn("cutoff", expr(
+          s"CASE WHEN cn <= ${4L * n} THEN 4294967296" +
+            s" ELSE least(4294967296, (4294967296 * ${8L * n}) div tw) END"))
+      val rkw = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("hmin"), col("doc_id"))
+      keyed.join(broadcast(cut), Seq("lang"))
+        .filter(col("hmin") < col("cutoff"))
+        .withColumn("rk", row_number().over(rkw).cast(LongType))
+        .filter(col("rk") <= n)
+        .select(col("lang"), col("rk"), col("doc_id"), col("w"))
+    },
+
     // MALFORMED-RECORD INGESTION AUDIT (VERDICT r13 item 3) — t33/t35/t37
     // read declared schemas over well-formed lines; real crawl JSONL has
     // broken lines, and the engine's contract on them must be COUNTED,
@@ -2769,6 +2821,39 @@ object TextOps {
          |  SELECT b.lang, doc_id,
          |    row_number() OVER (PARTITION BY b.lang ORDER BY h, doc_id) AS rk
          |  FROM b JOIN cut ON b.lang = cut.lang WHERE h < cutoff) r
+         |WHERE rk <= 50""".stripMargin
+    },
+
+    // the same salted md5-32 minimum per doc (8-hex-digit chain over
+    // doc_id:j, j unnested from the same 0..w-1 series), the same
+    // cn/Σw cutoff arithmetic, the same (hmin, doc_id) rank
+    "t44_weighted_exact_sample" -> {
+      val hexToInt = (0 until 8).map { i =>
+        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, lang,
+         |    least(64, 1 + (n_chars // 256)) AS w FROM documents),
+         |rep AS (SELECT doc_id, lang, w,
+         |          unnest(generate_series(0, w - 1)) AS j FROM base),
+         |keyed AS (SELECT doc_id, lang, w, min($hexToInt) AS hmin
+         |          FROM (SELECT doc_id, lang, w,
+         |                  md5(CAST(doc_id AS VARCHAR) || ':'
+         |                      || CAST(j AS VARCHAR)) AS m
+         |                FROM rep) t
+         |          GROUP BY 1, 2, 3),
+         |cut AS (SELECT lang, count(*) AS cn, sum(w) AS tw
+         |        FROM base GROUP BY 1),
+         |c2 AS (SELECT lang, CASE WHEN cn <= 200 THEN 4294967296
+         |         ELSE least(4294967296, (4294967296 * 400) // tw) END
+         |         AS cutoff
+         |       FROM cut)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+         |  CAST(w AS BIGINT) AS w FROM (
+         |  SELECT keyed.lang, doc_id, w,
+         |    row_number() OVER (PARTITION BY keyed.lang
+         |      ORDER BY hmin, doc_id) AS rk
+         |  FROM keyed JOIN c2 ON keyed.lang = c2.lang
+         |  WHERE hmin < cutoff) r
          |WHERE rk <= 50""".stripMargin
     },
 

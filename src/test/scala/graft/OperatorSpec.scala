@@ -1415,6 +1415,44 @@ class OperatorSpec extends AnyFunSuite {
         s" / ${(expect diff got).take(3)}")
   }
 
+  test("t44 weighted sample == sequential min-of-w-hashes rank (prefilter lossless)") {
+    // the A-ES-equivalent selection recomputed sequentially: each doc's
+    // key is the MINIMUM of w salted md5-32 hashes, strata ranked by
+    // (key, doc_id), first 50 — the two-phase cutoff must never cost a
+    // selected doc
+    val sf = "/root/testdata/sf0.001"
+    def h32(s: String): Long = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(m.take(8), 16)
+    }
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = all.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.toSeq.map { case (id, _, nc) =>
+        val w = math.min(64L, 1L + nc / 256L)
+        (id, w, (0L until w).map(j => h32(s"$id:$j")).min)
+      }.sortBy { case (id, _, h) => (h, id) }
+        .take(50).zipWithIndex
+        .map { case ((id, w, _), i) => (lang, i + 1L, id, w) }
+    }.toSet
+    val got = TextOps.defs("t44_weighted_exact_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expect.nonEmpty && got == expect,
+      s"two-phase diverged from the full weighted rank: " +
+        s"${(got diff expect).take(3)} / ${(expect diff got).take(3)}")
+    // exact-n per stratum (every sf0.001 stratum has >= 50 docs), and the
+    // weighting is LIVE: the weighted draw differs from t32's uniform one
+    val perLang = got.groupBy(_._1).map { case (l, xs) => l -> xs.size }
+    assert(perLang.values.forall(_ == 50), s"not exact-n: $perLang")
+    val uniform = TextOps.defs("t32_stratified_exact_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(got.map(t => (t._1, t._3)) != uniform,
+      "weighted selection equals the uniform one — weights changed nothing")
+  }
+
   test("w22 Simpson diversity hand-computes: uniform source low, degenerate source high") {
     // A: tokens a a b b (c = 2,2; N = 4): coll = 2+2 = 4, ppb = 4e9/12 =
     // 333333333. B: x x x x (one type): coll = 12, ppb = 12e9/12 = 1e9 —
