@@ -188,6 +188,64 @@ object Graph {
             col("q_ppb")))
     },
 
+    // MULTI-LEVEL LOUVAIN (VERDICT r16 item 1) — g27 is ONE move phase;
+    // real Louvain CONTRACTS the moved communities into super-vertices
+    // and repeats the move phase at the coarse grain, which is where the
+    // big modularity gains live (a fine-grained vertex can only join a
+    // NEIGHBORING community; a contracted community can merge whole
+    // groups at once). Level 2 here: g27's moved labels become the
+    // vertex set of a weighted graph — edge weight = inter-community
+    // edge count (the Components hook+contract shape), coarse degree =
+    // SUM of member degrees (= 2·intra + inter, so self-loops are
+    // carried implicitly and the total weight m is conserved) — and the
+    // IDENTICAL weighted gain 2m·k_{v,d} − k_v·(Σtot_d − [d=own]·k_v)
+    // re-runs in the same two red/black parity phases (louvainPhases —
+    // one spelling for every level, so the optimizer and its oracle
+    // cannot drift). Unfolding composes the labelings; Q(original,
+    // unfolded) ≡ Q(coarse weighted, coarse) is the Louvain invariant
+    // that makes each positive-gain coarse move a positive ΔQ on the
+    // original graph, so the emitted ladder lpa → louvain1 → louvain2
+    // is monotone (pinned in GraphSpec; ΔQ per level is IN the gated
+    // output). Scale: the contraction is two edge-linear label joins +
+    // one |inter-community-edges| agg; every phase above level 1 runs
+    // on the COARSE graph (|communities| vertices), so each added level
+    // costs less than the one below it — the multigrid property that
+    // makes multi-level Louvain tractable where fine-grained hill
+    // climbing stalls. All arithmetic stays exact-integer DECIMAL(38,0).
+    "g28_louvain_multilevel" -> { (s, dir) =>
+      val e = coOrderEdges(t(s, dir, "lineitem"))
+      val lpa = lpaLabels(e).localCheckpoint()
+      val l1 = louvainRound(e, lpa).localCheckpoint() // level-1 labels
+      // contract: inter-community edges with multiplicity as weight
+      val ce = e
+        .join(l1.select(col("v").as("a"), col("lbl").as("ca")), "a")
+        .join(l1.select(col("v").as("b"), col("lbl").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+        .select(least(col("ca"), col("cb")).as("sa"),
+          greatest(col("ca"), col("cb")).as("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).cast(LongType).as("w"))
+        .localCheckpoint() // both parity phases probe it
+      val symW = ce.select(col("sa").as("src"), col("sb").as("dst"), col("w"))
+        .unionAll(ce.select(col("sb").as("src"), col("sa").as("dst"),
+          col("w")))
+      val degC = degrees(e).join(l1, "v")
+        .groupBy(col("lbl").as("v")).agg(sum("d").cast(LongType).as("d"))
+        .localCheckpoint()
+      val l2c = louvainPhases(symW, degC, e.agg(count(lit(1)).as("m")),
+        degC.select(col("v"), col("v").as("lbl")))
+      val l2 = l1.select(col("v"), col("lbl").as("c1"))
+        .join(l2c.select(col("v").as("c1"), col("lbl").as("l2")), "c1")
+        .select(col("v"), col("l2").as("lbl"))
+      modularityTotal(e, lpa)
+        .select(lit("lpa").as("method"), col("n_communities"), col("q_ppb"))
+        .unionAll(modularityTotal(e, l1)
+          .select(lit("louvain1").as("method"), col("n_communities"),
+            col("q_ppb")))
+        .unionAll(modularityTotal(e, l2)
+          .select(lit("louvain2").as("method"), col("n_communities"),
+            col("q_ppb")))
+    },
+
     // DEGREE ASSORTATIVITY — the one-number graph-health readout (Newman
     // 2002): the Pearson correlation of endpoint degrees over directed
     // (symmetrized) edges. Positive = hubs link hubs (social shape),
@@ -1056,17 +1114,39 @@ object Graph {
   private[graft] def louvainRound(e: DataFrame, labels0: DataFrame): DataFrame = {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("w", lit(1L))
       .localCheckpoint() // both phases probe it
-    val deg = degrees(e).localCheckpoint()
-    val m = e.agg(count(lit(1)).as("m"))
+    louvainPhases(sym, degrees(e).localCheckpoint(),
+      e.agg(count(lit(1)).as("m")), labels0)
+  }
+
+  /** The WEIGHTED phase engine behind [[louvainRound]] (g27 passes unit
+    * weights; g28's coarse level passes inter-community edge counts —
+    * the contraction makes every higher Louvain level a WEIGHTED
+    * instance of the same move problem, so there is exactly one gain
+    * spelling to keep in sync with the oracle). Inputs: `symW` the
+    * symmetrized (src, dst, w) edge list WITHOUT self-loops (a coarse
+    * vertex's self-loop — its intra-community weight — travels with it
+    * on any move, contributing equally to every candidate destination,
+    * so it cancels out of the argmax and is deliberately not
+    * materialized); `deg` the (v, d) weighted degrees where d counts
+    * twice any implicit self-loop (for a contracted community this is
+    * simply the SUM of its members' original degrees = 2·intra + inter);
+    * `m` the one-row total edge weight (conserved by contraction).
+    * Gain, parity phasing, stay-on-ties, and determinism are exactly
+    * louvainRound's — see its scaladoc. Returns (v, lbl) for every
+    * vertex in `labels0` (a vertex with no symW row — an isolated
+    * community — stays, via the own-community candidate). */
+  private[graft] def louvainPhases(symW: DataFrame, deg: DataFrame,
+      m: DataFrame, labels0: DataFrame): DataFrame = {
     def phase(labels: DataFrame, par: Int): DataFrame = {
       val tot = deg.join(labels, "v")
         .groupBy(col("lbl").as("cl")).agg(sum("d").cast(LongType).as("tot"))
-      val kid = sym
+      val kid = symW
         .join(labels.select(col("v").as("dst"), col("lbl").as("cl")),
           Seq("dst"))
         .groupBy(col("src").as("v"), col("cl"))
-        .agg(count(lit(1)).as("kid"))
+        .agg(sum("w").cast(LongType).as("kid"))
       // staying is always a candidate, even with no intra neighbor: the
       // own community rides in with k_{v,own} = 0 and max() collapses
       // the duplicate when an intra neighbor already put it there
@@ -1145,6 +1225,87 @@ object Graph {
     s"""l0 AS (SELECT v, v AS lbl FROM deg),
        |$rounds""".stripMargin
   }
+
+  /** One parity phase of the Louvain move round as CTEs (g27's oracle,
+    * shared with g28's fine level): recompute tot/k_{v,d}/candidates/
+    * gains from `inLbl`, rank, and let only v % 2 = par adopt its
+    * argmax. The phase output is MATERIALIZED (lpaSql's reason): p0
+    * feeds six references in phase 2 + two in the scoring pass, and
+    * inlining re-runs the whole chain below it per reference. */
+  private def louvainMoveSql(inLbl: String, out: String, par: Int) =
+    s"""tot_$out AS (SELECT $inLbl.lbl AS cl,
+       |    CAST(sum(deg.d) AS BIGINT) AS tot
+       |  FROM deg JOIN $inLbl ON deg.v = $inLbl.v GROUP BY 1),
+       |kid_$out AS (SELECT s.src AS v, l.lbl AS cl, count(*) AS kid
+       |  FROM sym s JOIN $inLbl l ON s.dst = l.v GROUP BY 1, 2),
+       |cand_$out AS (SELECT v, cl, max(kid) AS kid FROM (
+       |    SELECT v, cl, kid FROM kid_$out
+       |    UNION ALL SELECT v, lbl AS cl, 0 AS kid FROM $inLbl) u
+       |  GROUP BY 1, 2),
+       |sc_$out AS (SELECT c.v, c.cl, o.lbl AS own,
+       |    2 * CAST(m.m AS HUGEINT) * c.kid
+       |      - CAST(deg.d AS HUGEINT)
+       |        * (t.tot - (CASE WHEN c.cl = o.lbl THEN deg.d ELSE 0 END))
+       |      AS gain
+       |  FROM cand_$out c JOIN deg ON c.v = deg.v
+       |       JOIN $inLbl o ON c.v = o.v
+       |       JOIN tot_$out t ON c.cl = t.cl
+       |  CROSS JOIN m),
+       |$out AS MATERIALIZED (SELECT v,
+       |    CASE WHEN v % 2 = $par THEN cl ELSE own END AS lbl
+       |  FROM (SELECT v, cl, own, row_number() OVER (PARTITION BY v
+       |          ORDER BY gain DESC,
+       |            CASE WHEN cl = own THEN 0 ELSE 1 END, cl) AS rk
+       |        FROM sc_$out) t WHERE rk = 1)""".stripMargin
+
+  /** The WEIGHTED parity phase (g28's coarse level — louvainPhases'
+    * oracle spelling): identical to [[louvainMoveSql]] with `wsym`
+    * (src, dst, w) for sym and sum(s.w) for count(*), and `wdeg` for
+    * deg. One generator per grain, both mirroring one Spark engine. */
+  private def louvainWMoveSql(inLbl: String, out: String, par: Int) =
+    s"""tot_$out AS (SELECT $inLbl.lbl AS cl,
+       |    CAST(sum(wdeg.d) AS BIGINT) AS tot
+       |  FROM wdeg JOIN $inLbl ON wdeg.v = $inLbl.v GROUP BY 1),
+       |kid_$out AS (SELECT s.src AS v, l.lbl AS cl,
+       |    CAST(sum(s.w) AS BIGINT) AS kid
+       |  FROM wsym s JOIN $inLbl l ON s.dst = l.v GROUP BY 1, 2),
+       |cand_$out AS (SELECT v, cl, max(kid) AS kid FROM (
+       |    SELECT v, cl, kid FROM kid_$out
+       |    UNION ALL SELECT v, lbl AS cl, 0 AS kid FROM $inLbl) u
+       |  GROUP BY 1, 2),
+       |sc_$out AS (SELECT c.v, c.cl, o.lbl AS own,
+       |    2 * CAST(m.m AS HUGEINT) * c.kid
+       |      - CAST(wdeg.d AS HUGEINT)
+       |        * (t.tot - (CASE WHEN c.cl = o.lbl THEN wdeg.d ELSE 0 END))
+       |      AS gain
+       |  FROM cand_$out c JOIN wdeg ON c.v = wdeg.v
+       |       JOIN $inLbl o ON c.v = o.v
+       |       JOIN tot_$out t ON c.cl = t.cl
+       |  CROSS JOIN m),
+       |$out AS MATERIALIZED (SELECT v,
+       |    CASE WHEN v % 2 = $par THEN cl ELSE own END AS lbl
+       |  FROM (SELECT v, cl, own, row_number() OVER (PARTITION BY v
+       |          ORDER BY gain DESC,
+       |            CASE WHEN cl = own THEN 0 ELSE 1 END, cl) AS rk
+       |        FROM sc_$out) t WHERE rk = 1)""".stripMargin
+
+  /** g26's total-Q arithmetic applied to labeling CTE `lbl` as CTEs
+    * ending in q_<tag> — shared by g27's two readouts and g28's three. */
+  private def modularityQSql(lbl: String, tag: String) =
+    s"""intra_$tag AS (SELECT la.lbl AS community, count(*) AS intra
+       |  FROM edges JOIN $lbl la ON edges.a = la.v
+       |              JOIN $lbl lb ON edges.b = lb.v
+       |  WHERE la.lbl = lb.lbl GROUP BY 1),
+       |degc_$tag AS (SELECT l.lbl AS community,
+       |    CAST(sum(deg.d) AS BIGINT) AS deg_sum
+       |  FROM deg JOIN $lbl l ON deg.v = l.v GROUP BY 1),
+       |q_$tag AS (SELECT count(*) AS n_communities,
+       |    CAST(sum((CAST(coalesce(i.intra, 0) AS HUGEINT) * 1000000000) // m.m
+       |      - (CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum * 1000000000)
+       |        // (4 * CAST(m.m AS HUGEINT) * m.m)) AS BIGINT) AS q_ppb
+       |  FROM degc_$tag dc LEFT JOIN intra_$tag i
+       |    ON dc.community = i.community
+       |  CROSS JOIN m)""".stripMargin
 
   /** One integer PageRank step as a SQL CTE pair: s<i> sums floor-divided
     * contributions over directed edges; r<i> applies damping in the same
@@ -1244,65 +1405,58 @@ object Graph {
     // recomputed from phase 1's output), and g26's Q arithmetic applied
     // to both labelings — HUGEINT mirrors DECIMAL(38,0), `//` mirrors
     // div on positive floors
-    "g27_louvain_round" -> {
-      // one parity phase: recompute tot/k_{v,d}/candidates/gains from
-      // `inLbl`, rank, and let only v % 2 = par adopt its argmax. The
-      // phase output is MATERIALIZED (lpaSql's reason): p0 feeds six
-      // references in phase 2 + two in the scoring pass, and inlining
-      // re-runs the whole chain below it per reference.
-      def moveSql(inLbl: String, out: String, par: Int) =
-        s"""tot_$out AS (SELECT $inLbl.lbl AS cl,
-           |    CAST(sum(deg.d) AS BIGINT) AS tot
-           |  FROM deg JOIN $inLbl ON deg.v = $inLbl.v GROUP BY 1),
-           |kid_$out AS (SELECT s.src AS v, l.lbl AS cl, count(*) AS kid
-           |  FROM sym s JOIN $inLbl l ON s.dst = l.v GROUP BY 1, 2),
-           |cand_$out AS (SELECT v, cl, max(kid) AS kid FROM (
-           |    SELECT v, cl, kid FROM kid_$out
-           |    UNION ALL SELECT v, lbl AS cl, 0 AS kid FROM $inLbl) u
-           |  GROUP BY 1, 2),
-           |sc_$out AS (SELECT c.v, c.cl, o.lbl AS own,
-           |    2 * CAST(m.m AS HUGEINT) * c.kid
-           |      - CAST(deg.d AS HUGEINT)
-           |        * (t.tot - (CASE WHEN c.cl = o.lbl THEN deg.d ELSE 0 END))
-           |      AS gain
-           |  FROM cand_$out c JOIN deg ON c.v = deg.v
-           |       JOIN $inLbl o ON c.v = o.v
-           |       JOIN tot_$out t ON c.cl = t.cl
-           |  CROSS JOIN m),
-           |$out AS MATERIALIZED (SELECT v,
-           |    CASE WHEN v % 2 = $par THEN cl ELSE own END AS lbl
-           |  FROM (SELECT v, cl, own, row_number() OVER (PARTITION BY v
-           |          ORDER BY gain DESC,
-           |            CASE WHEN cl = own THEN 0 ELSE 1 END, cl) AS rk
-           |        FROM sc_$out) t WHERE rk = 1)""".stripMargin
-      def qSql(lbl: String, tag: String) =
-        s"""intra_$tag AS (SELECT la.lbl AS community, count(*) AS intra
-           |  FROM edges JOIN $lbl la ON edges.a = la.v
-           |              JOIN $lbl lb ON edges.b = lb.v
-           |  WHERE la.lbl = lb.lbl GROUP BY 1),
-           |degc_$tag AS (SELECT l.lbl AS community,
-           |    CAST(sum(deg.d) AS BIGINT) AS deg_sum
-           |  FROM deg JOIN $lbl l ON deg.v = l.v GROUP BY 1),
-           |q_$tag AS (SELECT count(*) AS n_communities,
-           |    CAST(sum((CAST(coalesce(i.intra, 0) AS HUGEINT) * 1000000000) // m.m
-           |      - (CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum * 1000000000)
-           |        // (4 * CAST(m.m AS HUGEINT) * m.m)) AS BIGINT) AS q_ppb
-           |  FROM degc_$tag dc LEFT JOIN intra_$tag i
-           |    ON dc.community = i.community
-           |  CROSS JOIN m)""".stripMargin
+    "g27_louvain_round" ->
       s"""WITH $graphSql,
         |sym AS (SELECT a AS src, b AS dst FROM edges
         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
         |$lpaSql,
         |m AS (SELECT count(*) AS m FROM edges),
-        |${moveSql("l3", "p0", 0)},
-        |${moveSql("p0", "p1", 1)},
-        |${qSql("l3", "a")},
-        |${qSql("p1", "b")}
+        |${louvainMoveSql("l3", "p0", 0)},
+        |${louvainMoveSql("p0", "p1", 1)},
+        |${modularityQSql("l3", "a")},
+        |${modularityQSql("p1", "b")}
         |SELECT 'lpa' AS method, n_communities, q_ppb FROM q_a
         |UNION ALL
-        |SELECT 'louvain1' AS method, n_communities, q_ppb FROM q_b""".stripMargin
-    },
+        |SELECT 'louvain1' AS method, n_communities, q_ppb FROM q_b""".stripMargin,
+
+    // the same LPA seed and fine move phases as g27 (shared generators —
+    // one spelling per level), then the contraction restated: weighted
+    // inter-community edges, member-degree sums as coarse degrees, the
+    // WEIGHTED move phases (louvainWMoveSql — sum(w) where the fine
+    // phase counts, wdeg where it reads deg, the same HUGEINT gain and
+    // parity argmax), the label composition, and g26's Q arithmetic
+    // applied to all three labelings
+    "g28_louvain_multilevel" ->
+      s"""WITH $graphSql,
+        |sym AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |$lpaSql,
+        |m AS (SELECT count(*) AS m FROM edges),
+        |${louvainMoveSql("l3", "p0", 0)},
+        |${louvainMoveSql("p0", "p1", 1)},
+        |ce AS MATERIALIZED (SELECT least(la.lbl, lb.lbl) AS sa,
+        |    greatest(la.lbl, lb.lbl) AS sb, count(*) AS w
+        |  FROM edges JOIN p1 la ON edges.a = la.v
+        |             JOIN p1 lb ON edges.b = lb.v
+        |  WHERE la.lbl <> lb.lbl GROUP BY 1, 2),
+        |wsym AS (SELECT sa AS src, sb AS dst, w FROM ce
+        |         UNION ALL SELECT sb, sa, w FROM ce),
+        |wdeg AS MATERIALIZED (SELECT p1.lbl AS v,
+        |    CAST(sum(deg.d) AS BIGINT) AS d
+        |  FROM deg JOIN p1 ON deg.v = p1.v GROUP BY 1),
+        |c0 AS (SELECT v, v AS lbl FROM wdeg),
+        |${louvainWMoveSql("c0", "c1", 0)},
+        |${louvainWMoveSql("c1", "c2", 1)},
+        |p2 AS MATERIALIZED (SELECT p1.v, c2.lbl
+        |  FROM p1 JOIN c2 ON p1.lbl = c2.v),
+        |${modularityQSql("l3", "a")},
+        |${modularityQSql("p1", "b")},
+        |${modularityQSql("p2", "c")}
+        |SELECT 'lpa' AS method, n_communities, q_ppb FROM q_a
+        |UNION ALL
+        |SELECT 'louvain1' AS method, n_communities, q_ppb FROM q_b
+        |UNION ALL
+        |SELECT 'louvain2' AS method, n_communities, q_ppb FROM q_c""".stripMargin,
 
     "g15_bfs_layers" ->
       s"""WITH $graphSql,

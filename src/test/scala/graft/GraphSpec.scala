@@ -711,6 +711,41 @@ class GraphSpec extends AnyFunSuite {
     assert(m1 == m2, "the phased round must be deterministic")
   }
 
+  test("g28: the contracted level's Q never drops below louvain1 and the ladder is monotone") {
+    // VERDICT r16 item 1's contract: Q(original, unfolded coarse labels)
+    // == Q(coarse weighted graph, coarse labels), so every positive-gain
+    // coarse move lifts original-graph Q — level 2 must sit at or above
+    // louvain1, which sits at or above the LPA seed (the g27 pin)
+    val rnd = new scala.util.Random(23) // the g20/g27 fixture's graph
+    val edges = (1 to 150).map { _ =>
+      val a = rnd.nextInt(60) + 1L; val b = rnd.nextInt(60) + 1L
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val d = edgeFixture(edges, "louvain2")
+    val got = Graph.defs("g28_louvain_multilevel")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set("lpa", "louvain1", "louvain2"))
+    assert(got("louvain1")._2 >= got("lpa")._2, s"level 1 lowered Q: $got")
+    assert(got("louvain2")._2 >= got("louvain1")._2,
+      s"the coarse level lowered Q: $got")
+    // on the real gate corpus the coarse grain must do REAL work:
+    // communities merge and Q strictly improves (394 -> 221 communities,
+    // +38% Q at sf0.01; sf0.001 shows the same shape)
+    val real = Graph.defs("g28_louvain_multilevel")(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(real("louvain2")._2 > real("louvain1")._2,
+      s"sf0.001 must show a strict level-2 gain: $real")
+    assert(real("louvain2")._1 < real("louvain1")._1,
+      s"sf0.001 must show coarse merges: $real")
+    // the g27 rows embedded in the ladder equal g27's own readout (the
+    // shared-generator claim: adding a level must not perturb level 1)
+    val g27 = Graph.defs("g27_louvain_round")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(real("lpa") == g27("lpa") && real("louvain1") == g27("louvain1"),
+      s"g28's ladder drifted from g27: $real vs $g27")
+  }
+
   test("perSeedBfs: 64 seeds batched 8 at a time == one unbatched wave (seed-axis knob)") {
     // VERDICT r10 item 3: the seed axis must be batchable with no result
     // change. Fixture: a 2-row × 100-column grid (each vertex joined to its
