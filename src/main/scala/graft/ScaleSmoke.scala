@@ -53,7 +53,8 @@ object ScaleSmoke {
       n.startsWith("d") || n.startsWith("t") || n.startsWith("w") ||
         n.startsWith("m") || // multimodal queries are documents-backed too
         // the hybrids read docs (lexical side) + embeddings (vector side)
-        n == "s40_hybrid_rrf" || n == "s41_hybrid_idf")
+        n == "s40_hybrid_rrf" || n == "s41_hybrid_idf" ||
+        n == "s42_hybrid_bm25")
     val needsEmb = names.exists(_.startsWith("s"))
     // g25 reads orders TOO (the bipartite customer->part graph) — it runs
     // on the star-join facts branch below, where customers and parts stay
