@@ -380,6 +380,43 @@ class AnnIvfSpec extends AnyFunSuite {
       s"BM25 must flip the rank: got doc11=${bm(11L)} doc10=${bm(10L)}")
   }
 
+  test("s39 entry fallback: hamming-1 probe recovers an emptied bucket; no-op otherwise") {
+    // VERDICT r16 item 7: the flag is OFF in every gated def (the
+    // oracle's en CTE stays the exact inner join); flagged, a predicate
+    // that empties a query's exact bucket walks from the nearest
+    // hamming-1 bucket instead of emitting zero rows — and when the
+    // exact bucket resolves, the flagged entry is IDENTICAL (hd = 0
+    // ranks first), so turning it on cannot perturb a healthy probe.
+    import org.apache.spark.sql.functions.col
+    val planes = Similarity.autoPlanes(
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+    // pick a gate query whose bucket has a populated hamming-1 neighbor
+    val buckets = Similarity.bucketed(spark, dir, planes)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val counts = buckets.values.groupBy(identity).map { case (b, xs) => b -> xs.size }
+    val q = (0L until 5L).find { q =>
+      val bq = buckets(q)
+      (0 until planes).exists(p => counts.getOrElse(bq ^ (1 << p), 0) > 0)
+    }.get
+    val emptied = col("bucket") =!= buckets(q).toInt
+    val off = Similarity.graphBeam(spark, dir, planes, emptied).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!off.exists(_._1 == q),
+      s"unflagged: query $q must emit zero rows once its bucket empties")
+    val on = Similarity.graphBeam(spark, dir, planes, emptied,
+      entryFallback = true).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(on.exists(_._1 == q),
+      s"flagged: query $q must recover via a hamming-1 entry")
+    // healthy index: flag is a no-op
+    val base = Similarity.graphBeam(spark, dir, planes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val baseOn = Similarity.graphBeam(spark, dir, planes,
+      entryFallback = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(base == baseOn, "fallback perturbed a resolvable probe")
+  }
+
   test("s34: filtered ANN — predicate strictly enforced, exact cosines, dense ranks") {
     val got = Similarity.defs("s34_ann_filtered")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
