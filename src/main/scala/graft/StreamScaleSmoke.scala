@@ -126,7 +126,8 @@ object StreamScaleSmoke {
       "x31_stream_cdc_apply", "x33_stream_dedup_bounded",
       "x36_stream_quantile").contains(n))
     val needPit = names.contains("x26_stream_pit_enrich")
-    val needDocs = names.contains("x17a_decontam_stateless")
+    val needDocs = names.exists(n => n == "x17a_decontam_stateless" ||
+      n == "x37_stream_weighted_sample")
     val needMalformed = names.contains("x32_stream_malformed_audit")
 
     lazy val dirGeneric = {
@@ -307,6 +308,19 @@ object StreamScaleSmoke {
             sinkName = "ssm-x36", sourceOptions = mb,
             sourceGlob = "events*.parquet",
             sinkTransform = StreamingSessionize.quantileCuts)
+          .write.format("noop").mode("overwrite").save()
+      }),
+      // live weighted sample: state is the TopKAgg buffer — ≤50 payload
+      // structs per language at ANY volume; the readout proves the
+      // manifest's state never tracks the stream (x36's argument on the
+      // sampling axis)
+      "x37_stream_weighted_sample" -> (() => {
+        StreamingSessionize.runToCompletion(spark, dirDocs,
+            StreamingSessionize.weightedSampleLive, outputMode = "complete",
+            sinkName = "ssm-x37", sourceOptions = mb,
+            sourceGlob = "events*.parquet",
+            sourceSchema = StreamingSessionize.docSchema,
+            sinkTransform = StreamingSessionize.weightedSampleRank)
           .write.format("noop").mode("overwrite").save()
       }),
       // ingest-health totals: state is ONE 5-long row at any volume —

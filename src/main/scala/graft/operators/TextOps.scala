@@ -2069,6 +2069,38 @@ object TextOps {
     lmScoreProbe(docs(s, dir), model, prefix)
   }
 
+  /** t44's weighted-sample chain as shared CTEs ending in `ranked`
+    * (lang, doc_id, w, rk under the (hmin, doc_id) order after the
+    * survivor cutoff) — one spelling for the batch sampler and its
+    * streaming twin x37, so the selection law can never drift between
+    * them. The cutoff prefilter is lossless (OperatorSpec pin), so the
+    * ranked rows ≤ 50 equal the full rank both consumers gate on. */
+  private[graft] val weightedSampleSqlCtes: String = {
+    val hexToInt = (0 until 8).map { i =>
+      s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+    }.mkString(" + ")
+    s"""base AS (SELECT doc_id, lang,
+       |    least(64, 1 + (n_chars // 256)) AS w FROM documents),
+       |rep AS (SELECT doc_id, lang, w,
+       |          unnest(generate_series(0, w - 1)) AS j FROM base),
+       |keyed AS (SELECT doc_id, lang, w, min($hexToInt) AS hmin
+       |          FROM (SELECT doc_id, lang, w,
+       |                  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS m
+       |                FROM rep) t
+       |          GROUP BY 1, 2, 3),
+       |cut AS (SELECT lang, count(*) AS cn, sum(w) AS tw
+       |        FROM base GROUP BY 1),
+       |c2 AS (SELECT lang, CASE WHEN cn <= 200 THEN 4294967296
+       |         ELSE least(4294967296, (4294967296 * 400) // tw) END
+       |         AS cutoff
+       |       FROM cut),
+       |ranked AS (SELECT keyed.lang, doc_id, w,
+       |    row_number() OVER (PARTITION BY keyed.lang
+       |      ORDER BY hmin, doc_id) AS rk
+       |  FROM keyed JOIN c2 ON keyed.lang = c2.lang
+       |  WHERE hmin < cutoff)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "w1_wordcount" ->
       """SELECT w AS word, count(*) AS cnt
@@ -2827,35 +2859,11 @@ object TextOps {
     // the same salted md5-32 minimum per doc (8-hex-digit chain over
     // doc_id:j, j unnested from the same 0..w-1 series), the same
     // cn/Σw cutoff arithmetic, the same (hmin, doc_id) rank
-    "t44_weighted_exact_sample" -> {
-      val hexToInt = (0 until 8).map { i =>
-        s"(instr('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
-      }.mkString(" + ")
-      s"""WITH base AS (SELECT doc_id, lang,
-         |    least(64, 1 + (n_chars // 256)) AS w FROM documents),
-         |rep AS (SELECT doc_id, lang, w,
-         |          unnest(generate_series(0, w - 1)) AS j FROM base),
-         |keyed AS (SELECT doc_id, lang, w, min($hexToInt) AS hmin
-         |          FROM (SELECT doc_id, lang, w,
-         |                  md5(CAST(doc_id AS VARCHAR) || ':'
-         |                      || CAST(j AS VARCHAR)) AS m
-         |                FROM rep) t
-         |          GROUP BY 1, 2, 3),
-         |cut AS (SELECT lang, count(*) AS cn, sum(w) AS tw
-         |        FROM base GROUP BY 1),
-         |c2 AS (SELECT lang, CASE WHEN cn <= 200 THEN 4294967296
-         |         ELSE least(4294967296, (4294967296 * 400) // tw) END
-         |         AS cutoff
-         |       FROM cut)
+    "t44_weighted_exact_sample" ->
+      s"""WITH $weightedSampleSqlCtes
          |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
-         |  CAST(w AS BIGINT) AS w FROM (
-         |  SELECT keyed.lang, doc_id, w,
-         |    row_number() OVER (PARTITION BY keyed.lang
-         |      ORDER BY hmin, doc_id) AS rk
-         |  FROM keyed JOIN c2 ON keyed.lang = c2.lang
-         |  WHERE hmin < cutoff) r
-         |WHERE rk <= 50""".stripMargin
-    },
+         |  CAST(w AS BIGINT) AS w
+         |FROM ranked WHERE rk <= 50""".stripMargin,
 
     // the same count-of-counts arithmetic in HUGEINT, the same floor
     // division on non-negative operands

@@ -939,6 +939,28 @@ object StreamingSessionize {
         sinkTransform = quantileCuts)
     },
 
+    // LIVE EVAL-QUEUE SAMPLER — t44's weighted exact-n draw at the place
+    // a sample manifest is actually maintained (ingest): as documents
+    // arrive, each language's exactly-50 mass-weighted sample updates in
+    // complete mode, and the state IS the sample (≤50 payload structs
+    // per language — the TopKAgg buffer under the (hmin, doc_id) order,
+    // spelled as (-hmin DESC, id) on the exact integer key). The
+    // per-doc key — min of w salted md5-32 uniforms — is a STATELESS
+    // scalar fold (array_min over the sequence, no pre-aggregation), so
+    // the one streaming aggregate is the whole state. Stream-safety is
+    // t44's determinism: bottom-n of a multiset under a total order is
+    // merge-order independent, so the converged manifest equals batch
+    // t44 at ANY arrival slicing — where a reservoir sampler's state is
+    // arrival-history-dependent and can never hash-gate or replay.
+    // Shared oracle CTEs with t44 (TextOps.weightedSampleSqlCtes): one
+    // spelling of the selection law for both consumers.
+    "x37_stream_weighted_sample" -> { (s, dir) =>
+      runToCompletion(s, dir, weightedSampleLive,
+        outputMode = "complete", sinkName = "x37",
+        sourceGlob = "documents.parquet", sourceSchema = docSchema,
+        sinkTransform = weightedSampleRank)
+    },
+
     "x31_stream_cdc_apply" -> { (s, dir) =>
       val upserts = runToCompletion(s, dir, streamCdcApply,
         outputMode = "update", sinkName = "x31", tagBatchId = true)
@@ -1304,6 +1326,37 @@ object StreamingSessionize {
         (col("pos") + 1).cast(LongType).as("decile"),
         col("col").as("cut_value"), col("sample_n"))
 
+  /** x37's transform: t44's weighted exact-n sample at arrival. The
+    * selection key is computed per row (min of w salted md5-32 hashes —
+    * array_min over a generated sequence, the registered md5_hash32
+    * expression inside the lambda), so the ONLY stateful operator is the
+    * per-language TopKAgg holding the ≤50 best (-hmin, doc_id) payloads:
+    * (-hmin DESC, id ASC) ≡ (hmin ASC, doc_id ASC), t44's exact order,
+    * and hmin < 2³² rides the double payload exactly. No survivor
+    * cutoff on the stream — the aggregate IS the bound (50 structs per
+    * language at any volume); the cutoff is t44's batch-side shuffle
+    * optimization, lossless by the OperatorSpec pin, so both paths gate
+    * on the same rows. */
+  private[graft] def weightedSampleLive(stream: DataFrame): DataFrame =
+    stream
+      .select(col("lang"), col("doc_id"),
+        // Column-DSL lambda (not SQL text) so the expression resolves
+        // without the session-extension function registry
+        array_min(transform(
+          sequence(lit(0L), expr("least(64, 1 + (n_chars div 256)) - 1")),
+          j => graft.functions.Md5Hash32.hash32(
+            concat(col("doc_id").cast(StringType), lit(":"),
+              j.cast(StringType))))).as("hmin"))
+      .groupBy("lang")
+      .agg(graft.functions.TopKAgg.topK(50)(
+        -col("hmin").cast("double"), col("doc_id")).as("tk"))
+
+  /** x37's sink projection: the rank-ordered manifest rows. */
+  private[graft] def weightedSampleRank(st: DataFrame): DataFrame =
+    st.select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast(LongType).as("rk"),
+        col("col.id").as("doc_id"))
+
   /** x34's transform: t42's NFC audit at the place it runs in production
     * (arrival) — per trigger, one codegen'd NfcNormalize projection (the
     * already-NFC fast path makes clean batches near-free) into
@@ -1635,6 +1688,14 @@ object StreamingSessionize {
          |SELECT event_type, CAST(decile AS BIGINT) AS decile, cut_value,
          |  CAST(ns AS BIGINT) AS sample_n
          |FROM cuts""".stripMargin,
+
+    // x37: t44's shared selection-law CTEs (one spelling for the batch
+    // sampler and the live manifest — the converged state is batch t44
+    // without the w readout column)
+    "x37_stream_weighted_sample" ->
+      s"""WITH ${graft.operators.TextOps.weightedSampleSqlCtes}
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+         |FROM ranked WHERE rk <= 50""".stripMargin,
 
     // q36's rank arithmetic over the replayed distinct-hash set
     "x24_stream_kmv_users" -> {

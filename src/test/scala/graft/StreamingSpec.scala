@@ -575,6 +575,41 @@ class StreamingSpec extends AnyFunSuite {
       s"incremental state (${multi.size} words) must equal batch (${batch.size})")
   }
 
+  test("x37 weighted sample over three sliced microbatches equals batch t44") {
+    // the sampler's stream-safety claim, exercised: the TopKAgg buffer
+    // is the streaming state, and because bottom-n by the (hmin, doc_id)
+    // total order is merge-order independent, the converged manifest
+    // must equal the batch draw at ANY arrival slicing — the property a
+    // reservoir sampler (arrival-history-dependent state) would fail
+    val d = java.nio.file.Files.createTempDirectory("graft-x37-mb").toFile
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val ids = raw.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    for (i <- 0 until 3) {
+      val sd = new java.io.File(d, s"slice$i")
+      val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+      val hi = if (i == 2) Long.MaxValue else cuts(i)
+      raw.filter(raw("doc_id") >= lo && raw("doc_id") < hi)
+        .coalesce(1).write.parquet(sd.getAbsolutePath)
+      val part = sd.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(d, s"documents$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val multi = StreamingSessionize.runToCompletion(spark, d.getAbsolutePath,
+        StreamingSessionize.weightedSampleLive, "complete", "x37-multibatch",
+        Map("maxFilesPerTrigger" -> "1"), "documents*.parquet",
+        StreamingSessionize.docSchema,
+        sinkTransform = StreamingSessionize.weightedSampleRank)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.TextOps
+      .defs("t44_weighted_exact_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(multi.nonEmpty && multi == batch,
+      s"sliced-arrival manifest diverges from batch t44: " +
+        s"${(multi diff batch).take(3)} / ${(batch diff multi).take(3)}")
+  }
+
   test("x14a update deltas: each batch emits exactly its slice's vocabulary; latest upsert == batch wordcount") {
     import org.apache.spark.sql.functions._
     val d = java.nio.file.Files.createTempDirectory("graft-x14a-mb").toFile
