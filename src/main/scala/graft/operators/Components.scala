@@ -124,14 +124,26 @@ object Components {
       // edges must still be labeled (with itself), per the contract above.
       // `v` is the original id, `lbl` lives in the scrambled space until
       // the final regroup.
-      var mapping = mat(
+      val verts = mat(
         e.df.select(col("o1").as("v"), col("d1").as("lbl"))
           .union(e.df.select(col("o2").as("v"), col("d2").as("lbl")))
           .distinct())
-      drop(e) // consumed by the (eager) g/mapping materializations above
+      drop(e) // consumed by the (eager) g/verts materializations above
       def nbr(gd: DataFrame): DataFrame =
         gd.select(col("x").as("sv"), col("y").as("nl"))
           .union(gd.select(col("y").as("sv"), col("x").as("nl")))
+      // Per-round hook maps, composed ONCE after the loop (OPTIMIZATION
+      // r17): the previous shape pushed the FULL vertex→label mapping
+      // through every round's hook map — a vertex-sized join plus a
+      // vertex-sized checkpoint per round, O(V·rounds) total. The hook
+      // maps themselves shrink geometrically with the contracting graph
+      // and their domains NEST (dom(m_{i+1}) = the contracted vertex set
+      // ⊆ dom(m_i)), so composing them right-to-left with the same
+      // left-join+coalesce costs O(Σ|m_i|) = O(V) once, and the full
+      // vertex table is touched exactly once at the end. Labels that
+      // never enter round 1's domain (self-loop-only vertices) fall
+      // through every coalesce unchanged — identical semantics.
+      val hooks = scala.collection.mutable.ListBuffer.empty[Mat]
       var iter = 0
       while (g.df.head(1).nonEmpty) {
         if (iter >= 50)
@@ -147,11 +159,6 @@ object Components {
         val m = mat(m1
           .join(m1.select(col("sv").as("m"), col("m").as("mm")), Seq("m"), "left")
           .select(col("sv"), coalesce(col("mm"), col("m")).as("m")))
-        // compose: v -> m(lbl(v)); vertices whose representative already
-        // contracted away keep their label (left join + coalesce)
-        val mapping1 = mat(mapping.df
-          .join(m.df.select(col("sv").as("lbl"), col("m")), Seq("lbl"), "left")
-          .select(col("v"), coalesce(col("m"), col("lbl")).as("lbl")))
         // contract: rewrite edges through the hook map, drop self-loops
         val g1 = mat(g.df
           .join(m.df.select(col("sv").as("x"), col("m").as("mx")), "x")
@@ -160,21 +167,40 @@ object Components {
           .select(least(col("mx"), col("my")).as("x"),
             greatest(col("mx"), col("my")).as("y"))
           .distinct())
-        // the new round is materialized; the superseded round's blocks
-        // (and the hook map's) are dead weight — free them so the loop
-        // holds at most two rounds of state, not O(rounds)
-        drop(m, mapping, g)
-        mapping = mapping1; g = g1
+        // the superseded round's edge blocks are dead weight; the hook
+        // map stays live until the end-of-loop composition reads it
+        drop(g)
+        hooks += m
+        g = g1
         iter += 1
+      }
+      // T = f_k ∘ … ∘ f_1 where f_i(x) = m_i(x) if defined else x:
+      // fold right-to-left, each step a join of two (shrinking, already
+      // checkpointed) hook maps — one lazy plan, materialized once.
+      val total = hooks.toList.reverse match {
+        case Nil => None
+        case last :: rest =>
+          val composed = rest.foldLeft(last.df) { (t, mi) =>
+            mi.df.join(t.select(col("sv").as("m"), col("m").as("tm")),
+              Seq("m"), "left")
+              .select(col("sv"), coalesce(col("tm"), col("m")).as("m"))
+          }
+          Some(mat(composed))
       }
       // back to original ids: per scrambled component label, the cluster
       // id is the min ORIGINAL member id. Materialized INSIDE the pinned
       // conf (lazy evaluation after the finally would shuffle this tiny
       // map at the corpus-sized session partition count).
+      val mapping = total match {
+        case None => verts
+        case Some(tm) => mat(verts.df
+          .join(tm.df.select(col("sv").as("lbl"), col("m")), Seq("lbl"), "left")
+          .select(col("v"), coalesce(col("m"), col("lbl")).as("lbl")))
+      }
       val clusterOf = mapping.df.groupBy("lbl").agg(min("v").as("cluster"))
       val res = mat(mapping.df.join(clusterOf, "lbl")
         .select(col("v"), col("cluster").as("lbl")))
-      drop(mapping, g)
+      drop(verts :: g :: mapping :: (total.toList ++ hooks.toList): _*)
       live -= res // the result's blocks belong to the caller
       res.df
     } catch {

@@ -900,17 +900,22 @@ object Dedup {
         .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       val cs = cl.join(docs(s, dir).select("doc_id", "source"), "doc_id")
         .groupBy("cluster_id", "source").agg(count(lit(1)).as("ns"))
-      val w = Window.partitionBy("cluster_id")
-        .orderBy(col("ns").desc, col("source"))
-      cs.withColumn("rk", row_number().over(w))
-        .withColumn("n_members",
-          sum("ns").over(Window.partitionBy("cluster_id")).cast(LongType))
-        .withColumn("n_sources",
-          count(lit(1)).over(Window.partitionBy("cluster_id")))
-        .filter(col("rk") === 1)
+      // per-cluster majority argmax as min(struct(-ns, source)) plus the
+      // member/source totals, in ONE partial+final hash aggregate
+      // (OPTIMIZATION r17, guide §2.3/§2.4): the previous spelling ran a
+      // rank window plus two unbounded aggregate windows over the same
+      // cluster partitioning — an Exchange + per-cluster sort where the
+      // aggregate ships one candidate struct per (map partition, cluster).
+      // Same total order (ns DESC, source ASC; source unique per row), so
+      // the selected majority row is identical; the oracle keeps its
+      // window spelling.
+      cs.groupBy("cluster_id")
+        .agg(min(struct((-col("ns")).as("nns"), col("source"))).as("top"),
+          sum("ns").cast(LongType).as("n_members"),
+          count(lit(1)).as("n_sources"))
         .select(col("cluster_id"), col("n_members"), col("n_sources"),
-          col("source").as("top_source"),
-          expr("ns * 1000000 div n_members").as("purity_ppm"))
+          col("top.source").as("top_source"),
+          expr("(-top.nns) * 1000000 div n_members").as("purity_ppm"))
     },
 
     // Near-dup CLUSTERS — connected components over the verified near-dup

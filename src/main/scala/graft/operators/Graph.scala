@@ -179,11 +179,18 @@ object Graph {
     // LPA rounds, at any corpus.
     "g27_louvain_round" -> { (s, dir) =>
       val e = coOrderEdges(t(s, dir, "lineitem"))
+      // ONE checkpointed degree table threads through the move round and
+      // both scoring passes (OPTIMIZATION r17) — previously each consumer
+      // recomputed the edge-linear degree aggregation from scratch.
+      val dg = degrees(e).localCheckpoint()
+      // m (|E|, one row) likewise computed once — each scoring pass and
+      // the move round otherwise re-counts the full edge set
+      val mdf = e.agg(count(lit(1)).as("m")).localCheckpoint()
       val lpa = lpaLabels(e).localCheckpoint() // scored AND seeds the moves
-      val moved = louvainRound(e, lpa)
-      modularityTotal(e, lpa)
+      val moved = louvainRound(e, lpa, Some(dg), Some(mdf))
+      modularityTotal(e, lpa, Some(dg), Some(mdf))
         .select(lit("lpa").as("method"), col("n_communities"), col("q_ppb"))
-        .unionAll(modularityTotal(e, moved)
+        .unionAll(modularityTotal(e, moved, Some(dg), Some(mdf))
           .select(lit("louvain1").as("method"), col("n_communities"),
             col("q_ppb")))
     },
@@ -214,8 +221,13 @@ object Graph {
     // climbing stalls. All arithmetic stays exact-integer DECIMAL(38,0).
     "g28_louvain_multilevel" -> { (s, dir) =>
       val e = coOrderEdges(t(s, dir, "lineitem"))
+      // shared checkpointed degrees (g27's r17 note): the move round, the
+      // coarse degree build, and all THREE scoring passes read it
+      val dg = degrees(e).localCheckpoint()
+      val mdf = e.agg(count(lit(1)).as("m")).localCheckpoint()
       val lpa = lpaLabels(e).localCheckpoint()
-      val l1 = louvainRound(e, lpa).localCheckpoint() // level-1 labels
+      val l1 = louvainRound(e, lpa, Some(dg), Some(mdf))
+        .localCheckpoint() // level-1 labels
       // contract: inter-community edges with multiplicity as weight
       val ce = e
         .join(l1.select(col("v").as("a"), col("lbl").as("ca")), "a")
@@ -228,20 +240,20 @@ object Graph {
       val symW = ce.select(col("sa").as("src"), col("sb").as("dst"), col("w"))
         .unionAll(ce.select(col("sb").as("src"), col("sa").as("dst"),
           col("w")))
-      val degC = degrees(e).join(l1, "v")
+      val degC = dg.join(l1, "v")
         .groupBy(col("lbl").as("v")).agg(sum("d").cast(LongType).as("d"))
         .localCheckpoint()
-      val l2c = louvainPhases(symW, degC, e.agg(count(lit(1)).as("m")),
+      val l2c = louvainPhases(symW, degC, mdf,
         degC.select(col("v"), col("v").as("lbl")))
       val l2 = l1.select(col("v"), col("lbl").as("c1"))
         .join(l2c.select(col("v").as("c1"), col("lbl").as("l2")), "c1")
         .select(col("v"), col("l2").as("lbl"))
-      modularityTotal(e, lpa)
+      modularityTotal(e, lpa, Some(dg), Some(mdf))
         .select(lit("lpa").as("method"), col("n_communities"), col("q_ppb"))
-        .unionAll(modularityTotal(e, l1)
+        .unionAll(modularityTotal(e, l1, Some(dg), Some(mdf))
           .select(lit("louvain1").as("method"), col("n_communities"),
             col("q_ppb")))
-        .unionAll(modularityTotal(e, l2)
+        .unionAll(modularityTotal(e, l2, Some(dg), Some(mdf))
           .select(lit("louvain2").as("method"), col("n_communities"),
             col("q_ppb")))
     },
@@ -752,13 +764,15 @@ object Graph {
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       val lbl = t(s, dir, "part")
         .select(col("p_partkey").as("v"), col("p_brand").as("lbl"))
+      // per-vertex vote argmax as min(struct(-c, lbl)) — the lpaLabels
+      // r17 rewrite: partial+final hash agg instead of a window sort,
+      // one candidate per (map partition, vertex) crossing the shuffle
       val votes = und.join(lbl, "v")
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("u")
-        .orderBy(col("c").desc, col("lbl"))
-      val newLbl = votes.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("u"), col("lbl").as("new_lbl"))
+      val newLbl = votes
+        .groupBy("u")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("top"))
+        .select(col("u"), col("top.lbl").as("new_lbl"))
       newLbl.join(lbl.select(col("v").as("u"), col("lbl").as("old_lbl")), "u")
         .groupBy("old_lbl", "new_lbl")
         .agg(count(lit(1)).as("n_parts"))
@@ -983,12 +997,13 @@ object Graph {
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       val lbl = t(s, dir, "part")
         .select(col("p_partkey").as("v"), col("p_brand").as("lbl"))
+      // vote argmax via min(struct(-c, lbl)) — g13's r17 rewrite
       val votes = und.join(lbl, "v")
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("u").orderBy(col("c").desc, col("lbl"))
-      val comm = votes.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("u").as("v"), col("lbl").as("community"))
+      val comm = votes
+        .groupBy("u")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("top"))
+        .select(col("u").as("v"), col("top.lbl").as("community"))
         .localCheckpoint() // the intra-edge and degree joins both read it
       val m = e.agg(count(lit(1)).as("m"))
       val intra = e
@@ -1053,15 +1068,20 @@ object Graph {
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
     for (_ <- 1 to 3) {
+      // per-vertex argmax under (count DESC, label ASC) as min(struct(-c,
+      // nl)) — a DECLARATIVE aggregate instead of a row_number window
+      // (OPTIMIZATION r17): same total order, same single row per vertex,
+      // but partial+final hash aggregation replaces the window's
+      // partition sort, and the shuffle ships one candidate per (map
+      // partition, vertex) instead of every (vertex, label) vote row.
       labels = sym
         .join(labels.select(col("v").as("dst"), col("lbl").as("nl")),
           Seq("dst"))
         .groupBy(col("src").as("v"), col("nl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("v").orderBy(col("c").desc, col("nl"))))
-        .filter(col("rk") === 1)
-        .select(col("v"), col("nl").as("lbl"))
+        .groupBy("v")
+        .agg(min(struct((-col("c")).as("nc"), col("nl").as("nl"))).as("top"))
+        .select(col("v"), col("top.nl").as("lbl"))
         .localCheckpoint()
     }
     labels
@@ -1073,15 +1093,17 @@ object Graph {
     * the one-row readout g27 emits for both its partitions. Corpus work
     * is two edge-linear endpoint-label joins; everything after is
     * |communities|-row. Returns (n_communities, q_ppb). */
-  private[graft] def modularityTotal(e: DataFrame, labels: DataFrame): DataFrame = {
-    val m = e.agg(count(lit(1)).as("m"))
+  private[graft] def modularityTotal(e: DataFrame, labels: DataFrame,
+      deg: Option[DataFrame] = None,
+      mDf: Option[DataFrame] = None): DataFrame = {
+    val m = mDf.getOrElse(e.agg(count(lit(1)).as("m")))
     val intra = e
       .join(labels.select(col("v").as("a"), col("lbl").as("ca")), "a")
       .join(labels.select(col("v").as("b"), col("lbl").as("cb")), "b")
       .filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community"))
       .agg(count(lit(1)).as("intra_edges"))
-    val degc = degrees(e).join(labels, "v")
+    val degc = deg.getOrElse(degrees(e)).join(labels, "v")
       .groupBy(col("lbl").as("community"))
       .agg(sum("d").cast(LongType).as("deg_sum"))
     degc.join(intra, Seq("community"), "left")
@@ -1111,13 +1133,15 @@ object Graph {
     * nondeterminism, so the gate hashes). DECIMAL(38,0) keeps 2m·k
     * exact past int64 at corpus scale (g22's discipline). Candidate
     * sets are degree-bounded; no corpus windows. Returns (v, lbl). */
-  private[graft] def louvainRound(e: DataFrame, labels0: DataFrame): DataFrame = {
+  private[graft] def louvainRound(e: DataFrame, labels0: DataFrame,
+      deg: Option[DataFrame] = None,
+      mDf: Option[DataFrame] = None): DataFrame = {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("w", lit(1L))
       .localCheckpoint() // both phases probe it
-    louvainPhases(sym, degrees(e).localCheckpoint(),
-      e.agg(count(lit(1)).as("m")), labels0)
+    louvainPhases(sym, deg.getOrElse(degrees(e).localCheckpoint()),
+      mDf.getOrElse(e.agg(count(lit(1)).as("m"))), labels0)
   }
 
   /** The WEIGHTED phase engine behind [[louvainRound]] (g27 passes unit
@@ -1154,8 +1178,14 @@ object Graph {
         .unionByName(labels.select(col("v"), col("lbl").as("cl"),
           lit(0L).as("kid")))
         .groupBy("v", "cl").agg(max("kid").as("kid"))
-      val w = Window.partitionBy("v").orderBy(col("gain").desc,
-        when(col("cl") === col("own"), 0).otherwise(1), col("cl"))
+      // per-vertex argmax under (gain DESC, stay-first, cl ASC) as
+      // min(struct(-gain, stay, cl)) — same total order (cl is unique per
+      // candidate row, so the trailing own field never decides), but a
+      // partial+final hash aggregate instead of a row_number window
+      // (OPTIMIZATION r17): no per-vertex sort, and the shuffle ships one
+      // best-candidate struct per (map partition, vertex) instead of the
+      // whole degree-bounded candidate set. `own` rides the struct so the
+      // post-agg projection needs no extra join back to `labels`.
       cand
         .join(deg.select(col("v"), col("d").as("kv")), "v")
         .join(labels.select(col("v"), col("lbl").as("own")), "v")
@@ -1165,10 +1195,12 @@ object Graph {
           expr("2 * CAST(m AS DECIMAL(38,0)) * kid" +
             " - CAST(kv AS DECIMAL(38,0))" +
             " * (tot - (CASE WHEN cl = own THEN kv ELSE 0 END))").as("gain"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+        .groupBy("v")
+        .agg(min(struct((-col("gain")).as("ng"),
+          when(col("cl") === col("own"), 0).otherwise(1).as("st"),
+          col("cl").as("cl"), col("own").as("own"))).as("top"))
         .select(col("v"),
-          when(col("v") % 2 === par, col("cl")).otherwise(col("own"))
+          when(col("v") % 2 === par, col("top.cl")).otherwise(col("top.own"))
             .as("lbl"))
         .localCheckpoint() // phase 2 + both scoring passes read it
     }

@@ -199,14 +199,25 @@ object Similarity {
           .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))))
       .filter(col("crk") <= beamBucketCap)
       .select(col("vec_id"), col("v"), col("bucket"))
-    val we = Window.partitionBy("src").orderBy(col("esim").desc, col("dst"))
+    // per-src degree selection by the mergeable TopKAgg (OPTIMIZATION
+    // r17, r15-item-1 discipline extended to the edge BUILD): the rank
+    // window shuffled and sorted the FULL probe-join candidate volume —
+    // N·(planes+1) probes × capped bucket populations — on the src key,
+    // where the aggregate reduces each map partition to ≤graphDegree
+    // payloads per src before the exchange. Each (src, dst) candidate is
+    // unique (dst lives in exactly one bucket; a src's probes are
+    // distinct buckets), so (esim DESC, dst ASC) is the same total order
+    // the window used and the selected edge set is identical (TopKSpec's
+    // window-equivalence pin); the oracle keeps its rank-window spelling.
     val edges = bc.join(srcs,
         col("bucket") === col("probe") && col("vec_id") =!= col("src"))
       .select(col("src"), col("vec_id").as("dst"),
         cosine(col("sv"), col("v")).as("esim"))
-      .withColumn("erk", row_number().over(we))
-      .filter(col("erk") <= graphDegree)
-      .select("src", "dst")
+      .groupBy("src")
+      .agg(graft.functions.TopKAgg.topK(graphDegree)(
+        col("esim"), col("dst")).as("tk"))
+      .select(col("src"), explode(col("tk")).as("e"))
+      .select(col("src"), col("e.id").as("dst"))
       .localCheckpoint() // read once per round — never rebuilt
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
