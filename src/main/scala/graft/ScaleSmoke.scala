@@ -221,9 +221,34 @@ object ScaleSmoke {
         .collect { case (id, r) if !preexisting.contains(id) => r }
         .foreach(_.unpersist(blocking = true))
 
+    // PEAK-STORAGE SAMPLER (OPTIMIZATION r18, VERDICT r17 item 8): the
+    // Components rewrite holds every round's hook map live until the
+    // end-of-loop composition — O(Σ|mᵢ|) = O(V) peak block-manager
+    // storage by the geometric-shrink argument, but the argument needed a
+    // measured datapoint at a large vertex set. A daemon thread samples
+    // the block manager's total persisted bytes (mem + disk) every 50 ms
+    // while each query runs; the per-query max rides the artifact as
+    // peak_storage_mb. Measurement-tool only — no query-path change.
+    @volatile var peak = 0L
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          val cur = spark.sparkContext.getRDDStorageInfo
+            .map(i => i.memSize + i.diskSize).sum
+          if (cur > peak) peak = cur
+        }
+        Thread.sleep(50)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val peaks = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { name =>
       force(name); clearBlocks()
+      peak = 0L; sampling = true
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         force(name)
@@ -231,7 +256,9 @@ object ScaleSmoke {
         clearBlocks()
         dt
       }.sorted
+      sampling = false
       timings(name) = ts(1)
+      peaks(name) = peak / 1e6
     }
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","factor":$factor,"base":"$base","queries":$qs}""")
@@ -240,7 +267,9 @@ object ScaleSmoke {
     SmokeArtifact.merge(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_FULL.json"),
       timings.toSeq.map { case (k, v) =>
-        s"$k@${factor}x" -> s"""{"sec":$v,"base":"$base"}""" })
+        val pk = String.format(java.util.Locale.ROOT, "%.1f",
+          Double.box(peaks(k)))
+        s"$k@${factor}x" -> s"""{"sec":$v,"base":"$base","peak_storage_mb":$pk}""" })
     spark.stop()
   }
 }

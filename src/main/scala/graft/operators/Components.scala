@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCkpt
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -74,7 +75,10 @@ object Components {
     // 5.16→5.80 s). The residual 1.5-3× cross-run swing tracks the
     // host's calibration_ckpt (0.39→0.87 s between two same-code runs),
     // i.e. the disk regime itself — not removable from inside the plan.
-    val ck = df.localCheckpoint(true,
+    // graftCkpt routes to a reliable checkpoint() when
+    // spark.graft.reliableCheckpoint is set (VERDICT r17 item 8) — the
+    // single-host assumption below is the LOCAL default, not a hard bake.
+    val ck = df.graftCkpt(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     def persisted(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] =
       if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Seq(r)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCkpt
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -72,7 +73,16 @@ object Dedup {
   /** 3-gram word shingles over a pre-split token array column (empty array
     * when the doc has <3 tokens — matches DuckDB generate_series(1, n<1)=[]).
     * Takes the tokens as a bound column so `split` runs once per row, not
-    * once per sub-expression. */
+    * once per sub-expression.
+    *
+    * REFERENCE SPELLING ONLY since OPTIMIZATION r18: every production
+    * query path routes through the fused native
+    * [[graft.functions.ShingleHash32s]] (the HOF chain here is
+    * CodegenFallback — interpreted, with the split re-evaluated per
+    * shingle element, and InferFiltersFromGenerate duplicates the whole
+    * chain under any explode). ShingleHashSpec pins the fused expression
+    * bit-identical to this composition, which is also what the DuckDB
+    * oracle mirrors. */
   private[graft] def shinglesOf(w: Column): Column =
     when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ", slice(w, i, lit(3)))))
@@ -98,13 +108,12 @@ object Dedup {
     * signature cost, so the affine family is 16× cheaper than rehashing.
     * All a_j < 2^30 so a·h < 2^62 (no overflow under ANSI mode) and the
     * arithmetic is reproduced exactly by the DuckDB oracle. */
-  private val P = 1000000007L
-  private val hashA = Seq(131L, 9973L, 999331L, 22695477L, 747796405L, 69069L,
-    48271L, 16807L, 69621L, 40692L, 40014L, 65539L, 214013L, 134775813L,
-    999999893L, 536870909L)
-  private val hashB = Seq(17L, 911L, 65599L, 104729L, 50331653L, 998244353L,
-    7919L, 104659L, 1299709L, 15485863L, 32452843L, 49979687L, 67867967L,
-    86028121L, 982451653L, 377777777L)
+  // single source of truth lives next to the fused native expressions
+  // (OPTIMIZATION r18); the oracle-side SQL mirrors below interpolate the
+  // same values
+  private val P = graft.functions.ShingleHash32.P
+  private val hashA = graft.functions.ShingleHash32.hashA
+  private val hashB = graft.functions.ShingleHash32.hashB
 
   /** (doc_id, hv) → (doc_id, s0..s15 bigint) signatures. The base may carry
     * hv with or without duplicate hashes: sig_j is a MIN over the affine
@@ -116,21 +125,24 @@ object Dedup {
 
   /** The 16 affine signature columns over a bound hash-array column —
     * exposed as reusable expressions so the streaming twin (x12) can carry
-    * extra columns (its hash set) through the signature projection. */
-  private[graft] def sigCols(hv: Column): Seq[Column] =
-    (0 until numHashes).map { j =>
-      array_min(transform(hv, h => (lit(hashA(j)) * h + lit(hashB(j))) % lit(P)))
-        .as(s"s$j")
-    }
+    * extra columns (its hash set) through the signature projection.
+    * OPTIMIZATION r18: one fused [[graft.functions.AffineMinSigs]] pass
+    * (codegen'd, whole-stage subexpression-eliminated across the 16
+    * columns) replaces 16 interpreted `array_min(transform(...))`
+    * higher-order evaluations per row; identical values and null behavior
+    * (no shingles → every s_j NULL), pinned in ShingleHashSpec. */
+  private[graft] def sigCols(hv: Column): Seq[Column] = {
+    val sigs = graft.functions.ShingleHash32.sigs(hv)
+    (0 until numHashes).map(j => element_at(sigs, j + 1).as(s"s$j"))
+  }
 
   /** doc_id → (doc_id, s0..s15 bigint) signature frame: a narrow per-doc
-    * projection (no shuffle). The shingle array and the base-hash array are
-    * each materialized once per row. */
+    * projection (no shuffle). One fused codegen pass per row builds the
+    * shingle-hash array (see [[graft.functions.ShingleHash32s]]). */
   private def sigs(s: SparkSession, dir: String): DataFrame =
     sigsFromHv(docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
-      .withColumn("hv", hvOf(col("sh"))))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash32.raw(col("text")).as("hv")))
 
   /** One row per (doc, band): band k packs (k, s_{2k}, s_{2k+1}) into one
     * BIGINT join key — k·2^60 + s·2^30 + s' (each sig < P < 2^30, k < 8, so
@@ -182,25 +194,6 @@ object Dedup {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
 
-  /** Generic b×r banding over the 16 signatures for the d19 sweep: band k
-    * hashes its r signature values through md5 (the 30-bit packing of
-    * `bandsFrom` caps at r=2; the digest form covers any r) —
-    * `band = k·2^32 + hex8(md5(s_{kr} || '_' || ...))`. Null-signature
-    * docs (<3 tokens) are excluded BEFORE the concat: Spark's concat_ws
-    * skips nulls where DuckDB's array_to_string would too, but an
-    * all-null row must not band at all. */
-  private def bandsOfR(sg: DataFrame, bandRowsR: Int): DataFrame = {
-    val nb = numHashes / bandRowsR
-    sg.filter(col("s0").isNotNull)
-      .select(col("doc_id"),
-        explode(array((0 until nb).map { k =>
-          (lit(k.toLong << 32) + graft.functions.HexPrefixToLong.hex8(
-            md5(concat_ws("_",
-              (0 until bandRowsR).map(j => col(s"s${bandRowsR * k + j}")): _*))))
-            .cast(LongType)
-        }: _*)).as("band"))
-  }
-
   /** Content-defined chunk table (doc_id, chunk_id, n_tokens, cfp),
     * checkpointed — d17's chunker, shared with d20's containment candidate
     * generator so the boundary rule (md5(token) % 8 == 0 cuts) can never
@@ -224,7 +217,7 @@ object Dedup {
         md5(concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("w")))),
             x => x.getField("w")))).as("cfp"))
-      .localCheckpoint()
+      .graftCkpt()
   }
 
   /** Sorted distinct 32-bit shingle-hash set per doc — the verify-side
@@ -243,11 +236,20 @@ object Dedup {
   private[graft] def prefixCandidatesOf(hs0: DataFrame): DataFrame = {
     val melt = hs0.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
     val dfTab = melt.groupBy("h").agg(count(lit(1)).as("df"))
+    // per-doc prefix as ONE hash aggregate (OPTIMIZATION r18 — the d27/g13
+    // window→agg rewrite, guide §2.3/2.4): the rank window sorted every
+    // doc's full posting list inside a sort-based WindowExec; collecting
+    // the (df, h) pairs and slicing the array_sort'ed list in-row keeps
+    // the same total order (df ASC, h ASC; h is distinct per doc so ties
+    // are impossible) with a partial+final hash agg instead of the
+    // partition sort. Prefix length n − ⌈n/2⌉ + 1 is unchanged.
     val pref = melt.join(dfTab, Seq("h"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
-      .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
-      .select(col("doc_id"), col("n"), col("h"))
+      .groupBy("doc_id")
+      .agg(max("n").as("n"),
+        array_sort(collect_list(struct(col("df"), col("h")))).as("dfh"))
+      .select(col("doc_id"), col("n"), explode(expr(
+        "slice(dfh, 1, CAST(n - (n + 1) div 2 + 1 AS INT))")).as("p"))
+      .select(col("doc_id"), col("n"), col("p.h").as("h"))
     pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .filter(col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2)
@@ -260,9 +262,12 @@ object Dedup {
     * exactly the hash sets d12's batch gate does (the x16/t17 factored-twin
     * discipline: shared spelling, zero drift). */
   private[graft] def hashSetsOf(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
-      .select(col("doc_id"), array_sort(array_distinct(hvOf(col("sh")))).as("hs"))
+    // OPTIMIZATION r18: the fused native expression replaces the
+    // interpreted split→shingle→md5 HOF chain (which InferFiltersFromGenerate
+    // additionally duplicated into a filter under every explode of `hs`);
+    // identical values pinned against the composed spelling in
+    // ShingleHashSpec
+    d.select(col("doc_id"), graft.functions.ShingleHash32.set(col("text")).as("hs"))
 
   /** d12's benchmark shingle-hash index (docs 0-9), built batch-side. */
   private[graft] def benchIndex(s: SparkSession, dir: String): DataFrame =
@@ -511,11 +516,9 @@ object Dedup {
         }
       }
       val corpus = docs(s, dir).filter(col("doc_id") % 10 =!= 7)
-        .select(col("doc_id"), fpCol.as("fp"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), col("fp"), shinglesOf(col("w")).as("sh"))
-        .select(col("doc_id"), col("fp"),
-          array_sort(array_distinct(hvOf(col("sh")))).as("hs"))
-        .localCheckpoint() // one corpus scan feeds both table writes
+        .select(col("doc_id"), fpCol.as("fp"),
+          graft.functions.ShingleHash32.set(col("text")).as("hs"))
+        .graftCkpt() // one corpus scan feeds both table writes
       graft.sources.Bucketing.writeBucketed(
         corpus.select("doc_id", "fp", "hs"), setsT, "doc_id", 8)
       graft.sources.Bucketing.writeBucketed(
@@ -529,7 +532,7 @@ object Dedup {
     * the pair graph d11 clusters and d15 dedups against. One corpus scan:
     * the checkpointed hash sets feed signatures, candidates, and verify. */
   private def neardupEdges(s: SparkSession, dir: String): DataFrame = {
-    val hs0 = hashSets(s, dir).localCheckpoint()
+    val hs0 = hashSets(s, dir).graftCkpt()
     withJaccard(
         lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))), hs0)
       .filter(col("jaccard") >= 0.5)
@@ -644,7 +647,7 @@ object Dedup {
     // over the distinct set = min over the shingle multiset) and the
     // verify-side sets (see withJaccard).
     "d4_jaccard_pairs" -> { (s, dir) =>
-      val hs0 = hashSets(s, dir).localCheckpoint()
+      val hs0 = hashSets(s, dir).graftCkpt()
       withJaccard(
         lshPairsFrom(sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))), hs0)
     },
@@ -726,7 +729,7 @@ object Dedup {
     // df-caps the postings (truthDfCap); DedupScaleSpec's flood fixture
     // pins that a >cap boilerplate group contributes zero posting pairs.
     "d9_lsh_recall" -> { (s, dir) =>
-      val hs0 = hashSets(s, dir).localCheckpoint()
+      val hs0 = hashSets(s, dir).graftCkpt()
       val truth = prefixTruth(hs0)
       val lsh = lshPairsFrom(sigsFromHv(
         hs0.select(col("doc_id"), col("hs").as("hv"))))
@@ -752,7 +755,7 @@ object Dedup {
       // md5 pipeline runs twice — once per filter branch); the probe
       // itself is the factored contaminationCounts x17 replays per
       // microbatch
-      val hs0 = hashSets(s, dir).localCheckpoint()
+      val hs0 = hashSets(s, dir).graftCkpt()
       val bench = hs0.filter(col("doc_id") < 10)
         .select(explode(col("hs")).as("h")).distinct()
       contaminationCounts(hs0.filter(col("doc_id") >= 10), bench)
@@ -770,7 +773,7 @@ object Dedup {
     // final rollup run over matched rows only, which are bench-sized by
     // construction. One checkpointed shingle pass feeds both sides.
     "d29_benchmark_leakage" -> { (s, dir) =>
-      val hs0 = hashSets(s, dir).localCheckpoint()
+      val hs0 = hashSets(s, dir).graftCkpt()
       val bshing = hs0.filter(col("doc_id") < 10)
         .select(col("doc_id"), explode(col("hs")).as("h"))
       val present = hs0.filter(col("doc_id") >= 10)
@@ -805,8 +808,8 @@ object Dedup {
       val d = fpOf(docs(s, dir))
       // two consumers each (bitset build + residual join; probe branches)
       // of one corpus / one batch scan
-      val corpus = d.filter(col("doc_id") % 10 =!= 7).localCheckpoint()
-      val batch = d.filter(col("doc_id") % 10 === 7).localCheckpoint()
+      val corpus = d.filter(col("doc_id") % 10 =!= 7).graftCkpt()
+      val batch = d.filter(col("doc_id") % 10 === 7).graftCkpt()
       bloomVerdicts(batch,
         bloomBitset(corpus), corpus.select("fp").distinct())
     },
@@ -844,11 +847,11 @@ object Dedup {
     // is |A∩B| posting matches — output keeps candidates with ≥ 1 shared
     // shingle (both engines drop sig-collision-only pairs identically).
     "d26_weighted_jaccard" -> { (s, dir) =>
-      val hs0 = hashSets(s, dir).localCheckpoint()
+      val hs0 = hashSets(s, dir).graftCkpt()
       val cand = lshPairsFrom(
         sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv"))))
       val post = hs0.select(col("doc_id"), explode(col("hs")).as("h"))
-        .localCheckpoint() // consumers: df, per-doc totals, both pair sides
+        .graftCkpt() // consumers: df, per-doc totals, both pair sides
       val wt = post.groupBy("h").agg(count(lit(1)).as("df"))
         .select(col("h"), expr("1000000 div df").as("w"))
       val pw = post.join(wt, "h")
@@ -1018,7 +1021,7 @@ object Dedup {
       val hs0 = hashSetsOf(docs(s, dir))
         .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
         .filter(col("n") > 0)
-        .localCheckpoint() // feeds df counts, prefixes, AND the verify join
+        .graftCkpt() // feeds df counts, prefixes, AND the verify join
       prefixCandidatesOf(hs0)
         .join(hs0.select(col("doc_id").as("d1"), col("hs").as("hs1"),
           col("n").as("n1")), Seq("d1"))
@@ -1045,9 +1048,9 @@ object Dedup {
     // is |langs|² rows, and the ppm is an exact integral floor.
     "d35_cross_lang_shingles" -> { (s, dir) =>
       val lh = docs(s, dir)
-        .select(col("lang"), split(col("text"), " ").as("w"))
-        .select(col("lang"), explode(hvOf(shinglesOf(col("w")))).as("h"))
-        .distinct().localCheckpoint() // postings: sizes + the pair join
+        .select(col("lang"),
+          explode(graft.functions.ShingleHash32.set(col("text"))).as("h"))
+        .distinct().graftCkpt() // postings: sizes + the pair join
       val sizes = lh.groupBy("lang").agg(count(lit(1)).as("n"))
       lh.as("a").join(lh.as("b"),
           col("a.h") === col("b.h") && col("a.lang") < col("b.lang"))
@@ -1076,7 +1079,7 @@ object Dedup {
     // frame); everything after is |clusters|-row aggs and exact integer
     // floors.
     "d36_cluster_cohesion" -> { (s, dir) =>
-      val edges = neardupEdges(s, dir).localCheckpoint()
+      val edges = neardupEdges(s, dir).graftCkpt()
       val cl = Components.minLabel(edges)
         .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       val members = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
@@ -1101,9 +1104,9 @@ object Dedup {
     // consumers of the same plan would each re-evaluate it) — at cluster
     // scale the signature table is a materialized intermediate anyway.
     "d14_minhash_estimate" -> { (s, dir) =>
-      val hs0 = hashSets(s, dir).localCheckpoint()
+      val hs0 = hashSets(s, dir).graftCkpt()
       val sigs0 = sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))
-        .localCheckpoint()
+        .graftCkpt()
       val sg = sigs0.select(col("doc_id"),
         array((0 until numHashes).map(j => col(s"s$j")): _*).as("sa"))
       val cand = lshPairsFrom(sigs0)
@@ -1137,9 +1140,9 @@ object Dedup {
     // hash-gates like d14. Same candidate set, same signature pipeline
     // (ONE checkpointed hash-set scan), only the comparison bit-slices.
     "d37_bbit_minhash" -> { (s, dir) =>
-      val hs0 = hashSets(s, dir).localCheckpoint()
+      val hs0 = hashSets(s, dir).graftCkpt()
       val sigs0 = sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))
-        .localCheckpoint()
+        .graftCkpt()
       val sg = sigs0.select(col("doc_id"),
         array((0 until numHashes).map(j => col(s"s$j")): _*).as("sa"))
       val cand = lshPairsFrom(sigs0)
@@ -1177,7 +1180,7 @@ object Dedup {
     // ONE row per posting); a viral boilerplate shingle costs its posting
     // count, never its square — the same reason d3 bands never cross-join.
     "d13_dup_shingles" -> { (s, dir) =>
-      val hs0 = hashSets(s, dir).localCheckpoint()
+      val hs0 = hashSets(s, dir).graftCkpt()
       val post = hs0.select(col("doc_id"), explode(col("hs")).as("h"))
       val df = post.groupBy("h").agg(count(lit(1)).as("df"))
       post.join(df, "h")
@@ -1210,15 +1213,17 @@ object Dedup {
     // sources are near-copies of each other (mirrors, scrapes of the
     // same site) before mixing weights (t14) are assigned.
     "d16_source_overlap" -> { (s, dir) =>
+      // raw (multiset) hashes kept: the per-source sketch is min-aggregated,
+      // for which multiplicity is irrelevant — fused expression, r18
       val hv = docs(s, dir)
-        .select(col("source"), split(col("text"), " ").as("w"))
-        .select(col("source"), explode(hvOf(shinglesOf(col("w")))).as("h"))
+        .select(col("source"),
+          explode(graft.functions.ShingleHash32.raw(col("text"))).as("h"))
       val sketchCols = (0 until numHashes).map { j =>
         min(expr(s"(${hashA(j)} * h + ${hashB(j)}) % $P")).as(s"s$j")
       }
       // 3 consumers (melt + both verify sides) of one postings aggregate
       val sk = hv.groupBy("source").agg(sketchCols.head, sketchCols.tail: _*)
-        .localCheckpoint()
+        .graftCkpt()
       val melted = sk.select(col("source"), posexplode(array(
         (0 until numHashes).map(j => col(s"s$j")): _*)).as(Seq("j", "sv")))
       val cand = melted.as("x").join(melted.as("y"),
@@ -1296,11 +1301,9 @@ object Dedup {
       // the increment: only the batch slice of `documents` is read here,
       // checkpointed so every probe branch consumes one batch scan
       val batch = docs(s, dir).filter(col("doc_id") % 10 === 7)
-        .select(col("doc_id"), fpCol.as("fp"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), col("fp"), shinglesOf(col("w")).as("sh"))
-        .select(col("doc_id"), col("fp"),
-          array_sort(array_distinct(hvOf(col("sh")))).as("hs"))
-        .localCheckpoint()
+        .select(col("doc_id"), fpCol.as("fp"),
+          graft.functions.ShingleHash32.set(col("text")).as("hs"))
+        .graftCkpt()
       val bb = bandsFrom(
         sigsFromHv(batch.select(col("doc_id"), col("hs").as("hv"))))
         .select(col("doc_id").as("d1"), col("band"))
@@ -1340,26 +1343,59 @@ object Dedup {
     // at r=2). Cost is three cheap band shuffles over one signature pass —
     // re-running d9 per config would triple the corpus-scale work instead.
     "d19_banding_sweep" -> { (s, dir) =>
-      val hs0 = hashSets(s, dir).localCheckpoint()
-      val truth = prefixTruth(hs0).localCheckpoint()
+      val hs0 = hashSets(s, dir).graftCkpt()
+      val truth = prefixTruth(hs0).graftCkpt()
       val sg = sigsFromHv(hs0.select(col("doc_id"), col("hs").as("hv")))
-        .localCheckpoint()
-      Seq(1, 2, 4).map { r =>
-        // checkpointed: two lazy consumers (the count and the hit join)
-        // would each re-run the pair-dedup aggregate otherwise (d14's
-        // lesson)
-        val cand = pairsFromBands(bandsOfR(sg, r)).localCheckpoint()
-        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-        val hit = truth.join(cand.withColumn("hit", lit(1)), Seq("d1", "d2"), "left")
-          .agg(count(lit(1)).as("n_truth"),
-            sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_caught"))
-        nCand.crossJoin(hit)
-          .select(lit(numHashes / r).cast(LongType).as("n_bands"),
-            lit(r.toLong).as("band_rows"),
-            col("n_candidates"), col("n_truth"), col("n_caught"),
-            when(col("n_truth") > 0,
-              col("n_caught").cast(DoubleType) / col("n_truth")).as("recall"))
-      }.reduce(_ unionAll _)
+      // FUSED sweep (OPTIMIZATION r18, guide §6 one-scan discipline —
+      // VERDICT r17 item 5): the three configs previously ran three
+      // separate band-explode → window-cap → bucket-agg → distinct →
+      // checkpoint pipelines plus three truth joins. One exploded
+      // (r, band) column runs the IDENTICAL capped pair expansion keyed
+      // (r, band) in a single shuffle pipeline (window and groupBy share
+      // the exchange), one checkpoint, and ONE truth join grouped by r.
+      // Per-config semantics are unchanged: the bucket cap applies within
+      // each (r, band) exactly as it did per band within each config, and
+      // the same generic digest band key is used for every r.
+      val bandStructs = for (r <- Seq(1, 2, 4); k <- 0 until numHashes / r)
+        yield struct(lit(r.toLong).as("r"),
+          (lit(k.toLong << 32) + graft.functions.HexPrefixToLong.hex8(
+            md5(concat_ws("_",
+              (0 until r).map(j => col(s"s${r * k + j}")): _*))))
+            .cast(LongType).as("band"))
+      val bands = sg.filter(col("s0").isNotNull)
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("rb"))
+        .select(col("rb.r").as("r"), col("rb.band").as("band"), col("doc_id"))
+      val cand = bands
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("r", "band")))
+        .filter(col("bsz").between(2, maxBucket))
+        .groupBy("r", "band").agg(collect_list("doc_id").as("ids"))
+        .select(col("r"), explode(expr(
+          "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a AS d1, b AS d2)))), p -> p.d1 < p.d2)"))
+          .as("p"))
+        .select(col("r"), col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .distinct()
+        .graftCkpt() // two lazy consumers: the per-r count and the hit join
+      val nCand = cand.groupBy("r").agg(count(lit(1)).as("n_candidates"))
+      val caught = truth.join(cand, Seq("d1", "d2"))
+        .groupBy("r").agg(count(lit(1)).as("n_caught0"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      // the r domain frame keeps a config's row alive even if it produced
+      // zero candidates/catches; null-vs-zero spelling matches the old
+      // per-config aggregates exactly (n_caught is 0 over a nonempty truth
+      // with no hits, NULL over an empty truth — the left-join sum's rule)
+      val rs = s.range(1).select(explode(array(
+        lit(1L), lit(2L), lit(4L))).as("r"))
+      rs.join(nCand, Seq("r"), "left").join(caught, Seq("r"), "left")
+        .crossJoin(broadcast(nTruth))
+        .select(expr(s"CAST($numHashes div r AS BIGINT)").as("n_bands"),
+          col("r").as("band_rows"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("n_truth"),
+          when(col("n_truth") > 0, coalesce(col("n_caught0"), lit(0L)))
+            .cast(LongType).as("n_caught"),
+          when(col("n_truth") > 0,
+            coalesce(col("n_caught0"), lit(0L)).cast(DoubleType)
+              / col("n_truth")).as("recall"))
     },
 
     // Character-level near-dup verification — the OTHER classic verifier:
@@ -1501,10 +1537,9 @@ object Dedup {
       // in-row spelling; minutes on a 500-doc corpus). Materialized, the
       // key projection below reads a stored array.
       val hvd = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
-        .select(col("doc_id"), hvOf(col("sh")).as("hv"))
-        .localCheckpoint()
+        .select(col("doc_id"),
+          graft.functions.ShingleHash32.raw(col("text")).as("hv"))
+        .graftCkpt()
       // selection as d17's running-window shape (posexplode + frame min),
       // NOT an in-row slice-per-window fold: slice(ks, i, w) re-evaluates
       // the key array per window in the interpreted HOF path (measured 7.1 s
@@ -1526,7 +1561,7 @@ object Dedup {
         .distinct()
         // two consumers (df-capped postings + per-doc sizes): checkpoint the
         // two-long rows rather than re-run the selection window per branch
-        .localCheckpoint()
+        .graftCkpt()
       val keep = post
         .withColumn("fdf", count(lit(1)).over(Window.partitionBy("f")))
         .filter(col("fdf").between(2, 64))
@@ -1571,7 +1606,7 @@ object Dedup {
           length(col("text")).cast(LongType).as("len"))
         .filter(col("len") >= K)
         .withColumn("band", md5(substring(col("text"), 1, K)))
-        .localCheckpoint() // feeds the band count + both join sides
+        .graftCkpt() // feeds the band count + both join sides
       val ok = d.groupBy("band").agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= capN).select("band")
       val dd = d.join(ok, Seq("band"), "left_semi")

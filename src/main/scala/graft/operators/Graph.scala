@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCkpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -47,7 +48,7 @@ object Graph {
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select("a", "b")
-      .localCheckpoint()
+      .graftCkpt()
 
   /** Weighted co-order edge list: (a, b, c) with c = co-order count
     * (support ≥ 2 kept as the weight g11 splits rank flow by). Same
@@ -61,7 +62,7 @@ object Graph {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
-      .localCheckpoint()
+      .graftCkpt()
 
   /** Degree table of an (a, b) edge list. */
   private[graft] def degrees(e: DataFrame): DataFrame =
@@ -83,7 +84,7 @@ object Graph {
         when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("v"),
         when(aFirst, col("ddb")).otherwise(col("dda")).as("dv"))
-      .localCheckpoint()
+      .graftCkpt()
   }
 
   /** Orientation-ordered wedges (x, y) from the oriented edges — the
@@ -117,12 +118,12 @@ object Graph {
     val ranked = seeds.withColumn("_b",
       ((row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy("seed")) - 1) / seedBatch).cast("int"))
-      .localCheckpoint()
+      .graftCkpt()
     (0 until nBatches).map { b =>
       val ss = ranked.filter(col("_b") === b).select("seed")
       var visited = ss
         .select(col("seed"), col("seed").as("v"), lit(0L).as("dist"))
-        .localCheckpoint()
+        .graftCkpt()
       var frontier = visited.select("seed", "v")
       for (i <- 1 to rounds) {
         val next = sym
@@ -130,8 +131,8 @@ object Graph {
           .select(col("seed"), col("dst").as("v")).distinct()
           .join(visited.select("seed", "v"), Seq("seed", "v"), "left_anti")
           .withColumn("dist", lit(i.toLong))
-          .localCheckpoint()
-        visited = visited.unionAll(next).localCheckpoint()
+          .graftCkpt()
+        visited = visited.unionAll(next).graftCkpt()
         frontier = next.select("seed", "v")
       }
       visited
@@ -182,11 +183,11 @@ object Graph {
       // ONE checkpointed degree table threads through the move round and
       // both scoring passes (OPTIMIZATION r17) — previously each consumer
       // recomputed the edge-linear degree aggregation from scratch.
-      val dg = degrees(e).localCheckpoint()
+      val dg = degrees(e).graftCkpt()
       // m (|E|, one row) likewise computed once — each scoring pass and
       // the move round otherwise re-counts the full edge set
-      val mdf = e.agg(count(lit(1)).as("m")).localCheckpoint()
-      val lpa = lpaLabels(e).localCheckpoint() // scored AND seeds the moves
+      val mdf = e.agg(count(lit(1)).as("m")).graftCkpt()
+      val lpa = lpaLabels(e).graftCkpt() // scored AND seeds the moves
       val moved = louvainRound(e, lpa, Some(dg), Some(mdf))
       modularityTotal(e, lpa, Some(dg), Some(mdf))
         .select(lit("lpa").as("method"), col("n_communities"), col("q_ppb"))
@@ -223,11 +224,11 @@ object Graph {
       val e = coOrderEdges(t(s, dir, "lineitem"))
       // shared checkpointed degrees (g27's r17 note): the move round, the
       // coarse degree build, and all THREE scoring passes read it
-      val dg = degrees(e).localCheckpoint()
-      val mdf = e.agg(count(lit(1)).as("m")).localCheckpoint()
-      val lpa = lpaLabels(e).localCheckpoint()
+      val dg = degrees(e).graftCkpt()
+      val mdf = e.agg(count(lit(1)).as("m")).graftCkpt()
+      val lpa = lpaLabels(e).graftCkpt()
       val l1 = louvainRound(e, lpa, Some(dg), Some(mdf))
-        .localCheckpoint() // level-1 labels
+        .graftCkpt() // level-1 labels
       // contract: inter-community edges with multiplicity as weight
       val ce = e
         .join(l1.select(col("v").as("a"), col("lbl").as("ca")), "a")
@@ -236,13 +237,13 @@ object Graph {
         .select(least(col("ca"), col("cb")).as("sa"),
           greatest(col("ca"), col("cb")).as("sb"))
         .groupBy("sa", "sb").agg(count(lit(1)).cast(LongType).as("w"))
-        .localCheckpoint() // both parity phases probe it
+        .graftCkpt() // both parity phases probe it
       val symW = ce.select(col("sa").as("src"), col("sb").as("dst"), col("w"))
         .unionAll(ce.select(col("sb").as("src"), col("sa").as("dst"),
           col("w")))
       val degC = dg.join(l1, "v")
         .groupBy(col("lbl").as("v")).agg(sum("d").cast(LongType).as("d"))
-        .localCheckpoint()
+        .graftCkpt()
       val l2c = louvainPhases(symW, degC, mdf,
         degC.select(col("v"), col("v").as("lbl")))
       val l2 = l1.select(col("v"), col("lbl").as("c1"))
@@ -312,9 +313,9 @@ object Graph {
       val e = coOrderEdges(t(s, dir, "lineitem"))
       val sym = e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint() // 3 rounds probe it
+        .graftCkpt() // 3 rounds probe it
       val seeds = degrees(e).orderBy(col("d").desc, col("v")).limit(8)
-        .select(col("v"), lit(0L).as("dist")).localCheckpoint()
+        .select(col("v"), lit(0L).as("dist")).graftCkpt()
       var visited = seeds
       var frontier = seeds.select("v")
       for (i <- 1 to 3) {
@@ -323,8 +324,8 @@ object Graph {
           .select(col("dst").as("v")).distinct()
           .join(visited.select("v"), Seq("v"), "left_anti")
           .select(col("v"), lit(i.toLong).as("dist"))
-          .localCheckpoint()
-        visited = visited.unionAll(next).localCheckpoint()
+          .graftCkpt()
+        visited = visited.unionAll(next).graftCkpt()
         frontier = next.select("v")
       }
       visited
@@ -348,9 +349,9 @@ object Graph {
       val e = coOrderEdges(t(s, dir, "lineitem"))
       val sym = e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint() // 3 rounds probe it
+        .graftCkpt() // 3 rounds probe it
       val seeds = degrees(e).orderBy(col("d").desc, col("v")).limit(8)
-        .select(col("v").as("seed")).localCheckpoint()
+        .select(col("v").as("seed")).graftCkpt()
       perSeedBfs(sym, seeds, rounds = 3, seedBatch = 8)
         .filter(col("dist") > 0)
         .groupBy("seed")
@@ -375,10 +376,16 @@ object Graph {
     "g2_pagerank" -> { (s, dir) =>
       val S = 1000000000000L // rank scale: Σ ranks ≈ S, max product 85·S ≪ 2^63
       val e = coOrderEdges(t(s, dir, "lineitem"))
-      val deg = degrees(e).localCheckpoint() // 4 consumers: n + 3 iterations
-      val n = deg.agg(count(lit(1)).as("n"))
+      val deg = degrees(e).graftCkpt() // 4 consumers: n + 3 iterations
+      // ONE edge materialization total (OPTIMIZATION r18, VERDICT r17
+      // item 2): the symmetrized directed edges and the 1-row vertex count
+      // are checkpointed once and re-read by all three rank iterations —
+      // previously each iteration re-derived the union and re-aggregated
+      // n, so the rank vector is now the only per-round shuffle (§2, §5).
+      val n = deg.agg(count(lit(1)).as("n")).graftCkpt()
       val de = e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        .graftCkpt()
       var r = deg.join(broadcast(n))
         .select(col("v"), expr(s"CAST($S div n AS BIGINT)").as("pr"))
       for (_ <- 1 to 3) {
@@ -406,13 +413,16 @@ object Graph {
     "g14_rank_convergence" -> { (s, dir) =>
       val S = 1000000000000L
       val e = coOrderEdges(t(s, dir, "lineitem"))
-      val deg = degrees(e).localCheckpoint()
-      val n = deg.agg(count(lit(1)).as("n"))
+      val deg = degrees(e).graftCkpt()
+      // g2's r18 discipline: symmetrized edges + n checkpointed ONCE,
+      // re-read by every round and every delta join
+      val n = deg.agg(count(lit(1)).as("n")).graftCkpt()
       val de = e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        .graftCkpt()
       var r = deg.join(broadcast(n))
         .select(col("v"), expr(s"CAST($S div n AS BIGINT)").as("pr"))
-        .localCheckpoint()
+        .graftCkpt()
       val deltas = (1 to 3).map { i =>
         val rc = r.join(deg, "v")
           .select(col("v").as("src"), expr("pr div d").as("c"))
@@ -422,7 +432,7 @@ object Graph {
           .select(col("v"), expr(
             s"CAST((15 * ($S div n)) div 100 + (85 * sc) div 100 AS BIGINT)")
             .as("pr"))
-          .localCheckpoint()
+          .graftCkpt()
         val d0 = next.join(r.withColumnRenamed("pr", "prev"), "v")
           .select(abs(col("pr") - col("prev")).as("delta"))
           .agg(sum("delta").cast("long").as("l1_delta"),
@@ -449,12 +459,16 @@ object Graph {
     "g11_weighted_pagerank" -> { (s, dir) =>
       val S = 1000000000000L
       val e = coOrderEdgesW(t(s, dir, "lineitem"))
+      // g2's r18 discipline: the symmetrized weighted edges checkpoint
+      // once and feed wdeg plus all three iterations (one |E|
+      // materialization total); n likewise
       val de = e.select(col("a").as("src"), col("b").as("dst"), col("c"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("c")))
+        .graftCkpt()
       val wdeg = de.groupBy(col("src").as("v"))
         .agg(sum("c").cast("long").as("wd"))
-        .localCheckpoint() // 4 consumers: n + 3 iterations
-      val n = wdeg.agg(count(lit(1)).as("n"))
+        .graftCkpt() // 4 consumers: n + 3 iterations
+      val n = wdeg.agg(count(lit(1)).as("n")).graftCkpt()
       var r = wdeg.join(broadcast(n))
         .select(col("v"), expr(s"CAST($S div n AS BIGINT)").as("pr"))
       for (_ <- 1 to 3) {
@@ -843,7 +857,7 @@ object Graph {
       var e = coOrderEdges(t(s, dir, "lineitem"))
       for (_ <- 1 to 7) {
         e = supportOf(e).filter(col("support") >= 2)
-          .select("a", "b").localCheckpoint()
+          .select("a", "b").graftCkpt()
       }
       supportOf(e)
     },
@@ -864,7 +878,7 @@ object Graph {
       val sizes = Components.minLabel(e)
         .groupBy(col("lbl").as("component_id"))
         .agg(count(lit(1)).as("comp_size"))
-        .localCheckpoint() // feeds the histogram AND the totals
+        .graftCkpt() // feeds the histogram AND the totals
       val tot = sizes.agg(sum("comp_size").as("n_vertices"),
         max("comp_size").as("giant"))
       sizes.groupBy("comp_size").agg(count(lit(1)).as("n_components"))
@@ -894,15 +908,15 @@ object Graph {
         .select(col("a"), col("b"), expr("CAST(1000000 div c AS BIGINT)").as("cost"))
       val und = e.unionAll(
         e.select(col("b").as("a"), col("a").as("b"), col("cost")))
-        .localCheckpoint() // read once per round
+        .graftCkpt() // read once per round
       val src = und.agg(min("a").as("v")).select(col("v"), lit(0L).as("dist"))
-      var dist = src.localCheckpoint()
+      var dist = src.graftCkpt()
       for (_ <- 1 to 4) {
         dist = dist.unionAll(
             dist.join(und, dist("v") === und("a"))
               .select(und("b").as("v"), (dist("dist") + und("cost")).as("dist")))
           .groupBy("v").agg(min("dist").as("dist"))
-          .localCheckpoint()
+          .graftCkpt()
       }
       dist.select(col("v"), col("dist").as("dist_units"))
     },
@@ -940,7 +954,7 @@ object Graph {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint() // read by all three rounds
+        .graftCkpt() // read by all three rounds
       val a1 = ed.groupBy("p").agg(count(lit(1)).as("a"))
       val h1 = ed.join(a1, "p").groupBy("c").agg(sum("a").as("h"))
       val a2 = ed.join(h1, "c").groupBy("p").agg(sum("h").as("a"))
@@ -954,12 +968,13 @@ object Graph {
 
     "g24_personalized_pagerank" -> { (s, dir) =>
       val e = coOrderEdges(t(s, dir, "lineitem"))
-      val deg = degrees(e).localCheckpoint() // 3 iterations re-join it
+      val deg = degrees(e).graftCkpt() // 3 iterations re-join it
       val de = e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        .graftCkpt() // one |E| materialization; 3 rounds re-read it
       val tele = deg.orderBy("v").limit(3)
         .select(col("v"), lit(333333333333L).as("t"))
-        .localCheckpoint() // seeds: teleport term in every round
+        .graftCkpt() // seeds: teleport term in every round
       var r = tele.select(col("v"), col("t").as("pr"))
       for (_ <- 1 to 3) {
         val rc = r.join(deg, "v")
@@ -970,7 +985,7 @@ object Graph {
           .select(col("v"), expr("CAST((15 * coalesce(t, 0)) div 100" +
             " + (85 * coalesce(sc, 0)) div 100 AS BIGINT)").as("pr"))
           .filter(col("pr") > 0)
-          .localCheckpoint()
+          .graftCkpt()
       }
       r.select(col("v"), col("pr").as("ppr"))
     },
@@ -1004,7 +1019,7 @@ object Graph {
         .groupBy("u")
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("top"))
         .select(col("u").as("v"), col("top.lbl").as("community"))
-        .localCheckpoint() // the intra-edge and degree joins both read it
+        .graftCkpt() // the intra-edge and degree joins both read it
       val m = e.agg(count(lit(1)).as("m"))
       val intra = e
         .join(comm.select(col("v").as("a"), col("community").as("ca")), "a")
@@ -1064,9 +1079,9 @@ object Graph {
   private[graft] def lpaLabels(e: DataFrame): DataFrame = {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .graftCkpt()
     var labels = sym.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
+      .withColumn("lbl", col("v")).graftCkpt()
     for (_ <- 1 to 3) {
       // per-vertex argmax under (count DESC, label ASC) as min(struct(-c,
       // nl)) — a DECLARATIVE aggregate instead of a row_number window
@@ -1082,7 +1097,7 @@ object Graph {
         .groupBy("v")
         .agg(min(struct((-col("c")).as("nc"), col("nl").as("nl"))).as("top"))
         .select(col("v"), col("top.nl").as("lbl"))
-        .localCheckpoint()
+        .graftCkpt()
     }
     labels
   }
@@ -1139,8 +1154,8 @@ object Graph {
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("w", lit(1L))
-      .localCheckpoint() // both phases probe it
-    louvainPhases(sym, deg.getOrElse(degrees(e).localCheckpoint()),
+      .graftCkpt() // both phases probe it
+    louvainPhases(sym, deg.getOrElse(degrees(e).graftCkpt()),
       mDf.getOrElse(e.agg(count(lit(1)).as("m"))), labels0)
   }
 
@@ -1202,7 +1217,7 @@ object Graph {
         .select(col("v"),
           when(col("v") % 2 === par, col("top.cl")).otherwise(col("top.own"))
             .as("lbl"))
-        .localCheckpoint() // phase 2 + both scoring passes read it
+        .graftCkpt() // phase 2 + both scoring passes read it
     }
     phase(phase(labels0, 0), 1)
   }
@@ -1213,14 +1228,14 @@ object Graph {
   private[graft] def kcorePeel(e: DataFrame, k: Int, rounds: Int): DataFrame = {
     var und = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
+      .graftCkpt()
     for (_ <- 1 to rounds) {
       val keep = und.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
       und = und.join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .localCheckpoint()
+        .graftCkpt()
     }
     und
   }

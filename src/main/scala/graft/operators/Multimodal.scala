@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCkpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -238,7 +239,7 @@ object Multimodal {
         .select(col("doc_id"), explode(expr(frameArraySql)).as("frame"))
         .select(col("doc_id"), md5(col("frame")).as("fm"))
         .distinct()
-        .localCheckpoint()
+        .graftCkpt()
       val nf = fr.groupBy("doc_id").agg(count(lit(1)).as("nf"))
       val ok = fr
         .withColumn("df", count(lit(1)).over(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCkpt
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -871,7 +872,7 @@ object Relational {
           expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
             .as("value_micro"))
         .withColumn("h", expr("ms div 3600000"))
-        .localCheckpoint() // two consumers: hold rows + per-hour firsts
+        .graftCkpt() // two consumers: hold rows + per-hour firsts
       val inHour = Window.partitionBy("event_type", "h")
         .orderBy(col("ms"), col("event_id"))
       val firsts = e.groupBy("event_type", "h").agg(min(col("ms")).as("first_ms"))
@@ -911,7 +912,7 @@ object Relational {
       def audit(df: DataFrame, keyCol: String): DataFrame = {
         val h = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("sz"))
           .groupBy("sz").agg(count(lit(1)).as("nk"))
-          .localCheckpoint() // totals + cumulative both read it
+          .graftCkpt() // totals + cumulative both read it
         val tot = h.agg(sum(col("nk")).cast(LongType).as("n_keys"),
           sum(col("sz") * col("nk")).cast(LongType).as("n_rows"))
         h.withColumn("cum", sum(col("nk")).over(Window.orderBy("sz")
@@ -995,7 +996,7 @@ object Relational {
       val hc = t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .graftCkpt()
       val axis = hc.agg(min("h").as("lo"), max("h").as("hi"))
         .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
       val grid = axis
@@ -1057,7 +1058,7 @@ object Relational {
           expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
             .as("value_micro"),
           expr(s"unix_millis(ts) div $W").as("bin"))
-        .localCheckpoint()
+        .graftCkpt()
       val v = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("v_id"),
           unix_millis(col("ts")).as("v_ms"),
@@ -1066,7 +1067,7 @@ object Relational {
         .withColumn("vbin", explode(array(col("bin"), col("bin") - 1)))
         .join(v, Seq("user_id", "vbin"))
         .filter(col("v_ms") <= col("p_ms") && col("v_ms") > col("p_ms") - W)
-        .localCheckpoint()
+        .graftCkpt()
       val attributed = matched
         .withColumn("nv", count(lit(1)).over(Window.partitionBy("p_id")))
         .withColumn("rn", row_number().over(Window.partitionBy("p_id")
@@ -1173,7 +1174,7 @@ object Relational {
         .select(col("event_type"), col("user_id"),
           graft.functions.HexPrefixToLong
             .hex8(md5(col("user_id").cast(StringType))).as("hv"))
-        .localCheckpoint() // consumers: sketches, per-type counts, pair join
+        .graftCkpt() // consumers: sketches, per-type counts, pair join
       val sk = du.select(col("event_type"), col("hv")).distinct()
         .groupBy("event_type").agg(bottomK(col("hv")).as("bot"))
       val nT = du.groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -1507,7 +1508,7 @@ object Relational {
       val ud = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("d"))
         .distinct()
-        .localCheckpoint()
+        .graftCkpt()
       val cover = ud
         .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"),
           col("d"))
@@ -1542,7 +1543,7 @@ object Relational {
         .select(col("d"), graft.functions.HexPrefixToLong
           .hex8(md5(col("user_id").cast(StringType))).as("hv"))
         .groupBy("d").agg(bottomK(col("hv")).as("bot"))
-        .localCheckpoint()
+        .graftCkpt()
       val cover = daily
         .select(col("d"), explode(sequence(lit(0), lit(6))).as("i"), col("bot"))
         .select(date_add(col("d"), col("i")).as("day"), explode(col("bot")).as("hv"))
@@ -1682,7 +1683,7 @@ object Relational {
       val ev = t(s, dir, "events")
         .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
       val daily = ev.groupBy("d").agg(count(lit(1)).as("n_events"))
-        .localCheckpoint() // feeds the axis bounds AND the grid join
+        .graftCkpt() // feeds the axis bounds AND the grid join
       val firsts = ev.groupBy("user_id").agg(min("d").as("fd"))
         .groupBy(col("fd").as("d")).agg(count(lit(1)).as("n_new"))
       val axis = daily.agg(min("d").as("lo"), max("d").as("hi"))
@@ -1724,7 +1725,7 @@ object Relational {
         .select(col("event_id").as("p_id"), col("user_id"),
           unix_millis(col("ts")).as("p_ms"),
           expr(s"unix_millis(ts) div $W").as("bin"))
-        .localCheckpoint()
+        .graftCkpt()
       val c = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("c_id"),
           unix_millis(col("ts")).as("c_ms"),
@@ -1775,7 +1776,7 @@ object Relational {
           col("p_size").cast(LongType).as("p_size"))
         .withColumn("bin",
           expr("CAST(floor(p_retailprice) AS BIGINT) div 100"))
-        .localCheckpoint() // feeds the bin maxes AND the final filter
+        .graftCkpt() // feeds the bin maxes AND the final filter
       val binMax = p.groupBy("bin").agg(max("p_size").as("bmax"))
       val wpre = Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1935,7 +1936,7 @@ object Relational {
         .select(to_date(col("l_shipdate")).as("d"),
           expr("CAST(CAST(l_extendedprice * (1 - l_discount)" +
             " AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("rev_micro"))
-        .localCheckpoint()
+        .graftCkpt()
       val grand = li.agg(sum("rev_micro").cast(LongType).as("grand"))
       def grain(name: String, bucket: Column): DataFrame =
         li.groupBy(bucket.as("b"))
@@ -2044,7 +2045,7 @@ object Relational {
       // level 0: the persisted per-(type, day) sketch column
       val daySk = ev.groupBy("event_type", "day")
         .agg(qp(col("hv"), col("value")).as("smp"))
-        .localCheckpoint() // the storage boundary: rollups read ONLY this
+        .graftCkpt() // the storage boundary: rollups read ONLY this
       val dayPairs = daySk
         .select(col("event_type"), col("day"), explode(col("smp")).as("p"))
         .select(col("event_type"), col("day"),
@@ -2055,7 +2056,7 @@ object Relational {
       val monthSk = dayPairs
         .groupBy(col("event_type"), date_trunc("month", col("day")).as("bucket"))
         .agg(qp(col("hv"), col("value")).as("smp"))
-        .localCheckpoint() // feeds both the month readout and the year hop
+        .graftCkpt() // feeds both the month readout and the year hop
       val monthPairs = monthSk
         .select(col("event_type"), col("bucket"), explode(col("smp")).as("p"))
         .select(col("event_type"), col("bucket"),
@@ -2097,7 +2098,7 @@ object Relational {
           .as("vm"))
     val hc = ev.groupBy("event_type", "h")
       .agg(expr("sum(vm) div count(1)").as("mean_micro"))
-      .localCheckpoint() // feeds the axis bounds + type set + grid join
+      .graftCkpt() // feeds the axis bounds + type set + grid join
     val axis = hc.agg(min("h").as("lo"), max("h").as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
     val w = Window.partitionBy("event_type").orderBy("h")
@@ -2180,7 +2181,7 @@ object Relational {
     // tiny by construction (≤ n_keys / hotFactor rows); checkpointed once,
     // probed from both sides of the join
     val hotKeys = skewJoinRecommend(fact, factKey, hotFactor)
-      .localCheckpoint()
+      .graftCkpt()
     val saltedFact = fact
       .join(broadcast(hotKeys), col(factKey) === col("hk"), "left")
       .withColumn("fact_salt",

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCkpt
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -178,7 +179,7 @@ object Similarity {
   private[graft] def graphBeam(s: SparkSession, dir: String,
       planes: Int, idxFilter: Column = lit(true),
       entryFallback: Boolean = false): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("v")).localCheckpoint()
+    val e = emb(s, dir).select(col("vec_id"), col("v")).graftCkpt()
     // ball carries every vector (query buckets must resolve even for a
     // query outside the predicate); b is the INDEX side — s39's
     // pre-filter restricts it BEFORE the edge build, so recall within
@@ -218,7 +219,7 @@ object Similarity {
         col("esim"), col("dst")).as("tk"))
       .select(col("src"), explode(col("tk")).as("e"))
       .select(col("src"), col("e.id").as("dst"))
-      .localCheckpoint() // read once per round — never rebuilt
+      .graftCkpt() // read once per round — never rebuilt
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     // EMPTY-BUCKET CONTRACT (ADVICE r15): the entry point is the min-id
@@ -267,7 +268,7 @@ object Similarity {
       .join(e, col("node") === col("vec_id"))
       .select(col("query_id"), col("node"),
         cosine(col("qv"), col("v")).as("sim"))
-      .localCheckpoint()
+      .graftCkpt()
     for (_ <- 1 to beamRounds) {
       val cand = beamExpand(beam, edges)
       beam = cand.join(e, cand("node") === e("vec_id"))
@@ -277,7 +278,7 @@ object Similarity {
         .withColumn("brk", row_number().over(wb))
         .filter(col("brk") <= beamWidth)
         .select("query_id", "node", "sim")
-        .localCheckpoint() // keeps the 6-round lineage flat (s20's idiom)
+        .graftCkpt() // keeps the 6-round lineage flat (s20's idiom)
     }
     val wf = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -297,7 +298,7 @@ object Similarity {
     emb(s, dir)
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
-      .localCheckpoint()
+      .graftCkpt()
 
   /** Deterministic md5-residue evaluator sample — d9's truth-guard idiom
     * on the vector axis (VERDICT r9 item 2), now a CODE knob instead of a
@@ -366,7 +367,7 @@ object Similarity {
   private def s6Members(s: SparkSession, dir: String): DataFrame =
     defs("s6_embed_clusters")(s, dir)
       .join(emb(s, dir).select(col("vec_id"), col("v")), "vec_id")
-      .localCheckpoint()
+      .graftCkpt()
 
   /** Simplified (centroid) silhouette per cluster — the clustering-quality
     * grader the s6/s15 family lacks: for each clustered vector,
@@ -566,7 +567,7 @@ object Similarity {
     // exactly the artifact s5/s11's IVF would load as its quantizer.
     "s18_kmeans_train" -> { (s, dir) =>
       val n = normalized(s, dir)
-      var cent = coarseCentroids(n).localCheckpoint()
+      var cent = coarseCentroids(n).graftCkpt()
       var asg: DataFrame = null
       for (_ <- 1 to 3) {
         asg = coarseAssign(n, cent)
@@ -578,7 +579,7 @@ object Similarity {
             x => x.getField("c")).as("cl"))
           .withColumn("nrm", sqrt(dot(col("cl"), col("cl"))))
           .select(col("cid"), transform(col("cl"), x => x / col("nrm")).as("cu"))
-          .localCheckpoint()
+          .graftCkpt()
       }
       val sizes = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
       cent.join(sizes, "cid")
@@ -610,7 +611,7 @@ object Similarity {
       var chosen = nv.orderBy("vec_id").limit(1)
         .select(lit(1L).as("seed_rank"), col("vec_id"),
           lit(null).cast(DoubleType).as("max_sim"), col("u"))
-        .localCheckpoint()
+        .graftCkpt()
       for (r <- 2 to k) {
         val ms = nv.crossJoin(broadcast(chosen.select(col("u").as("cu"))))
           .select(col("vec_id"), dot(col("u"), col("cu")).as("d"))
@@ -619,7 +620,7 @@ object Similarity {
         val nx = nv.join(broadcast(next), "vec_id")
           .select(lit(r.toLong).as("seed_rank"), col("vec_id"),
             col("ms").as("max_sim"), col("u"))
-        chosen = chosen.unionAll(nx).localCheckpoint()
+        chosen = chosen.unionAll(nx).graftCkpt()
       }
       chosen.select("seed_rank", "vec_id", "max_sim")
     },
@@ -655,7 +656,7 @@ object Similarity {
           concat(expr("transform(v, x -> x / sqrt(mm))"),
             array(sqrt(greatest(lit(0.0), lit(1.0) - col("ns") / col("mm")))))
             .as("u"))
-        .localCheckpoint() // centroids + assign + verify all read it
+        .graftCkpt() // centroids + assign + verify all read it
       val cent = n.filter(col("vec_id").between(100, 107))
         .select((col("vec_id") - 100).as("cid"), col("u").as("cu"))
       val asg = coarseAssign(n.select(col("vec_id"), col("u")), cent)
@@ -745,7 +746,7 @@ object Similarity {
           cosine(col("qv"), col("v")).as("sim_64"),
           cosine(slice(col("qv"), 1, 32), slice(col("v"), 1, 32)).as("sim_32"),
           cosine(slice(col("qv"), 1, 16), slice(col("v"), 1, 16)).as("sim_16"))
-        .localCheckpoint() // one pass feeds three rank windows + baseline
+        .graftCkpt() // one pass feeds three rank windows + baseline
       def top5(wd: Int): DataFrame = {
         val w = Window.partitionBy("query_id")
           .orderBy(col(s"sim_$wd").desc, col("neighbor_id"))
@@ -1270,14 +1271,14 @@ object Similarity {
     // candidate set comes from the same IVF/LSH pruning as s2/s5, not
     // the brute cross (the s1-vs-s2 split on the feedback axis).
     "s28_rocchio_expand" -> { (s, dir) =>
-      val n = normalized(s, dir).localCheckpoint()
+      val n = normalized(s, dir).graftCkpt()
       val q = n.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("u").as("qu"))
       val scored = n.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("u"), dot(col("qu"), col("u")).as("sim0"))
-        .localCheckpoint()
+        .graftCkpt()
       val w = Window.partitionBy("query_id")
         .orderBy(col("sim0").desc, col("neighbor_id"))
       val top5 = scored.withColumn("rk", row_number().over(w))
@@ -1451,7 +1452,7 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("sim"))
         .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
           "neighbor_id")
-        .localCheckpoint() // feeds every greedy round
+        .graftCkpt() // feeds every greedy round
       val w1 = Window.partitionBy("query_id")
         .orderBy(col("sim").desc, col("neighbor_id"))
       val p1 = cand.withColumn("rn", row_number().over(w1))
@@ -1568,7 +1569,7 @@ object Similarity {
       val post = graft.sources.Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // one corpus scan feeds query + probe sides
+        .graftCkpt() // one corpus scan feeds query + probe sides
       val qpost = post.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("tok"),
           col("tf").as("qtf"))
@@ -1605,7 +1606,7 @@ object Similarity {
       val post = docsTbl
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // one corpus scan feeds query, df, and probe sides
+        .graftCkpt() // one corpus scan feeds query, df, and probe sides
       val nRow = docsTbl.agg(count(lit(1)).as("n"))
       val qpost = post.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("tok"),
@@ -1714,7 +1715,7 @@ object Similarity {
       // the doc's vocabulary — degree-bounded, never corpus-sized), so
       // no second corpus-wide join is needed to attach dl
       .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
-      .localCheckpoint() // one corpus scan feeds query, df, T, and probe
+      .graftCkpt() // one corpus scan feeds query, df, T, and probe
     val nRow = docsTbl.agg(count(lit(1)).as("n"))
     val ttRow = post.agg(sum("tf").cast(LongType).as("tt"))
     val qv = post.filter(col("doc_id") < 5)
@@ -1766,7 +1767,7 @@ object Similarity {
       .select(col("vec_id"),
         zip_with(col("v"), col("sc"),
           (x, sd) => floor(x / sd * lit(127.0) + lit(0.5)) * sd).as("dv"))
-      .localCheckpoint() // corpus side + query side both read it
+      .graftCkpt() // corpus side + query side both read it
     val q = deq.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("dv").as("qv"))
     // mergeable top-5 (bruteTopK's r16 rewrite): the int8 store's SERVE

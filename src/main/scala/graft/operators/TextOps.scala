@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftCkpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -333,7 +334,7 @@ object TextOps {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+        .graftCkpt()
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
@@ -495,7 +496,7 @@ object TextOps {
       val bg = bigramPairs(docs(s, dir))
         .filter(col("w1") =!= "" && col("w2") =!= "")
         .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("bigram"))
-        .localCheckpoint()
+        .graftCkpt()
       val cnt = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
       bg.join(cnt, "bigram")
         .groupBy("doc_id")
@@ -603,7 +604,7 @@ object TextOps {
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
-        .localCheckpoint()
+        .graftCkpt()
       val ts = sw.groupBy("source").agg(sum("n_sw").cast(LongType).as("t_s"))
       val nw = sw.groupBy("w").agg(sum("n_sw").cast(LongType).as("n_w"))
       val t = sw.agg(sum("n_sw").cast(LongType).as("t"))
@@ -641,7 +642,7 @@ object TextOps {
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
-        .localCheckpoint()
+        .graftCkpt()
       val ts = sw.groupBy("source").agg(sum("n_sw").cast(LongType).as("t_s"))
       val nw = sw.groupBy("w").agg(sum("n_sw").cast(LongType).as("n_w"))
       val t = sw.agg(sum("n_sw").cast(LongType).as("t"))
@@ -677,7 +678,7 @@ object TextOps {
         .select(col("split"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy("split", "w").agg(count(lit(1)).as("n_sw"))
-        .localCheckpoint()
+        .graftCkpt()
       val ts = sw.groupBy("split").agg(sum("n_sw").cast(LongType).as("t_s"))
       val nw = sw.groupBy("w").agg(sum("n_sw").cast(LongType).as("n_w"))
       val t = sw.agg(sum("n_sw").cast(LongType).as("t"))
@@ -710,7 +711,7 @@ object TextOps {
       val base = docs(s, dir).select(col("source"), col("lang"),
           size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
           graft.operators.Dedup.fpCol.as("fp"))
-        .localCheckpoint()
+        .graftCkpt()
       val perSource = base.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").cast(LongType).as("n_tokens"),
@@ -822,13 +823,13 @@ object TextOps {
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .graftCkpt()
       val tot = wc.agg(sum("cnt").cast(LongType).as("total"))
       val hw = org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("word"))
       val head = wc.orderBy(col("cnt").desc, col("word")).limit(10000)
         .withColumn("rnk", row_number().over(hw).cast(LongType))
-        .localCheckpoint()
+        .graftCkpt()
       Seq(100L, 1000L, 10000L).map { k =>
         head.filter(col("rnk") <= k)
           .agg(count(lit(1)).as("k_eff"), sum("cnt").cast(LongType).as("covered"))
@@ -960,7 +961,7 @@ object TextOps {
         .select("doc_id", "source", "text")
       // 3. decontamination: drop docs sharing ANY shingle with the
       // benchmark (docs 0-9, which are themselves excluded as eval)
-      val hs0 = graft.operators.Dedup.hashSetsOf(d).localCheckpoint()
+      val hs0 = graft.operators.Dedup.hashSetsOf(d).graftCkpt()
       val bench = hs0.filter(col("doc_id") < 10)
         .select(explode(col("hs")).as("h")).distinct()
       val contaminated = hs0.filter(col("doc_id") >= 10)
@@ -1050,7 +1051,7 @@ object TextOps {
         .select(col("lang"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .distinct()
-        .localCheckpoint() // consumers: sizes + both sides of the pair join
+        .graftCkpt() // consumers: sizes + both sides of the pair join
       val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("n"))
       vocab.as("a").join(vocab.as("b"),
           col("a.word") === col("b.word") && col("a.lang") < col("b.lang"))
@@ -1251,7 +1252,7 @@ object TextOps {
       val cnt = dq.select(col("source"), col("q"), explode(col("w")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("source", "q", "word").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .graftCkpt()
       val base = dq.groupBy("source", "q").agg(count(lit(1)).as("n_docs"))
         .join(cnt.groupBy("source", "q").agg(sum("c").cast(LongType).as("n_tokens")),
           Seq("source", "q"))
@@ -1296,7 +1297,7 @@ object TextOps {
     // rollup is 3 rows. At 100 TB swap the exact percentile for q23's
     // sketch at identical plan shape (t11's documented trade).
     "t18_ppl_buckets" -> { (s, dir) =>
-      val scored = lmDocScores(s, dir).localCheckpoint()
+      val scored = lmDocScores(s, dir).graftCkpt()
       val thr = scored.agg(
         expr("percentile(mean_p6, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))")
           .as("t"))
@@ -1440,7 +1441,7 @@ object TextOps {
     "w23_source_lang_lift" -> { (s, dir) =>
       val cell = docs(s, dir).groupBy("source", "lang")
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .graftCkpt()
       val srcTot = cell.groupBy("source").agg(sum("n").as("src_total"))
       val langTot = cell.groupBy("lang").agg(sum("n").as("lang_total"))
       val tot = cell.agg(sum("n").as("total"))
@@ -1884,7 +1885,7 @@ object TextOps {
         .withColumn("fp", graft.operators.Dedup.fpCol)
         .select(col("doc_id"), col("fp"),
           expr("((n_stop * 1000000) div n_tokens) div 100000").as("bucket"))
-        .localCheckpoint() // ONE corpus scan feeds the count agg AND the join
+        .graftCkpt() // ONE corpus scan feeds the count agg AND the join
       val fc = base.groupBy("fp").agg(count(lit(1)).as("c"))
       base.join(fc, "fp")
         .groupBy("bucket")
@@ -1908,7 +1909,7 @@ object TextOps {
     "w21_vocab_overlap" -> { (s, dir) =>
       val st = docs(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-        .distinct().localCheckpoint() // postings: sizes + pair join
+        .distinct().graftCkpt() // postings: sizes + pair join
       val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
       st.as("a").join(st.as("b"),
           col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
@@ -1938,7 +1939,7 @@ object TextOps {
       val h = docs(s, dir)
         .groupBy(col("source"), col("n_chars").as("len"))
         .agg(count(lit(1)).as("nd"))
-        .localCheckpoint() // totals + cumulative both read it
+        .graftCkpt() // totals + cumulative both read it
       val tot = h.groupBy("source")
         .agg(sum(col("nd")).cast(LongType).as("n_docs"))
       val cw = org.apache.spark.sql.expressions.Window
@@ -1977,7 +1978,7 @@ object TextOps {
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .graftCkpt()
       val top = wc.filter(length(col("word")) >= 2)
         .select(col("cnt"), explode(expr(
           "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"))
@@ -2042,7 +2043,7 @@ object TextOps {
     val model = bigramPairs(docs(s, dir))
       .filter(col("w1") =!= "" && col("w2") =!= "")
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
-      .localCheckpoint()
+      .graftCkpt()
     val prefix = model.groupBy("w1")
       .agg(sum("c_bg").cast(LongType).as("c_pre"))
     (model, prefix)

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.GraftCkpt
 import java.nio.file.Files
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
@@ -190,7 +191,7 @@ object StreamingSessionize {
       : (DataFrame, Column, DataFrame, DataFrame) = {
     val ev = graft.sources.Tables.load(s, dir, "events")
     val mm = ev.agg(min("value").as("lo"), max("value").as("hi"))
-      .localCheckpoint()
+      .graftCkpt()
     val binCol = least(
       floor((col("value") - col("lo")) * 10.0 / (col("hi") - col("lo"))),
       lit(9.0)).cast(LongType)
@@ -198,13 +199,13 @@ object StreamingSessionize {
       .filter(col("ts") < lit("2024-01-16").cast(TimestampType))
       .crossJoin(broadcast(mm)).withColumn("bin", binCol)
       .groupBy("event_type", "bin").agg(count(lit(1)).as("n_base"))
-      .localCheckpoint()
+      .graftCkpt()
     // per-type totals joined on the TYPE key alone — carried on the
     // per-bin row they would go NULL exactly where n_base does (a bin
     // absent from the baseline), nulling the drift
     val baseTotals = base.groupBy("event_type")
       .agg(sum("n_base").cast(LongType).as("t_base"))
-      .localCheckpoint()
+      .graftCkpt()
     (mm, binCol, base, baseTotals)
   }
 
@@ -1066,7 +1067,7 @@ object StreamingSessionize {
       s: SparkSession, indexDir: String): DataFrame => DataFrame = {
     val benchArr = graft.operators.Dedup.benchIndex(s, indexDir)
       .agg(sort_array(collect_list(col("h"))).as("bench_hs"))
-      .localCheckpoint()
+      .graftCkpt()
     st =>
       graft.operators.Dedup.hashSetsOf(st.filter(col("doc_id") >= 10))
         .filter(size(col("hs")) > 0)
@@ -1086,7 +1087,7 @@ object StreamingSessionize {
   private[graft] def streamDecontam(
       s: SparkSession, indexDir: String): DataFrame => DataFrame = {
     import graft.operators.Dedup
-    val bench = Dedup.benchIndex(s, indexDir).localCheckpoint()
+    val bench = Dedup.benchIndex(s, indexDir).graftCkpt()
     stream => Dedup.contaminationCounts(
       Dedup.hashSetsOf(stream.filter(col("doc_id") >= 10)), bench)
   }
@@ -1100,9 +1101,9 @@ object StreamingSessionize {
     val corpus = Dedup.fpOf(
         graft.sources.Tables.load(s, indexDir, "documents")
           .filter(col("doc_id") % 10 =!= 7))
-      .localCheckpoint()
-    val bloom = Dedup.bloomBitset(corpus).localCheckpoint()
-    val corpusFp = corpus.select("fp").distinct().localCheckpoint()
+      .graftCkpt()
+    val bloom = Dedup.bloomBitset(corpus).graftCkpt()
+    val corpusFp = corpus.select("fp").distinct().graftCkpt()
     stream => Dedup.bloomVerdicts(
       Dedup.fpOf(stream.filter(col("doc_id") % 10 === 7)), bloom, corpusFp)
   }
@@ -1114,7 +1115,7 @@ object StreamingSessionize {
       s: SparkSession, indexDir: String): DataFrame => DataFrame = {
     import graft.operators.TextOps
     val w = TextOps.mixtureWeights(
-      graft.sources.Tables.load(s, indexDir, "documents")).localCheckpoint()
+      graft.sources.Tables.load(s, indexDir, "documents")).graftCkpt()
     stream => TextOps.mixtureManifest(
       stream.select(col("doc_id"), col("lang")), w)
   }
@@ -1129,7 +1130,7 @@ object StreamingSessionize {
     val dim = graft.operators.Relational.defs("q62_scd2_merge")(s, indexDir)
       .select(col("c_custkey"), col("segment"), col("valid_from"),
         coalesce(col("valid_to"), lit("9999-12-31")).as("valid_to"))
-      .localCheckpoint()
+      .graftCkpt()
     stream => stream
       .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
       .join(broadcast(dim), col("user_id") === col("c_custkey")
@@ -1423,14 +1424,12 @@ object StreamingSessionize {
           .select(col("doc_id").as("d2"), col("band"))
           .join(cSets.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
           .select("band", "d2", "hs2")
-          .localCheckpoint()
+          .graftCkpt()
     }
     stream => {
       val withBands = stream.filter(col("doc_id") % 10 === 7)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), Dedup.shinglesOf(col("w")).as("sh"))
         .select(col("doc_id"),
-          array_sort(array_distinct(Dedup.hvOf(col("sh")))).as("hv"))
+          graft.functions.ShingleHash32.set(col("text")).as("hv"))
         .select(col("doc_id") +: col("hv").as("hs1") +:
           Dedup.sigCols(col("hv")): _*)
         .select(col("doc_id"), col("hs1"),
