@@ -188,10 +188,9 @@ object Dedup {
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band")))
       .filter(col("bsz").between(2, maxBucket))
       .groupBy("band").agg(collect_list("doc_id").as("ids"))
-      .select(explode(expr(
-        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a AS d1, b AS d2)))), p -> p.d1 < p.d2)"))
-        .as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      // native pair expansion (OPTIMIZATION r18) — see LtPairs
+      .select(explode(graft.functions.LtPairs.ltPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("d1"), col("p.b").as("d2"))
       .distinct()
 
   /** Content-defined chunk table (doc_id, chunk_id, n_tokens, cfp),
@@ -1369,10 +1368,9 @@ object Dedup {
         .withColumn("bsz", count(lit(1)).over(Window.partitionBy("r", "band")))
         .filter(col("bsz").between(2, maxBucket))
         .groupBy("r", "band").agg(collect_list("doc_id").as("ids"))
-        .select(col("r"), explode(expr(
-          "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a AS d1, b AS d2)))), p -> p.d1 < p.d2)"))
-          .as("p"))
-        .select(col("r"), col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .select(col("r"),
+          explode(graft.functions.LtPairs.ltPairs(col("ids"))).as("p"))
+        .select(col("r"), col("p.a").as("d1"), col("p.b").as("d2"))
         .distinct()
         .graftCkpt() // two lazy consumers: the per-r count and the hit join
       val nCand = cand.groupBy("r").agg(count(lit(1)).as("n_candidates"))

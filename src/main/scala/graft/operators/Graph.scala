@@ -41,9 +41,10 @@ object Graph {
   private[graft] def coOrderEdges(li: DataFrame): DataFrame =
     li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok").agg(collect_set("pk").as("ps"))
-      .select(explode(expr(
-        "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"))
-        .as("p"))
+      // native pair expansion (OPTIMIZATION r18): the composed HOF chain
+      // ran interpreted and was duplicated under the explode by
+      // InferFiltersFromGenerate — see graft.functions.LtPairs
+      .select(explode(graft.functions.LtPairs.ltPairs(col("ps"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
@@ -56,9 +57,7 @@ object Graph {
   private[graft] def coOrderEdgesW(li: DataFrame): DataFrame =
     li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok").agg(collect_set("pk").as("ps"))
-      .select(explode(expr(
-        "filter(flatten(transform(ps, x -> transform(ps, y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"))
-        .as("p"))
+      .select(explode(graft.functions.LtPairs.ltPairs(col("ps"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
